@@ -1,0 +1,137 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q, qNoOracle}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-D — aggregation.
+  * Per-schema object counts in the reference's doc model [P2] generalized to
+  * the full Spark aggregation surface: hash agg (partial+final map-side
+  * combine), distinct, HLL sketch, rollup/cube/grouping-sets, pivot.
+  */
+object GroupAgg {
+
+  val defs: Seq[Q] = Seq(
+    // TPC-H Q1 shape — HashAggregateExec with map-side partials.
+    q("agg_groupby_hash",
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc
+        |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("cnt"),
+          T.dsum(col("l_quantity")).as("sum_qty"),
+          T.dsum(col("l_extendedprice")).as("sum_price"),
+          T.davg(col("l_discount")).as("avg_disc"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    q("agg_count_distinct",
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"))
+        .orderBy("l_returnflag")
+    },
+
+    // HLL++ sketch differs across engines → property-tested (<5% error) in
+    // ApproxDistinctSpec instead of the DuckDB oracle.
+    qNoOracle("agg_approx_distinct_hll") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          countDistinct(col("l_partkey")).as("exact_parts"))
+    },
+
+    q("agg_having",
+      """SELECT o_custkey, count(*) AS n_orders FROM orders
+        |GROUP BY 1 HAVING count(*) >= 12 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+        .filter(col("n_orders") >= 12)
+        .orderBy("o_custkey")
+    },
+
+    // Rollup/cube nulls are disambiguated with COALESCE labels in BOTH
+    // engines (fixture group keys are never null, so 'ALL' is unambiguous).
+    q("agg_rollup",
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |  COALESCE(o_orderpriority,'ALL') AS priority, count(*) AS cnt
+        |FROM orders GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .rollup("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+          col("cnt"))
+        .orderBy("status", "priority")
+    },
+
+    q("agg_cube",
+      """SELECT COALESCE(l_returnflag,'ALL') AS flag, COALESCE(l_linestatus,'ALL') AS status,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .cube("l_returnflag", "l_linestatus")
+        .agg(T.dsum(col("l_quantity")).as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+          col("sum_qty"))
+        .orderBy("flag", "status")
+    },
+
+    q("agg_grouping_sets",
+      """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+        |  COALESCE(o_orderpriority,'ALL') AS priority, count(*) AS cnt
+        |FROM orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+        |ORDER BY status, priority""") { (s, dir) =>
+      T.t(s, dir, "orders").createOrReplaceTempView("gs_orders")
+      s.sql(
+        """SELECT COALESCE(o_orderstatus,'ALL') AS status,
+          |  COALESCE(o_orderpriority,'ALL') AS priority, count(*) AS cnt
+          |FROM gs_orders GROUP BY GROUPING SETS ((o_orderstatus),(o_orderpriority),())
+          |ORDER BY status, priority""".stripMargin)
+    },
+
+    // Explicit pivot value list ⇒ deterministic output schema.
+    q("agg_pivot",
+      """WITH low10 AS (SELECT DISTINCT user_id FROM events ORDER BY user_id LIMIT 10)
+        |SELECT e.user_id,
+        |  count(CASE WHEN event_type = 'click' THEN 1 END) AS click,
+        |  count(CASE WHEN event_type = 'error' THEN 1 END) AS error,
+        |  count(CASE WHEN event_type = 'purchase' THEN 1 END) AS purchase,
+        |  count(CASE WHEN event_type = 'signup' THEN 1 END) AS signup,
+        |  count(CASE WHEN event_type = 'view' THEN 1 END) AS view
+        |FROM events e JOIN low10 u ON e.user_id = u.user_id
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val low10 = ev.select("user_id").distinct().orderBy("user_id").limit(10)
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      ev.join(broadcast(low10), "user_id")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_id") +: types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_id")
+    },
+
+    q("agg_distinct_rows",
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1,2""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .select("l_returnflag", "l_linestatus")
+        .distinct()
+        .orderBy("l_returnflag", "l_linestatus")
+    }
+  )
+}

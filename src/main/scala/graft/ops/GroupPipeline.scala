@@ -1,0 +1,266 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q, qNoOracle}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** LLM-pipeline extensions beyond SURVEY.md §2 (driver mandate,
+  * BASELINE.json "dedup, similarity search, multimodal columns, text
+  * analysis"): the operations a 100 TB training-data pipeline needs.
+  * Everything stays a shuffle-on-key DataFrame plan — band/bucket joins for
+  * candidate generation, no driver-side loops.
+  */
+object GroupPipeline {
+
+  private def dot = GroupVector.dot _
+
+  val defs: Seq[Q] = Seq(
+    // 64-bit SimHash over the token multiset (xxhash64 per token, signed bit
+    // votes), banded 4×16 for candidate generation, verified by Hamming
+    // distance ≤ 8. Hash function is engine-specific → property-tested
+    // (SimHashSpec), rows-only for the driver.
+    qNoOracle("dedup_simhash") { (s, dir) =>
+      val toks = T.t(s, dir, "documents")
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("h", xxhash64(col("tok")))
+      val bitSums = (0 until 64).map { b =>
+        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+      }
+      val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+        .withColumn("simhash",
+          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+            .reduce(_ + _))
+        .select("doc_id", "simhash")
+      val banded = sim.select(
+        col("doc_id"), col("simhash"),
+        posexplode(array((0 until 4).map(i =>
+          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          .as(Seq("band_pos", "band_val")))
+      val a = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"),
+        col("band_pos"), col("band_val"))
+      val b = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"),
+        col("band_pos").as("bp2"), col("band_val").as("bv2"))
+      a.join(b, col("band_pos") === col("bp2") && col("band_val") === col("bv2")
+          && col("ia") < col("ib"))
+        .dropDuplicates("ia", "ib")
+        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .filter(col("hamming") <= 8)
+        .select("ia", "ib", "hamming")
+        .orderBy("ia", "ib")
+    },
+
+    // Exact n-gram (3-token shingle) Jaccard near-dup pairs via inverted-
+    // index join — the brute-force ground truth MinHash approximates.
+    q("dedup_ngram_jaccard",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
+        |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
+        |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
+      val sh = GroupText.shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val common = sh.select(col("doc_id").as("ia"), col("sh"))
+        .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
+        .orderBy("ia", "ib")
+    },
+
+    // Embedding-cosine near-dup: canonical keep = lower vec_id. Threshold
+    // 0.45 fits the fixture distribution (all-pairs max ≈ 0.51).
+    q("dedup_embedding_cosine",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |p AS (SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+        |    round(list_dot_product(a.e, b.e), 6) AS sim
+        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+        |SELECT keep_id, dup_id, sim FROM p WHERE sim >= 0.45 ORDER BY keep_id, dup_id""") { (s, dir) =>
+      val e = T.t(s, dir, "embeddings")
+      val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"))
+      val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"))
+      a.join(b, col("keep_id") < col("dup_id"))
+        .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
+        .filter(col("sim") >= 0.45)
+        .select("keep_id", "dup_id", "sim")
+        .orderBy("keep_id", "dup_id")
+    },
+
+    // Language-ID by n-gram (unigram) frequency affinity, self-trained on the
+    // corpus: predicted = argmax over langs of Σ tf(lang, tok). Pure integer
+    // arithmetic ⇒ exact cross-engine parity. Output is the confusion matrix.
+    q("text_langid",
+      """WITH toks AS (SELECT doc_id, lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT tok, lang AS model_lang, count(*) AS cnt FROM toks GROUP BY 1,2),
+        |sc AS (SELECT t.doc_id, t.lang, f.model_lang, CAST(SUM(f.cnt) AS BIGINT) AS s
+        |  FROM toks t JOIN tf f ON t.tok = f.tok GROUP BY 1,2,3),
+        |p AS (SELECT doc_id, lang, model_lang AS predicted FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY s DESC, model_lang) AS rn FROM sc)
+        |  WHERE rn = 1)
+        |SELECT lang, predicted, count(*) AS n_docs FROM p GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
+      val toks = T.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy(col("tok"), col("lang").as("model_lang"))
+        .agg(count(lit(1)).as("cnt"))
+      toks.join(broadcast(tf), "tok")
+        .groupBy("doc_id", "lang", "model_lang")
+        .agg(sum(col("cnt")).cast(LongType).as("s"))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("doc_id").orderBy(col("s").desc, col("model_lang"))))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"), col("model_lang").as("predicted"))
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang", "predicted")
+    },
+
+    // Quality scoring: type-token ratio, stopword ratio, avg token length
+    // (all from exact integer counts; text is single-space-joined ASCII).
+    q("text_quality_score",
+      """WITH b AS (SELECT doc_id, n_chars, string_split(text,' ') AS arr FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(arr) AS INT) AS nt,
+        |    CAST(len(list_distinct(arr)) AS INT) AS nd,
+        |    CAST(len(list_filter(arr, t -> t = 'a' OR t = 'the')) AS INT) AS nstop,
+        |    n_chars FROM b)
+        |SELECT doc_id, nt,
+        |  round(CAST(nd AS DOUBLE)/nt, 6) AS ttr,
+        |  round(CAST(nstop AS DOUBLE)/nt, 6) AS stop_ratio,
+        |  round((CAST(nd AS DOUBLE)/nt)*0.5 + (1.0 - CAST(nstop AS DOUBLE)/nt)*0.3
+        |    + least((CAST(n_chars - (nt-1) AS DOUBLE)/nt)/10.0, 1.0)*0.2, 6) AS score
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      val m = T.t(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          col("n_chars"),
+          size(col("arr")).as("nt"),
+          size(array_distinct(col("arr"))).as("nd"),
+          expr("size(filter(arr, t -> t = 'a' OR t = 'the'))").as("nstop"))
+      m.select(
+          col("doc_id"), col("nt"),
+          round(col("nd").cast(DoubleType) / col("nt"), 6).as("ttr"),
+          round(col("nstop").cast(DoubleType) / col("nt"), 6).as("stop_ratio"),
+          round(
+            (col("nd").cast(DoubleType) / col("nt")) * 0.5
+              + (lit(1.0) - col("nstop").cast(DoubleType) / col("nt")) * 0.3
+              + least((((col("n_chars") - (col("nt") - 1)).cast(DoubleType) / col("nt")) / 10.0), lit(1.0)) * 0.2,
+            6).as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace split vs a BPE-ish regex tokenizer.
+    q("text_token_count",
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text,' '))) AS BIGINT) AS ws_tokens,
+        |  CAST(SUM(len(regexp_extract_all(text, '[a-z]+'))) AS BIGINT) AS re_tokens
+        |FROM documents GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast(LongType).as("ws_tokens"),
+          sum(size(regexp_extract_all(col("text"), lit("[a-z]+"), lit(0)))).cast(LongType)
+            .as("re_tokens"))
+        .orderBy("source")
+    },
+
+    // Content fingerprinting: md5 digest groups (standard MD5 hex in both
+    // engines). At sf0.1 the 8 planted duplicate texts share fingerprints.
+    q("text_fingerprint",
+      """SELECT md5(text) AS fp, count(*) AS n_docs, min(doc_id) AS min_doc
+        |FROM documents GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .groupBy(md5(col("text").cast(BinaryType)).as("fp"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"))
+        .orderBy("fp")
+    },
+
+    // Multimodal plumbing: text bytes stand in for an opaque binary payload
+    // (image/audio libs absent in this container — SURVEY/driver mandate says
+    // stub the decode). The mapPartitions iterator IS the real batch-decode
+    // shape; the fake decode is a deterministic function of payload length,
+    // which the oracle recomputes from n_chars (ASCII ⇒ bytes == chars).
+    q("multimodal_meta",
+      """SELECT doc_id, CAST(n_chars AS BIGINT) AS n_bytes,
+        |  CAST(64 + (n_chars % 64) AS INT) AS width,
+        |  CAST(64 + ((n_chars * 7) % 64) AS INT) AS height,
+        |  CAST(1 + (n_chars % 5) AS INT) AS n_frames
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            // stubbed decode: deterministic pseudo-metadata from the payload
+            val n = payload.length
+            (id, n.toLong, 64 + (n % 64), 64 + ((n * 7) % 64), 1 + (n % 5))
+          }
+        }
+        .toDF("doc_id", "n_bytes", "width", "height", "n_frames")
+        .orderBy("doc_id")
+    },
+
+    // IVF-style ANN: 8 deterministic coarse centroids (vec_id < 8), each
+    // candidate assigned to its nearest cell, queries probe nprobe=2 cells.
+    // The 100 TB shape: candidates partitioned by cell, query fan-out joins
+    // only the probed cells instead of the full corpus.
+    q("vector_ivf_topk",
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent FROM embeddings WHERE vec_id < 8),
+        |cand AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 20),
+        |assign AS (SELECT c_id, ce, cent_id AS cell FROM (
+        |    SELECT c_id, ce, cent_id, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY round(list_dot_product(ce, cent), 6) DESC, cent_id) AS rn
+        |    FROM cand CROSS JOIN cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+        |probe AS (SELECT q_id, qe, cent_id AS cell FROM (
+        |    SELECT q_id, qe, cent_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY round(list_dot_product(qe, cent), 6) DESC, cent_id) AS rn
+        |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+        |s AS (SELECT q_id, c_id, round(list_dot_product(qe, ce), 6) AS sim
+        |  FROM probe JOIN assign USING (cell))
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT q_id, c_id, sim, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk FROM s)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      val e = T.t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      val cand = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val assign = cand.crossJoin(broadcast(cent))
+        .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("rn") === 1)
+        .select(col("c_id"), col("ce"), col("cent_id").as("cell"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val probe = qs.crossJoin(broadcast(cent))
+        .withColumn("d", round(dot(col("qe"), col("cent")), 6))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("q_id").orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
+      probe.join(assign, "cell")
+        .withColumn("sim", round(dot(col("qe"), col("ce")), 6))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

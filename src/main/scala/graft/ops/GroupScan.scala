@@ -1,0 +1,101 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** SURVEY.md §2-A — scans, sources, sinks.
+  *
+  * Realizes the reference's catalog-extraction scans and `dbexec`-shaped bulk
+  * loads (dbsuite input plugins / bulk loader, [P2] — reference mount empty,
+  * see SURVEY.md Provenance Notice) as Spark columnar parquet scans and
+  * read→transform→write pipelines.
+  */
+object GroupScan {
+
+  private def tmp(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  val defs: Seq[Q] = Seq(
+    // (l_orderkey, l_linenumber) is NOT unique — order by every projected
+    // column so ties are identical rows (deterministic under LIMIT too).
+    q("scan_parquet",
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, l_quantity LIMIT 100""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+        .limit(100)
+    },
+
+    // Only 2 of 11 lineitem columns touched: Catalyst ColumnPruning must
+    // reach the parquet reader (ReadSchema shows 2 fields — plan-shape spec).
+    q("scan_projection_pushdown",
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 200""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(T.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_orderkey")
+        .limit(200)
+    },
+
+    q("source_csv_roundtrip",
+      "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
+      val out = tmp("graft_csv_")
+      T.t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType)))
+      s.read.schema(schema).option("header", "true").csv(out)
+        .orderBy("n_nationkey")
+    },
+
+    q("source_json_roundtrip",
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
+      val out = tmp("graft_json_")
+      T.t(s, dir, "region").write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("r_regionkey", IntegerType),
+        StructField("r_name", StringType)))
+      s.read.schema(schema).json(out)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")
+    },
+
+    // Hive-style partitioned layout — the 100 TB at-rest story: downstream
+    // scans of one status prune all other partitions.
+    q("sink_partitioned_write",
+      """SELECT o_orderstatus, count(*) AS cnt FROM orders
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
+      val out = tmp("graft_part_")
+      T.t(s, dir, "orders").write.mode("overwrite")
+        .partitionBy("o_orderstatus").parquet(out)
+      s.read.parquet(out)
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
+    // dbexec-shaped ETL: read raw → derive → reject bad rows → partitioned
+    // parquet → read-back audit counts (bulk LOAD with reject handling [P2]).
+    q("bulk_load_pipeline",
+      """SELECT CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val out = tmp("graft_bulk_")
+      T.t(s, dir, "lineitem")
+        .filter(col("l_quantity") > 0)
+        .withColumn("l_year", year(col("l_shipdate")))
+        .write.mode("overwrite").partitionBy("l_year").parquet(out)
+      s.read.parquet(out)
+        .groupBy("l_year")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity")).as("sum_qty"))
+        .select(col("l_year").cast(IntegerType).as("l_year"), col("cnt"), col("sum_qty"))
+        .orderBy("l_year")
+    }
+  )
+}

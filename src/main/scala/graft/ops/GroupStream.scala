@@ -1,0 +1,139 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q, qNoOracle}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-K — streaming over the `events` replay.
+  *
+  * The driver harness is batch (Verify → parquet, DuckDB oracle), so each
+  * declared query here is the BATCH-EQUIVALENT form; the real Structured
+  * Streaming implementations (file-source chunked replay, AvailableNow,
+  * watermarks, mapGroupsWithState) live in graft.streaming.Streams and are
+  * proven equal to these batch forms by StreamingSpec.
+  */
+object GroupStream {
+
+  val defs: Seq[Q] = Seq(
+    // groupBy(window($"ts","1 hour")) — the same expression a readStream
+    // plan uses; batch-equivalent of the tumbling-window stream.
+    q("stream_tumbling_window",
+      """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |FROM events GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+        .orderBy("w_start", "event_type")
+    },
+
+    // 1h windows sliding 15min: every event lands in 4 epoch-aligned windows.
+    q("stream_sliding_window",
+      """WITH e AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) AS b FROM events),
+        |w AS (SELECT b - CAST(i AS INT) * INTERVAL 15 MINUTE AS w_start
+        |      FROM e CROSS JOIN range(4) t(i))
+        |SELECT w_start, count(*) AS cnt FROM w GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    },
+
+    // Per-user sessions with a 30-minute gap: lag-gap → prefix-sum session
+    // ids (the batch formulation of session_window).
+    q("stream_session_window",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o),
+        |g AS (SELECT user_id, sid,
+        |    (epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS dur_s
+        |  FROM s GROUP BY 1,2)
+        |SELECT user_id, count(*) AS n_sessions, CAST(SUM(dur_s) AS BIGINT) AS total_dur_s
+        |FROM g GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") > 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy("user_id", "sid")
+        .agg(expr("(unix_micros(cast(max(ts) as timestamp)) - unix_micros(cast(min(ts) as timestamp))) DIV 1000000")
+          .as("dur_s"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("dur_s")).cast(LongType).as("total_dur_s"))
+        .orderBy("user_id")
+    },
+
+    // Watermark/late-data semantics are not batch SQL → streaming-only test
+    // (StreamingSpec asserts the late chunk is dropped); declared form is the
+    // plain tumbling count over the (batch ⇒ nothing late) event set.
+    qNoOracle("stream_watermark_late") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
+    },
+
+    // Batch form of dropDuplicatesWithinWatermark("event_id").
+    q("stream_dedup_stateful",
+      """SELECT (SELECT count(*) FROM events) AS n_events,
+        |       (SELECT count(DISTINCT event_id) FROM events) AS n_unique""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      ev.agg(count(lit(1)).as("n_events"))
+        .crossJoin(ev.dropDuplicates("event_id").agg(count(lit(1)).as("n_unique")))
+    },
+
+    // Batch form of the transformWithState / mapGroupsWithState per-user
+    // running total.
+    q("stream_stateful_running",
+      """SELECT user_id, event_id,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |FROM events ORDER BY user_id, event_id""") { (s, dir) =>
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.t(s, dir, "events")
+        .withColumn("run_total", sum(col("value").cast(T.dec)).over(run).cast(T.dec))
+        .select("user_id", "event_id", "run_total")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Batch form of the stream-stream interval join: purchases ⋈ clicks
+    // within ±30 min per user.
+    q("stream_stream_join",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+        .select("p_id", "c_id")
+        .orderBy("p_id", "c_id")
+    }
+  )
+}

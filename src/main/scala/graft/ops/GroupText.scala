@@ -1,0 +1,117 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q, qNoOracle}
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-H — text analysis / dedup (LLM-pipeline mandate).
+  * Exact dedup is a hash group-by; near-dup is MinHash-LSH banding with an
+  * exact-Jaccard verification of candidates (precision 1.0 by construction).
+  * At 100 TB both stay shuffle-on-key DataFrame plans: shingle explode →
+  * band bucket join, no driver-side state.
+  */
+object GroupText {
+
+  /** distinct 3-token shingles per doc, as an array column `sh`. */
+  private[ops] def shingled(s: SparkSession, dir: String): DataFrame =
+    T.t(s, dir, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .withColumn("sh",
+        array_distinct(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+
+  val defs: Seq[Q] = Seq(
+    q("text_stats_per_lang",
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(n_chars) AS DOUBLE) / count(*) AS avg_chars,
+        |  count(DISTINCT source) AS n_sources,
+        |  CAST(SUM(len(string_split(text,' '))) AS DOUBLE) / count(*) AS avg_tokens,
+        |  min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .withColumn("n_toks", size(split(col("text"), " ")))
+        .groupBy("lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          (sum(col("n_chars")).cast(DoubleType) / count(lit(1))).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          (sum(col("n_toks")).cast(DoubleType) / count(lit(1))).as("avg_tokens"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // Exact dedup: keep min doc_id per identical text. sf0.1 plants exactly
+    // 8 duplicate texts (FIXTURES.md); sf0.01 has 0 → both metrics emitted so
+    // the result is never empty.
+    q("dedup_exact",
+      """SELECT 'removed' AS metric, count(*) - count(DISTINCT text) AS value FROM documents
+        |UNION ALL
+        |SELECT 'survivors' AS metric, count(DISTINCT text) AS value FROM documents
+        |ORDER BY metric""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .agg(count(lit(1)).as("n"), countDistinct(col("text")).as("survivors"))
+        .selectExpr("stack(2, 'removed', n - survivors, 'survivors', survivors) AS (metric, value)")
+        .orderBy("metric")
+    },
+
+    // MinHash-LSH near-dup candidates, exact-verified to true Jaccard >= 0.8.
+    // Not SQL-expressible (sketches) → property-tested: NearDupSpec asserts
+    // precision 1.0 by construction and recall 1.0 vs brute force at sf0.001.
+    qNoOracle("dedup_near_minhash") { (s, dir) =>
+      val sh = shingled(s, dir).select("doc_id", "sh")
+      val tf = new HashingTF().setInputCol("sh").setOutputCol("features")
+        .setNumFeatures(1 << 18).setBinary(true)
+      val feat = tf.transform(sh)
+      val lsh = new MinHashLSH().setInputCol("features").setOutputCol("hashes")
+        .setNumHashTables(8).setSeed(42L)
+      val model = lsh.fit(feat)
+      val pairs = model.approxSimilarityJoin(feat, feat, 0.4, "dist")
+        .select(
+          col("datasetA.doc_id").as("ia"), col("datasetA.sh").as("sa"),
+          col("datasetB.doc_id").as("ib"), col("datasetB.sh").as("sb"))
+        .filter(col("ia") < col("ib"))
+        .dropDuplicates("ia", "ib")
+      pairs
+        .withColumn("jac",
+          size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
+            size(array_union(col("sa"), col("sb"))).cast(DoubleType))
+        .filter(col("jac") >= 0.8)
+        .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
+        .orderBy("ia", "ib")
+    },
+
+    // Smoothed TF-IDF: score = tf * ln(1 + n_langs/df); round BEFORE ranking
+    // in both engines to absorb libm ln() ulp differences.
+    q("text_tfidf_top_terms",
+      """WITH toks AS (SELECT lang, unnest(string_split(text,' ')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, count(*) AS cnt FROM toks GROUP BY 1,2),
+        |dfx AS (SELECT tok, count(DISTINCT lang) AS df FROM tf GROUP BY 1),
+        |nl AS (SELECT count(DISTINCT lang) AS n FROM documents),
+        |sc AS (SELECT lang, tf.tok AS tok, round(cnt * ln(1 + CAST(n AS DOUBLE)/df), 6) AS score
+        |       FROM tf JOIN dfx ON tf.tok = dfx.tok CROSS JOIN nl)
+        |SELECT lang, tok, score, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY lang ORDER BY score DESC, tok) AS INT) AS rn
+        |  FROM sc)
+        |WHERE rn <= 5 ORDER BY lang, rn""") { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = T.t(s, dir, "documents")
+      val toks = docs.select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      val tf = toks.groupBy("lang", "tok").agg(count(lit(1)).as("cnt"))
+      val dfx = tf.groupBy("tok").agg(countDistinct(col("lang")).as("df"))
+      val nl = docs.agg(countDistinct(col("lang")).as("n"))
+      tf.join(dfx, "tok").crossJoin(broadcast(nl))
+        .withColumn("score",
+          round(col("cnt") * log(lit(1.0) + col("n").cast(DoubleType) / col("df")), 6))
+        .withColumn("rn",
+          row_number().over(Window.partitionBy("lang").orderBy(col("score").desc, col("tok"))))
+        .filter(col("rn") <= 5)
+        .select("lang", "tok", "score", "rn")
+        .orderBy("lang", "rn")
+    }
+  )
+}
