@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.T
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-K — the real Structured Streaming implementations.
+  *
+  * The driver's correctness harness is batch, so GroupStream declares
+  * batch-equivalent forms; these are the streaming twins, proven equal by
+  * StreamingSpec over a chunked file-source replay of `events` processed
+  * with Trigger.AvailableNow (maxFilesPerTrigger=1 ⇒ one micro-batch per
+  * chunk, so watermarks genuinely advance between batches).
+  */
+object Streams {
+
+  /** Schema of the replay chunks (events after T.t's nanos→micros fix). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampNTZType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Split `events` into `n` time-ordered chunk files under `outDir`
+    * (one micro-batch each). If `lateTail` is set, the events of the
+    * FIRST time-range chunk are instead appended as the LAST file — they
+    * arrive after the watermark has advanced past them. */
+  def writeChunks(s: SparkSession, sfDir: String, outDir: String, n: Int,
+                  lateTail: Boolean = false): Unit = {
+    val ev = T.t(s, sfDir, "events").orderBy("ts", "event_id").collect()
+    val per = math.ceil(ev.length.toDouble / n).toInt
+    val chunks = ev.grouped(per).toSeq
+    val ordered = if (lateTail) chunks.tail :+ chunks.head else chunks
+    ordered.zipWithIndex.foreach { case (rows, i) =>
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(rows.toIndexedSeq, 1), eventsSchema)
+      val tmp = f"$outDir/_stage_$i%03d"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      // flatten to one file per chunk: the file source processes files in
+      // mtime order, so chunk_i.parquet IS micro-batch i
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$outDir/chunk_$i%03d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      Thread.sleep(15) // distinct mtimes ⇒ deterministic file order
+    }
+  }
+
+  /** File-source replay: one chunk per micro-batch. */
+  def readReplay(s: SparkSession, chunkDir: String): DataFrame =
+    s.readStream.schema(eventsSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir)
+
+  /** Tumbling 1h window × event_type counts (streaming twin of
+    * stream_tumbling_window). */
+  def tumbling(stream: DataFrame): DataFrame =
+    stream.groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("event_type"), col("cnt"), col("sum_value"))
+
+  /** Tumbling 1h counts with a 1h watermark — late chunks get dropped
+    * (stream_watermark_late). */
+  def tumblingWithWatermark(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+
+  /** Sliding 1h/15min windows (stream_sliding_window). */
+  def sliding(stream: DataFrame): DataFrame =
+    stream.groupBy(window(col("ts"), "1 hour", "15 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("w_start"), col("cnt"))
+
+  /** Per-user session windows with a 30-minute gap (stream_session_window). */
+  def sessions(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "2 hours")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("s_start"), col("n_events"))
+
+  /** Stateful exactly-once-per-id dedup (stream_dedup_stateful). */
+  def dedup(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** Arbitrary-state per-user running total via mapGroupsWithState
+    * (stream_stateful_running): emits the updated total each batch. */
+  def runningTotals(stream: DataFrame): Dataset[(Long, Double)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout()) {
+        (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
+          // integer cents: the merge is order-independent and exact
+          val prev = state.getOption.getOrElse(0.0)
+          val add = rows.map(r => Math.round(r._2 * 100)).sum
+          val next = prev + add
+          state.update(next)
+          (user, next)
+      }
+  }
+
+  /** Stream-stream interval join: purchases ⋈ clicks within ±30 min per
+    * user (stream_stream_join). Watermarks bound the join state. */
+  def purchaseClickJoin(stream1: DataFrame, stream2: DataFrame): DataFrame = {
+    val p = stream1.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast(TimestampType).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = stream2.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").cast(TimestampType).as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("p_id", "c_id")
+  }
+
+  /** Run a streaming DataFrame to completion into an in-memory table and
+    * return the collected sink rows. */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    df.sparkSession.table(name)
+  }
+}

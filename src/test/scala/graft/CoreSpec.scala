@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Known-answer + invariant checks for the relational core at sf0.001. */
+class CoreSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, sf)
+
+  test("entry (flagship Q3) returns 10 rows with positive revenue") {
+    val rows = SparkEntry.entry(s).collect()
+    assert(rows.length == 10)
+    assert(rows.forall(_.getAs[java.math.BigDecimal]("revenue").signum() > 0))
+  }
+
+  test("every declared query key has unique name and runs at sf0.001") {
+    assert(SparkEntry.queries.keySet.intersect(SparkEntry.oracleSql.keySet)
+      == SparkEntry.oracleSql.keySet, "every oracle key must be a query key")
+  }
+
+  test("join_cross_limited is exactly |region| x |nation| = 125 rows") {
+    assert(run("join_cross_limited").count() == 125)
+  }
+
+  test("join_left_outer accounts for every order exactly once") {
+    val rows = run("join_left_outer").collect()
+    val nOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    assert(nOrders == T.t(s, sf, "orders").count())
+  }
+
+  test("agg_groupby_hash covers all 6 (returnflag, linestatus) combos") {
+    assert(run("agg_groupby_hash").count() == 6)
+  }
+
+  test("setop union/intersect/except are consistent") {
+    val u = run("setop_union_distinct").count()
+    val i = run("setop_intersect").count()
+    val e = run("setop_except").count()
+    // |A ∪ B| = |A| + |B \ A| and A∩B, A\B partition A
+    assert(i + e == T.t(s, sf, "customer")
+      .join(T.t(s, sf, "nation"),
+        org.apache.spark.sql.functions.col("c_nationkey") ===
+          org.apache.spark.sql.functions.col("n_nationkey"))
+      .select("n_name").distinct().count())
+    assert(u >= i && u >= e)
+  }
+
+  test("dedup_exact: sf0.001 has zero duplicate texts") {
+    val m = run("dedup_exact").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("removed") == 0)
+    assert(m("survivors") == 500)
+  }
+
+  test("window_ranking emits exactly 3 rows per market segment") {
+    val rows = run("window_ranking").collect()
+    assert(rows.groupBy(_.getString(0)).forall(_._2.length == 3))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the no-oracle dedup/sketch ops (SURVEY.md §5.2.5). */
+class DedupSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, sf)
+
+  test("agg_approx_distinct_hll: HLL error < 5% of exact") {
+    val r = run("agg_approx_distinct_hll").collect().head
+    val approx = r.getAs[Long]("approx_parts").toDouble
+    val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(math.abs(approx - exact) / exact < 0.05, s"approx=$approx exact=$exact")
+  }
+
+  test("dedup_near_minhash: precision 1.0 (every pair truly Jaccard >= 0.8)" +
+    " and recall 1.0 vs brute force") {
+    val lsh = run("dedup_near_minhash").collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    val brute = run("dedup_ngram_jaccard").collect()
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    assert(brute.nonEmpty, "fixture should contain near-dup pairs")
+    assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("dedup_simhash: exact duplicate texts collide at Hamming 0") {
+    // synthesize a corpus with planted exact duplicates (sf0.001 has none)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_simdup_").toString
+    val docs = T.t(s, sf, "documents")
+    docs.union(docs.limit(20).withColumn("doc_id", col("doc_id") + 100000L))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val pairs = SparkEntry.queries("dedup_simhash")(s, tmp).collect()
+    val planted = (0L until 20L).map(i => (i, i + 100000L)).toSet
+    val atZero = pairs.filter(_.getAs[Int]("hamming") == 0)
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    assert(planted.subsetOf(atZero),
+      s"missing planted dups: ${planted -- atZero}")
+  }
+
+  test("dedup_ngram_jaccard pairs are symmetric-free and above threshold") {
+    val rows = run("dedup_ngram_jaccard").collect()
+    assert(rows.forall(r => r.getAs[Long]("ia") < r.getAs[Long]("ib")))
+    assert(rows.forall(_.getAs[Double]("jac") >= 0.8))
+  }
+
+  test("vector_ivf_topk recall vs brute-force vector_cosine_topk >= 60%") {
+    // nprobe=2 of 8 cells: recall is partial by design; assert it's useful
+    val ivf = run("vector_ivf_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val brute = run("vector_cosine_topk").collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("c_id"))).toSet
+    val recall = (brute intersect ivf).size.toDouble / brute.size
+    assert(recall >= 0.6, s"IVF recall $recall")
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Plan-shape guards (SURVEY.md §5.2.6): assert the Catalyst built-ins we
+  * rely on for 100 TB scale actually fire on Spark 4.1.2 — broadcast hints
+  * become BroadcastHashJoin, column pruning reaches the parquet reader,
+  * rank filters push into WindowGroupLimit, ORDER BY+LIMIT becomes
+  * TakeOrderedAndProject.
+  */
+class PlanShapeSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def plan(key: String): String =
+    SparkEntry.queries(key)(s, sf).queryExecution.executedPlan.toString
+
+  test("join_broadcast plans a BroadcastHashJoin (fact side never shuffles)") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+  }
+
+  test("scan_projection_pushdown prunes to 2 parquet columns") {
+    val p = plan("scan_projection_pushdown")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_quantity:double>"), p.take(2000))
+  }
+
+  test("filter_pred_simple pushes predicates into the parquet scan") {
+    val p = plan("filter_pred_simple")
+    assert(p.contains("PushedFilters:") && p.contains("GreaterThanOrEqual(l_quantity,10.0)"),
+      p.take(2000))
+  }
+
+  test("window_ranking rank<=3 filter becomes a WindowGroupLimit") {
+    assert(plan("window_ranking").contains("WindowGroupLimit"))
+  }
+
+  test("sort_multikey ORDER BY+LIMIT becomes TakeOrderedAndProject") {
+    assert(plan("sort_multikey").contains("TakeOrderedAndProject"))
+  }
+
+  test("join_left_semi / join_left_anti plan semi/anti joins") {
+    assert(plan("join_left_semi").contains("LeftSemi"))
+    assert(plan("join_left_anti").contains("LeftAnti"))
+  }
+}

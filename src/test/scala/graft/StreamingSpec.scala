@@ -1,0 +1,122 @@
+package graft
+
+import graft.streaming.Streams
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SURVEY.md §2-K: each Structured Streaming implementation over a chunked
+  * file replay equals its declared batch form once the stream drains
+  * (batch-equivalence), plus the watermark late-drop semantics that have no
+  * batch analogue.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def chunks(late: Boolean = false): String = {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    Streams.writeChunks(s, sf, dir, n = 5, lateTail = late)
+    dir
+  }
+
+  test("tumbling window: streaming result == batch stream_tumbling_window") {
+    val got = Streams.runToMemory(
+        Streams.tumbling(Streams.readReplay(s, chunks())), "t_tumble", OutputMode.Complete())
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getLong(2), r.getDecimal(3).toString)).toSet
+    val want = SparkEntry.queries("stream_tumbling_window")(s, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getLong(2), r.getDecimal(3).toString)).toSet
+    assert(got == want)
+  }
+
+  test("sliding window: streaming == batch stream_sliding_window") {
+    val got = Streams.runToMemory(
+        Streams.sliding(Streams.readReplay(s, chunks())), "t_slide", OutputMode.Complete())
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString, r.getLong(1))).toSet
+    val want = SparkEntry.queries("stream_sliding_window")(s, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString, r.getLong(1))).toSet
+    assert(got == want)
+  }
+
+  test("session window: per-user session counts == batch stream_session_window") {
+    val table = Streams.runToMemory(
+      Streams.sessions(Streams.readReplay(s, chunks())), "t_sess", OutputMode.Complete())
+    val got = table.groupBy("user_id").agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val want = SparkEntry.queries("stream_session_window")(s, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_sessions"))).toMap
+    assert(got == want)
+  }
+
+  test("watermark: late chunk rows are dropped by the 1h watermark") {
+    val q = Streams.tumblingWithWatermark(Streams.readReplay(s, chunks(late = true)))
+      .writeStream.format("memory").queryName("t_wm").outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val dropped = q.recentProgress
+      .flatMap(p => Option(p.stateOperators).toSeq.flatMap(_.toSeq))
+      .map(_.numRowsDroppedByWatermark).sum
+    assert(dropped > 0, "the late tail chunk must be dropped by the watermark")
+    // final counted rows = everything except the late tail chunk (the first
+    // ceil(n/5) events by ts, replayed last, all behind the watermark)
+    val total = T.t(s, sf, "events").count()
+    val lateChunk = math.ceil(total / 5.0).toLong
+    val counted = s.table("t_wm").groupBy("w_start").agg(max("cnt").as("cnt"))
+      .agg(sum("cnt")).collect().head.getLong(0)
+    assert(counted == total - lateChunk, s"counted=$counted late=$lateChunk")
+  }
+
+  test("stateful dedup: duplicated replay collapses to distinct event_ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    Streams.writeChunks(s, sf, dir, n = 3)
+    // duplicate every chunk file, interleaved right after its original in
+    // mtime order: the replay delivers each event twice, one batch apart
+    val base = new java.io.File(dir)
+    base.listFiles().filter(_.getName.startsWith("chunk_")).foreach { f =>
+      val copy = new java.io.File(base, f.getName.replace(".parquet", "d.parquet"))
+      java.nio.file.Files.copy(f.toPath, copy.toPath)
+      copy.setLastModified(f.lastModified() + 1)
+    }
+    val got = Streams.runToMemory(
+      Streams.dedup(Streams.readReplay(s, dir)), "t_dedup", OutputMode.Append())
+    assert(got.count() == T.t(s, sf, "events").count())
+    assert(got.select("event_id").distinct().count() == got.count())
+  }
+
+  test("mapGroupsWithState running totals == batch stream_stateful_running finals") {
+    import s.implicits._
+    val q = Streams.runningTotals(Streams.readReplay(s, chunks()))
+      .toDF("user_id", "total_cents")
+      .writeStream.format("memory").queryName("t_run").outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // update mode appends one (user, running-total) row per touched batch;
+    // the final state equals the batch per-user total, so that total must
+    // appear among the user's emissions (totals aren't monotone — no maxBy)
+    val emissions = s.table("t_run").collect()
+      .map(r => (r.getLong(0), Math.round(r.getDouble(1))))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    val want = T.t(s, sf, "events")
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("cents"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(emissions.keySet == want.keySet)
+    want.foreach { case (u, cents) =>
+      assert(emissions(u).contains(cents),
+        s"user $u: batch total $cents not among emissions ${emissions(u)}")
+    }
+  }
+
+  test("stream-stream interval join == batch stream_stream_join") {
+    val dir = chunks()
+    val got = Streams.runToMemory(
+        Streams.purchaseClickJoin(Streams.readReplay(s, dir), Streams.readReplay(s, dir)),
+        "t_ssj", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = SparkEntry.queries("stream_stream_join")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+}
