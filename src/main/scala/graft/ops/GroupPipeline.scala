@@ -64,8 +64,14 @@ object GroupPipeline {
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
-      val sh = GroupText.shingled(s, dir)
+      // materialize the shingle inverted index once — both sides of the
+      // self-join and the size lookup read it, instead of re-exploding the
+      // corpus three times (at 100 TB this staging table is the real design)
+      val stage = java.nio.file.Files.createTempDirectory("graft_shingle_").toString
+      GroupText.shingled(s, dir)
         .select(col("doc_id"), explode(col("sh")).as("sh"))
+        .write.mode("overwrite").parquet(stage)
+      val sh = s.read.parquet(stage)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("doc_id").as("ia"), col("sh"))
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),
@@ -88,6 +94,7 @@ object GroupPipeline {
         |    round(list_dot_product(a.e, b.e), 6) AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, sim FROM p WHERE sim >= 0.45 ORDER BY keep_id, dup_id""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = T.t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"))
@@ -235,6 +242,7 @@ object GroupPipeline {
         |  SELECT q_id, c_id, sim, CAST(row_number() OVER (
         |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk FROM s)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val e = T.t(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))

@@ -20,14 +20,16 @@ import org.apache.spark.sql.types._
   */
 object GroupVector {
 
-  /** Elementwise dot product of two float-array columns, in double. */
+  /** Elementwise dot product of two float-array columns, in double —
+    * graft's codegen'd VecDot expression (graft.functions.VecDot); the
+    * accumulation order matches the sequential zip_with/aggregate fold. */
   private[ops] def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+    expr(s"vec_dot(${a.toString}, ${b.toString})")
 
-  private[ops] def emb(s: SparkSession, dir: String): DataFrame =
+  private[ops] def emb(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
     T.t(s, dir, "embeddings")
+  }
 
   val defs: Seq[Q] = Seq(
     q("vector_cosine_topk",
