@@ -1,0 +1,82 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import java.nio.file.Files
+
+/** Storage-layout & shuffle-avoidance operators beyond §2-A: the techniques
+  * that decide whether a 100 TB join shuffles 100 TB or nothing —
+  * columnar-format interchange (ORC), bucketed co-located joins, and
+  * salt-replicated joins for skewed keys.
+  */
+object GroupStorage {
+
+  val defs: Seq[Q] = Seq(
+    q("source_orc_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val out = Files.createTempDirectory("graft_orc_").toString
+      T.t(s, dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("c_custkey")
+    },
+
+    q("source_text_lines",
+      """SELECT count(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS n_chars
+        |FROM documents""") { (s, dir) =>
+      val out = Files.createTempDirectory("graft_text_").toString
+      T.t(s, dir, "documents").select("text").write.mode("overwrite").text(out)
+      s.read.text(out)
+        .agg(count(lit(1)).as("n_lines"),
+          sum(length(col("value"))).cast(LongType).as("n_chars"))
+    },
+
+    // Both sides bucketed by the join key into the same bucket count ⇒ the
+    // join is co-located: no exchange on either input (asserted by
+    // PlanShapeSpec). At 100 TB this is the difference between shuffling
+    // the fact table on every join and shuffling it once at load time.
+    q("bucketed_join_colocated",
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      s.sql("DROP TABLE IF EXISTS graft_orders_b")
+      s.sql("DROP TABLE IF EXISTS graft_customer_b")
+      T.t(s, dir, "orders").write.mode("overwrite")
+        .bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_b")
+      T.t(s, dir, "customer").write.mode("overwrite")
+        .bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_b")
+      s.table("graft_orders_b")
+        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Salting for skewed keys: the fact side gets a deterministic salt,
+    // the dim side is replicated across all salt values, and the join key
+    // becomes (key, salt) — a hot key now spreads over 8 partitions.
+    // Result is provably identical to the unsalted join (the oracle).
+    q("join_skew_salted",
+      """SELECT o_orderpriority, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val salts = 8
+      val fact = T.t(s, dir, "lineitem")
+        .withColumn("salt", pmod(xxhash64(col("l_orderkey"), col("l_linenumber"), col("l_partkey")), lit(salts)).cast(IntegerType))
+      val dim = T.t(s, dir, "orders")
+        .select("o_orderkey", "o_orderpriority")
+        .crossJoin(s.range(salts).select(col("id").cast(IntegerType).as("salt")))
+      fact.join(dim, col("l_orderkey") === col("o_orderkey") && fact("salt") === dim("salt"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("o_orderpriority")
+    }
+  )
+}

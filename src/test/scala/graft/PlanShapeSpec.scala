@@ -41,4 +41,14 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("join_left_semi").contains("LeftSemi"))
     assert(plan("join_left_anti").contains("LeftAnti"))
   }
+
+  test("bucketed_join_colocated joins without shuffling either input") {
+    val p = plan("bucketed_join_colocated")
+    // both scans are bucketed, and no exchange repartitions a join key —
+    // (at fixture scale Catalyst may still pick broadcast over the bucketed
+    // SMJ, which is also shuffle-free on the fact side)
+    assert("Bucketed: true".r.findAllIn(p).size == 2, p.take(2000))
+    assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
+      !p.contains("Exchange hashpartitioning(c_custkey"), p.take(3000))
+  }
 }
