@@ -58,6 +58,51 @@ object GroupStorage {
         .orderBy("c_mktsegment")
     },
 
+    // Transitive closure of the containment hierarchy (customer/supplier →
+    // nation → region) by iterative join-until-fixpoint — the Spark shape of
+    // the reference's dependency-graph traversal (view→table→tablespace
+    // edges in the dbsuite object model [P2]; SURVEY.md §7 candidate).
+    // Each iteration is one distributed self-join; the driver only checks
+    // the (tiny) new-pair count for termination.
+    q("graph_transitive_closure",
+      """WITH RECURSIVE e AS (
+        |  SELECT n_name AS src, r_name AS dst FROM nation JOIN region ON n_regionkey = r_regionkey
+        |  UNION ALL
+        |  SELECT c_name, n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  UNION ALL
+        |  SELECT s_name, n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+        |tc AS (
+        |  SELECT src, dst FROM e
+        |  UNION
+        |  SELECT tc.src, e.dst FROM tc JOIN e ON tc.dst = e.src)
+        |SELECT src, dst FROM tc ORDER BY src, dst""") { (s, dir) =>
+      val nation = T.t(s, dir, "nation")
+      val edges = T.t(s, dir, "region")
+        .join(nation, col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_name").as("src"), col("r_name").as("dst"))
+        .unionByName(T.t(s, dir, "customer").join(nation, col("c_nationkey") === col("n_nationkey"))
+          .select(col("c_name").as("src"), col("n_name").as("dst")))
+        .unionByName(T.t(s, dir, "supplier").join(nation, col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_name").as("src"), col("n_name").as("dst")))
+      var closure = edges
+      var frontier = edges
+      var grew = true
+      var iter = 0
+      while (grew && iter < 10) {
+        val next = frontier
+          .join(edges.select(col("src").as("m"), col("dst").as("d2")), col("dst") === col("m"))
+          .select(col("src"), col("d2").as("dst"))
+          .except(closure)
+        grew = next.limit(1).count() > 0
+        if (grew) {
+          closure = closure.union(next).distinct()
+          frontier = next
+        }
+        iter += 1
+      }
+      closure.distinct().orderBy("src", "dst")
+    },
+
     // Salting for skewed keys: the fact side gets a deterministic salt,
     // the dim side is replicated across all salt values, and the join key
     // becomes (key, salt) — a hot key now spreads over 8 partitions.

@@ -56,4 +56,21 @@ class CoreSpec extends AnyFunSuite {
     val rows = run("window_ranking").collect()
     assert(rows.groupBy(_.getString(0)).forall(_._2.length == 3))
   }
+
+  test("Graft SQL surface: registered views answer plain SQL incl. vec_dot") {
+    Graft.registerTables(s, sf)
+    assert(Graft.sql(s, "SELECT count(*) FROM lineitem").collect().head.getLong(0) == 6000)
+    val sim = Graft.sql(s,
+      "SELECT round(vec_dot(embedding, embedding), 6) AS n FROM embeddings WHERE vec_id = 0")
+      .collect().head.getDouble(0)
+    assert(sim == 1.0, s"unit-norm self-dot should be 1.0, got $sim")
+  }
+
+  test("graph_transitive_closure: every customer reaches nation and region") {
+    val rows = run("graph_transitive_closure").collect()
+    val nCust = T.t(s, sf, "customer").count()
+    val nSupp = T.t(s, sf, "supplier").count()
+    // each customer/supplier: →nation and →region; each nation: →region
+    assert(rows.length == 2 * nCust + 2 * nSupp + 25)
+  }
 }
