@@ -142,10 +142,10 @@ object GroupPipeline {
         |    CAST(len(list_filter(arr, t -> t = 'a' OR t = 'the')) AS INT) AS nstop,
         |    n_chars FROM b)
         |SELECT doc_id, nt,
-        |  round(CAST(nd AS DOUBLE)/nt, 6) AS ttr,
-        |  round(CAST(nstop AS DOUBLE)/nt, 6) AS stop_ratio,
-        |  round((CAST(nd AS DOUBLE)/nt)*0.5 + (1.0 - CAST(nstop AS DOUBLE)/nt)*0.3
-        |    + least((CAST(n_chars - (nt-1) AS DOUBLE)/nt)/10.0, 1.0)*0.2, 6) AS score
+        |  CAST(nd AS DOUBLE)/nt AS ttr,
+        |  CAST(nstop AS DOUBLE)/nt AS stop_ratio,
+        |  (CAST(nd AS DOUBLE)/nt)*0.5 + (1.0 - CAST(nstop AS DOUBLE)/nt)*0.3
+        |    + least((CAST(n_chars - (nt-1) AS DOUBLE)/nt)/10.0, 1.0)*0.2 AS score
         |FROM m ORDER BY doc_id""") { (s, dir) =>
       val m = T.t(s, dir, "documents")
         .withColumn("arr", split(col("text"), " "))
@@ -155,15 +155,19 @@ object GroupPipeline {
           size(col("arr")).as("nt"),
           size(array_distinct(col("arr"))).as("nd"),
           expr("size(filter(arr, t -> t = 'a' OR t = 'the'))").as("nstop"))
+      // no 6dp rounding here: every input is an exact integer ratio and the
+      // expression is the same IEEE op sequence in both engines, so raw
+      // doubles are bit-identical — while scores built from x/64 rationals
+      // CAN land exactly on 6dp midpoints, where Spark's BigDecimal round
+      // and DuckDB's x*1e6 double-rounding disagree (seen at sf0.1)
       m.select(
           col("doc_id"), col("nt"),
-          round(col("nd").cast(DoubleType) / col("nt"), 6).as("ttr"),
-          round(col("nstop").cast(DoubleType) / col("nt"), 6).as("stop_ratio"),
-          round(
-            (col("nd").cast(DoubleType) / col("nt")) * 0.5
-              + (lit(1.0) - col("nstop").cast(DoubleType) / col("nt")) * 0.3
-              + least((((col("n_chars") - (col("nt") - 1)).cast(DoubleType) / col("nt")) / 10.0), lit(1.0)) * 0.2,
-            6).as("score"))
+          (col("nd").cast(DoubleType) / col("nt")).as("ttr"),
+          (col("nstop").cast(DoubleType) / col("nt")).as("stop_ratio"),
+          ((col("nd").cast(DoubleType) / col("nt")) * 0.5
+            + (lit(1.0) - col("nstop").cast(DoubleType) / col("nt")) * 0.3
+            + least((((col("n_chars") - (col("nt") - 1)).cast(DoubleType) / col("nt")) / 10.0), lit(1.0)) * 0.2)
+            .as("score"))
         .orderBy("doc_id")
     },
 
