@@ -3,7 +3,7 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2-K — the real Structured Streaming implementations.
@@ -110,6 +110,33 @@ object Streams {
           state.update(next)
           (user, next)
       }
+  }
+
+  /** Spark 4 state-API-v2 twin of runningTotals: a StatefulProcessor with a
+    * RocksDB-backed ValueState (requires
+    * spark.sql.streaming.stateStore.providerClass=RocksDBStateStoreProvider
+    * on the session). */
+  def runningTotalsTws(stream: DataFrame): Dataset[(Long, Double)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Double), (Long, Double)] {
+          @transient private var total: ValueState[Double] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            total = getHandle.getValueState[Double]("total", TTLConfig.NONE)
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, Double)],
+              timerValues: TimerValues): Iterator[(Long, Double)] = {
+            val prev = if (total.exists()) total.get() else 0.0
+            val add = rows.map(r => Math.round(r._2 * 100)).sum
+            val next = prev + add
+            total.update(next)
+            Iterator((key, next))
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
   }
 
   /** Stream-stream interval join: purchases ⋈ clicks within ±30 min per

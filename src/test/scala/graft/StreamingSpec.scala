@@ -109,6 +109,34 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("transformWithState (state API v2, RocksDB) matches batch totals") {
+    import s.implicits._
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(prov)
+    s.conf.set(prov,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = Streams.runningTotalsTws(Streams.readReplay(s, chunks()))
+        .toDF("user_id", "total_cents")
+        .writeStream.format("memory").queryName("t_tws").outputMode(OutputMode.Update())
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val emissions = s.table("t_tws").collect()
+        .map(r => (r.getLong(0), Math.round(r.getDouble(1))))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+      val want = T.t(s, sf, "events")
+        .groupBy("user_id")
+        .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("cents"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(emissions.keySet == want.keySet)
+      want.foreach { case (u, cents) =>
+        assert(emissions(u).contains(cents), s"user $u: $cents not in ${emissions(u)}")
+      }
+    } finally {
+      old match { case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov) }
+    }
+  }
+
   test("stream-stream interval join == batch stream_stream_join") {
     val dir = chunks()
     val got = Streams.runToMemory(
