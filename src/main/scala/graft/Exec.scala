@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable.ArrayBuffer
+
+/** Batch SQL-script execution — the Spark realization of the reference's
+  * `dbexec` entry point (sequential multi-statement scripts with
+  * continue/abort error modes; dbsuite/main + tokenizer statement splitting
+  * [P2] — reference mount empty, SURVEY.md Provenance Notice). Statements
+  * run through `spark.sql`, so bulk loads are INSERT/CTAS over the
+  * registered views/tables and inherit Catalyst planning.
+  */
+object Exec {
+
+  sealed trait ErrorMode
+  /** Stop at the first failing statement (dbexec default). */
+  case object AbortOnError extends ErrorMode
+  /** Record the failure and keep going (dbexec -c flag behavior). */
+  case object ContinueOnError extends ErrorMode
+
+  final case class StmtResult(
+      index: Int,
+      sql: String,
+      ok: Boolean,
+      rowCount: Long,
+      error: Option[String])
+
+  /** Split a script into statements on ';', honoring single/double-quoted
+    * strings and `--` line comments. */
+  def splitStatements(script: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var i = 0
+    var quote: Char = 0
+    var comment = false
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (comment) {
+        if (c == '\n') { comment = false; cur.append(c) }
+      } else if (quote != 0) {
+        cur.append(c)
+        if (c == quote) quote = 0
+      } else c match {
+        case '\'' | '"' => quote = c; cur.append(c)
+        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
+          comment = true; i += 1
+        case ';' => out += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    out += cur.toString
+    out.map(_.trim).filter(_.nonEmpty).toSeq
+  }
+
+  /** Execute a script statement by statement. SELECT-shaped statements
+    * report their row count; DDL/DML report 0 rows. */
+  def runScript(s: SparkSession, script: String,
+                mode: ErrorMode = AbortOnError): Seq[StmtResult] = {
+    val results = ArrayBuffer.empty[StmtResult]
+    val stmts = splitStatements(script)
+    var aborted = false
+    stmts.zipWithIndex.foreach { case (sql, i) =>
+      if (!aborted) {
+        try {
+          val df: DataFrame = s.sql(sql)
+          val n = if (df.schema.nonEmpty) df.count() else 0L
+          results += StmtResult(i, sql, ok = true, n, None)
+        } catch {
+          case e: Throwable =>
+            results += StmtResult(i, sql, ok = false, 0L, Some(e.getMessage))
+            if (mode == AbortOnError) aborted = true
+        }
+      }
+    }
+    results.toSeq
+  }
+
+  /** Catalog extraction — the `dbmakedoc` input-plugin analogue: the
+    * SYSCAT-style metadata relation for everything visible in the session
+    * catalog (database → table → column with types), as a DataFrame the
+    * caller can query/join like any other relation. Rendering (HTML/TeX)
+    * is out of scope per BASELINE.json. */
+  def catalogColumns(s: SparkSession): DataFrame = {
+    import s.implicits._
+    val rows = s.catalog.listTables().collect().flatMap { t =>
+      val fq = Option(t.database).filter(_.nonEmpty).map(d => s"$d.${t.name}").getOrElse(t.name)
+      s.catalog.listColumns(fq).collect().map { c =>
+        (Option(t.database).getOrElse(""), t.name, t.tableType,
+          c.name, c.dataType, c.nullable, c.isPartition, c.isBucket)
+      }
+    }
+    rows.toSeq.toDF("database", "table_name", "table_type",
+      "column_name", "data_type", "nullable", "is_partition", "is_bucket")
+  }
+}

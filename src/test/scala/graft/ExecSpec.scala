@@ -1,0 +1,45 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** dbexec-analogue script execution + catalog extraction. */
+class ExecSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("splitStatements honors quotes and comments") {
+    val script =
+      """-- a comment; with a semicolon
+        |SELECT 'a;b' AS x;
+        |SELECT 1;
+        | ;
+        |SELECT "q;uoted" FROM t""".stripMargin
+    val st = Exec.splitStatements(script)
+    assert(st == Seq("SELECT 'a;b' AS x", "SELECT 1", "SELECT \"q;uoted\" FROM t"))
+  }
+
+  test("runScript executes a bulk-load-shaped script; abort vs continue") {
+    Graft.registerTables(s, sf)
+    val script =
+      """CREATE OR REPLACE TEMP VIEW big_orders AS
+        |  SELECT * FROM orders WHERE o_totalprice > 100000;
+        |SELECT count(*) AS n FROM big_orders;
+        |SELECT * FROM does_not_exist;
+        |SELECT 1""".stripMargin
+    val abort = Exec.runScript(s, script, Exec.AbortOnError)
+    assert(abort.length == 3 && !abort(2).ok, abort.mkString("\n"))
+    assert(abort(1).ok && abort(1).rowCount == 1)
+    val cont = Exec.runScript(s, script, Exec.ContinueOnError)
+    assert(cont.length == 4 && !cont(2).ok && cont(3).ok)
+  }
+
+  test("catalogColumns extracts SYSCAT-style metadata for registered views") {
+    Graft.registerTables(s, sf)
+    val cat = Exec.catalogColumns(s)
+    val lineitemCols = cat.filter("table_name = 'lineitem'").collect()
+    assert(lineitemCols.length == 11)
+    assert(lineitemCols.exists(r =>
+      r.getAs[String]("column_name") == "l_quantity" &&
+        r.getAs[String]("data_type") == "double"))
+  }
+}
