@@ -224,6 +224,70 @@ object GroupPipeline {
         .orderBy("doc_id")
     },
 
+    // Frame sampling over the opaque binary payload: split into fixed-size
+    // frames, one row per sampled frame (every 2nd), with per-frame digest.
+    // mapPartitions carries the (stubbed) decode; the oracle recomputes
+    // frames from the ASCII text (bytes == chars).
+    q("multimodal_frames",
+      """WITH e AS (SELECT doc_id, text,
+        |    unnest(range(CAST(ceil(length(text) / 256.0) AS BIGINT))) AS i
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(i AS INT) AS frame_no,
+        |    substr(text, CAST(i * 256 + 1 AS INT), 256) AS frame
+        |  FROM e WHERE i % 2 = 0)
+        |SELECT doc_id, frame_no, CAST(length(frame) AS INT) AS frame_len,
+        |  md5(frame) AS frame_md5
+        |FROM f ORDER BY doc_id, frame_no""") { (s, dir) =>
+      import s.implicits._
+      T.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            // stubbed frame decode: fixed 256-byte frames, sample every 2nd
+            payload.grouped(256).zipWithIndex.collect {
+              case (frame, i) if i % 2 == 0 =>
+                val md5 = java.security.MessageDigest.getInstance("MD5")
+                  .digest(frame).map("%02x".format(_)).mkString
+                (id, i, frame.length, md5)
+            }
+          }
+        }
+        .toDF("doc_id", "frame_no", "frame_len", "frame_md5")
+        .orderBy("doc_id", "frame_no")
+    },
+
+    // Rolling-hash (Rabin-Karp polynomial, base 257 mod 2^61-1) document
+    // fingerprint — the incremental-hash shape used for content-defined
+    // chunking/winnowing. Engine-specific arithmetic → property-tested
+    // (DedupSpec), rows-only for the driver.
+    qNoOracle("text_rolling_fingerprint") { (s, dir) =>
+      import s.implicits._
+      val mod = (1L << 61) - 1
+      T.t(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, text) =>
+            var h = 0L
+            var i = 0
+            while (i < text.length) {
+              // h = (h * 257 + c) mod 2^61-1, via Math.multiplyHigh-free
+              // path: 2^61-1 is Mersenne, so fold the high bits
+              val prod = java.math.BigInteger.valueOf(h)
+                .multiply(java.math.BigInteger.valueOf(257))
+                .add(java.math.BigInteger.valueOf(text.charAt(i).toLong))
+                .mod(java.math.BigInteger.valueOf(mod))
+              h = prod.longValueExact()
+              i += 1
+            }
+            (id, h)
+          }
+        }
+        .toDF("doc_id", "fingerprint")
+        .orderBy("doc_id")
+    },
+
     // IVF-style ANN: 8 deterministic coarse centroids (vec_id < 8), each
     // candidate assigned to its nearest cell, queries probe nprobe=2 cells.
     // The 100 TB shape: candidates partitioned by cell, query fan-out joins

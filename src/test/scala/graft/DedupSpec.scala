@@ -46,6 +46,20 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("jac") >= 0.8))
   }
 
+  test("text_rolling_fingerprint: matches independent reference, injective on corpus") {
+    val mod = BigInt((1L << 61) - 1)
+    val got = run("text_rolling_fingerprint").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val texts = T.t(s, sf, "documents").select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    texts.take(50).foreach { case (id, text) =>
+      val ref = text.foldLeft(BigInt(0))((a, c) => (a * 257 + c.toLong) % mod)
+      assert(BigInt(got(id)) == ref, s"doc $id")
+    }
+    assert(got.values.toSet.size == texts.map(_._2).distinct.length,
+      "distinct texts must map to distinct fingerprints (no collisions on corpus)")
+  }
+
   test("vector_ivf_topk recall vs brute-force vector_cosine_topk >= 60%") {
     // nprobe=2 of 8 cells: recall is partial by design; assert it's useful
     val ivf = run("vector_ivf_topk").collect()
