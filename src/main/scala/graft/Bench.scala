@@ -24,10 +24,19 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the LAST 2000 chars of output (BENCH_r01/r02
+    // tails are exactly 2000 chars and r02's full-precision line was cut
+    // mid-JSON → parsed:null). Keep the line well under that: 3-decimal
+    // timings and only the 40 slowest queries listed individually; the
+    // remainder is aggregated into other_sec/n_queries.
+    def f3(v: Double): String = "%.3f".format(v)
+    val top = results.toSeq.sortBy(-_._2).take(40)
+    val rest = results.size - top.size
+    val otherSec = results.values.sum - top.map(_._2).sum
+    val qs = top.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_omitted":$rest,"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

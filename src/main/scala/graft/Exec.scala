@@ -26,24 +26,36 @@ object Exec {
       error: Option[String])
 
   /** Split a script into statements on ';', honoring single/double-quoted
-    * strings and `--` line comments. */
+    * strings (with both `''` doubling and backslash escapes — Spark SQL's
+    * default escape, `'it\'s'`), `--` line comments, and `/* */` block
+    * comments (ADVICE r2: a semicolon after an escaped quote or inside a
+    * block comment must not split the statement). */
   def splitStatements(script: String): Seq[String] = {
     val out = ArrayBuffer.empty[String]
     val cur = new StringBuilder
+    val n = script.length
     var i = 0
     var quote: Char = 0
-    var comment = false
-    while (i < script.length) {
+    var lineComment = false
+    var blockComment = false
+    while (i < n) {
       val c = script.charAt(i)
-      if (comment) {
-        if (c == '\n') { comment = false; cur.append(c) }
+      if (lineComment) {
+        if (c == '\n') { lineComment = false; cur.append(c) }
+      } else if (blockComment) {
+        if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') {
+          blockComment = false; i += 1
+        }
       } else if (quote != 0) {
         cur.append(c)
-        if (c == quote) quote = 0
+        if (c == '\\' && i + 1 < n) { cur.append(script.charAt(i + 1)); i += 1 }
+        else if (c == quote) quote = 0
       } else c match {
         case '\'' | '"' => quote = c; cur.append(c)
-        case '-' if i + 1 < script.length && script.charAt(i + 1) == '-' =>
-          comment = true; i += 1
+        case '-' if i + 1 < n && script.charAt(i + 1) == '-' =>
+          lineComment = true; i += 1
+        case '/' if i + 1 < n && script.charAt(i + 1) == '*' =>
+          blockComment = true; i += 1
         case ';' => out += cur.toString; cur.clear()
         case _ => cur.append(c)
       }

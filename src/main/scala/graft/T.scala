@@ -29,9 +29,16 @@ object T {
 
   val dec: DecimalType = DecimalType(18, 2)
 
-  /** Exact decimal sum, result re-cast to DECIMAL(18,2) so Spark's
-    * sum-widening (28,2) matches DuckDB's (38,2) after the final cast. */
-  def dsum(c: Column): Column = sum(c.cast(dec)).cast(dec)
+  /** Exact decimal sum surfaced as DOUBLE. The sum itself is decimal —
+    * order-independent exact cents, partition-count-independent — and the
+    * final double cast of that exact value is the same IEEE64 in Spark and
+    * DuckDB. DOUBLE (not DECIMAL) in the output schema matters for the
+    * driver's hash gate: its oracle-side reader materializes DECIMAL as
+    * float64 while the Spark parquet keeps Decimal objects, so any value
+    * with trailing zeros ("201565.00" vs "201565.0") hash-mismatches —
+    * CORRECTNESS_r02 failed exactly the 16 keys with decimal outputs that
+    * hit trailing zeros. No final output column may be DECIMAL. */
+  def dsum(c: Column): Column = sum(c.cast(dec)).cast(DoubleType)
 
   /** Exact average as double: decimal-sum (exact) / count — a single
     * IEEE division of bit-identical operands in both engines. */
@@ -49,4 +56,39 @@ object T {
   /** Non-SQL-expressible op: driver records a rows-only check. */
   def qNoOracle(name: String)(fn: (SparkSession, String) => DataFrame): Q =
     Q(name, fn, None)
+
+  /** Temp dir with recursive delete at JVM exit — staging/warehouse dirs
+    * created per query invocation must not leak across repeated Verify/Bench
+    * runs (ADVICE r2). */
+  def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    cleanupAtExit += p.toString
+    p.toString
+  }
+
+  /** Stage a derived dataset once per (tag, sfDir) per JVM: the first call
+    * creates the dir and runs `write`; later calls reuse the staged output
+    * instead of re-materializing (ADVICE r2 — eager side effects at
+    * DataFrame-construction time re-staged on every Verify/Bench call). */
+  def staged(tag: String, sfDir: String)(write: String => Unit): String =
+    stagedDirs.computeIfAbsent(s"$tag|$sfDir", { _ =>
+      val dir = tempDir(s"graft_${tag}_")
+      write(dir)
+      dir
+    })
+
+  private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val cleanupAtExit = {
+    val dirs = new scala.collection.mutable.ArrayBuffer[String]()
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      dirs.synchronized(dirs.foreach { d =>
+        try {
+          import java.nio.file._
+          import scala.jdk.CollectionConverters._
+          Files.walk(Paths.get(d)).sorted(java.util.Comparator.reverseOrder())
+            .iterator().asScala.foreach(p => Files.deleteIfExists(p))
+        } catch { case _: Throwable => }
+      })))
+    dirs
+  }
 }

@@ -15,7 +15,7 @@ object Flagship {
   val defs: Seq[Q] = Seq(
     q("flagship_q3",
       """SELECT o_orderkey, CAST(o_orderdate AS DATE) AS odate, o_orderpriority,
-        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM customer
         |JOIN orders ON c_custkey = o_custkey
         |JOIN lineitem ON l_orderkey = o_orderkey
@@ -30,9 +30,10 @@ object Flagship {
         .groupBy(col("o_orderkey"), col("o_orderdate").cast(DateType).as("odate"),
           col("o_orderpriority"))
         // exact decimal arithmetic: 2dp×2dp products land on half-cent ties,
-        // where double→decimal cast rounding diverges between engines
+        // where double→decimal cast rounding diverges between engines; the
+        // final DOUBLE cast of the exact cents is engine-identical (T.dsum note)
         .agg(sum(col("l_extendedprice").cast(T.dec) * (lit(1).cast(T.dec) - col("l_discount").cast(T.dec)))
-          .cast(T.dec).as("revenue"))
+          .cast(T.dec).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderkey"))
         .limit(10)
     }

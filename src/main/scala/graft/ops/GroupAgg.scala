@@ -16,8 +16,8 @@ object GroupAgg {
     // TPC-H Q1 shape — HashAggregateExec with map-side partials.
     q("agg_groupby_hash",
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
-        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
         |  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / count(l_discount) AS avg_disc
         |FROM lineitem GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
       T.t(s, dir, "lineitem")
@@ -77,7 +77,7 @@ object GroupAgg {
 
     q("agg_cube",
       """SELECT COALESCE(l_returnflag,'ALL') AS flag, COALESCE(l_linestatus,'ALL') AS status,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY flag, status""") { (s, dir) =>
       T.t(s, dir, "lineitem")

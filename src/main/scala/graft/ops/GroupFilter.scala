@@ -72,7 +72,7 @@ object GroupFilter {
         |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))), 2) AS DECIMAL(18,2)) AS revenue
         |  FROM lineitem)
         |SELECT CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR) AS line_id,
-        |  revenue,
+        |  CAST(revenue AS DOUBLE) AS revenue,
         |  CASE WHEN revenue < 1000 THEN 'low'
         |       WHEN revenue < 10000 THEN 'mid'
         |       ELSE 'high' END AS band,
@@ -86,6 +86,7 @@ object GroupFilter {
           when(col("revenue") < 1000, "low")
             .when(col("revenue") < 10000, "mid")
             .otherwise("high"))
+        .withColumn("revenue", col("revenue").cast(DoubleType))
         .withColumn("line_id",
           concat(col("l_orderkey").cast(StringType), lit("-"), col("l_linenumber").cast(StringType)))
         .select("line_id", "revenue", "band", "l_orderkey", "l_linenumber")

@@ -18,7 +18,7 @@ object GroupJoin {
   val defs: Seq[Q] = Seq(
     q("join_inner_equi",
       """SELECT c_mktsegment, count(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       T.t(s, dir, "orders")
@@ -32,7 +32,7 @@ object GroupJoin {
     // shuffles — plan-shape spec asserts BroadcastHashJoin.
     q("join_broadcast",
       """SELECT r_name, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN nation ON s_nationkey = n_nationkey
@@ -52,7 +52,7 @@ object GroupJoin {
     // TPC-H Q5-shaped star join; AQE/CBO picks the join order.
     q("join_multiway_star",
       """SELECT n_name,
-        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS revenue
+        |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2) AS DECIMAL(18,2)) AS DOUBLE) AS revenue
         |FROM region
         |JOIN nation ON n_regionkey = r_regionkey
         |JOIN customer ON c_nationkey = n_nationkey
@@ -70,7 +70,7 @@ object GroupJoin {
           && col("o_orderdate").cast(DateType) < lit(java.sql.Date.valueOf("1997-01-01")))
         .groupBy("n_name")
         .agg(sum(col("l_extendedprice").cast(T.dec) * (lit(1).cast(T.dec) - col("l_discount").cast(T.dec)))
-          .cast(T.dec).as("revenue"))
+          .cast(T.dec).cast(DoubleType).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
 

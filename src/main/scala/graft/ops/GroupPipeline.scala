@@ -67,10 +67,10 @@ object GroupPipeline {
       // materialize the shingle inverted index once — both sides of the
       // self-join and the size lookup read it, instead of re-exploding the
       // corpus three times (at 100 TB this staging table is the real design)
-      val stage = java.nio.file.Files.createTempDirectory("graft_shingle_").toString
-      GroupText.shingled(s, dir)
-        .select(col("doc_id"), explode(col("sh")).as("sh"))
-        .write.mode("overwrite").parquet(stage)
+      val stage = T.staged("shingle", dir) { o =>
+        GroupText.shingled(s, dir)
+          .select(col("doc_id"), explode(col("sh")).as("sh"))
+          .write.mode("overwrite").parquet(o) }
       val sh = s.read.parquet(stage)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("doc_id").as("ia"), col("sh"))

@@ -45,7 +45,7 @@ object GroupScalar {
     q("scalar_regexp_extract",
       """SELECT CAST(regexp_extract(p_brand, 'Brand#(\d+)', 1) AS INT) AS brand_num,
         |  count(*) AS cnt,
-        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM part GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       T.t(s, dir, "part")
         .withColumn("brand_num",
@@ -78,7 +78,7 @@ object GroupScalar {
     q("scalar_math_funcs",
       """SELECT l_orderkey, l_linenumber,
         |  abs(l_extendedprice - 1000.0) AS a,
-        |  CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS r1,
+        |  CAST(CAST(round(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS DOUBLE) AS r1,
         |  CAST(floor(l_extendedprice) AS BIGINT) AS fl,
         |  CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
         |  sqrt(l_quantity) AS sq,
@@ -97,7 +97,8 @@ object GroupScalar {
         .select(
           col("l_orderkey"), col("l_linenumber"),
           abs(col("l_extendedprice") - 1000.0).as("a"),
-          round(col("l_extendedprice").cast(T.dec), 1).cast(DecimalType(18, 1)).as("r1"),
+          round(col("l_extendedprice").cast(T.dec), 1).cast(DecimalType(18, 1))
+            .cast(DoubleType).as("r1"),
           floor(col("l_extendedprice")).as("fl"),
           ceil(col("l_extendedprice")).as("ce"),
           sqrt(col("l_quantity")).as("sq"),
@@ -116,8 +117,8 @@ object GroupScalar {
         |SELECT cond_flag,
         |  CASE WHEN bal < 50000 THEN 'low' WHEN bal < 150000 THEN 'mid' ELSE 'high' END AS band,
         |  count(*) AS cnt, count(nf) AS n_not_open,
-        |  max(CASE WHEN bal >= 100000 THEN bal ELSE CAST(100000 AS DECIMAL(18,2)) END) AS max_g,
-        |  min(CASE WHEN bal <= 100000 THEN bal ELSE CAST(100000 AS DECIMAL(18,2)) END) AS min_l
+        |  CAST(max(CASE WHEN bal >= 100000 THEN bal ELSE CAST(100000 AS DECIMAL(18,2)) END) AS DOUBLE) AS max_g,
+        |  CAST(min(CASE WHEN bal <= 100000 THEN bal ELSE CAST(100000 AS DECIMAL(18,2)) END) AS DOUBLE) AS min_l
         |FROM oj GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
       val oj = T.t(s, dir, "orders")
         .join(T.t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"), "left")
@@ -131,8 +132,8 @@ object GroupScalar {
         .agg(
           count(lit(1)).as("cnt"),
           count(col("nf")).as("n_not_open"),
-          max(greatest(col("bal"), lit(100000).cast(T.dec))).as("max_g"),
-          min(least(col("bal"), lit(100000).cast(T.dec))).as("min_l"))
+          max(greatest(col("bal"), lit(100000).cast(T.dec))).cast(DoubleType).as("max_g"),
+          min(least(col("bal"), lit(100000).cast(T.dec))).cast(DoubleType).as("min_l"))
         .orderBy("cond_flag", "band")
     },
 
@@ -175,7 +176,7 @@ object GroupScalar {
         |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 2 AS parity, value
         |  FROM events)
         |SELECT event_type, parity, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM e GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
       T.t(s, dir, "events")
         .select(

@@ -4,7 +4,6 @@ import graft.T
 import graft.T.{Q, q}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.Files
 
 /** SURVEY.md §2-A — scans, sources, sinks.
   *
@@ -14,9 +13,6 @@ import java.nio.file.Files
   * read→transform→write pipelines.
   */
 object GroupScan {
-
-  private def tmp(prefix: String): String =
-    Files.createTempDirectory(prefix).toString
 
   val defs: Seq[Q] = Seq(
     // (l_orderkey, l_linenumber) is NOT unique — order by every projected
@@ -34,7 +30,7 @@ object GroupScan {
     // reach the parquet reader (ReadSchema shows 2 fields — plan-shape spec).
     q("scan_projection_pushdown",
       """SELECT l_orderkey,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY l_orderkey ORDER BY l_orderkey LIMIT 200""") { (s, dir) =>
       T.t(s, dir, "lineitem")
         .groupBy("l_orderkey")
@@ -45,8 +41,8 @@ object GroupScan {
 
     q("source_csv_roundtrip",
       "SELECT n_nationkey, n_name, n_regionkey FROM nation ORDER BY n_nationkey") { (s, dir) =>
-      val out = tmp("graft_csv_")
-      T.t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(out)
+      val out = T.staged("csv", dir) { o =>
+        T.t(s, dir, "nation").write.mode("overwrite").option("header", "true").csv(o) }
       val schema = StructType(Seq(
         StructField("n_nationkey", IntegerType),
         StructField("n_name", StringType),
@@ -57,8 +53,8 @@ object GroupScan {
 
     q("source_json_roundtrip",
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey") { (s, dir) =>
-      val out = tmp("graft_json_")
-      T.t(s, dir, "region").write.mode("overwrite").json(out)
+      val out = T.staged("json", dir) { o =>
+        T.t(s, dir, "region").write.mode("overwrite").json(o) }
       val schema = StructType(Seq(
         StructField("r_regionkey", IntegerType),
         StructField("r_name", StringType)))
@@ -72,9 +68,9 @@ object GroupScan {
     q("sink_partitioned_write",
       """SELECT o_orderstatus, count(*) AS cnt FROM orders
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""") { (s, dir) =>
-      val out = tmp("graft_part_")
-      T.t(s, dir, "orders").write.mode("overwrite")
-        .partitionBy("o_orderstatus").parquet(out)
+      val out = T.staged("part", dir) { o =>
+        T.t(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(o) }
       s.read.parquet(out)
         .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
         .orderBy("o_orderstatus")
@@ -84,13 +80,13 @@ object GroupScan {
     // parquet → read-back audit counts (bulk LOAD with reject handling [P2]).
     q("bulk_load_pipeline",
       """SELECT CAST(year(l_shipdate) AS INT) AS l_year, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem WHERE l_quantity > 0 GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val out = tmp("graft_bulk_")
-      T.t(s, dir, "lineitem")
-        .filter(col("l_quantity") > 0)
-        .withColumn("l_year", year(col("l_shipdate")))
-        .write.mode("overwrite").partitionBy("l_year").parquet(out)
+      val out = T.staged("bulk", dir) { o =>
+        T.t(s, dir, "lineitem")
+          .filter(col("l_quantity") > 0)
+          .withColumn("l_year", year(col("l_shipdate")))
+          .write.mode("overwrite").partitionBy("l_year").parquet(o) }
       s.read.parquet(out)
         .groupBy("l_year")
         .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity")).as("sum_qty"))

@@ -4,7 +4,6 @@ import graft.T
 import graft.T.{Q, q}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import java.nio.file.Files
 
 /** Storage-layout & shuffle-avoidance operators beyond §2-A: the techniques
   * that decide whether a 100 TB join shuffles 100 TB or nothing —
@@ -17,18 +16,18 @@ object GroupStorage {
     q("source_orc_roundtrip",
       """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
         |ORDER BY c_custkey""") { (s, dir) =>
-      val out = Files.createTempDirectory("graft_orc_").toString
-      T.t(s, dir, "customer")
-        .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
-        .write.mode("overwrite").orc(out)
+      val out = T.staged("orc", dir) { o =>
+        T.t(s, dir, "customer")
+          .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+          .write.mode("overwrite").orc(o) }
       s.read.orc(out).orderBy("c_custkey")
     },
 
     q("source_text_lines",
       """SELECT count(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM documents""") { (s, dir) =>
-      val out = Files.createTempDirectory("graft_text_").toString
-      T.t(s, dir, "documents").select("text").write.mode("overwrite").text(out)
+      val out = T.staged("text", dir) { o =>
+        T.t(s, dir, "documents").select("text").write.mode("overwrite").text(o) }
       s.read.text(out)
         .agg(count(lit(1)).as("n_lines"),
           sum(length(col("value"))).cast(LongType).as("n_chars"))
@@ -40,17 +39,19 @@ object GroupStorage {
     // the fact table on every join and shuffling it once at load time.
     q("bucketed_join_colocated",
       """SELECT c_mktsegment, count(*) AS cnt,
-        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_price
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      s.sql("DROP TABLE IF EXISTS graft_orders_b")
-      s.sql("DROP TABLE IF EXISTS graft_customer_b")
-      T.t(s, dir, "orders").write.mode("overwrite")
-        .bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_orders_b")
-      T.t(s, dir, "customer").write.mode("overwrite")
-        .bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_customer_b")
+      T.staged("bucketed", dir) { _ =>
+        s.sql("DROP TABLE IF EXISTS graft_orders_b")
+        s.sql("DROP TABLE IF EXISTS graft_customer_b")
+        T.t(s, dir, "orders").write.mode("overwrite")
+          .bucketBy(8, "o_custkey").sortBy("o_custkey")
+          .saveAsTable("graft_orders_b")
+        T.t(s, dir, "customer").write.mode("overwrite")
+          .bucketBy(8, "c_custkey").sortBy("c_custkey")
+          .saveAsTable("graft_customer_b")
+      }
       s.table("graft_orders_b")
         .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
@@ -109,7 +110,7 @@ object GroupStorage {
     // Result is provably identical to the unsalted join (the oracle).
     q("join_skew_salted",
       """SELECT o_orderpriority, count(*) AS cnt,
-        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val salts = 8

@@ -21,7 +21,7 @@ object GroupStream {
     // plan uses; batch-equivalent of the tumbling-window stream.
     q("stream_tumbling_window",
       """SELECT date_trunc('hour', ts) AS w_start, event_type, count(*) AS cnt,
-        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_value
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1,2 ORDER BY 1,2""") { (s, dir) =>
       T.t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
@@ -49,7 +49,7 @@ object GroupStream {
       """WITH o AS (
         |  SELECT user_id, ts, event_id,
         |    CASE WHEN lag(ts) OVER w IS NULL
-        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
         |s AS (SELECT user_id, ts,
@@ -66,9 +66,11 @@ object GroupStream {
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.t(s, dir, "events")
         .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        // >= gap: session_window windows are half-open [ts, ts+gap), so an
+        // event exactly at prev+gap starts a NEW session (ADVICE r2)
         .withColumn("new_s",
           when(col("prev_ts").isNull ||
-            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") > 1800000000L, 1)
+            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") >= 1800000000L, 1)
             .otherwise(0))
         .withColumn("sid", sum(col("new_s")).over(run))
         .groupBy("user_id", "sid")
@@ -104,12 +106,12 @@ object GroupStream {
     q("stream_stateful_running",
       """SELECT user_id, event_id,
         |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_total
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_total
         |FROM events ORDER BY user_id, event_id""") { (s, dir) =>
       val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       T.t(s, dir, "events")
-        .withColumn("run_total", sum(col("value").cast(T.dec)).over(run).cast(T.dec))
+        .withColumn("run_total", sum(col("value").cast(T.dec)).over(run).cast(DoubleType))
         .select("user_id", "event_id", "run_total")
         .orderBy("user_id", "event_id")
     },

@@ -22,9 +22,12 @@ object GroupVector {
 
   /** Elementwise dot product of two float-array columns, in double —
     * graft's codegen'd VecDot expression (graft.functions.VecDot); the
-    * accumulation order matches the sequential zip_with/aggregate fold. */
+    * accumulation order matches the sequential zip_with/aggregate fold.
+    * `call_function` keeps arbitrary Column expressions valid (ADVICE r2:
+    * interpolating Column.toString into expr() only worked for bare
+    * attribute references). */
   private[ops] def dot(a: Column, b: Column): Column =
-    expr(s"vec_dot(${a.toString}, ${b.toString})")
+    call_function("vec_dot", a, b)
 
   private[ops] def emb(s: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(s)

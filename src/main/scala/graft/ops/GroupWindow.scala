@@ -38,7 +38,7 @@ object GroupWindow {
     q("window_topk_per_group",
       """WITH pq AS (
         |  SELECT p_brand, p_partkey,
-        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS qty
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1,2)
         |SELECT p_brand, p_partkey, qty, rn FROM (
         |  SELECT *, CAST(row_number() OVER (
@@ -90,26 +90,32 @@ object GroupWindow {
     q("window_range_frame",
       """WITH dayrev AS (
         |  SELECT o_custkey, CAST(o_orderdate AS DATE) AS odate,
-        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_rev
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS day_rev_dec
         |  FROM orders GROUP BY 1,2)
-        |SELECT o_custkey, odate, day_rev,
-        |  CAST(SUM(day_rev) OVER (PARTITION BY o_custkey ORDER BY odate
-        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS run_rev
+        |SELECT o_custkey, odate, CAST(day_rev_dec AS DOUBLE) AS day_rev,
+        |  CAST(SUM(day_rev_dec) OVER (PARTITION BY o_custkey ORDER BY odate
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS run_rev
         |FROM dayrev ORDER BY o_custkey, odate""") { (s, dir) =>
+      // the running sum stays DECIMAL internally (exact under any window-agg
+      // evaluation order — DuckDB's segment tree vs Spark's running
+      // accumulator would diverge on doubles), surfaced as DOUBLE
       val dayrev = T.t(s, dir, "orders")
         .groupBy(col("o_custkey"), col("o_orderdate").cast(DateType).as("odate"))
-        .agg(T.dsum(col("o_totalprice")).as("day_rev"))
+        .agg(sum(col("o_totalprice").cast(T.dec)).cast(T.dec).as("day_rev_dec"))
       dayrev
         .withColumn("run_rev",
-          sum(col("day_rev")).over(
+          sum(col("day_rev_dec")).over(
             Window.partitionBy("o_custkey").orderBy("odate")
               .rangeBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast(T.dec))
+            .cast(DoubleType))
+        .select(col("o_custkey"), col("odate"),
+          col("day_rev_dec").cast(DoubleType).as("day_rev"), col("run_rev"))
         .orderBy("o_custkey", "odate")
     },
 
     q("window_ntile_cume",
-      """SELECT c_custkey, bal, CAST(ntile(4) OVER w AS INT) AS q, cume_dist() OVER w AS cd
+      """SELECT c_custkey, CAST(bal AS DOUBLE) AS bal,
+        |  CAST(ntile(4) OVER w AS INT) AS q, cume_dist() OVER w AS cd
         |FROM (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
         |WINDOW w AS (ORDER BY bal, c_custkey) ORDER BY c_custkey""") { (s, dir) =>
       val w = Window.orderBy("bal", "c_custkey")
@@ -117,6 +123,7 @@ object GroupWindow {
         .select(col("c_custkey"), col("c_acctbal").cast(T.dec).as("bal"))
         .withColumn("q", ntile(4).over(w))
         .withColumn("cd", cume_dist().over(w))
+        .withColumn("bal", col("bal").cast(DoubleType))
         .orderBy("c_custkey")
     }
   )

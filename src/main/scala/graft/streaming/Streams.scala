@@ -94,6 +94,14 @@ object Streams {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(Seq("event_id"))
 
+  /** Double → exact integer cents with the same rounding Spark's
+    * `round(v*100, 0)` applies (BigDecimal HALF_UP away from zero), so the
+    * stateful ops and the StreamingSpec batch oracle agree on negative
+    * half-cent values too (ADVICE r2 — Math.round rounds -12.5 to -12,
+    * HALF_UP to -13). */
+  private def cents(v: Double): Long =
+    BigDecimal(v * 100).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
   /** Arbitrary-state per-user running total via mapGroupsWithState
     * (stream_stateful_running): emits the updated total each batch. */
   def runningTotals(stream: DataFrame): Dataset[(Long, Double)] = {
@@ -105,7 +113,7 @@ object Streams {
         (user: Long, rows: Iterator[(Long, Double)], state: GroupState[Double]) =>
           // integer cents: the merge is order-independent and exact
           val prev = state.getOption.getOrElse(0.0)
-          val add = rows.map(r => Math.round(r._2 * 100)).sum
+          val add = rows.map(r => cents(r._2)).sum
           val next = prev + add
           state.update(next)
           (user, next)
@@ -130,7 +138,7 @@ object Streams {
               key: Long, rows: Iterator[(Long, Double)],
               timerValues: TimerValues): Iterator[(Long, Double)] = {
             val prev = if (total.exists()) total.get() else 0.0
-            val add = rows.map(r => Math.round(r._2 * 100)).sum
+            val add = rows.map(r => cents(r._2)).sum
             val next = prev + add
             total.update(next)
             Iterator((key, next))

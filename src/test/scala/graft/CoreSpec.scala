@@ -11,7 +11,7 @@ class CoreSpec extends AnyFunSuite {
   test("entry (flagship Q3) returns 10 rows with positive revenue") {
     val rows = SparkEntry.entry(s).collect()
     assert(rows.length == 10)
-    assert(rows.forall(_.getAs[java.math.BigDecimal]("revenue").signum() > 0))
+    assert(rows.forall(_.getAs[Double]("revenue") > 0))
   }
 
   test("every declared query key has unique name and runs at sf0.001") {

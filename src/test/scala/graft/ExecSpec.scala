@@ -18,6 +18,21 @@ class ExecSpec extends AnyFunSuite {
     assert(st == Seq("SELECT 'a;b' AS x", "SELECT 1", "SELECT \"q;uoted\" FROM t"))
   }
 
+  test("splitStatements honors backslash escapes and block comments") {
+    // backslash-escaped quote: the ; after it is still inside the string
+    assert(Exec.splitStatements("""SELECT 'it\'s;fine' AS x; SELECT 2""")
+      == Seq("""SELECT 'it\'s;fine' AS x""", "SELECT 2"))
+    // '' doubling: close-then-reopen keeps the ; quoted
+    assert(Exec.splitStatements("SELECT 'a'';b' AS x; SELECT 2")
+      == Seq("SELECT 'a'';b' AS x", "SELECT 2"))
+    // block comment with a semicolon inside must not split; comment dropped
+    assert(Exec.splitStatements("SELECT /* not; a split */ 1; SELECT 2")
+      == Seq("SELECT  1", "SELECT 2"))
+    // multi-line block comment
+    assert(Exec.splitStatements("SELECT 1 /* a;\nb; */ + 2; SELECT 3")
+      == Seq("SELECT 1  + 2", "SELECT 3"))
+  }
+
   test("runScript executes a bulk-load-shaped script; abort vs continue") {
     Graft.registerTables(s, sf)
     val script =

@@ -15,7 +15,7 @@ class StreamingSpec extends AnyFunSuite {
   private val sf = TestSpark.sf
 
   private def chunks(late: Boolean = false): String = {
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val dir = T.tempDir("graft_replay_")
     Streams.writeChunks(s, sf, dir, n = 5, lateTail = late)
     dir
   }
@@ -24,10 +24,10 @@ class StreamingSpec extends AnyFunSuite {
     val got = Streams.runToMemory(
         Streams.tumbling(Streams.readReplay(s, chunks())), "t_tumble", OutputMode.Complete())
       .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
-        r.getString(1), r.getLong(2), r.getDecimal(3).toString)).toSet
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     val want = SparkEntry.queries("stream_tumbling_window")(s, sf)
       .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
-        r.getString(1), r.getLong(2), r.getDecimal(3).toString)).toSet
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(got == want)
   }
 
@@ -69,7 +69,7 @@ class StreamingSpec extends AnyFunSuite {
   }
 
   test("stateful dedup: duplicated replay collapses to distinct event_ids") {
-    val dir = java.nio.file.Files.createTempDirectory("graft_replay_").toString
+    val dir = T.tempDir("graft_replay_")
     Streams.writeChunks(s, sf, dir, n = 3)
     // duplicate every chunk file, interleaved right after its original in
     // mtime order: the replay delivers each event twice, one batch apart
