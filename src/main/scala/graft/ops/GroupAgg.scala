@@ -41,11 +41,24 @@ object GroupAgg {
 
     // HLL++ sketch differs across engines → property-tested (<5% error) in
     // ApproxDistinctSpec instead of the DuckDB oracle.
-    qNoOracle("agg_approx_distinct_hll") { (s, dir) =>
+    // The HLL sketch itself is engine-specific, so the DECLARED output is the
+    // exact distinct count plus a within-5%-relative-error flag for the HLL
+    // estimate — promoting the former property test into the hash gate: if
+    // approx_count_distinct ever drifts past 5%, hll_ok flips to 0 and the
+    // oracle compare fails.
+    q("agg_approx_distinct_hll",
+      """SELECT CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+        |  CAST(1 AS INT) AS hll_ok
+        |FROM lineitem""") { (s, dir) =>
       T.t(s, dir, "lineitem")
         .agg(
           approx_count_distinct(col("l_partkey")).as("approx_parts"),
           countDistinct(col("l_partkey")).as("exact_parts"))
+        .select(
+          col("exact_parts"),
+          when(abs(col("approx_parts") - col("exact_parts")).cast(DoubleType)
+            / col("exact_parts") < 0.05, 1).otherwise(0)
+            .cast(IntegerType).as("hll_ok"))
     },
 
     q("agg_having",

@@ -259,9 +259,19 @@ object GroupPipeline {
 
     // Rolling-hash (Rabin-Karp polynomial, base 257 mod 2^61-1) document
     // fingerprint — the incremental-hash shape used for content-defined
-    // chunking/winnowing. Engine-specific arithmetic → property-tested
-    // (DedupSpec), rows-only for the driver.
-    qNoOracle("text_rolling_fingerprint") { (s, dir) =>
+    // chunking/winnowing. The arithmetic is plain modular integer math, so
+    // DuckDB CAN reproduce it bit-for-bit with HUGEINT intermediates and a
+    // list_reduce fold over the character codes (promoted from rows-only to
+    // full oracle in round 3; also property-tested in DedupSpec).
+    q("text_rolling_fingerprint",
+      """SELECT doc_id,
+        |  CAST(list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(text)),
+        |        i -> CAST(ascii(substr(text, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) AS BIGINT) AS fingerprint
+        |FROM documents ORDER BY doc_id""") { (s, dir) =>
       import s.implicits._
       val mod = (1L << 61) - 1
       T.t(s, dir, "documents")

@@ -84,7 +84,15 @@ object GroupStream {
     // Watermark/late-data semantics are not batch SQL → streaming-only test
     // (StreamingSpec asserts the late chunk is dropped); declared form is the
     // plain tumbling count over the (batch ⇒ nothing late) event set.
-    qNoOracle("stream_watermark_late") { (s, dir) =>
+    // Declared form = hourly counts over the full event set (what the
+    // watermarked stream converges to when every chunk eventually arrives);
+    // the watermark DROP semantics — late-tail chunk discarded — are asserted
+    // in StreamingSpec, which replays an out-of-order tail and checks the
+    // dropped count. The batch form is plainly SQL-expressible, so it gets
+    // the full oracle instead of a rows-only check.
+    q("stream_watermark_late",
+      """SELECT date_trunc('hour', ts) AS w_start, count(*) AS cnt
+        |FROM events GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       T.t(s, dir, "events")
         .groupBy(window(col("ts"), "1 hour").as("w"))
         .agg(count(lit(1)).as("cnt"))

@@ -65,8 +65,23 @@ object GroupText {
     // Hand-rolled (not ml.MinHashLSH): every stage is a shuffle-on-key
     // DataFrame op, which is the shape that survives 100 TB — and
     // approxSimilarityJoin degraded ~10x at high parallelism here.
-    // Engine-specific hashes → property-tested in DedupSpec, not oracled.
-    qNoOracle("dedup_near_minhash") { (s, dir) =>
+    // Oracle (round 3): because candidates are exact-Jaccard-verified, the
+    // output equals the brute-force pair set exactly when LSH recall = 1 —
+    // which holds on the fixtures (checked at sf0.001/0.01/0.1; banding
+    // r=4/b=16 gives ≥99.98% per-pair recall at jac 0.8, and the hashes are
+    // deterministic). The oracle is the same exact inverted-index SQL as
+    // dedup_ngram_jaccard; a recall miss would surface as a hash mismatch.
+    q("dedup_near_minhash",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
+        |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
+        |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
       val docs = shingled(s, dir).select("doc_id", "sh")
       // hash each shingle ONCE to a long, then derive the 64 hash functions
       // by re-hashing that fixed-width long with a salt — 64 string
