@@ -23,9 +23,10 @@ object SparkEntry {
     ops.GroupVector.defs,   // §2-I similarity search / vector ops
     ops.GroupUdf.defs,      // §2-J UDF / UDAF / UDTF surface
     ops.GroupStream.defs,   // §2-K streaming (batch-equivalent declared forms)
-    ops.GroupPipeline.defs, // LLM-pipeline extensions beyond §2 (driver mandate)
-    ops.GroupStorage.defs   // storage layout & shuffle-avoidance techniques
-
+    ops.GroupPipeline.defs,   // LLM-pipeline extensions beyond §2 (driver mandate)
+    ops.GroupStorage.defs,    // storage layout & shuffle-avoidance techniques
+    ops.GroupRelational.defs, // §2-N relational depth (round 3)
+    ops.GroupEtl.defs         // §2-O ETL/maintenance surface (round 3)
   )
 
   private val all: Seq[T.Q] = groups.flatten

@@ -1,0 +1,120 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-O (round 3) — ETL/maintenance surface around the bulk-load
+  * core (dbsuite's domain is bulk load + maintenance scripting): date-spine
+  * gap fill, engine-portable deterministic sampling, MERGE-style upsert, and
+  * CDC latest-record compaction.
+  *
+  * Scale notes: the spine is generated (no scan) and the daily agg is
+  * map-side partial; hash sampling is a stateless per-row filter that pushes
+  * to the scan (no shuffle, samples identically on any cluster layout);
+  * the upsert is one full-outer shuffle-on-key join (the Delta/Iceberg MERGE
+  * physical shape); latest-by-key is the standard window-compaction used to
+  * collapse CDC streams, one shuffle on the key.
+  */
+object GroupEtl {
+
+  val defs: Seq[Q] = Seq(
+    // Calendar gap fill: generated 1995 date spine LEFT JOIN daily order
+    // counts — missing days surface as explicit zeros (time-series ETL).
+    q("etl_gap_fill_spine",
+      """WITH spine AS (SELECT CAST(unnest(generate_series(
+        |    DATE '1995-01-01', DATE '1995-12-31', INTERVAL 1 DAY)) AS DATE) AS day),
+        |d AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS c
+        |  FROM orders
+        |  WHERE o_orderdate >= DATE '1995-01-01' AND o_orderdate < DATE '1996-01-01'
+        |  GROUP BY 1)
+        |SELECT spine.day, CAST(COALESCE(c, 0) AS BIGINT) AS cnt
+        |FROM spine LEFT JOIN d USING (day) ORDER BY day""") { (s, dir) =>
+      val spine = s.range(1)
+        .select(explode(expr(
+          "sequence(date'1995-01-01', date'1995-12-31', interval 1 day)")).as("day"))
+      val daily = T.t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit(java.sql.Date.valueOf("1995-01-01"))
+          && col("o_orderdate") < lit(java.sql.Date.valueOf("1996-01-01")))
+        .groupBy(col("o_orderdate").cast(DateType).as("day"))
+        .agg(count(lit(1)).as("c"))
+      spine.join(daily, Seq("day"), "left")
+        .select(col("day"), coalesce(col("c"), lit(0L)).cast(LongType).as("cnt"))
+        .orderBy("day")
+    },
+
+    // Deterministic hash sampling: md5 of the key → first 8 hex digits →
+    // integer → mod 10. Unlike TABLESAMPLE/rand(seed), the sample is a pure
+    // function of the data — identical across engines, partitionings, and
+    // cluster sizes, which is what makes sampled pipelines reproducible.
+    q("etl_sample_hash",
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM orders
+        |WHERE CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |ORDER BY o_orderkey""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .filter(
+          conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+            .cast(LongType) % 10 === 0)
+        .select(col("o_orderkey"),
+          col("o_totalprice").cast(T.dec).cast(DoubleType).as("price"))
+        .orderBy("o_orderkey")
+    },
+
+    // MERGE-style upsert, emulated the way Delta/Iceberg execute it: a
+    // full-outer join of the current snapshot with an updates batch, new
+    // values taking precedence. current = orders with key % 10 != 0;
+    // updates = orders with key % 3 = 0 repriced +100. Output is the
+    // merge audit: per action (insert/update/keep) row count + final value.
+    q("etl_merge_upsert",
+      """WITH cur AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        |  FROM orders WHERE o_orderkey % 10 != 0),
+        |upd AS (SELECT o_orderkey AS k, CAST(o_totalprice AS DECIMAL(18,2)) + 100 AS v
+        |  FROM orders WHERE o_orderkey % 3 = 0),
+        |m AS (SELECT COALESCE(upd.k, cur.k) AS k, COALESCE(upd.v, cur.v) AS v,
+        |    CASE WHEN cur.k IS NULL THEN 'insert'
+        |         WHEN upd.k IS NULL THEN 'keep' ELSE 'update' END AS action
+        |  FROM cur FULL JOIN upd ON cur.k = upd.k)
+        |SELECT action, count(*) AS cnt, CAST(SUM(v) AS DOUBLE) AS sum_value
+        |FROM m GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      val cur = o.filter(col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderkey").as("ck"), col("o_totalprice").cast(T.dec).as("cv"))
+      val upd = o.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("uk"),
+          (col("o_totalprice").cast(T.dec) + 100).as("uv"))
+      cur.join(upd, col("ck") === col("uk"), "full")
+        .select(
+          coalesce(col("uk"), col("ck")).as("k"),
+          coalesce(col("uv"), col("cv")).as("v"),
+          when(col("ck").isNull, "insert")
+            .when(col("uk").isNull, "keep").otherwise("update").as("action"))
+        .groupBy("action")
+        .agg(count(lit(1)).as("cnt"), sum(col("v")).cast(DoubleType).as("sum_value"))
+        .orderBy("action")
+    },
+
+    // CDC compaction: latest record per key (newest o_orderdate, orderkey
+    // desc tie-break) — the window pass that collapses a change stream into
+    // a current-state snapshot.
+    q("etl_latest_by_key",
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS odate,
+        |  o_orderstatus
+        |FROM (SELECT *, row_number() OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE) DESC, o_orderkey DESC) AS rn
+        |  FROM orders) WHERE rn = 1
+        |ORDER BY o_custkey""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_custkey")
+            .orderBy(col("o_orderdate").cast(DateType).desc, col("o_orderkey").desc)))
+        .filter(col("rn") === 1)
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("odate"), col("o_orderstatus"))
+        .orderBy("o_custkey")
+    }
+  )
+}
