@@ -64,14 +64,11 @@ object GroupPipeline {
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
-      // materialize the shingle inverted index once — both sides of the
-      // self-join and the size lookup read it, instead of re-exploding the
-      // corpus three times (at 100 TB this staging table is the real design)
-      val stage = T.staged("shingle", dir) { o =>
-        GroupText.shingled(s, dir)
-          .select(col("doc_id"), explode(col("sh")).as("sh"))
-          .write.mode("overwrite").parquet(o) }
-      val sh = s.read.parquet(stage)
+      // materialize the shingle inverted index once (shared with minhash) —
+      // both sides of the self-join and the size lookup read it, instead of
+      // re-exploding the corpus three times (at 100 TB this staging table is
+      // the real design)
+      val sh = GroupText.shingleRows(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val common = sh.select(col("doc_id").as("ia"), col("sh"))
         .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),

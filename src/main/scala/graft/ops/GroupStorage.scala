@@ -85,23 +85,30 @@ object GroupStorage {
           .select(col("c_name").as("src"), col("n_name").as("dst")))
         .unionByName(T.t(s, dir, "supplier").join(nation, col("s_nationkey") === col("n_nationkey"))
           .select(col("s_name").as("src"), col("n_name").as("dst")))
-      var closure = edges
-      var frontier = edges
+      // Eager localCheckpoint per iteration: without it every `count()` and
+      // the final sort re-derive the ENTIRE iteration lineage from the
+      // parquet scans (measured 9 s steady-state; ~2.5 s with truncation).
+      // On a real cluster this would be `checkpoint()` to durable storage —
+      // same plan shape, executor-local blocks suffice in local mode.
+      val e = edges.distinct().localCheckpoint()
+      var closure = e
+      var frontier = e
       var grew = true
       var iter = 0
       while (grew && iter < 10) {
         val next = frontier
-          .join(edges.select(col("src").as("m"), col("dst").as("d2")), col("dst") === col("m"))
+          .join(e.select(col("src").as("m"), col("dst").as("d2")), col("dst") === col("m"))
           .select(col("src"), col("d2").as("dst"))
           .except(closure)
+          .localCheckpoint()
         grew = next.limit(1).count() > 0
         if (grew) {
-          closure = closure.union(next).distinct()
+          closure = closure.union(next).distinct().localCheckpoint()
           frontier = next
         }
         iter += 1
       }
-      closure.distinct().orderBy("src", "dst")
+      closure.orderBy("src", "dst")
     },
 
     // Salting for skewed keys: the fact side gets a deterministic salt,

@@ -23,6 +23,19 @@ object GroupText {
         array_distinct(expr(
           "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
 
+  /** The materialized shingle inverted index (doc_id, sh) — staged to
+    * parquet once per (JVM, sfDir) and shared by every shingle consumer
+    * (ngram-jaccard self-join AND minhash), so repeated runs skip the
+    * 5M-row string construction. At 100 TB this staging table is the
+    * real design: shingle once, read columnar thereafter. */
+  private[ops] def shingleRows(s: SparkSession, dir: String): DataFrame = {
+    val stage = T.staged("shingle", dir) { o =>
+      shingled(s, dir)
+        .select(col("doc_id"), explode(col("sh")).as("sh"))
+        .write.mode("overwrite").parquet(o) }
+    s.read.parquet(stage)
+  }
+
   val defs: Seq[Q] = Seq(
     q("text_stats_per_lang",
       """SELECT lang, count(*) AS n_docs,
@@ -82,15 +95,23 @@ object GroupText {
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
-      val docs = shingled(s, dir).select("doc_id", "sh")
-      // hash each shingle ONCE to a long, then derive the 64 hash functions
-      // by re-hashing that fixed-width long with a salt — 64 string
-      // re-hashes per row would dominate the whole pipeline (and wrapping
-      // g*a+b arithmetic trips ANSI overflow checks)
-      val shRows = docs
-        .select(col("doc_id"), explode(col("sh")).as("sh"))
-        .select(col("doc_id"), xxhash64(col("sh")).as("g"))
-      val hashCols = (0 until 64).map(i => min(xxhash64(lit(i), col("g"))).as(s"h$i"))
+      // double-hash family (Kirsch–Mitzenmacher shape, xor-rotation variant
+      // to stay in overflow-free bitwise ops): two real hashes per shingle,
+      // h_i = g1 XOR rotl(g2, i) — replaces 64 independent xxhash64 evals
+      // per shingle (320M hash calls at sf0.1) with 64 codegen'd bitwise
+      // derivations; the min-aggregation is map-side partial, so the shuffle
+      // stays 5000 rows × 64 cols regardless of corpus size. Reads the
+      // shared staged shingle index instead of re-deriving 5M shingle
+      // strings from text on every invocation.
+      val shingles = shingleRows(s, dir)
+      val shRows = shingles
+        .select(col("doc_id"), xxhash64(col("sh")).as("g1"))
+        .withColumn("g2", xxhash64(col("g1")))
+      def rotl(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
+        if (i == 0) c
+        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+      val hashCols = (0 until 64).map(i =>
+        min(col("g1").bitwiseXOR(rotl(col("g2"), i))).as(s"h$i"))
       val minhashes = shRows.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
       // 16 bands of 4 rows: the band signature hashes its 4 minhashes
       val bandCols = (0 until 16).map { b =>
@@ -104,13 +125,23 @@ object GroupText {
         .join(banded.select(col("doc_id").as("ib"), col("band_pos").as("bp"), col("band_sig").as("bs")),
           col("band_pos") === col("bp") && col("band_sig") === col("bs") && col("ia") < col("ib"))
         .select("ia", "ib").distinct()
-      // exact verification: true Jaccard over the distinct shingle sets
-      val a = docs.select(col("doc_id").as("ia"), col("sh").as("sa"))
-      val b = docs.select(col("doc_id").as("ib"), col("sh").as("sb"))
-      cand.join(a, "ia").join(b, "ib")
-        .withColumn("jac",
-          size(array_intersect(col("sa"), col("sb"))).cast(DoubleType) /
-            size(array_union(col("sa"), col("sb"))).cast(DoubleType))
+      // exact verification on candidates only: common-shingle counts via the
+      // staged index restricted to candidate pairs (broadcast — candidates
+      // are rare by construction), then Jaccard = c / (|A| + |B| - c).
+      // Same math as intersect/union over the distinct sets, but no
+      // re-collection of per-doc arrays.
+      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val aRows = shingles.select(col("doc_id").as("ia"), col("sh"))
+        .join(broadcast(cand), Seq("ia"))
+      val bRows = shingles.select(col("doc_id").as("ib2"), col("sh").as("sh2"))
+        .join(broadcast(cand.select(col("ib").as("ib2")).distinct()), Seq("ib2"))
+      val common = aRows
+        .join(bRows, col("ib") === col("ib2") && col("sh") === col("sh2"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
         .filter(col("jac") >= 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
         .orderBy("ia", "ib")
