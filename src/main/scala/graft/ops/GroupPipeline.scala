@@ -95,9 +95,15 @@ object GroupPipeline {
       val e = T.t(s, dir, "embeddings")
       val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"))
       val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"))
-      a.join(b, col("keep_id") < col("dup_id"))
+      // threshold INSIDE the join condition: the nested-loop join then
+      // evaluates the codegen'd dot in-place and only materializes joined
+      // rows for the ~1e-5 of pairs that pass — the all-pairs row copies,
+      // not the arithmetic, were the steady-state cost. The And
+      // short-circuits, so the dot runs for ordered pairs only; the
+      // projection recomputes it just for survivors.
+      a.join(b, col("keep_id") < col("dup_id")
+          && round(dot(col("ea"), col("eb")), 6) >= 0.45)
         .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
-        .filter(col("sim") >= 0.45)
         .select("keep_id", "dup_id", "sim")
         .orderBy("keep_id", "dup_id")
     },

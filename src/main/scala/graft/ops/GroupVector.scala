@@ -112,9 +112,11 @@ object GroupVector {
       val e = emb(s, dir)
       val a = e.filter(col("label") === 0).select(col("vec_id").as("a_id"), col("embedding").as("ae"))
       val b = e.filter(col("label") === 1).select(col("vec_id").as("b_id"), col("embedding").as("be"))
-      b.crossJoin(broadcast(a))
+      // threshold in the join condition: the BNLJ evaluates the codegen'd
+      // dot in-place and materializes only passing pairs (see
+      // dedup_embedding_cosine note)
+      b.join(broadcast(a), round(dot(col("ae"), col("be")), 6) >= 0.35)
         .withColumn("sim", round(dot(col("ae"), col("be")), 6))
-        .filter(col("sim") >= 0.35)
         .select("a_id", "b_id", "sim")
         .orderBy("a_id", "b_id")
     }
