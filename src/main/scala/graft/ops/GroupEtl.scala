@@ -97,6 +97,49 @@ object GroupEtl {
         .orderBy("action")
     },
 
+    // Bulk load with reject handling (dbsuite LOAD's reject file): one pass
+    // classifies rows, the quarantine layout is a partitioned-by-class
+    // write (staged once per JVM), and the declared output is the per-class
+    // audit read back from that quarantine store.
+    q("etl_reject_quarantine",
+      """WITH c AS (SELECT CASE WHEN l_quantity > 45 THEN 'reject_qty'
+        |    WHEN l_discount > 0.08 THEN 'reject_disc'
+        |    ELSE 'ok' END AS klass, l_quantity
+        |  FROM lineitem)
+        |SELECT klass, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM c GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val out = T.staged("quarantine", dir) { o =>
+        T.t(s, dir, "lineitem")
+          .withColumn("klass",
+            when(col("l_quantity") > 45, "reject_qty")
+              .when(col("l_discount") > 0.08, "reject_disc")
+              .otherwise("ok"))
+          .write.mode("overwrite").partitionBy("klass").parquet(o) }
+      s.read.parquet(out)
+        .groupBy("klass")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy("klass")
+    },
+
+    // SCD2 interval construction: each order opens a validity interval that
+    // the customer's next order closes (lead), the last one open-ended —
+    // the dimension-history shape warehouse loads maintain.
+    q("etl_scd2_intervals",
+      """SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS valid_from,
+        |  COALESCE(lead(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey
+        |    ORDER BY CAST(o_orderdate AS DATE), o_orderkey), DATE '9999-12-31') AS valid_to
+        |FROM orders ORDER BY o_custkey, valid_from, o_orderkey""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("valid_from"))
+        .withColumn("valid_to",
+          coalesce(lead(col("valid_from"), 1).over(
+            Window.partitionBy("o_custkey").orderBy("valid_from", "o_orderkey")),
+            lit(java.sql.Date.valueOf("9999-12-31"))))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    },
+
     // CDC compaction: latest record per key (newest o_orderdate, orderkey
     // desc tie-break) — the window pass that collapses a change stream into
     // a current-state snapshot.

@@ -121,6 +121,121 @@ object GroupRelational {
         .limit(500)
     },
 
+    // Multi-quantile by rank selection (p25/p50/p75), same
+    // no-interpolation rationale as agg_median_disc: target rank =
+    // floor(q/100·(n−1))+1, and 0.25/0.5/0.75 are exact binary doubles.
+    q("agg_quantiles_disc",
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS p,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |qs AS (SELECT CAST(unnest([25, 50, 75]) AS INT) AS q)
+        |SELECT o_orderpriority, q, p AS value
+        |FROM r CROSS JOIN qs
+        |WHERE rn = CAST(floor(q/100.0*(n-1)) + 1 AS BIGINT)
+        |ORDER BY o_orderpriority, q""") { (s, dir) =>
+      val part = Window.partitionBy("o_orderpriority")
+      T.t(s, dir, "orders")
+        .withColumn("pd", col("o_totalprice").cast(T.dec))
+        .withColumn("rn", row_number().over(part.orderBy("pd", "o_orderkey")))
+        .withColumn("n", count(lit(1)).over(part))
+        .withColumn("q", explode(array(lit(25), lit(50), lit(75))))
+        .filter(col("rn") ===
+          (floor(col("q") / 100.0 * (col("n") - 1)) + 1).cast(LongType))
+        .select(col("o_orderpriority"), col("q"),
+          col("pd").cast(DoubleType).as("value"))
+        .orderBy("o_orderpriority", "q")
+    },
+
+    // Ordered string aggregation (LISTAGG/string_agg): sorted collect keeps
+    // the result independent of row arrival order at any parallelism.
+    q("agg_string_agg_sorted",
+      """SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "region")
+        .join(T.t(s, dir, "nation"), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(concat_ws(",", array_sort(collect_list(col("n_name")))).as("nations"))
+        .orderBy("r_name")
+    },
+
+    // Deterministic mode: most frequent priority per status, count-desc then
+    // value-asc tie-break — built-in `mode()` picks ties arbitrarily.
+    q("agg_mode_by_count",
+      """SELECT o_orderstatus, o_orderpriority AS mode_priority, cnt FROM (
+        |  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY count(*) DESC, o_orderpriority) AS rn
+        |  FROM orders GROUP BY 1,2)
+        |WHERE rn = 1 ORDER BY o_orderstatus""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("o_orderstatus")
+            .orderBy(col("cnt").desc, col("o_orderpriority"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus"), col("o_orderpriority").as("mode_priority"),
+          col("cnt"))
+        .orderBy("o_orderstatus")
+    },
+
+    // first/last/nth over an explicit unbounded frame, one row per user.
+    q("window_first_last_nth",
+      """SELECT user_id, first_et, last_et, second_et FROM (
+        |  SELECT user_id,
+        |    first_value(event_type) OVER w AS first_et,
+        |    last_value(event_type) OVER w AS last_et,
+        |    nth_value(event_type, 2) OVER w AS second_et,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING))
+        |WHERE rn = 1 ORDER BY user_id""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      T.t(s, dir, "events")
+        .select(
+          col("user_id"),
+          first(col("event_type")).over(w).as("first_et"),
+          last(col("event_type")).over(w).as("last_et"),
+          nth_value(col("event_type"), 2).over(w).as("second_et"),
+          row_number().over(
+            Window.partitionBy("user_id").orderBy("ts", "event_id")).as("rn"))
+        .filter(col("rn") === 1)
+        .select("user_id", "first_et", "last_et", "second_et")
+        .orderBy("user_id")
+    },
+
+    // String-function depth beyond scalar_string_funcs: regex global
+    // replace, translate, reverse, repeat, position, left/right.
+    q("scalar_string_advanced",
+      """SELECT p_partkey,
+        |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+        |  translate(p_brand, '#', '-') AS tbrand,
+        |  reverse(p_type) AS rtype,
+        |  repeat(substr(p_name, 1, 3), 2) AS rep2,
+        |  CAST(strpos(p_type, 'ED') AS INT) AS pos_ed,
+        |  left(p_name, 5) AS l5,
+        |  right(p_name, 4) AS r4
+        |FROM part ORDER BY p_partkey LIMIT 500""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+          translate(col("p_brand"), "#", "-").as("tbrand"),
+          reverse(col("p_type")).as("rtype"),
+          repeat(substring(col("p_name"), 1, 3), 2).as("rep2"),
+          instr(col("p_type"), "ED").cast(IntegerType).as("pos_ed"),
+          expr("left(p_name, 5)").as("l5"),
+          expr("right(p_name, 4)").as("r4"))
+        .orderBy("p_partkey")
+        .limit(500)
+    },
+
     // Wide→long reshape (unpivot/melt) via stack: per-priority stats as
     // (metric, value) rows — the tall shape feature pipelines feed on.
     q("agg_unpivot_long",

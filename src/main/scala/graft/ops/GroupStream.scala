@@ -144,6 +144,34 @@ object GroupStream {
             col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
         .select("p_id", "c_id")
         .orderBy("p_id", "c_id")
+    },
+
+    // Left-outer stream-stream join: purchases keep a row even with no
+    // click within ±30 min (the watermark is what lets streaming emit the
+    // null side once the window is provably closed — Streams.joinLeftOuter;
+    // batch-equivalent declared). DuckDB default ASC puts NULLS LAST while
+    // Spark puts them FIRST, so the oracle pins NULLS FIRST explicitly.
+    q("stream_join_left_outer",
+      """WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts FROM events
+        |    WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, event_id AS c_id, ts AS c_ts FROM events
+        |    WHERE event_type = 'click')
+        |SELECT p_id, c_id FROM p LEFT JOIN c
+        |  ON p.user_id = c.user_id
+        | AND c_ts BETWEEN p_ts - INTERVAL 30 MINUTE AND p_ts + INTERVAL 30 MINUTE
+        |ORDER BY p_id, c_id NULLS FIRST""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("p_user"), col("ts").as("p_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"), col("ts").as("c_ts"))
+      p.join(c,
+          col("p_user") === col("c_user") &&
+            col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+            col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+          "left")
+        .select("p_id", "c_id")
+        .orderBy("p_id", "c_id")
     }
   )
 }

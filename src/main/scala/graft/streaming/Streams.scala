@@ -25,16 +25,30 @@ object Streams {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Sentinel ids of the watermark-flush events (see `flushTail`). */
+  val FlushPurchaseId = 99999998L
+  val FlushClickId = 99999999L
+
   /** Split `events` into `n` time-ordered chunk files under `outDir`
     * (one micro-batch each). If `lateTail` is set, the events of the
     * FIRST time-range chunk are instead appended as the LAST file — they
-    * arrive after the watermark has advanced past them. */
+    * arrive after the watermark has advanced past them. If `flushTail` is
+    * set, a final chunk with two sentinel events (user_id = -1, ts = max+3h,
+    * one per join side) is appended: it drives both input watermarks past
+    * every real event so OUTER stream-stream joins can prove all join
+    * windows closed and emit their null-padded rows before the replay ends. */
   def writeChunks(s: SparkSession, sfDir: String, outDir: String, n: Int,
-                  lateTail: Boolean = false): Unit = {
+                  lateTail: Boolean = false, flushTail: Boolean = false): Unit = {
     val ev = T.t(s, sfDir, "events").orderBy("ts", "event_id").collect()
     val per = math.ceil(ev.length.toDouble / n).toInt
     val chunks = ev.grouped(per).toSeq
-    val ordered = if (lateTail) chunks.tail :+ chunks.head else chunks
+    val reordered = if (lateTail) chunks.tail :+ chunks.head else chunks
+    val ordered = if (!flushTail) reordered else {
+      val t = ev.last.getAs[java.time.LocalDateTime]("ts").plusHours(3)
+      reordered :+ Array[org.apache.spark.sql.Row](
+        org.apache.spark.sql.Row(FlushPurchaseId, t, -1L, "purchase", 0.0, "{}"),
+        org.apache.spark.sql.Row(FlushClickId, t, -1L, "click", 0.0, "{}"))
+    }
     ordered.zipWithIndex.foreach { case (rows, i) =>
       val df = s.createDataFrame(
         s.sparkContext.parallelize(rows.toIndexedSeq, 1), eventsSchema)
@@ -162,6 +176,28 @@ object Streams {
       col("p_user") === col("c_user") &&
         col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
         col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"))
+      .select("p_id", "c_id")
+  }
+
+  /** Left-outer stream-stream interval join (stream_join_left_outer):
+    * purchases keep their row even with no click in ±30 min. The watermark
+    * is load-bearing — it is what lets the engine emit the null-padded row
+    * once the join window is provably closed, instead of holding the
+    * purchase in state forever. */
+  def purchaseClickLeftJoin(stream1: DataFrame, stream2: DataFrame): DataFrame = {
+    val p = stream1.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"), col("user_id").as("p_user"),
+        col("ts").cast(TimestampType).as("p_ts"))
+      .withWatermark("p_ts", "1 hour")
+    val c = stream2.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").cast(TimestampType).as("c_ts"))
+      .withWatermark("c_ts", "1 hour")
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 30 MINUTES") &&
+        col("c_ts") <= col("p_ts") + expr("INTERVAL 30 MINUTES"),
+      "leftOuter")
       .select("p_id", "c_id")
   }
 

@@ -42,6 +42,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("join_left_anti").contains("LeftAnti"))
   }
 
+  test("subquery_correlated_scalar decorrelates to agg+join (no per-row subplan)") {
+    val p = plan("subquery_correlated_scalar")
+    assert(p.contains("HashAggregate"), p.take(2000))
+    assert(!p.contains("ScalarSubquery"), p.take(2000))
+  }
+
+  test("etl_sample_hash filters before any shuffle (stateless per-row sample)") {
+    // the only exchange is the final ORDER BY's range partitioning — the
+    // hash filter must not induce a hash shuffle
+    val p = plan("etl_sample_hash")
+    assert(!p.contains("Exchange hashpartitioning"), p.take(3000))
+  }
+
+  test("etl_gap_fill_spine scans parquet exactly once (spine is generated)") {
+    val p = plan("etl_gap_fill_spine")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
+  test("etl_merge_upsert plans a full-outer join") {
+    assert(plan("etl_merge_upsert").contains("FullOuter"))
+  }
+
+  test("dedup_embedding_cosine evaluates vec_dot inside the join (no all-pairs materialization)") {
+    val p = plan("dedup_embedding_cosine")
+    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
+    // the threshold predicate sits in the join condition, not a post-filter
+    assert(p.linesIterator.exists(l =>
+      l.contains("Join") && l.contains("vec_dot")), p.take(3000))
+  }
+
   test("bucketed_join_colocated joins without shuffling either input") {
     val p = plan("bucketed_join_colocated")
     // both scans are bucketed, and no exchange repartitions a join key —

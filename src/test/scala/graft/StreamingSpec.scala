@@ -147,4 +147,19 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == want)
   }
+
+  test("left-outer stream-stream join == batch stream_join_left_outer") {
+    // flushTail: without the sentinel chunk the watermark never passes the
+    // last purchases' join windows, so their null-padded rows are withheld
+    val dir = T.tempDir("graft_replay_")
+    Streams.writeChunks(s, sf, dir, n = 5, flushTail = true)
+    val got = Streams.runToMemory(
+        Streams.purchaseClickLeftJoin(Streams.readReplay(s, dir), Streams.readReplay(s, dir)),
+        "t_ssjlo", OutputMode.Append())
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .filter(_._1 != Streams.FlushPurchaseId).toSet
+    val want = SparkEntry.queries("stream_join_left_outer")(s, sf)
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
+    assert(got == want)
+  }
 }
