@@ -2,6 +2,7 @@ package graft.ops
 
 import graft.T
 import graft.T.{Q, q, qNoOracle}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -15,6 +16,24 @@ import org.apache.spark.sql.types._
 object GroupPipeline {
 
   private def dot = GroupVector.dot _
+
+  /** Exact 3-shingle Jaccard ≥ threshold pairs (ia < ib) over the staged
+    * shingle inverted index — the ground truth shared by dedup_ngram_jaccard
+    * and the connected-components clustering. */
+  private[ops] def exactJaccardPairs(s: SparkSession, dir: String,
+                                     threshold: Double): DataFrame = {
+    val sh = GroupText.shingleRows(s, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val common = sh.select(col("doc_id").as("ia"), col("sh"))
+      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    common
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= threshold)
+  }
 
   val defs: Seq[Q] = Seq(
     // 64-bit SimHash over the token multiset (xxhash64 per token, signed bit
@@ -64,23 +83,91 @@ object GroupPipeline {
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
-      // materialize the shingle inverted index once (shared with minhash) —
-      // both sides of the self-join and the size lookup read it, instead of
-      // re-exploding the corpus three times (at 100 TB this staging table is
-      // the real design)
-      val sh = GroupText.shingleRows(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val common = sh.select(col("doc_id").as("ia"), col("sh"))
-        .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
-      common
-        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
-        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
-        .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
-        .filter(col("jac") >= 0.8)
+      // materialize the shingle inverted index once (shared with minhash
+      // and the components clustering) — at 100 TB this staging table is
+      // the real design
+      exactJaccardPairs(s, dir, 0.8)
         .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
         .orderBy("ia", "ib")
+    },
+
+    // Near-dup CLUSTERING: connected components over the exact-Jaccard pair
+    // graph via iterative min-label propagation (each doc converges to the
+    // smallest doc_id reachable from it — the canonical cluster
+    // representative a dedup pipeline keeps). Each iteration is one
+    // edges⋈labels shuffle join + a min-agg, lineage truncated per step;
+    // iteration count = graph diameter (dup clusters are tiny), and the
+    // driver only sees the changed-label count.
+    q("dedup_cluster_components",
+      """WITH RECURSIVE dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT ia, ib
+        |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |nodes AS (SELECT DISTINCT x AS id FROM (
+        |  SELECT ia AS x FROM pairs UNION SELECT ib FROM pairs)),
+        |edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val pairs = exactJaccardPairs(s, dir, 0.8).select("ia", "ib")
+      val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+        .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
+        .distinct().localCheckpoint()
+      var lbl = edges.select(col("a").as("id")).distinct()
+        .withColumn("lbl", col("id")).localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < 15) {
+        // each node adopts min(own label, labels of its neighbors)
+        val neigh = edges
+          .join(lbl.select(col("id").as("a"), col("lbl").as("nl")), Seq("a"))
+          .groupBy(col("b").as("id")).agg(min(col("nl")).as("minNl"))
+        val next = lbl.join(neigh, Seq("id"), "left")
+          .select(col("id"),
+            least(col("lbl"), coalesce(col("minNl"), col("lbl"))).as("lbl"),
+            (col("minNl") < col("lbl")).as("chg"))
+          .localCheckpoint()
+        changed = next.filter(col("chg")).count()
+        lbl = next.select("id", "lbl")
+        iter += 1
+      }
+      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+        .orderBy("doc_id")
+    },
+
+    // Quality-filter pipeline audit: per source, how many docs survive the
+    // keep rule (>= 50 tokens AND stopword ratio <= 0.2) — the
+    // retention-rate report every corpus-cleaning pass produces.
+    q("text_filter_pipeline",
+      """WITH m AS (SELECT doc_id, source,
+        |    len(string_split(text,' ')) AS nt,
+        |    len(list_filter(string_split(text,' '), t -> t = 'a' OR t = 'the')) AS nstop
+        |  FROM documents)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN nt >= 50 AND nstop*1.0/nt <= 0.2 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN nt >= 50 AND nstop*1.0/nt <= 0.2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*) AS keep_rate
+        |FROM m GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .withColumn("arr", split(col("text"), " "))
+        .select(col("source"), size(col("arr")).as("nt"),
+          expr("size(filter(arr, t -> t = 'a' OR t = 'the'))").as("nstop"))
+        .withColumn("keep",
+          (col("nt") >= 50 && col("nstop") * 1.0 / col("nt") <= 0.2).cast(IntegerType))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("keep")).cast(LongType).as("n_kept"),
+          (sum(col("keep")).cast(DoubleType) / count(lit(1))).as("keep_rate"))
+        .orderBy("source")
     },
 
     // Embedding-cosine near-dup: canonical keep = lower vec_id. Threshold

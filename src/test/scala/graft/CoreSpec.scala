@@ -66,6 +66,22 @@ class CoreSpec extends AnyFunSuite {
     assert(sim == 1.0, s"unit-norm self-dot should be 1.0, got $sim")
   }
 
+  test("decimal aggregates are partition-count independent (3 vs 32 shuffle partitions)") {
+    // the SURVEY §8 cross-cutting claim: exact decimal sums make results
+    // independent of how partial aggregation groups the data
+    val keys = Seq("agg_groupby_hash", "agg_variance_exact", "flagship_q3")
+    val before = s.conf.get("spark.sql.shuffle.partitions")
+    def snap(): Map[String, Seq[String]] =
+      keys.map(k => k -> SparkEntry.queries(k)(s, sf).collect().toSeq.map(_.toString)).toMap
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "3")
+      val at3 = snap()
+      s.conf.set("spark.sql.shuffle.partitions", "32")
+      val at32 = snap()
+      keys.foreach(k => assert(at3(k) == at32(k), s"$k diverged across partition counts"))
+    } finally s.conf.set("spark.sql.shuffle.partitions", before)
+  }
+
   test("graph_transitive_closure: every customer reaches nation and region") {
     val rows = run("graph_transitive_closure").collect()
     val nCust = T.t(s, sf, "customer").count()
