@@ -61,6 +61,29 @@ object GroupAgg {
             .cast(IntegerType).as("hll_ok"))
     },
 
+    // Same promoted-property pattern as the HLL row: approx_percentile's
+    // sketch value is engine-specific, so the DECLARED output is the exact
+    // row count plus a rank-error flag — the fraction of values at or below
+    // the approximate median must sit within 0.5 ± 0.05. Drift past the
+    // bound flips the flag and fails the hash gate.
+    q("agg_approx_quantile",
+      """SELECT CAST(count(*) AS BIGINT) AS n, CAST(1 AS INT) AS quantile_ok
+        |FROM lineitem""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+      val approx = li.agg(
+        percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000)).as("ap"),
+        count(lit(1)).as("n"))
+      val flag = li.crossJoin(approx)
+        .agg(
+          first(col("n")).as("n"),
+          (sum(when(col("l_extendedprice") <= col("ap"), 1L).otherwise(0L))
+            .cast(DoubleType) / first(col("n"))).as("rank_frac"))
+        .select(col("n"),
+          when(abs(col("rank_frac") - 0.5) <= 0.05, 1).otherwise(0)
+            .cast(IntegerType).as("quantile_ok"))
+      flag
+    },
+
     q("agg_having",
       """SELECT o_custkey, count(*) AS n_orders FROM orders
         |GROUP BY 1 HAVING count(*) >= 12 ORDER BY 1""") { (s, dir) =>

@@ -347,6 +347,48 @@ object GroupPipeline {
         .orderBy("doc_id", "frame_no")
     },
 
+    // Audio-shaped multimodal plumbing: OVERLAPPING frame windows (512-byte
+    // frames, 256-byte hop — the STFT/mel-spectrogram batch shape), with a
+    // stubbed per-frame feature (byte-sum "energy"; audio libs absent in
+    // this container, same stub mandate as multimodal_meta). mapPartitions
+    // carries the decode; the oracle recomputes windows via substr on the
+    // ASCII stand-in payload.
+    q("multimodal_audio_windows",
+      """WITH e AS (SELECT doc_id, text,
+        |    unnest(range(CAST(floor((length(text) - 1) / 256.0) AS BIGINT) + 1)) AS i
+        |  FROM documents),
+        |f AS (SELECT doc_id, CAST(i AS INT) AS win_no,
+        |    substr(text, CAST(i * 256 + 1 AS INT), 512) AS win
+        |  FROM e),
+        |s AS (SELECT doc_id, win_no, CAST(length(win) AS INT) AS win_len,
+        |    CAST(list_sum(list_transform(range(length(win)),
+        |      j -> ascii(substr(win, CAST(j+1 AS INT), 1)))) AS BIGINT) AS energy
+        |  FROM f)
+        |SELECT doc_id, win_no, win_len, energy FROM s
+        |ORDER BY doc_id, win_no""") { (s, dir) =>
+      import s.implicits._
+      T.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.flatMap { case (id, payload) =>
+            // stubbed window decode: 512-byte frames at 256-byte hop;
+            // "energy" = byte sum (ASCII stand-in, bytes are positive)
+            val n = payload.length
+            val starts = 0 until n by 256
+            starts.zipWithIndex.map { case (off, w) =>
+              val len = math.min(512, n - off)
+              var e = 0L
+              var j = off
+              while (j < off + len) { e += payload(j); j += 1 }
+              (id, w, len, e)
+            }
+          }
+        }
+        .toDF("doc_id", "win_no", "win_len", "energy")
+        .orderBy("doc_id", "win_no")
+    },
+
     // Rolling-hash (Rabin-Karp polynomial, base 257 mod 2^61-1) document
     // fingerprint — the incremental-hash shape used for content-defined
     // chunking/winnowing. The arithmetic is plain modular integer math, so
