@@ -140,6 +140,40 @@ object GroupEtl {
         .orderBy("o_custkey", "valid_from", "o_orderkey")
     },
 
+    // Partition backfill via dynamic partition overwrite: rewrite ONE
+    // partition ('F', repriced +10) in place while every other partition's
+    // files are untouched — the idempotent-backfill primitive for
+    // partitioned 100 TB tables (overwriting the whole table to fix one
+    // day/status is the anti-pattern). The declared output is the
+    // post-backfill audit read back from the table.
+    q("etl_backfill_partition_swap",
+      """WITH merged AS (SELECT o_orderstatus,
+        |    CASE WHEN o_orderstatus = 'F'
+        |      THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+        |      ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS cnt, CAST(SUM(v) AS DOUBLE) AS sum_price
+        |FROM merged GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val out = T.staged("backfill", dir) { o =>
+        val orders = T.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast(T.dec).as("price"),
+            col("o_orderstatus"))
+        orders.write.mode("overwrite").partitionBy("o_orderstatus").parquet(o)
+        // backfill: replace just the 'F' partition (dynamic mode leaves the
+        // other partitions' files in place)
+        orders.filter(col("o_orderstatus") === "F")
+          .withColumn("price", col("price") + 10)
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("o_orderstatus").parquet(o)
+      }
+      s.read.parquet(out)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("price")).cast(DoubleType).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
     // CDC compaction: latest record per key (newest o_orderdate, orderkey
     // desc tie-break) — the window pass that collapses a change stream into
     // a current-state snapshot.
