@@ -36,7 +36,12 @@ object Bench {
     val qs = top.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_omitted":$rest,"other_sec":${f3(otherSec)},"sf":"$sfDir"}""")
+    // 1-min load average at run end: this box carries heavy external load
+    // (same build measured 74–212 s total; see BASELINE.md variance notes),
+    // so the context is part of the measurement
+    val load = f3(java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage)
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_omitted":$rest,"other_sec":${f3(otherSec)},"load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
