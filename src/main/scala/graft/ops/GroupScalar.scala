@@ -189,6 +189,44 @@ object GroupScalar {
     },
 
     // Generator/UDTF surface: explode = built-in Generator expression.
+    // Null-preserving generator: docs whose filtered token array is EMPTY
+    // keep a (doc_id, NULL) row — the outer-generator semantics `explode`
+    // silently drops (a classic silent-data-loss bug in token pipelines).
+    q("explode_outer_generator",
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(string_split(text,' '), t -> len(t) > 15) AS arr
+        |  FROM documents)
+        |SELECT doc_id, tok FROM (
+        |  SELECT doc_id, unnest(arr) AS tok FROM d WHERE len(arr) > 0
+        |  UNION ALL
+        |  SELECT doc_id, NULL FROM d WHERE len(arr) = 0)
+        |ORDER BY doc_id, tok NULLS FIRST""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> length(t) > 15)").as("arr"))
+        .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+        .orderBy("doc_id", "tok")
+    },
+
+    // Error-tolerant casts: try_cast yields NULL instead of failing the job
+    // — the ingest semantics for dirty 100 TB sources (ANSI mode would kill
+    // the whole load on one bad row).
+    q("scalar_try_cast",
+      """SELECT p_partkey,
+        |  TRY_CAST(p_brand AS INTEGER) AS brand_int,
+        |  TRY_CAST(substr(p_brand, 7, 2) AS INTEGER) AS brand_num,
+        |  TRY_CAST(p_name AS DATE) IS NULL AS not_date
+        |FROM part ORDER BY p_partkey LIMIT 500""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          expr("try_cast(p_brand AS INT)").as("brand_int"),
+          expr("try_cast(substr(p_brand, 7, 2) AS INT)").as("brand_num"),
+          expr("try_cast(p_name AS DATE)").isNull.as("not_date"))
+        .orderBy("p_partkey")
+        .limit(500)
+    },
+
     q("explode_generator",
       """SELECT tok, count(*) AS cnt
         |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)

@@ -63,6 +63,45 @@ object GroupScan {
         .orderBy("r_regionkey")
     },
 
+    // Schema evolution: an old-schema batch and a new-schema batch (added
+    // `status` column) land in the same table dir; `mergeSchema` reads the
+    // union schema with nulls for the missing column — the long-lived-table
+    // reality every 100 TB warehouse faces (rewriting history to add a
+    // column is the anti-pattern).
+    q("scan_schema_evolution",
+      """WITH m AS (SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+        |    CASE WHEN o_orderkey % 2 = 0 THEN 'MISSING' ELSE o_orderstatus END AS status
+        |  FROM orders)
+        |SELECT status, count(*) AS cnt, CAST(SUM(price) AS DOUBLE) AS sum_price
+        |FROM m GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val out = T.staged("evolve", dir) { o =>
+        val orders = T.t(s, dir, "orders")
+          .select(col("o_orderkey"), col("o_totalprice").cast(T.dec).as("price"),
+            col("o_orderstatus"))
+        orders.filter(col("o_orderkey") % 2 === 0)
+          .select("o_orderkey", "price")
+          .write.mode("overwrite").parquet(o)
+        orders.filter(col("o_orderkey") % 2 =!= 0)
+          .select(col("o_orderkey"), col("price"), col("o_orderstatus").as("status"))
+          .write.mode("append").parquet(o)
+      }
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy(coalesce(col("status"), lit("MISSING")).as("status"))
+        .agg(count(lit(1)).as("cnt"), sum(col("price")).cast(DoubleType).as("sum_price"))
+        .orderBy("status")
+    },
+
+    // Codec control: zstd-compressed parquet roundtrip (at 100 TB the
+    // snappy→zstd trade is real money; the read path is codec-transparent).
+    q("source_parquet_zstd_roundtrip",
+      """SELECT s_suppkey, s_name, s_nationkey FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      val out = T.staged("zstd", dir) { o =>
+        T.t(s, dir, "supplier")
+          .select("s_suppkey", "s_name", "s_nationkey")
+          .write.mode("overwrite").option("compression", "zstd").parquet(o) }
+      s.read.parquet(out).orderBy("s_suppkey")
+    },
+
     // Hive-style partitioned layout — the 100 TB at-rest story: downstream
     // scans of one status prune all other partitions.
     q("sink_partitioned_write",
