@@ -148,6 +148,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("parquet sink + checkpoint: restart resumes exactly-once (no reprocessing)") {
+    // phase 1 processes 3 of 5 chunks into a parquet sink with a checkpoint;
+    // phase 2 adds the remaining chunks and restarts with the SAME
+    // checkpoint — the offset log must skip the already-committed batches
+    // and the recovered dedup state must keep event_ids unique, so the sink
+    // holds each event exactly once.
+    val srcAll = T.tempDir("graft_replay_all_")
+    Streams.writeChunks(s, sf, srcAll, n = 5)
+    val chunkFiles = new java.io.File(srcAll).listFiles()
+      .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+    val replayDir = T.tempDir("graft_replay_inc_")
+    val sinkDir = T.tempDir("graft_sink_")
+    val ckptDir = T.tempDir("graft_ckpt_")
+    def copyIn(fs: Array[java.io.File]): Unit = fs.foreach { f =>
+      java.nio.file.Files.copy(f.toPath,
+        java.nio.file.Paths.get(replayDir, f.getName),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      Thread.sleep(15) // distinct mtimes keep file order deterministic
+    }
+    def runDrain(): Unit = {
+      val q = Streams.dedup(Streams.readReplay(s, replayDir))
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    copyIn(chunkFiles.take(3)); runDrain()
+    val afterPhase1 = s.read.parquet(sinkDir).count()
+    copyIn(chunkFiles.drop(3)); runDrain()
+    val sunk = s.read.parquet(sinkDir)
+    val nUnique = SparkEntry.queries("stream_dedup_stateful")(s, sf)
+      .collect().head.getAs[Long]("n_unique")
+    assert(afterPhase1 > 0 && afterPhase1 < nUnique, s"phase1=$afterPhase1")
+    assert(sunk.count() == nUnique,
+      s"sink rows ${sunk.count()} != $nUnique unique events")
+    assert(sunk.select("event_id").distinct().count() == nUnique)
+  }
+
   test("left-outer stream-stream join == batch stream_join_left_outer") {
     // flushTail: without the sentinel chunk the watermark never passes the
     // last purchases' join windows, so their null-padded rows are withheld
