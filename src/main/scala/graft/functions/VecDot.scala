@@ -75,3 +75,18 @@ object GraftFunctions {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
 }
+
+/** The idiomatic library packaging of graft's Catalyst surface: set
+  * `spark.sql.extensions=graft.functions.GraftExtensions` and every session
+  * built from that config resolves `vec_dot` with no registration call —
+  * the injection point a deployed 100 TB cluster would use (cluster-wide
+  * defaults in spark-defaults.conf, not per-notebook register calls).
+  * Injection happens at session build, before any query parses. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+}

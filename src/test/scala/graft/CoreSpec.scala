@@ -66,6 +66,18 @@ class CoreSpec extends AnyFunSuite {
     assert(sim == 1.0, s"unit-norm self-dot should be 1.0, got $sim")
   }
 
+  test("GraftExtensions injects vec_dot via spark.sql.extensions (no register call)") {
+    // newSession() has a FRESH function registry (temp functions from
+    // GraftFunctions.register are gone) but inherits the session extensions
+    // — vec_dot resolving here proves the injection path works
+    val fresh = s.newSession()
+    val r = fresh.sql(
+      "SELECT vec_dot(array(cast(1.0 as float), cast(2.0 as float)), " +
+        "array(cast(3.0 as float), cast(4.0 as float))) AS d")
+      .collect().head.getDouble(0)
+    assert(r == 11.0)
+  }
+
   test("decimal aggregates are partition-count independent (3 vs 32 shuffle partitions)") {
     // the SURVEY §8 cross-cutting claim: exact decimal sums make results
     // independent of how partial aggregation groups the data

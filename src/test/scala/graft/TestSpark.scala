@@ -10,6 +10,9 @@ object TestSpark {
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // the library extension point under test (CoreSpec): graft functions
+      // resolve in any session derived from this config, no register() call
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.checkpointLocation",
         java.nio.file.Files.createTempDirectory("graft_ckpt_").toString)
