@@ -29,7 +29,10 @@ object Bench {
     // mid-JSON → parsed:null). Keep the line well under that: 3-decimal
     // timings and only the 40 slowest queries listed individually; the
     // remainder is aggregated into other_sec/n_queries.
-    def f3(v: Double): String = "%.3f".format(v)
+    // Locale.ROOT: the default-locale format would emit ',' decimal
+    // separators on non-English JVMs — invalid JSON for the driver's parser
+    def f3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val top = results.toSeq.sortBy(-_._2).take(40)
     val rest = results.size - top.size
     val otherSec = results.values.sum - top.map(_._2).sum

@@ -29,7 +29,9 @@ object BenchOne {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      println(f"BENCHONE $name reps=${times.map(t => f"$t%.2f").mkString(",")} min=${times.min}%.2f")
+      def f2(v: Double): String =
+        String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      println(s"BENCHONE $name reps=${times.map(f2).mkString(",")} min=${f2(times.min)}")
     }
     spark.stop()
   }

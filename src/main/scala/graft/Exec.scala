@@ -44,7 +44,9 @@ object Exec {
         if (c == '\n') { lineComment = false; cur.append(c) }
       } else if (blockComment) {
         if (c == '*' && i + 1 < n && script.charAt(i + 1) == '/') {
-          blockComment = false; i += 1
+          // a comment is a token separator: emit one space so adjoining
+          // tokens ("AS/*x*/y") don't merge into a new identifier
+          blockComment = false; i += 1; cur.append(' ')
         }
       } else if (quote != 0) {
         cur.append(c)

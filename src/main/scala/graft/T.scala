@@ -62,7 +62,7 @@ object T {
     * runs (ADVICE r2). */
   def tempDir(prefix: String): String = {
     val p = java.nio.file.Files.createTempDirectory(prefix)
-    cleanupAtExit += p.toString
+    cleanupAtExit.synchronized { cleanupAtExit += p.toString }
     p.toString
   }
 

@@ -162,7 +162,10 @@ object GroupEtl {
         // backfill: replace just the 'F' partition (dynamic mode leaves the
         // other partitions' files in place)
         orders.filter(col("o_orderstatus") === "F")
-          .withColumn("price", col("price") + 10)
+          // re-cast: `+ 10` widens to DECIMAL(19,2), which would leave this
+          // partition with a different parquet physical type than the rest
+          // of the table (schema inference then depends on partition order)
+          .withColumn("price", (col("price") + 10).cast(T.dec))
           .write.mode("overwrite")
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy("o_orderstatus").parquet(o)

@@ -140,6 +140,11 @@ object GroupPipeline {
         lbl = next.select("id", "lbl")
         iter += 1
       }
+      // fail loudly rather than return partially-propagated labels: a
+      // component with eccentricity > the cap would otherwise silently get
+      // wrong representatives (min-label propagation needs O(diameter) rounds)
+      require(changed == 0,
+        s"dedup_cluster_components did not converge in $iter iterations")
       lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
         .orderBy("doc_id")
     },

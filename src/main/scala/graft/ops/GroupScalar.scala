@@ -199,7 +199,7 @@ object GroupScalar {
         |SELECT doc_id, tok FROM (
         |  SELECT doc_id, unnest(arr) AS tok FROM d WHERE len(arr) > 0
         |  UNION ALL
-        |  SELECT doc_id, NULL FROM d WHERE len(arr) = 0)
+        |  SELECT doc_id, NULL FROM d WHERE len(arr) = 0 OR arr IS NULL)
         |ORDER BY doc_id, tok NULLS FIRST""") { (s, dir) =>
       T.t(s, dir, "documents")
         .select(col("doc_id"),

@@ -42,18 +42,24 @@ object GroupStorage {
         |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      // table names carry the sfDir hash: the staged-once memo is keyed by
+      // (tag, sfDir), so the catalog tables must be per-sfDir too — shared
+      // names would let a second sfDir in the same JVM poison the first
+      val suffix = (dir.hashCode & Int.MaxValue).toString
+      val ordersTbl = s"graft_orders_b_$suffix"
+      val custTbl = s"graft_customer_b_$suffix"
       T.staged("bucketed", dir) { _ =>
-        s.sql("DROP TABLE IF EXISTS graft_orders_b")
-        s.sql("DROP TABLE IF EXISTS graft_customer_b")
+        s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
+        s.sql(s"DROP TABLE IF EXISTS $custTbl")
         T.t(s, dir, "orders").write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
-          .saveAsTable("graft_orders_b")
+          .saveAsTable(ordersTbl)
         T.t(s, dir, "customer").write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
-          .saveAsTable("graft_customer_b")
+          .saveAsTable(custTbl)
       }
-      s.table("graft_orders_b")
-        .join(s.table("graft_customer_b"), col("o_custkey") === col("c_custkey"))
+      s.table(ordersTbl)
+        .join(s.table(custTbl), col("o_custkey") === col("c_custkey"))
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("c_mktsegment")

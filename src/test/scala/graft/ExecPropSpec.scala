@@ -34,11 +34,11 @@ class ExecPropSpec extends AnyFunSuite {
     run(Prop.forAll(Gen.listOfN(4, statement)) { stmts =>
       val script = stmts.mkString(";")
       val got = Exec.splitStatements(script)
-      // comments are stripped by the splitter; strip them from the
-      // expectation the same way (they never contain quotes in this gen)
+      // the splitter replaces a block comment with one space (token
+      // separator); mirror that in the expectation
       val want = stmts
-        .map(_.replaceAll("/\\* c;mt \\*/", ""))
-        .map(x => x).filter(_.trim.nonEmpty)
+        .map(_.replaceAll("/\\* c;mt \\*/", " "))
+        .filter(_.trim.nonEmpty)
       got.map(_.trim).filter(_.nonEmpty) == want.map(_.trim).filter(_.nonEmpty)
     })
   }

@@ -25,12 +25,16 @@ class ExecSpec extends AnyFunSuite {
     // '' doubling: close-then-reopen keeps the ; quoted
     assert(Exec.splitStatements("SELECT 'a'';b' AS x; SELECT 2")
       == Seq("SELECT 'a'';b' AS x", "SELECT 2"))
-    // block comment with a semicolon inside must not split; comment dropped
+    // block comment with a semicolon inside must not split; the comment is
+    // replaced by ONE space (it is a token separator — "AS/*x*/y" must not
+    // merge into "ASy")
     assert(Exec.splitStatements("SELECT /* not; a split */ 1; SELECT 2")
-      == Seq("SELECT  1", "SELECT 2"))
+      == Seq("SELECT   1", "SELECT 2"))
+    assert(Exec.splitStatements("SELECT 1 AS/*note*/x; SELECT 2")
+      == Seq("SELECT 1 AS x", "SELECT 2"))
     // multi-line block comment
     assert(Exec.splitStatements("SELECT 1 /* a;\nb; */ + 2; SELECT 3")
-      == Seq("SELECT 1  + 2", "SELECT 3"))
+      == Seq("SELECT 1   + 2", "SELECT 3"))
   }
 
   test("runScript executes a bulk-load-shaped script; abort vs continue") {
