@@ -24,8 +24,17 @@ object GroupPipeline {
                                      threshold: Double): DataFrame = {
     val sh = GroupText.shingleRows(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val common = sh.select(col("doc_id").as("ia"), col("sh"))
-      .join(sh.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+    // df pruning: a shingle appearing in exactly one document can never
+    // contribute to a common-shingle count, and in a real corpus MOST
+    // shingles are unique — filtering both join sides to df ≥ 2 shrinks the
+    // self-join input by an order of magnitude with a provably identical
+    // result (sizes still count ALL shingles). The df agg shuffles on the
+    // same key as the self-join, so it adds no new partitioning.
+    val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("sh")
+    val shJ = sh.join(shared, "sh")
+    val common = shJ.select(col("doc_id").as("ia"), col("sh"))
+      .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
         col("sh") === col("sh2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
     common
