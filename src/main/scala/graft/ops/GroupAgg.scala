@@ -84,6 +84,23 @@ object GroupAgg {
       flag
     },
 
+    // Boolean aggregate surface: count_if / bool_and / bool_or — the
+    // assertion-style aggregates data-quality checks are written in.
+    q("agg_bool_funcs",
+      """SELECT l_returnflag,
+        |  CAST(count_if(l_quantity > 25) AS BIGINT) AS n_big,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.09) AS any_high_disc
+        |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count_if(col("l_quantity") > 25).as("n_big"),
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.09).as("any_high_disc"))
+        .orderBy("l_returnflag")
+    },
+
     q("agg_having",
       """SELECT o_custkey, count(*) AS n_orders FROM orders
         |GROUP BY 1 HAVING count(*) >= 12 ORDER BY 1""") { (s, dir) =>

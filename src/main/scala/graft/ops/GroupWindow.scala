@@ -113,6 +113,21 @@ object GroupWindow {
         .orderBy("o_custkey", "odate")
     },
 
+    // percent_rank = (rank-1)/(n-1): both operands are exact small ints, so
+    // the division is the same IEEE op in both engines.
+    q("window_percent_rank",
+      """SELECT s_suppkey, CAST(s_nationkey AS INT) AS nk,
+        |  percent_rank() OVER (PARTITION BY s_nationkey
+        |    ORDER BY CAST(s_acctbal AS DECIMAL(18,2)), s_suppkey) AS pr
+        |FROM supplier ORDER BY s_suppkey""") { (s, dir) =>
+      T.t(s, dir, "supplier")
+        .select(col("s_suppkey"), col("s_nationkey").cast(IntegerType).as("nk"),
+          percent_rank().over(
+            Window.partitionBy("s_nationkey")
+              .orderBy(col("s_acctbal").cast(T.dec), col("s_suppkey"))).as("pr"))
+        .orderBy("s_suppkey")
+    },
+
     q("window_ntile_cume",
       """SELECT c_custkey, CAST(bal AS DOUBLE) AS bal,
         |  CAST(ntile(4) OVER w AS INT) AS q, cume_dist() OVER w AS cd
