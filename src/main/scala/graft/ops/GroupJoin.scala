@@ -186,6 +186,37 @@ object GroupJoin {
         .orderBy("event_id")
     },
 
+    // Forward as-of: for each purchase, the NEXT non-purchase event's ts
+    // (the mirror of join_asof's most-recent-prior) — same single window
+    // pass, frame reversed to 1 FOLLOWING .. UNBOUNDED FOLLOWING with min.
+    q("join_asof_forward",
+      """WITH base AS (
+        |  SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase','click','signup')),
+        |w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    min(CASE WHEN event_type <> 'purchase' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_ts
+        |  FROM base)
+        |SELECT event_id, user_id, ts, next_ts,
+        |  (epoch_us(next_ts) - epoch_us(ts)) // 1000000 AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""") { (s, dir) =>
+      val base = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click", "signup"))
+        .select("event_id", "user_id", "ts", "event_type")
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+      base
+        .withColumn("next_ts",
+          min(when(col("event_type") =!= "purchase", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("next_ts"),
+          expr("(unix_micros(cast(next_ts as timestamp)) - unix_micros(cast(ts as timestamp))) DIV 1000000")
+            .as("gap_s"))
+        .orderBy("event_id")
+    },
+
     q("join_cross_limited",
       """SELECT r_regionkey, r_name, n_nationkey, n_name
         |FROM region CROSS JOIN nation

@@ -189,6 +189,23 @@ object GroupScalar {
     },
 
     // Generator/UDTF surface: explode = built-in Generator expression.
+    // C-style formatting parity: Spark format_string and DuckDB printf share
+    // the %0Nd / %s / %% subset (floats deliberately excluded — %f rounding
+    // is locale/impl-shaded).
+    q("scalar_format_funcs",
+      """SELECT n_nationkey,
+        |  printf('N%03d-%s', n_nationkey, n_name) AS label,
+        |  printf('%s/%s [%d%%]', n_name, CAST(n_regionkey AS VARCHAR), n_nationkey) AS path
+        |FROM nation ORDER BY n_nationkey""") { (s, dir) =>
+      T.t(s, dir, "nation")
+        .select(
+          col("n_nationkey"),
+          format_string("N%03d-%s", col("n_nationkey"), col("n_name")).as("label"),
+          format_string("%s/%s [%d%%]", col("n_name"),
+            col("n_regionkey").cast(StringType), col("n_nationkey")).as("path"))
+        .orderBy("n_nationkey")
+    },
+
     // Null-preserving generator: docs whose filtered token array is EMPTY
     // keep a (doc_id, NULL) row — the outer-generator semantics `explode`
     // silently drops (a classic silent-data-loss bug in token pipelines).
