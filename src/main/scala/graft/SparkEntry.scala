@@ -26,7 +26,8 @@ object SparkEntry {
     ops.GroupPipeline.defs,   // LLM-pipeline extensions beyond §2 (driver mandate)
     ops.GroupStorage.defs,    // storage layout & shuffle-avoidance techniques
     ops.GroupRelational.defs, // §2-N relational depth (round 3)
-    ops.GroupEtl.defs         // §2-O ETL/maintenance surface (round 3)
+    ops.GroupEtl.defs,        // §2-O ETL/maintenance surface (round 3)
+    ops.GroupQuality.defs     // §2-P data-quality constraint audits (round 4)
   )
 
   private val all: Seq[T.Q] = groups.flatten
