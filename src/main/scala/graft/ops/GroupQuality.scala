@@ -66,8 +66,12 @@ object GroupQuality {
     },
 
     // FK orphan audit over every referential edge of the star schema: child
-    // rows whose parent key does not exist (LEFT ANTI join per edge; the
-    // parent side of every edge here is dim-sized → broadcast).
+    // rows whose parent key does not exist (LEFT ANTI join per edge).
+    // Broadcast is hinted ONLY for the fixed-cardinality parents
+    // (nation=25, region=5 — constant at any SF); orders/customer/part/
+    // supplier grow linearly with scale, so those edges ship a key-only
+    // projection and let Spark pick the strategy (AQE broadcasts them at
+    // fixture scale, shuffles them at 100 TB instead of OOMing the driver).
     q("dq_fk_orphans",
       """SELECT * FROM (
         |  SELECT 'customer.c_nationkey->nation' AS edge, count(*) AS orphans
@@ -99,23 +103,26 @@ object GroupQuality {
         |    (SELECT 1 FROM nation WHERE n_nationkey = s_nationkey)
         |) ORDER BY edge""") { (s, dir) =>
       def orphans(edge: String, child: DataFrame, childKey: String,
-                  parent: DataFrame, parentKey: String): DataFrame =
-        child.join(broadcast(parent), col(childKey) === col(parentKey),
-            "left_anti")
+                  parent: DataFrame, parentKey: String,
+                  bcastParent: Boolean): DataFrame = {
+        val p = parent.select(parentKey)
+        child.join(if (bcastParent) broadcast(p) else p,
+            col(childKey) === col(parentKey), "left_anti")
           .agg(count(lit(1)).as("orphans"))
           .select(lit(edge).as("edge"), col("orphans"))
+      }
       val Seq(cu, li, or, na, re, su, pa) =
         Seq("customer", "lineitem", "orders", "nation", "region", "supplier",
           "part").map(T.t(s, dir, _))
-      orphans("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey")
+      orphans("customer.c_nationkey->nation", cu, "c_nationkey", na, "n_nationkey", bcastParent = true)
         .unionByName(orphans("lineitem.l_orderkey->orders", li, "l_orderkey",
-          or.select("o_orderkey"), "o_orderkey"))
-        .unionByName(orphans("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey"))
-        .unionByName(orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey"))
-        .unionByName(orphans("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey"))
+          or, "o_orderkey", bcastParent = false))
+        .unionByName(orphans("lineitem.l_partkey->part", li, "l_partkey", pa, "p_partkey", bcastParent = false))
+        .unionByName(orphans("lineitem.l_suppkey->supplier", li, "l_suppkey", su, "s_suppkey", bcastParent = false))
+        .unionByName(orphans("nation.n_regionkey->region", na, "n_regionkey", re, "r_regionkey", bcastParent = true))
         .unionByName(orphans("orders.o_custkey->customer", or, "o_custkey",
-          cu.select("c_custkey"), "c_custkey"))
-        .unionByName(orphans("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey"))
+          cu, "c_custkey", bcastParent = false))
+        .unionByName(orphans("supplier.s_nationkey->nation", su, "s_nationkey", na, "n_nationkey", bcastParent = true))
         .orderBy("edge")
     },
 
@@ -142,20 +149,28 @@ object GroupQuality {
         |    count(*) FILTER (WHERE l_quantity <= 0), count(*) FROM lineitem
         |  UNION ALL
         |  SELECT 'lineitem.ship_after_order',
-        |    count(*) FILTER (WHERE l_shipdate < DATE '1995-01-01'), count(*)
-        |    FROM lineitem
+        |    count(*) FILTER (WHERE l.l_shipdate < o.o_orderdate), count(*)
+        |    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
         |  UNION ALL
         |  SELECT 'orders.totalprice_positive',
         |    count(*) FILTER (WHERE o_totalprice <= 0), count(*) FROM orders
         |) ORDER BY rule""") { (s, dir) =>
       val li = T.t(s, dir, "lineitem")
-      // one scan, three lineitem rules as conditional aggregates
+      // one scan, two single-table lineitem rules as conditional aggregates
       val liAudit = li.agg(
         count_if(col("l_discount") < 0 || col("l_discount") > 1).as("v_disc"),
         count_if(col("l_quantity") <= 0).as("v_qty"),
-        count_if(col("l_shipdate") < lit(java.sql.Date.valueOf("1995-01-01")))
-          .as("v_ship"),
         count(lit(1)).as("checked"))
+      // cross-table rule (ADVICE r4): a lineitem must not ship before its
+      // order was placed — needs the orders join (shuffle-on-orderkey at
+      // scale; key+date projections only, so AQE may still broadcast).
+      val shipAudit = li.select("l_orderkey", "l_shipdate")
+        .join(T.t(s, dir, "orders").select("o_orderkey", "o_orderdate"),
+          col("o_orderkey") === col("l_orderkey"))
+        .agg(count_if(col("l_shipdate") < col("o_orderdate")).as("violations"),
+          count(lit(1)).as("checked"))
+        .select(lit("lineitem.ship_after_order").as("rule"),
+          col("violations"), col("checked"))
       def one(rule: String, d: DataFrame, viol: org.apache.spark.sql.Column) =
         d.agg(count_if(viol).as("violations"), count(lit(1)).as("checked"))
           .select(lit(rule).as("rule"), col("violations"), col("checked"))
@@ -167,8 +182,7 @@ object GroupQuality {
           col("v_disc").as("violations"), col("checked")))
         .unionByName(liAudit.select(lit("lineitem.quantity_positive").as("rule"),
           col("v_qty").as("violations"), col("checked")))
-        .unionByName(liAudit.select(lit("lineitem.ship_after_order").as("rule"),
-          col("v_ship").as("violations"), col("checked")))
+        .unionByName(shipAudit)
         .unionByName(one("orders.totalprice_positive", T.t(s, dir, "orders"),
           col("o_totalprice") <= 0))
         .orderBy("rule")
