@@ -27,7 +27,8 @@ object SparkEntry {
     ops.GroupStorage.defs,    // storage layout & shuffle-avoidance techniques
     ops.GroupRelational.defs, // §2-N relational depth (round 3)
     ops.GroupEtl.defs,        // §2-O ETL/maintenance surface (round 3)
-    ops.GroupQuality.defs     // §2-P data-quality constraint audits (round 4)
+    ops.GroupQuality.defs,    // §2-P data-quality constraint audits (round 4)
+    ops.GroupAnalytics.defs   // §2-Q analytics widening (round 5)
   )
 
   private val all: Seq[T.Q] = groups.flatten

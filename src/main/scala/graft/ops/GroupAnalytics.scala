@@ -1,0 +1,262 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-Q (round 5) — analytics widening: multiset set ops, exact
+  * second-moment statistics (corr/covar), fixed-width histograms,
+  * bitmap-index distinct counting, hash/interval scalar surfaces, a
+  * time-interval window frame, join-strategy hints, and int8-quantized
+  * vector search.
+  *
+  * Determinism posture matches the §2 preamble: exact decimal power sums
+  * feed any double arithmetic (same IEEE op sequence both engines), integer
+  * math everywhere a bucket/bitmap/quantizer is computed, and every output
+  * ends in a total ordering.
+  */
+object GroupAnalytics {
+
+  val defs: Seq[Q] = Seq(
+    // Multiset semantics the bag-algebra needs beyond §2-F's set forms:
+    // INTERSECT ALL keeps min(multiplicity) per value, EXCEPT ALL subtracts
+    // multiplicities. One shuffle on the value in both engines.
+    q("setop_intersect_all",
+      """SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT ALL
+        |SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_orderpriority")
+        .intersectAll(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+
+    q("setop_except_all",
+      """SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1995
+        |EXCEPT ALL
+        |SELECT o_orderpriority FROM orders WHERE year(o_orderdate) = 1996
+        |ORDER BY o_orderpriority""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      o.filter(year(col("o_orderdate")) === 1995).select("o_orderpriority")
+        .exceptAll(
+          o.filter(year(col("o_orderdate")) === 1996).select("o_orderpriority"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Exact sample covariance + Pearson correlation from decimal power sums
+    // (same construction as agg_variance_exact): covar/corr built-ins use a
+    // streaming co-moment update whose order is engine- and partition-
+    // dependent; the power-sum formula is one map-side-combinable pass and
+    // bit-stable at any partition count.
+    q("agg_corr_covar",
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS nn,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sxy,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx2,
+        |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
+        |  FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
+        |  (nn * sxy - sx * sy) / (nn * (nn - 1)) AS covar_samp,
+        |  (nn * sxy - sx * sy) / (sqrt(nn * sx2 - sx * sx) * sqrt(nn * sy2 - sy * sy)) AS corr
+        |FROM s ORDER BY l_returnflag""") { (s, dir) =>
+      val x = col("l_quantity").cast(T.dec)
+      val y = col("l_extendedprice").cast(T.dec)
+      T.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast(DoubleType).as("nn"),
+          sum(x).cast(DoubleType).as("sx"),
+          sum(y).cast(DoubleType).as("sy"),
+          sum(x * y).cast(DoubleType).as("sxy"),
+          sum(x * x).cast(DoubleType).as("sx2"),
+          sum(y * y).cast(DoubleType).as("sy2"))
+        .select(
+          col("l_returnflag"),
+          col("nn").cast(LongType).as("n"),
+          ((col("nn") * col("sxy") - col("sx") * col("sy"))
+            / (col("nn") * (col("nn") - 1))).as("covar_samp"),
+          ((col("nn") * col("sxy") - col("sx") * col("sy"))
+            / (sqrt(col("nn") * col("sx2") - col("sx") * col("sx"))
+              * sqrt(col("nn") * col("sy2") - col("sy") * col("sy")))).as("corr"))
+        .orderBy("l_returnflag")
+    },
+
+    // Fixed-width histogram by exact integer bucketing: prices are 2dp, so
+    // cents = round(price*100) is an exact integer in both engines and the
+    // bucket is integer division — no float boundary ambiguity. One
+    // map-side-combinable agg; the 100 TB profile pass over any column.
+    q("agg_histogram_fixed",
+      """WITH b AS (SELECT CAST(round(o_totalprice * 100) AS BIGINT) // 2500000 AS bucket FROM orders)
+        |SELECT bucket, bucket * 25000 AS lo_edge, count(*) AS cnt
+        |FROM b GROUP BY 1, 2 ORDER BY bucket""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .withColumn("cents", round(col("o_totalprice") * 100).cast(LongType))
+        .withColumn("bucket", expr("cents DIV 2500000"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("bucket"), (col("bucket") * 25000).as("lo_edge"), col("cnt"))
+        .orderBy("bucket")
+    },
+
+    // Bitmap-index distinct: the per-group distinct set packed into a
+    // bit_or-merged integer bitmap (nationkey < 64). At 100 TB this is the
+    // roaring-bitmap pattern — fixed-size mergeable state instead of an
+    // expand+distinct shuffle; the exact countDistinct column cross-checks.
+    q("agg_bitmap_distinct",
+      """SELECT r_name,
+        |  bit_or(1::BIGINT << n_nationkey) AS nation_bitmap,
+        |  CAST(bit_count(bit_or(1::BIGINT << n_nationkey)) AS INT) AS n_nations_bm,
+        |  count(DISTINCT n_nationkey) AS n_nations_exact,
+        |  count(*) AS n_customers
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""") { (s, dir) =>
+      T.t(s, dir, "customer")
+        .join(broadcast(T.t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+          expr("bit_or(shiftleft(1L, n_nationkey))").as("nation_bitmap"),
+          expr("bit_count(bit_or(shiftleft(1L, n_nationkey)))").as("n_nations_bm"),
+          countDistinct(col("n_nationkey")).as("n_nations_exact"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("r_name")
+    },
+
+    // Content-hash scalar surface (fingerprinting, cache keys, shard
+    // routing): md5 + sha256 hex over single and composite inputs — codegen
+    // built-ins, zero shuffle.
+    q("scalar_hash_funcs",
+      """SELECT p_partkey, md5(p_name) AS h_md5, sha256(p_name) AS h_sha256,
+        |  md5(p_brand || '|' || p_type) AS h_comp
+        |FROM part ORDER BY p_partkey LIMIT 300""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          md5(col("p_name").cast(BinaryType)).as("h_md5"),
+          sha2(col("p_name").cast(BinaryType), 256).as("h_sha256"),
+          md5(concat(col("p_brand"), lit("|"), col("p_type")).cast(BinaryType))
+            .as("h_comp"))
+        .orderBy("p_partkey")
+        .limit(300)
+    },
+
+    // Interval arithmetic beyond scalar_date_funcs: subtraction, month
+    // addition with end-of-month clamping (add_months ≡ DuckDB +INTERVAL
+    // MONTH), quarter truncation, and whole-month distance expressed as
+    // exact integer year/month arithmetic (months_between is fractional and
+    // engine-shaded — avoided).
+    q("scalar_interval_arithmetic",
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS plus_30d,
+        |  CAST(CAST(o_orderdate AS DATE) - INTERVAL 90 DAY AS DATE) AS minus_90d,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus_2mo,
+        |  CAST(date_trunc('quarter', o_orderdate) AS DATE) AS qtr,
+        |  CAST((year(o_orderdate) * 12 + month(o_orderdate)) - (1995 * 12 + 1) AS INT) AS months_since
+        |FROM orders ORDER BY o_orderkey LIMIT 500""") { (s, dir) =>
+      val d = col("o_orderdate").cast(DateType)
+      T.t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(d, 30).as("plus_30d"),
+          date_sub(d, 90).as("minus_90d"),
+          add_months(d, 2).as("plus_2mo"),
+          date_trunc("quarter", col("o_orderdate")).cast(DateType).as("qtr"),
+          ((year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            - (1995 * 12 + 1)).cast(IntegerType).as("months_since"))
+        .orderBy("o_orderkey")
+        .limit(500)
+    },
+
+    // Time-interval window frame: per-user trailing 1-hour count + decimal
+    // sum via RANGE on exact epoch seconds (epoch_us//1e6 ≡ unix_micros DIV
+    // 1e6 — integer floor both engines; RANGE frames include ties
+    // identically regardless of intra-frame row order). One shuffle on
+    // user_id; per-row state is the sliding frame — the batch form of a
+    // sliding stream aggregate.
+    q("window_range_interval",
+      """WITH e AS (SELECT user_id, event_id,
+        |    epoch_us(ts) // 1000000 AS sec,
+        |    CAST(value AS DECIMAL(18,2)) AS v FROM events)
+        |SELECT user_id, event_id, sec,
+        |  count(*) OVER w AS cnt_1h,
+        |  CAST(sum(v) OVER w AS DOUBLE) AS sum_1h
+        |FROM e
+        |WINDOW w AS (PARTITION BY user_id ORDER BY sec RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY user_id, event_id""") { (s, dir) =>
+      val e = T.t(s, dir, "events").select(
+        col("user_id"), col("event_id"),
+        expr("unix_micros(cast(ts as timestamp)) DIV 1000000").as("sec"),
+        col("value").cast(T.dec).as("v"))
+      val w = Window.partitionBy("user_id").orderBy("sec").rangeBetween(-3600, 0)
+      e.select(
+          col("user_id"), col("event_id"), col("sec"),
+          count(lit(1)).over(w).as("cnt_1h"),
+          sum(col("v")).over(w).cast(DoubleType).as("sum_1h"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Join-strategy control surface: SHUFFLE_HASH hint forces a shuffled
+    // hash join — at 100 TB the right call when both sides are large but
+    // one fits per-partition memory (skips SMJ's sort entirely). Result is
+    // strategy-independent; the hint is what's being exercised.
+    q("join_shuffle_hash_hint",
+      """SELECT o_orderstatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .join(T.t(s, dir, "orders").hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("l_extendedprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Int8 scalar quantization for vector search: embeddings quantized once
+    // per row to round(x*127) via the tie-free floor(x*127+0.5) (floor of an
+    // exact double — no round-half divergence), then ranked by exact integer
+    // dot product. The 100 TB story: 4× less memory traffic than float32,
+    // exact integer math ⇒ identical ranking on any engine/cluster, the
+    // standard first compression step before IVF/PQ.
+    q("vector_quantized_topk",
+      """WITH q AS (SELECT vec_id AS q_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 127.0 + 0.5) AS INT)) AS qq
+        |  FROM embeddings WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id,
+        |    list_transform(embedding, x -> CAST(floor(x * 127.0 + 0.5) AS INT)) AS cq
+        |  FROM embeddings WHERE vec_id >= 20),
+        |s AS (SELECT q_id, c_id,
+        |    CAST(list_sum(list_transform(generate_series(1, 64), i -> qq[i] * cq[i])) AS BIGINT) AS sim
+        |  FROM q CROSS JOIN c)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      def quant(c: org.apache.spark.sql.Column) =
+        transform(c, x => floor(x * 127.0 + 0.5).cast(IntegerType))
+      val e = T.t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), quant(col("embedding")).as("qq"))
+      val cs = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("c_id"), quant(col("embedding")).as("cq"))
+      cs.crossJoin(broadcast(qs))
+        .withColumn("sim",
+          aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
+            lit(0L), (acc, v) => acc + v))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("q_id")
+            .orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}
