@@ -62,8 +62,8 @@ object GroupAnalytics {
         |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy2
         |  FROM lineitem GROUP BY 1)
         |SELECT l_returnflag, CAST(nn AS BIGINT) AS n,
-        |  (nn * sxy - sx * sy) / (nn * (nn - 1)) AS covar_samp,
-        |  (nn * sxy - sx * sy) / (sqrt(nn * sx2 - sx * sx) * sqrt(nn * sy2 - sy * sy)) AS corr
+        |  round((nn * sxy - sx * sy) / (nn * (nn - 1)), 6) AS covar_samp,
+        |  round((nn * sxy - sx * sy) / (sqrt(nn * sx2 - sx * sx) * sqrt(nn * sy2 - sy * sy)), 6) AS corr
         |FROM s ORDER BY l_returnflag""") { (s, dir) =>
       val x = col("l_quantity").cast(T.dec)
       val y = col("l_extendedprice").cast(T.dec)
@@ -79,11 +79,16 @@ object GroupAnalytics {
         .select(
           col("l_returnflag"),
           col("nn").cast(LongType).as("n"),
-          ((col("nn") * col("sxy") - col("sx") * col("sy"))
-            / (col("nn") * (col("nn") - 1))).as("covar_samp"),
-          ((col("nn") * col("sxy") - col("sx") * col("sy"))
+          // 6dp rounds absorb the one engine-shaded step: DuckDB's
+          // decimal128→double conversion of the huge Σx² / Σxy sums is
+          // double-rounded (int128→double, then ×10⁻ˢ) and can land 1 ulp
+          // off Spark's correctly-rounded BigDecimal.toDouble — observed at
+          // sf0.001 on corr before rounding.
+          round((col("nn") * col("sxy") - col("sx") * col("sy"))
+            / (col("nn") * (col("nn") - 1)), 6).as("covar_samp"),
+          round((col("nn") * col("sxy") - col("sx") * col("sy"))
             / (sqrt(col("nn") * col("sx2") - col("sx") * col("sx"))
-              * sqrt(col("nn") * col("sy2") - col("sy") * col("sy")))).as("corr"))
+              * sqrt(col("nn") * col("sy2") - col("sy") * col("sy"))), 6).as("corr"))
         .orderBy("l_returnflag")
     },
 
@@ -257,6 +262,145 @@ object GroupAnalytics {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "c_id", "sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // Bucketed interval join — the scale path for time-range joins. The
+    // naive range join (stream_stream_join's batch form) is a per-user
+    // nested-loop over the time condition; bucketing each side into 1-hour
+    // epoch buckets (width ≥ the ±30 min interval) and replicating the
+    // probe side to its 3 adjacent buckets turns it into an EQUI-join on
+    // (user, bucket) + a residual |Δt| filter — hash-partitionable, AQE-
+    // skew-splittable, no BNLJ. Each qualifying pair matches exactly once
+    // (the click's single bucket is always within the purchase's 3).
+    q("join_interval_bucketed",
+      """SELECT p.event_id AS p_id, c.event_id AS c_id,
+        |  epoch_us(c.ts) - epoch_us(p.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON p.user_id = c.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts BETWEEN p.ts - INTERVAL 30 MINUTE AND p.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2""") { (s, dir) =>
+      val ev = T.t(s, dir, "events").select(
+        col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("user_id").as("pu"), col("us").as("pus"))
+        .withColumn("bkt", explode(array(
+          expr("pus DIV 3600000000 - 1"),
+          expr("pus DIV 3600000000"),
+          expr("pus DIV 3600000000 + 1"))))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("cu"), col("us").as("cus"))
+        .withColumn("cbkt", expr("cus DIV 3600000000"))
+      p.join(c, col("pu") === col("cu") && col("bkt") === col("cbkt") &&
+          abs(col("cus") - col("pus")) <= 1800000000L)
+        .select(col("p_id"), col("c_id"), (col("cus") - col("pus")).as("gap_us"))
+        .orderBy("p_id", "c_id")
+    },
+
+    // End-to-end dedup pipeline audit — the funnel a training-data build
+    // reports per source: raw docs → exact dedup (keep min doc_id per
+    // identical text) → near-dup removal (drop the larger id of every
+    // exact-Jaccard ≥ 0.8 survivor pair). Reuses the staged shingle
+    // inverted index; the removal rule is deterministic and
+    // order-independent (any doc that is the larger end of ANY qualifying
+    // pair is dropped).
+    q("dedup_pipeline_audit",
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |pairs AS (SELECT ia, ib
+        |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |removed AS (SELECT DISTINCT ib AS doc_id FROM pairs
+        |  WHERE ia IN (SELECT doc_id FROM surv) AND ib IN (SELECT doc_id FROM surv))
+        |SELECT source, count(*) AS n_raw,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM surv)) AS n_exact,
+        |  count(*) FILTER (WHERE doc_id IN (SELECT doc_id FROM surv)
+        |    AND doc_id NOT IN (SELECT doc_id FROM removed)) AS n_final
+        |FROM documents GROUP BY source ORDER BY source""") { (s, dir) =>
+      val docs = T.t(s, dir, "documents").select("doc_id", "source")
+      val surv = T.t(s, dir, "documents")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val pairs = GroupPipeline.exactJaccardPairs(s, dir, 0.8).select("ia", "ib")
+      val removed = pairs
+        .join(surv.select(col("doc_id").as("ia")), Seq("ia"))
+        .join(surv.select(col("doc_id").as("ib")), Seq("ib"))
+        .select(col("ib").as("doc_id")).distinct()
+      docs
+        .join(surv.withColumn("in_surv", lit(1)), Seq("doc_id"), "left")
+        .join(removed.withColumn("in_rm", lit(1)), Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("n_raw"),
+          count_if(col("in_surv").isNotNull).as("n_exact"),
+          count_if(col("in_surv").isNotNull && col("in_rm").isNull).as("n_final"))
+        .orderBy("source")
+    },
+
+    // Two unrolled Lloyd (k-means) iterations — the distributed ML-training
+    // primitive: assign = broadcast-centroids argmin-L2 (as argmax of
+    // dot − ½|c|², 6dp-rounded, cid tie-break), update = per-(cluster, dim)
+    // mean. Cross-engine determinism: element values are quantized to exact
+    // DECIMAL(11,7) before averaging (decimal sum / count = one IEEE
+    // division of identical operands), and every dot product folds in list
+    // order. At 100 TB each iteration is one broadcast join + one
+    // map-side-combinable agg of k×64 cells — no driver-side data motion.
+    q("ml_kmeans_lloyd",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |init AS (SELECT CAST(vec_id AS INT) AS cid, e AS c FROM v WHERE vec_id < 8),
+        |s1 AS (SELECT vec_id, cid,
+        |    round(list_dot_product(e, c) - 0.5 * list_dot_product(c, c), 6) AS score
+        |  FROM v CROSS JOIN init),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM s1)
+        |  WHERE rn = 1),
+        |elem AS (SELECT a1.cid, g.pos, CAST(round(v.e[g.pos], 7) AS DECIMAL(11,7)) AS xq
+        |  FROM a1 JOIN v USING (vec_id) CROSS JOIN generate_series(1, 64) AS g(pos)),
+        |m AS (SELECT cid, pos, CAST(SUM(xq) AS DOUBLE) / count(*) AS m FROM elem GROUP BY 1, 2),
+        |c2 AS (SELECT cid, array_agg(m ORDER BY pos) AS c FROM m GROUP BY cid),
+        |s2 AS (SELECT vec_id, cid,
+        |    round(list_dot_product(e, c) - 0.5 * list_dot_product(c, c), 6) AS score
+        |  FROM v CROSS JOIN c2),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY score DESC, cid) AS rn FROM s2)
+        |  WHERE rn = 1)
+        |SELECT a2.cid, count(*) AS n, round(c2.c[1], 6) AS c0, round(c2.c[2], 6) AS c1
+        |FROM a2 JOIN c2 ON a2.cid = c2.cid GROUP BY 1, 3, 4 ORDER BY 1""") { (s, dir) =>
+      // double-fold dot product (float inputs upcast per element — exact)
+      def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+          lit(0.0), (acc, x) => acc + x)
+      def assign(v: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame) =
+        v.crossJoin(broadcast(cents))
+          .withColumn("score",
+            round(ddot(col("e"), col("c")) - lit(0.5) * ddot(col("c"), col("c")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("vec_id").orderBy(col("score").desc, col("cid"))))
+          .filter(col("rn") === 1).select("vec_id", "cid")
+      val v = T.t(s, dir, "embeddings").select(col("vec_id"), col("embedding").as("e"))
+      val init = v.filter(col("vec_id") < 8)
+        .select(col("vec_id").cast(IntegerType).as("cid"), col("e").as("c"))
+      val a1 = assign(v, init)
+      val elem = a1.join(v, "vec_id")
+        .select(col("cid"), posexplode(col("e")).as(Seq("pos", "x")))
+        .withColumn("xq", round(col("x").cast(DoubleType), 7).cast(DecimalType(11, 7)))
+      val m = elem.groupBy("cid", "pos")
+        .agg((sum(col("xq")).cast(DoubleType) / count(lit(1))).as("m"))
+      val c2 = m.groupBy("cid")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, m))), p -> p.m)").as("c"))
+      val a2 = assign(v, c2)
+      a2.groupBy("cid").agg(count(lit(1)).as("n"))
+        .join(c2, "cid")
+        .select(col("cid"), col("n"),
+          round(element_at(col("c"), 1), 6).as("c0"),
+          round(element_at(col("c"), 2), 6).as("c1"))
+        .orderBy("cid")
     }
   )
 }

@@ -81,4 +81,16 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("Exchange hashpartitioning(o_custkey") &&
       !p.contains("Exchange hashpartitioning(c_custkey"), p.take(3000))
   }
+
+  test("join_shuffle_hash_hint forces a ShuffledHashJoin") {
+    assert(plan("join_shuffle_hash_hint").contains("ShuffledHashJoin"))
+  }
+
+  test("join_interval_bucketed is an equi-join, not a nested loop") {
+    val p = plan("join_interval_bucketed")
+    assert(!p.contains("NestedLoop"), p.take(3000))
+    // the range predicate survives only as a residual join condition on an
+    // equi-join over (user, bucket)
+    assert(p.contains("Join") && p.contains("bkt"), p.take(3000))
+  }
 }
