@@ -401,6 +401,129 @@ object GroupAnalytics {
           round(element_at(col("c"), 1), 6).as("c0"),
           round(element_at(col("c"), 2), 6).as("c1"))
         .orderBy("cid")
+    },
+
+    // Blocked fuzzy join — entity-resolution surface: edit-distance pairs
+    // computed ONLY within (brand, size) blocks, never all-pairs. Blocking
+    // turns O(n²) levenshtein evals into O(Σ block²); at 100 TB the block
+    // key is the shuffle key and the quadratic stays inside each block.
+    // levenshtein is the classic DP distance in both engines.
+    q("text_fuzzy_blocked_join",
+      """WITH p AS (SELECT p_partkey, p_name, p_brand, p_size FROM part),
+        |pairs AS (SELECT a.p_brand AS brand,
+        |    levenshtein(a.p_name, b.p_name) AS lev
+        |  FROM p a JOIN p b
+        |    ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+        |   AND a.p_partkey < b.p_partkey)
+        |SELECT brand, count(*) AS n_pairs,
+        |  count(*) FILTER (WHERE lev <= 6) AS n_near,
+        |  CAST(min(lev) AS INT) AS min_lev
+        |FROM pairs GROUP BY brand ORDER BY brand""") { (s, dir) =>
+      val p = T.t(s, dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
+      val a = p.select(col("p_partkey").as("ka"), col("p_name").as("na"),
+        col("p_brand").as("brand"), col("p_size").as("sz"))
+      val b = p.select(col("p_partkey").as("kb"), col("p_name").as("nb"),
+        col("p_brand").as("brand"), col("p_size").as("sz"))
+      a.join(b, Seq("brand", "sz")).filter(col("ka") < col("kb"))
+        .withColumn("lev", levenshtein(col("na"), col("nb")))
+        .groupBy("brand")
+        .agg(count(lit(1)).as("n_pairs"),
+          count_if(col("lev") <= 6).as("n_near"),
+          min(col("lev")).cast(IntegerType).as("min_lev"))
+        .orderBy("brand")
+    },
+
+    // Funnel analysis — per-user ordered stage progression (view → later
+    // click → later purchase), the product-analytics sequence-match shape.
+    // Three co-partitioned aggregations on user_id; strict ts ordering
+    // makes stage advancement deterministic at microsecond resolution.
+    q("window_funnel_stages",
+      """WITH u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS tv
+        |  FROM events GROUP BY 1),
+        |c AS (SELECT e.user_id, min(ts) AS tc FROM events e JOIN u USING (user_id)
+        |  WHERE event_type = 'click' AND ts > tv GROUP BY 1),
+        |p AS (SELECT e.user_id, min(ts) AS tp FROM events e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND ts > tc GROUP BY 1)
+        |SELECT stage, count(*) AS n_users FROM (
+        |  SELECT u.user_id,
+        |    CASE WHEN tp IS NOT NULL THEN 3 WHEN tc IS NOT NULL THEN 2
+        |         WHEN tv IS NOT NULL THEN 1 ELSE 0 END AS stage
+        |  FROM u LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id))
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ev = T.t(s, dir, "events").select("user_id", "event_type", "ts")
+      val u = ev.groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("tv"))
+      val c = ev.join(u, "user_id")
+        .filter(col("event_type") === "click" && col("ts") > col("tv"))
+        .groupBy("user_id").agg(min("ts").as("tc"))
+      val p = ev.join(c, "user_id")
+        .filter(col("event_type") === "purchase" && col("ts") > col("tc"))
+        .groupBy("user_id").agg(min("ts").as("tp"))
+      u.join(c, Seq("user_id"), "left").join(p, Seq("user_id"), "left")
+        .withColumn("stage",
+          when(col("tp").isNotNull, 3).when(col("tc").isNotNull, 2)
+            .when(col("tv").isNotNull, 1).otherwise(0))
+        .groupBy("stage").agg(count(lit(1)).as("n_users"))
+        .orderBy("stage")
+    },
+
+    // Running DISTINCT count per user — the streaming distinct-state shape
+    // in batch: flag each (user, event_type)'s first occurrence with one
+    // window pass, running-sum the flags with a second. Both windows hash
+    // on user-prefixed keys; per-user state is the distinct set (bounded by
+    // the 5-value type domain).
+    q("window_running_distinct",
+      """WITH f AS (SELECT user_id, event_id, ts,
+        |    CASE WHEN row_number() OVER (PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) = 1 THEN 1 ELSE 0 END AS first_seen
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(SUM(first_seen) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS run_distinct
+        |FROM f ORDER BY user_id, event_id""") { (s, dir) =>
+      val firstW = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      val runW = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.t(s, dir, "events")
+        .withColumn("first_seen",
+          when(row_number().over(firstW) === 1, 1).otherwise(0))
+        .withColumn("run_distinct", sum(col("first_seen")).over(runW).cast(IntegerType))
+        .select("user_id", "event_id", "run_distinct")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Dynamic partition pruning: the fact side is the partitioned staging
+    // table (shared with sink_partitioned_write), the dim side's filter is
+    // only known at runtime — Catalyst injects a dynamicpruning subquery
+    // into the fact's PartitionFilters, so the pruned partition's files are
+    // never opened. THE mechanism that makes dim-filtered queries on a
+    // partitioned 100 TB fact read only matching partitions.
+    q("join_dpp_partition_pruned",
+      """WITH d AS (SELECT o_orderstatus AS st,
+        |    row_number() OVER (ORDER BY count(*), o_orderstatus) AS rn
+        |  FROM orders GROUP BY 1)
+        |SELECT o.o_orderstatus, count(*) AS cnt,
+        |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+        |FROM orders o JOIN d ON o.o_orderstatus = d.st AND d.rn = 1
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val stagedDir = T.staged("part", dir) { o =>
+        T.t(s, dir, "orders").write.mode("overwrite")
+          .partitionBy("o_orderstatus").parquet(o) }
+      val fact = s.read.parquet(stagedDir)
+      // the qualifying partition (the least-frequent status, count-then-
+      // status tie-break) is only knowable at runtime — a static filter
+      // cannot express it, so the fact scan's PartitionFilters must carry a
+      // dynamicpruning subquery fed by the dim's broadcast
+      val dim = T.t(s, dir, "orders")
+        .groupBy("o_orderstatus").agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("cnt"), col("o_orderstatus"))))
+        .filter(col("rn") === 1)
+        .select(col("o_orderstatus").as("st"))
+      fact.join(broadcast(dim), col("o_orderstatus") === col("st"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("o_orderstatus")
     }
   )
 }

@@ -86,6 +86,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("join_shuffle_hash_hint").contains("ShuffledHashJoin"))
   }
 
+  test("join_dpp_partition_pruned injects a dynamicpruning partition filter") {
+    assert(plan("join_dpp_partition_pruned").contains("dynamicpruning"))
+  }
+
   test("join_interval_bucketed is an equi-join, not a nested loop") {
     val p = plan("join_interval_bucketed")
     assert(!p.contains("NestedLoop"), p.take(3000))
