@@ -524,6 +524,120 @@ object GroupAnalytics {
         .groupBy("o_orderstatus")
         .agg(count(lit(1)).as("cnt"), T.dsum(col("o_totalprice")).as("sum_price"))
         .orderBy("o_orderstatus")
+    },
+
+    // Small-file compaction — the 100 TB table-maintenance primitive: a
+    // fragmented landing zone (64 files here) is rewritten at a target file
+    // count (4) and the audit proves row/value preservation. The oracle can
+    // only see the invariant (counts/sums equal the source); CompactionSpec
+    // asserts the file counts actually shrank.
+    q("etl_compact_small_files",
+      """SELECT count(*) AS n_rows, count(*) AS n_rows_compacted,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price_compacted
+        |FROM orders""") { (s, dir) =>
+      val frag = T.staged("frag", dir) { o =>
+        T.t(s, dir, "orders").repartition(64).write.mode("overwrite").parquet(o) }
+      val compact = T.staged("compact", dir) { o =>
+        s.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(o) }
+      val before = s.read.parquet(frag)
+        .agg(count(lit(1)).as("n_rows"), T.dsum(col("o_totalprice")).as("sum_price"))
+      val after = s.read.parquet(compact)
+        .agg(count(lit(1)).as("n_rows_compacted"),
+          T.dsum(col("o_totalprice")).as("sum_price_compacted"))
+      before.crossJoin(after)
+        .select("n_rows", "n_rows_compacted", "sum_price", "sum_price_compacted")
+    },
+
+    // Token-distribution entropy per language — the corpus-statistics pass
+    // of quality scoring. entropy = ln(N) − (Σ c·ln c)/N; the double sum's
+    // order-dependent error is ~1e-9 absolute on these corpus sizes, ≪ the
+    // 6dp round (SURVEY §2 rule 2's provably-smaller-than-round case), and
+    // the fixtures are fixed data so the gate is deterministic per dataset.
+    q("text_ngram_entropy",
+      """WITH toks AS (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |tf AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY 1, 2),
+        |n AS (SELECT lang, CAST(SUM(c) AS DOUBLE) AS n, count(*) AS n_types FROM tf GROUP BY 1)
+        |SELECT tf.lang,
+        |  CAST(n.n AS BIGINT) AS n_tokens, n.n_types,
+        |  round(ln(n.n) - sum(c * ln(CAST(c AS DOUBLE))) / n.n, 6) AS entropy
+        |FROM tf JOIN n ON tf.lang = n.lang
+        |GROUP BY tf.lang, n.n, n.n_types ORDER BY tf.lang""") { (s, dir) =>
+      val tf = T.t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("c"))
+      val n = tf.groupBy("lang")
+        .agg(sum("c").cast(DoubleType).as("n"), count(lit(1)).as("n_types"))
+      tf.join(n, "lang")
+        .groupBy(col("lang"), col("n"), col("n_types"))
+        .agg(round(log(col("n")) - sum(col("c") * log(col("c").cast(DoubleType))) / col("n"), 6)
+          .as("entropy"))
+        .select(col("lang"), col("n").cast(LongType).as("n_tokens"),
+          col("n_types"), col("entropy"))
+        .orderBy("lang")
+    },
+
+    // Array set-op surface over token arrays: distinct/intersect/union
+    // sizes and a deterministic first element — codegen'd array built-ins,
+    // zero shuffle beyond the final sort.
+    q("array_set_ops",
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(toks) AS INT) AS n_distinct,
+        |  CAST(len(list_intersect(toks, ['the', 'a', 'of', 'and', 'to'])) AS INT) AS n_stop,
+        |  list_sort(toks)[1] AS first_tok
+        |FROM d ORDER BY doc_id LIMIT 500""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .withColumn("toks", array_distinct(split(col("text"), " ")))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("n_distinct"),
+          size(array_intersect(col("toks"),
+            array(lit("the"), lit("a"), lit("of"), lit("and"), lit("to")))).as("n_stop"),
+          element_at(array_sort(col("toks")), 1).as("first_tok"))
+        .orderBy("doc_id")
+        .limit(500)
+    },
+
+    // Z-order (Morton) interleave of two low-cardinality dimensions — the
+    // multi-dimensional clustering key behind data-skipping layouts: sort
+    // 100 TB by zval at write time and min/max file stats prune BOTH
+    // dimensions. Pure integer bit math (8 bits per dim), identical in both
+    // engines; the query audits locality per zval block (each 64-wide block
+    // covers a tight x/y rectangle).
+    q("etl_zorder_layout",
+      """WITH b AS (SELECT
+        |    CAST(o_custkey & 255 AS BIGINT) AS x,
+        |    CAST((CAST(round(o_totalprice * 100) AS BIGINT) // 2500000) & 255 AS BIGINT) AS y
+        |  FROM orders),
+        |z AS (SELECT x, y,
+        |    (((x >> 0) & 1) << 0) + (((y >> 0) & 1) << 1) +
+        |    (((x >> 1) & 1) << 2) + (((y >> 1) & 1) << 3) +
+        |    (((x >> 2) & 1) << 4) + (((y >> 2) & 1) << 5) +
+        |    (((x >> 3) & 1) << 6) + (((y >> 3) & 1) << 7) +
+        |    (((x >> 4) & 1) << 8) + (((y >> 4) & 1) << 9) +
+        |    (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11) +
+        |    (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13) +
+        |    (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS zval
+        |  FROM b)
+        |SELECT zval // 64 AS zblock, count(*) AS cnt,
+        |  min(x) AS min_x, max(x) AS max_x, min(y) AS min_y, max(y) AS max_y
+        |FROM z GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      def bit(c: org.apache.spark.sql.Column, i: Int, out: Int) =
+        shiftleft(shiftrightunsigned(c, i).bitwiseAND(lit(1L)), out)
+      val b = T.t(s, dir, "orders").select(
+        col("o_custkey").bitwiseAND(lit(255L)).as("x"),
+        expr("cast(round(o_totalprice * 100) as bigint) DIV 2500000")
+          .bitwiseAND(lit(255L)).as("y"))
+      val z = b.withColumn("zval",
+        (0 until 8).map(i =>
+          bit(col("x"), i, 2 * i) + bit(col("y"), i, 2 * i + 1)).reduce(_ + _))
+      z.withColumn("zblock", expr("zval DIV 64"))
+        .groupBy("zblock")
+        .agg(count(lit(1)).as("cnt"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .orderBy("zblock")
     }
   )
 }

@@ -35,6 +35,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(over == 0)
   }
 
+  test("etl_compact_small_files actually reduces the file count") {
+    run("etl_compact_small_files").collect() // force staging
+    def parquetFiles(tag: String): Int = {
+      val dir = graft.T.staged(tag, sf)(_ => fail(s"$tag should be staged"))
+      new java.io.File(dir).listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    val before = parquetFiles("frag")
+    val after = parquetFiles("compact")
+    assert(before == 64, s"fragmented stage had $before files")
+    assert(after == 4, s"compacted stage had $after files")
+  }
+
+  test("etl_zorder_layout blocks are spatially local (tight x/y rectangles)") {
+    // a 64-wide z block covers at most an 8x8 rectangle of (x, y) space
+    val bad = run("etl_zorder_layout")
+      .filter(col("max_x") - col("min_x") > 7 || col("max_y") - col("min_y") > 7)
+      .count()
+    assert(bad == 0)
+  }
+
   test("join_interval_bucketed equals the naive range-join pair set") {
     val bucketed = run("join_interval_bucketed").select("p_id", "c_id")
     val ev = graft.T.t(s, sf, "events").select(
