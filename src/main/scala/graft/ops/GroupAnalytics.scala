@@ -638,6 +638,55 @@ object GroupAnalytics {
           min("x").as("min_x"), max("x").as("max_x"),
           min("y").as("min_y"), max("y").as("max_y"))
         .orderBy("zblock")
+    },
+
+    // Gaps-and-islands: longest consecutive-active-day streak per user.
+    // day − row_number collapses each consecutive run to a constant group
+    // key — pure integer/date arithmetic, one shuffle on user_id. The
+    // classic retention/engagement query at any scale.
+    q("window_streak_islands",
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |r AS (SELECT user_id, day,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY day) AS rn FROM days),
+        |g AS (SELECT user_id, day - CAST(rn AS INTEGER) AS grp FROM r),
+        |streaks AS (SELECT user_id, grp, count(*) AS len FROM g GROUP BY 1, 2)
+        |SELECT user_id, CAST(max(len) AS INT) AS max_streak,
+        |  count(*) AS n_streaks
+        |FROM streaks GROUP BY 1 ORDER BY user_id""") { (s, dir) =>
+      val days = T.t(s, dir, "events")
+        .select(col("user_id"), col("ts").cast(DateType).as("day")).distinct()
+      val r = days.withColumn("rn",
+        row_number().over(Window.partitionBy("user_id").orderBy("day")))
+      r.withColumn("grp", expr("date_sub(day, rn)"))
+        .groupBy("user_id", "grp").agg(count(lit(1)).as("len"))
+        .groupBy("user_id")
+        .agg(max("len").cast(IntegerType).as("max_streak"),
+          count(lit(1)).as("n_streaks"))
+        .orderBy("user_id")
+    },
+
+    // Mergeable HLL sketches — the two-level distinct-count shape a 100 TB
+    // rollup needs: per-partition sketches (here per status) merged with
+    // hll_union_agg, NOT re-scanning the fact. Declared output follows the
+    // promoted-property pattern (agg_approx_distinct_hll): exact count +
+    // a within-5% flag on the merged estimate (sketch bytes are
+    // engine-specific).
+    q("agg_hll_sketch_merge",
+      """SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) AS exact_custs,
+        |  CAST(1 AS INT) AS merged_ok
+        |FROM orders""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      val perStatus = o.groupBy("o_orderstatus")
+        .agg(expr("hll_sketch_agg(o_custkey)").as("sk"))
+      val merged = perStatus
+        .agg(expr("hll_sketch_estimate(hll_union_agg(sk))").as("approx_custs"))
+      val exact = o.agg(countDistinct(col("o_custkey")).as("exact_custs"))
+      exact.crossJoin(merged)
+        .select(
+          col("exact_custs"),
+          when(abs(col("approx_custs") - col("exact_custs")).cast(DoubleType)
+            / col("exact_custs") < 0.05, 1).otherwise(0)
+            .cast(IntegerType).as("merged_ok"))
     }
   )
 }
