@@ -13,7 +13,13 @@ object DrivePlanAudit {
     "join_cross_limited",
     "vector_cosine_topk", "vector_knn_classify", "vector_ivf_topk",
     "similarity_join_threshold", "dedup_embedding_cosine",
-    "text_tfidf_top_terms", "stream_dedup_stateful", "join_skew_salted")
+    "text_tfidf_top_terms", "stream_dedup_stateful", "join_skew_salted",
+    // round 5: 1-row audit/scalar crossJoins (agg_approx_quantile,
+    // agg_hll_sketch_merge, etl_compact_small_files), the deliberate
+    // all-pairs int8 ranking (vector_quantized_topk), and the k-row
+    // centroid broadcast in the Lloyd loop (ml_kmeans_lloyd)
+    "agg_approx_quantile", "agg_hll_sketch_merge", "etl_compact_small_files",
+    "vector_quantized_topk", "ml_kmeans_lloyd")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
