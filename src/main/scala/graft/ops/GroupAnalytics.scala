@@ -687,6 +687,38 @@ object GroupAnalytics {
           when(abs(col("approx_custs") - col("exact_custs")).cast(DoubleType)
             / col("exact_custs") < 0.05, 1).otherwise(0)
             .cast(IntegerType).as("merged_ok"))
+    },
+
+    // Malformed-source ingest: PERMISSIVE CSV read with a corrupt-record
+    // column — the source-level half of reject handling (etl_reject_
+    // quarantine is the transform-level half). The staged landing dir gets
+    // two deliberately unparsable rows; good rows parse to typed columns,
+    // bad rows land whole in _corrupt instead of failing the job — on a
+    // 100 TB bulk load one bad file must never kill the pipeline.
+    q("source_csv_malformed",
+      """SELECT count(*) AS n_good, CAST(2 AS BIGINT) AS n_corrupt,
+        |  CAST(SUM(n_nationkey) AS BIGINT) AS sum_key
+        |FROM nation""") { (s, dir) =>
+      val stage = T.staged("csvbad", dir) { o =>
+        T.t(s, dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+          .coalesce(1).write.mode("overwrite").csv(o)
+        java.nio.file.Files.writeString(
+          java.nio.file.Paths.get(o, "part-zz-bad.csv"),
+          "notanint,BADROW1,alsobad\nNaN,BADROW2,xx\n")
+      }
+      val schema = StructType(Seq(
+        StructField("n_nationkey", IntegerType),
+        StructField("n_name", StringType),
+        StructField("n_regionkey", IntegerType),
+        StructField("_corrupt", StringType)))
+      s.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .csv(stage)
+        .agg(
+          count_if(col("_corrupt").isNull).as("n_good"),
+          count_if(col("_corrupt").isNotNull).as("n_corrupt"),
+          sum(when(col("_corrupt").isNull, col("n_nationkey"))).as("sum_key"))
     }
   )
 }
