@@ -372,10 +372,13 @@ object GroupAnalytics {
         |  WHERE rn = 1)
         |SELECT a2.cid, count(*) AS n, round(c2.c[1], 6) AS c0, round(c2.c[2], 6) AS c1
         |FROM a2 JOIN c2 ON a2.cid = c2.cid GROUP BY 1, 3, 4 ORDER BY 1""") { (s, dir) =>
-      // double-fold dot product (float inputs upcast per element — exact)
+      // codegen'd dot (VecDot, generalized round 5 to double arrays so the
+      // derived centroids stay on the codegen path — the HOF fold was ~2×
+      // the whole query's steady-state cost); accumulation order identical
+      // to the sequential fold and DuckDB's list_dot_product
+      graft.functions.GraftFunctions.register(s)
       def ddot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-        aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
-          lit(0.0), (acc, x) => acc + x)
+        call_function("vec_dot", a, b)
       def assign(v: org.apache.spark.sql.DataFrame, cents: org.apache.spark.sql.DataFrame) =
         v.crossJoin(broadcast(cents))
           .withColumn("score",
