@@ -722,6 +722,34 @@ object GroupAnalytics {
           count_if(col("_corrupt").isNull).as("n_good"),
           count_if(col("_corrupt").isNotNull).as("n_corrupt"),
           sum(when(col("_corrupt").isNull, col("n_nationkey"))).as("sum_key"))
+    },
+
+    // Stratified deterministic sampling: the same md5-mod rule as
+    // etl_sample_hash but audited per stratum — every status contributes
+    // ~10% regardless of its share, where a global bernoulli sample can
+    // starve a rare stratum. Pure function of the data: same sample on any
+    // cluster layout, partitioning, or engine; still a stateless scan-level
+    // filter (no shuffle before the audit agg).
+    q("etl_sample_stratified",
+      """SELECT o_orderstatus, count(*) AS n_total,
+        |  count(*) FILTER (WHERE
+        |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0)
+        |    AS n_sampled,
+        |  CAST(SUM(CASE WHEN
+        |    CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8)) AS BIGINT) % 10 = 0
+        |    THEN CAST(o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_sampled
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val inSample =
+        conv(substring(md5(col("o_orderkey").cast(StringType)), 1, 8), 16, 10)
+          .cast(LongType) % 10 === 0
+      T.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n_total"),
+          count_if(inSample).as("n_sampled"),
+          sum(when(inSample, col("o_totalprice").cast(T.dec))).cast(DoubleType)
+            .as("sum_sampled"))
+        .orderBy("o_orderstatus")
     }
   )
 }
