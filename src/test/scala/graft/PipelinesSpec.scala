@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Parity pins for the fixture-independent library API (graft.api.Pipelines):
+  * each generic operator reproduces the corresponding graded fixture query
+  * on the fixture tables at sf0.001.
+  */
+class PipelinesSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def docs = graft.T.t(s, sf, "documents")
+
+  test("dedupExact survivor count matches dedup_exact") {
+    val survivors = graft.api.Pipelines.dedupExact(docs, "doc_id", "text").count()
+    val declared = SparkEntry.queries("dedup_exact")(s, sf)
+      .filter(col("metric") === "survivors").head.getLong(1)
+    assert(survivors == declared)
+  }
+
+  test("nearDupPairs matches the graded exact-Jaccard pair set") {
+    val api = graft.api.Pipelines.nearDupPairs(docs, "doc_id", "text")
+      .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
+    val graded = SparkEntry.queries("dedup_ngram_jaccard")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("clusterComponents matches dedup_cluster_components") {
+    val pairs = graft.api.Pipelines.nearDupPairs(docs, "doc_id", "text")
+    val api = graft.api.Pipelines.clusterComponents(pairs.select("ia", "ib"))
+    val graded = SparkEntry.queries("dedup_cluster_components")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("cosineTopK matches vector_cosine_topk") {
+    graft.functions.GraftFunctions.register(s)
+    val e = graft.T.t(s, sf, "embeddings")
+    val api = graft.api.Pipelines.cosineTopK(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", 5)
+    val graded = SparkEntry.queries("vector_cosine_topk")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("qualityFilter retains exactly the docs passing the thresholds") {
+    val kept = graft.api.Pipelines.qualityFilter(docs, "text", 50, 0.2).count()
+    val expected = docs
+      .withColumn("n", size(split(col("text"), " ")))
+      .withColumn("st", size(filter(split(col("text"), " "),
+        t => t.isin("the", "a", "of", "and", "to", "in", "is"))))
+      .filter(col("n") >= 50 && col("st") * 1000 <= col("n") * 200)
+      .count()
+    assert(kept == expected)
+  }
+}
