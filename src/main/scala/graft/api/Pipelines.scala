@@ -104,6 +104,54 @@ object Pipelines {
       .select("q_id", "rnk", "c_id", "sim")
   }
 
+  /** Backward as-of enrichment: for each left row, the greatest right-side
+    * timestamp strictly before the left timestamp within the same key —
+    * one union + one window pass (running max of tagged timestamps), one
+    * shuffle on the key, O(1) per-row state. Ties (right ts == left ts) are
+    * excluded (strict "prior"). Returns the left rows + `asof_ts`. */
+  def asofBackward(left: DataFrame, right: DataFrame, keyCol: String,
+                   leftTsCol: String, rightTsCol: String): DataFrame = {
+    val l = left.withColumn("_r", lit(0)).withColumn("_ts", col(leftTsCol))
+    val r = right.select(col(keyCol), col(rightTsCol).as("_ts"))
+      .withColumn("_r", lit(1))
+    val u = l.unionByName(r, allowMissingColumns = true)
+    // left rows sort before right rows at equal _ts, so the ≤ current-1
+    // frame of a left row never sees a same-timestamp right row
+    val w = Window.partitionBy(keyCol).orderBy(col("_ts"), col("_r"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    u.withColumn("asof_ts", max(when(col("_r") === 1, col("_ts"))).over(w))
+      .filter(col("_r") === 0)
+      .drop("_r", "_ts")
+  }
+
+  /** Gap-based sessionization: adds `session_id` (1-based per key) — lag-gap
+    * flag + running sum, the batch formulation of session_window. A gap of
+    * exactly `gapSeconds` starts a NEW session (half-open windows, matching
+    * Structured Streaming's session_window). `tieBreak` makes the intra-key
+    * ordering total when timestamps can collide. */
+  def sessionize(df: DataFrame, keyCol: String, tsCol: String,
+                 gapSeconds: Long, tieBreak: Seq[String] = Nil): DataFrame = {
+    val ord = (col(tsCol) +: tieBreak.map(col)).map(_.asc)
+    val w = Window.partitionBy(keyCol).orderBy(ord: _*)
+    val run = Window.partitionBy(keyCol).orderBy(ord: _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_prev", lag(col(tsCol), 1).over(w))
+      .withColumn("_new", when(col("_prev").isNull ||
+        expr(s"unix_micros(cast($tsCol as timestamp)) - unix_micros(cast(_prev as timestamp))")
+          >= gapSeconds * 1000000L, 1).otherwise(0))
+      .withColumn("session_id", sum(col("_new")).over(run))
+      .drop("_prev", "_new")
+  }
+
+  /** Deterministic hash sample: keep rows whose md5(key) bucket matches —
+    * a pure function of the data (same sample on any cluster layout or
+    * engine), evaluated at the scan, no shuffle. */
+  def hashSample(df: DataFrame, keyCol: String,
+                 modulus: Int = 10, bucket: Int = 0): DataFrame =
+    df.filter(
+      conv(substring(md5(col(keyCol).cast(StringType)), 1, 8), 16, 10)
+        .cast(LongType) % modulus === bucket)
+
   /** Quality filter: keep documents with ≥ minTokens whitespace tokens and
     * a stopword ratio ≤ maxStopRatio — single stateless pass, exact
     * integer arithmetic (ratio test cross-multiplied, no division). */

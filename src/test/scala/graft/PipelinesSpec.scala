@@ -46,6 +46,43 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("asofBackward matches join_asof's prior timestamps") {
+    val ev = graft.T.t(s, sf, "events")
+      .filter(col("event_type").isin("purchase", "click", "signup"))
+    val left = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val right = ev.filter(col("event_type") =!= "purchase")
+      .select("user_id", "ts")
+    val api = graft.api.Pipelines
+      .asofBackward(left, right, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof_ts"))
+    val graded = SparkEntry.queries("join_asof")(s, sf)
+      .select(col("event_id"), col("prior_ts"))
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("sessionize session counts match stream_session_window") {
+    val api = graft.api.Pipelines
+      .sessionize(graft.T.t(s, sf, "events"), "user_id", "ts",
+        gapSeconds = 1800, tieBreak = Seq("event_id"))
+      .groupBy("user_id")
+      .agg(max(col("session_id")).as("n_sessions"))
+    val graded = SparkEntry.queries("stream_session_window")(s, sf)
+      .select(col("user_id"), col("n_sessions"))
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("hashSample matches etl_sample_hash's key set") {
+    val api = graft.api.Pipelines
+      .hashSample(graft.T.t(s, sf, "orders"), "o_orderkey")
+      .select("o_orderkey")
+    val graded = SparkEntry.queries("etl_sample_hash")(s, sf).select("o_orderkey")
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
   test("qualityFilter retains exactly the docs passing the thresholds") {
     val kept = graft.api.Pipelines.qualityFilter(docs, "text", 50, 0.2).count()
     val expected = docs
