@@ -59,6 +59,59 @@ object Pipelines {
       .select("ia", "ib", "jac")
   }
 
+  /** MinHash-LSH near-duplicate pairs: shingle → `numHashes` minhashes from
+    * a double-hash family (two real xxhash64 evals per shingle, the rest
+    * derived by xor-rotation — codegen'd bitwise ops, no per-hash rehash)
+    * → `bands` band signatures → bucket self-join for candidates → exact
+    * Jaccard verification of candidates only. Precision 1.0 by
+    * construction; recall is the banding probability (r=4/b=16 ⇒ ≥99.98%
+    * per pair at jac 0.8). The shuffle keys are band signatures; candidate
+    * pairs scale with collisions, not corpus². */
+  def nearDupPairsLSH(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rows = bands match { case _ => numHashes / bands }
+    val sh = shingles(df, idCol, textCol, n)
+    val hashed = sh
+      .select(col("doc_id"), xxhash64(col("sh")).as("g1"))
+      .withColumn("g2", xxhash64(col("g1")))
+    def rotl(c: Column, i: Int): Column =
+      if (i == 0) c
+      else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
+    val hashCols = (0 until numHashes).map(i =>
+      min(col("g1").bitwiseXOR(rotl(col("g2"), i))).as(s"h$i"))
+    val minhashes = hashed.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+    val bandCols = (0 until bands).map { b =>
+      xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
+        .as(s"band$b")
+    }
+    val banded = minhashes.select(col("doc_id") +: bandCols: _*)
+      .select(col("doc_id"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
+          .as(Seq("band_pos", "band_sig")))
+    val cand = banded.select(col("doc_id").as("ia"), col("band_pos"), col("band_sig"))
+      .join(banded.select(col("doc_id").as("ib"), col("band_pos").as("bp"),
+          col("band_sig").as("bs")),
+        col("band_pos") === col("bp") && col("band_sig") === col("bs")
+          && col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+    // exact verification restricted to candidates (broadcast — candidates
+    // are rare by construction)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val aRows = sh.select(col("doc_id").as("ia"), col("sh"))
+      .join(broadcast(cand), Seq("ia"))
+    val bRows = sh.select(col("doc_id").as("ib2"), col("sh").as("sh2"))
+      .join(broadcast(cand.select(col("ib").as("ib2")).distinct()), Seq("ib2"))
+    aRows.join(bRows, col("ib") === col("ib2") && col("sh") === col("sh2"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
+      .filter(col("jac") >= threshold)
+      .select("ia", "ib", "jac")
+  }
+
   /** Connected components over an (ia, ib) pair graph by iterative
     * min-label propagation: every node converges to the smallest reachable
     * id (the canonical representative a dedup pipeline keeps). Lineage is

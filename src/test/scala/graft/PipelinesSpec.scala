@@ -27,6 +27,15 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("nearDupPairsLSH matches the exact pair set (recall 1.0 on fixtures)") {
+    val lsh = graft.api.Pipelines.nearDupPairsLSH(docs, "doc_id", "text")
+      .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
+    val exact = graft.api.Pipelines.nearDupPairs(docs, "doc_id", "text")
+      .select(col("ia"), col("ib"), round(col("jac"), 6).as("jac"))
+    assert(lsh.exceptAll(exact).count() == 0)
+    assert(exact.exceptAll(lsh).count() == 0)
+  }
+
   test("clusterComponents matches dedup_cluster_components") {
     val pairs = graft.api.Pipelines.nearDupPairs(docs, "doc_id", "text")
     val api = graft.api.Pipelines.clusterComponents(pairs.select("ia", "ib"))
