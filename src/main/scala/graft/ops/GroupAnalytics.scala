@@ -750,6 +750,70 @@ object GroupAnalytics {
           sum(when(inSample, col("o_totalprice").cast(T.dec))).cast(DoubleType)
             .as("sum_sampled"))
         .orderBy("o_orderstatus")
+    },
+
+    // Recursive CTE (Spark 4 WITH RECURSIVE): ancestor closure over the
+    // containment hierarchy expressed DECLARATIVELY — the same SQL text a
+    // DuckDB/Postgres user writes runs unchanged on Spark's iterative
+    // union-loop execution. graph_transitive_closure remains the
+    // hand-tuned loop variant (explicit localCheckpoint lineage control);
+    // this row is the SQL-surface parity proof.
+    q("recursive_cte_hierarchy",
+      """WITH RECURSIVE edges AS (
+        |  SELECT 'c' || CAST(c_custkey AS VARCHAR) AS child,
+        |         'n' || CAST(c_nationkey AS VARCHAR) AS parent FROM customer
+        |  UNION ALL
+        |  SELECT 's' || CAST(s_suppkey AS VARCHAR),
+        |         'n' || CAST(s_nationkey AS VARCHAR) FROM supplier
+        |  UNION ALL
+        |  SELECT 'n' || CAST(n_nationkey AS VARCHAR),
+        |         'r' || CAST(n_regionkey AS VARCHAR) FROM nation),
+        |reach(child, ancestor, depth) AS (
+        |  SELECT child, parent, 1 FROM edges
+        |  UNION ALL
+        |  SELECT r.child, e.parent, r.depth + 1
+        |  FROM reach r JOIN edges e ON r.ancestor = e.child)
+        |SELECT depth, count(*) AS n_pairs FROM reach GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      Seq("customer", "supplier", "nation")
+        .foreach(t => T.t(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """WITH RECURSIVE edges AS (
+          |  SELECT 'c' || CAST(c_custkey AS STRING) AS child,
+          |         'n' || CAST(c_nationkey AS STRING) AS parent FROM customer
+          |  UNION ALL
+          |  SELECT 's' || CAST(s_suppkey AS STRING),
+          |         'n' || CAST(s_nationkey AS STRING) FROM supplier
+          |  UNION ALL
+          |  SELECT 'n' || CAST(n_nationkey AS STRING),
+          |         'r' || CAST(n_regionkey AS STRING) FROM nation),
+          |reach(child, ancestor, depth) AS (
+          |  SELECT child, parent, 1 FROM edges
+          |  UNION ALL
+          |  SELECT r.child, e.parent, r.depth + 1
+          |  FROM reach r JOIN edges e ON r.ancestor = e.child)
+          |SELECT depth, count(*) AS n_pairs FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // LATERAL correlated subquery with LIMIT — per-nation top-2 customers
+    // by balance through the SQL surface; Catalyst decorrelates the
+    // lateral to a ranked window (no per-row re-execution), same as
+    // DuckDB's plan.
+    q("join_lateral_topn",
+      """SELECT n_name, ck, bal FROM nation n, LATERAL (
+        |  SELECT c_custkey AS ck,
+        |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+        |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+        |ORDER BY n_name, ck""") { (s, dir) =>
+      Seq("customer", "nation")
+        .foreach(t => T.t(s, dir, t).createOrReplaceTempView(t))
+      s.sql(
+        """SELECT n_name, ck, bal FROM nation n, LATERAL (
+          |  SELECT c_custkey AS ck,
+          |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS DOUBLE) AS bal
+          |  FROM customer c WHERE c.c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey LIMIT 2)
+          |ORDER BY n_name, ck""".stripMargin)
     }
   )
 }
