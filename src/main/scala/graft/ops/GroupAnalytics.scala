@@ -794,6 +794,72 @@ object GroupAnalytics {
           |SELECT depth, count(*) AS n_pairs FROM reach GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // Product quantization ANN: embeddings split into 4 subvectors of 16
+    // dims; each candidate's subvector is encoded as its nearest sub-
+    // centroid (argmin L2 as argmax dot − ½|c|², deterministic seed
+    // centroids = the first 8 vectors), and query similarity is the ADC
+    // approximation Σ_m dot(q_m, centroid[code_m]). The 100 TB story: a
+    // 64-float vector becomes 4 bytes of codes + one small shared codebook;
+    // ADC scoring is 4 table lookups per pair. Determinism: every dot folds
+    // in list order, per-subspace lookup values are quantized to exact
+    // DECIMAL(10,6) BEFORE the 4-term sum (decimal addition is order-
+    // independent where a double sum is not), ranks tie-break on id.
+    q("vector_pq_topk",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cents AS (SELECT CAST(c.vec_id AS INT) AS cid, t.m,
+        |    c.e[(t.m*16+1):(t.m*16+16)] AS cvec
+        |  FROM v c, generate_series(0, 3) t(m) WHERE c.vec_id < 8),
+        |csub AS (SELECT vec_id AS c_id, t.m, e[(t.m*16+1):(t.m*16+16)] AS sub
+        |  FROM v, generate_series(0, 3) t(m) WHERE vec_id >= 20),
+        |enc AS (SELECT c_id, csub.m, cid,
+        |    round(list_dot_product(sub, cvec) - 0.5 * list_dot_product(cvec, cvec), 6) AS score
+        |  FROM csub JOIN cents ON csub.m = cents.m),
+        |code AS (SELECT c_id, m, cid FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY c_id, m ORDER BY score DESC, cid) AS rn
+        |    FROM enc) WHERE rn = 1),
+        |qsub AS (SELECT vec_id AS q_id, t.m, e[(t.m*16+1):(t.m*16+16)] AS sub
+        |  FROM v, generate_series(0, 3) t(m) WHERE vec_id < 20),
+        |qd AS (SELECT q_id, qsub.m, cid,
+        |    CAST(round(list_dot_product(sub, cvec), 6) AS DECIMAL(10,6)) AS d
+        |  FROM qsub JOIN cents ON qsub.m = cents.m),
+        |sim AS (SELECT q_id, c_id, CAST(SUM(d) AS DOUBLE) AS sim
+        |  FROM code JOIN qd ON code.m = qd.m AND code.cid = qd.cid GROUP BY 1, 2)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk
+        |  FROM sim)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        call_function("vec_dot", a, b)
+      val e = T.t(s, dir, "embeddings")
+      def subs(df: org.apache.spark.sql.DataFrame, idAs: String) =
+        df.select(col("vec_id").as(idAs),
+          posexplode(array((0 until 4).map(m =>
+            slice(col("embedding"), m * 16 + 1, 16)): _*)).as(Seq("m", "sub")))
+      val cents = subs(e.filter(col("vec_id") < 8), "cid")
+        .select(col("cid").cast(IntegerType).as("cid"), col("m"), col("sub").as("cvec"))
+      val enc = subs(e.filter(col("vec_id") >= 20), "c_id")
+        .join(broadcast(cents), "m")
+        .withColumn("score",
+          round(dot(col("sub"), col("cvec")) - lit(0.5) * dot(col("cvec"), col("cvec")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("c_id", "m").orderBy(col("score").desc, col("cid"))))
+        .filter(col("rn") === 1).select("c_id", "m", "cid")
+      val qd = subs(e.filter(col("vec_id") < 20), "q_id")
+        .join(broadcast(cents), "m")
+        .select(col("q_id"), col("m"), col("cid"),
+          round(dot(col("sub"), col("cvec")), 6).cast(DecimalType(10, 6)).as("d"))
+      enc.join(qd, Seq("m", "cid"))
+        .groupBy("q_id", "c_id")
+        .agg(sum("d").cast(DoubleType).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // LATERAL correlated subquery with LIMIT — per-nation top-2 customers
     // by balance through the SQL surface; Catalyst decorrelates the
     // lateral to a ranked window (no per-row re-execution), same as
