@@ -172,6 +172,19 @@ object GroupStream {
           "left")
         .select("p_id", "c_id")
         .orderBy("p_id", "c_id")
+    },
+
+    // Batch form of the MapState distinct-state processor
+    // (Streams.distinctTypes): per-user distinct event-type count — the
+    // final state the stream converges to (StreamingSpec proves equality
+    // over the chunked replay).
+    q("stream_distinct_state",
+      """SELECT user_id, count(DISTINCT event_type) AS n_types
+        |FROM events GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(countDistinct(col("event_type")).as("n_types"))
+        .orderBy("user_id")
     }
   )
 }

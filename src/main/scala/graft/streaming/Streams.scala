@@ -3,7 +3,7 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2-K — the real Structured Streaming implementations.
@@ -156,6 +156,32 @@ object Streams {
             val next = prev + add
             total.update(next)
             Iterator((key, next))
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
+  /** Spark 4 MapState demo (stream_distinct_state): per-user distinct
+    * event-type count — the streaming distinct-state shape. The MapState
+    * holds one entry per type ever seen (bounded by the type domain);
+    * each batch emits the updated cardinality. */
+  def distinctTypes(stream: DataFrame): Dataset[(Long, Int)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("event_type")).as[(Long, String)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, String), (Long, Int)] {
+          @transient private var seen: MapState[String, Boolean] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            seen = getHandle.getMapState[String, Boolean]("seen", TTLConfig.NONE)
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, String)],
+              timerValues: TimerValues): Iterator[(Long, Int)] = {
+            rows.foreach { r =>
+              if (!seen.containsKey(r._2)) seen.updateValue(r._2, true)
+            }
+            Iterator((key, seen.keys().length))
           }
         },
         TimeMode.None(), OutputMode.Update())

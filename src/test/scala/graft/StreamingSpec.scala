@@ -188,6 +188,28 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk.select("event_id").distinct().count() == nUnique)
   }
 
+  test("MapState distinct types: final streamed state == batch stream_distinct_state") {
+    // transformWithState needs multi-column-family state → RocksDB provider
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(prov)
+    s.conf.set(prov,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // Update mode emits a row per (user, batch); the count is monotone,
+      // so the max per user is the drained final state
+      val got = Streams.runToMemory(
+          Streams.distinctTypes(Streams.readReplay(s, chunks())).toDF("user_id", "n"),
+          "t_mapstate", OutputMode.Update())
+        .groupBy("user_id").agg(max(col("n")).as("n_types"))
+        .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
+      val want = SparkEntry.queries("stream_distinct_state")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == want)
+    } finally {
+      old match { case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov) }
+    }
+  }
+
   test("left-outer stream-stream join == batch stream_join_left_outer") {
     // flushTail: without the sentinel chunk the watermark never passes the
     // last purchases' join windows, so their null-padded rows are withheld
