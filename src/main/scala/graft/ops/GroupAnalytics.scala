@@ -860,6 +860,73 @@ object GroupAnalytics {
         .orderBy("q_id", "rnk")
     },
 
+    // Trigonometric/inverse scalar surface: libm ulp differences between
+    // engines are ~1e-16, absorbed by the 6dp round (SURVEY §2 rule 2's
+    // provably-smaller case). Inputs normalized to [0, 2π) from exact ints.
+    q("scalar_trig_funcs",
+      """WITH t AS (SELECT p_partkey, (p_partkey % 360) * pi() / 180.0 AS rad,
+        |    (p_size % 100) / 100.0 AS frac FROM part)
+        |SELECT p_partkey,
+        |  round(sin(rad), 6) AS s, round(cos(rad), 6) AS c,
+        |  round(atan2(sin(rad), cos(rad)), 6) AS at2,
+        |  round(asin(frac), 6) AS asn, round(degrees(rad), 6) AS deg
+        |FROM t ORDER BY p_partkey LIMIT 400""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .withColumn("rad", (col("p_partkey") % 360) * lit(math.Pi) / 180.0)
+        .withColumn("frac", (col("p_size") % 100) / 100.0)
+        .select(
+          col("p_partkey"),
+          round(sin(col("rad")), 6).as("s"),
+          round(cos(col("rad")), 6).as("c"),
+          round(atan2(sin(col("rad")), cos(col("rad"))), 6).as("at2"),
+          round(asin(col("frac")), 6).as("asn"),
+          round(degrees(col("rad")), 6).as("deg"))
+        .orderBy("p_partkey")
+        .limit(400)
+    },
+
+    // Null-safe equi-JOIN (`<=>` as the join condition): null keys match
+    // each other — the semantics MERGE/CDC pipelines need when the business
+    // key is nullable. Derived nullable keys on both sides; counts per
+    // match class.
+    q("join_null_safe_eq",
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 7 = 0 THEN NULL
+        |      ELSE o_orderkey % 100 END AS k, o_totalprice FROM orders),
+        |b AS (SELECT CASE WHEN ("generate_series" % 5 = 0) THEN NULL
+        |      ELSE "generate_series" END AS k
+        |  FROM generate_series(0, 99))
+        |SELECT a.k AS k, count(*) AS cnt
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1 ORDER BY k NULLS FIRST""") { (s, dir) =>
+      val a = T.t(s, dir, "orders")
+        .select(when(col("o_orderkey") % 7 === 0, lit(null))
+          .otherwise(col("o_orderkey") % 100).as("k"), col("o_totalprice"))
+      val b = s.range(0, 100)
+        .select(when(col("id") % 5 === 0, lit(null)).otherwise(col("id")).as("bk"))
+      a.join(b, col("k") <=> col("bk"))
+        .groupBy("k").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("k").asc_nulls_first)
+    },
+
+    // Binary codec surface: base64/hex roundtrips over string payloads —
+    // content transport encodings (both engines implement RFC 4648 base64
+    // and lowercase-normalized hex identically on these inputs).
+    q("scalar_codec_funcs",
+      """SELECT p_partkey,
+        |  to_base64(CAST(p_name AS BLOB)) AS b64,
+        |  CAST(from_base64(to_base64(CAST(p_name AS BLOB))) AS VARCHAR) AS rt,
+        |  lower(hex(CAST(p_brand AS BLOB))) AS hx
+        |FROM part ORDER BY p_partkey LIMIT 400""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          base64(col("p_name").cast(BinaryType)).as("b64"),
+          unbase64(base64(col("p_name").cast(BinaryType))).cast(StringType).as("rt"),
+          lower(hex(col("p_brand").cast(BinaryType))).as("hx"))
+        .orderBy("p_partkey")
+        .limit(400)
+    },
+
     // LATERAL correlated subquery with LIMIT — per-nation top-2 customers
     // by balance through the SQL surface; Catalyst decorrelates the
     // lateral to a ranked window (no per-row re-execution), same as
