@@ -860,6 +860,97 @@ object GroupAnalytics {
         .orderBy("q_id", "rnk")
     },
 
+    // Exact higher moments (skewness, excess kurtosis) from decimal power
+    // sums S1..S4 — same construction as agg_variance_exact/agg_corr_covar,
+    // extended to 3rd/4th order. x is cast to DECIMAL(9,2) so the x⁴
+    // product stays inside decimal128 exactly in BOTH engines (Spark
+    // (39,8)→(38,8) still holds these values exactly; DuckDB (36,8)).
+    // Built-in skewness/kurtosis use streaming central-moment updates whose
+    // merge order is engine- and partition-dependent.
+    q("agg_skew_kurtosis_exact",
+      """WITH s AS (SELECT l_returnflag,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2)) * CAST(l_quantity AS DECIMAL(9,2))) AS DOUBLE) AS s4
+        |  FROM lineitem GROUP BY 1),
+        |m AS (SELECT l_returnflag, n,
+        |    s2 - s1 * s1 / n AS m2,
+        |    s3 - 3 * (s1 / n) * s2 + 2 * (s1 / n) * (s1 / n) * s1 AS m3,
+        |    s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2 - 3 * (s1 / n) * (s1 / n) * (s1 / n) * s1 AS m4
+        |  FROM s)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS cnt,
+        |  round(sqrt(n) * m3 / pow(m2, 1.5), 6) AS skewness,
+        |  round(n * m4 / (m2 * m2) - 3, 6) AS kurtosis
+        |FROM m ORDER BY l_returnflag""") { (s, dir) =>
+      val x = col("l_quantity").cast(DecimalType(9, 2))
+      val st = T.t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x * x).cast(DoubleType).as("s2"),
+          sum(x * x * x).cast(DoubleType).as("s3"),
+          sum(x * x * x * x).cast(DoubleType).as("s4"))
+      val mu = col("s1") / col("n")
+      st.select(col("l_returnflag"), col("n"),
+          (col("s2") - col("s1") * col("s1") / col("n")).as("m2"),
+          (col("s3") - lit(3) * mu * col("s2") + lit(2) * mu * mu * col("s1")).as("m3"),
+          (col("s4") - lit(4) * mu * col("s3") + lit(6) * mu * mu * col("s2")
+            - lit(3) * mu * mu * mu * col("s1")).as("m4"))
+        .select(col("l_returnflag"), col("n").cast(LongType).as("cnt"),
+          round(sqrt(col("n")) * col("m3") / pow(col("m2"), 1.5), 6).as("skewness"),
+          round(col("n") * col("m4") / (col("m2") * col("m2")) - 3, 6).as("kurtosis"))
+        .orderBy("l_returnflag")
+    },
+
+    // Bigram PMI collocations: pmi = ln(c_xy·N² / (NB·c_x·c_y)) — every
+    // operand is an exact integer count (products < 2⁵³, exact in double),
+    // so the single ln+division is the same IEEE sequence in both engines;
+    // 6dp round before ranking, bigram tie-break. The collocation-mining
+    // pass of corpus analysis.
+    q("text_bigram_pmi",
+      """WITH dd AS (SELECT string_split(text, ' ') AS arr FROM documents),
+        |bg AS (SELECT unnest(list_transform(range(len(arr)-1),
+        |    i -> arr[i+1] || ' ' || arr[i+2])) AS bigram FROM dd),
+        |cxy AS (SELECT bigram, count(*) AS c FROM bg GROUP BY 1),
+        |uni AS (SELECT unnest(arr) AS tok FROM dd),
+        |cx AS (SELECT tok, count(*) AS c FROM uni GROUP BY 1),
+        |tot AS (SELECT (SELECT count(*) FROM uni) AS n, (SELECT count(*) FROM bg) AS nb)
+        |SELECT bigram, c_xy, pmi, rn FROM (
+        |  SELECT *, CAST(row_number() OVER (ORDER BY pmi DESC, bigram) AS INT) AS rn FROM (
+        |    SELECT cxy.bigram, cxy.c AS c_xy,
+        |      round(ln((CAST(cxy.c AS DOUBLE) * n * n) / (CAST(nb AS DOUBLE) * a.c * b.c)), 6) AS pmi
+        |    FROM cxy
+        |    JOIN cx a ON a.tok = string_split(cxy.bigram, ' ')[1]
+        |    JOIN cx b ON b.tok = string_split(cxy.bigram, ' ')[2]
+        |    CROSS JOIN tot WHERE cxy.c >= 5))
+        |WHERE rn <= 20 ORDER BY rn""") { (s, dir) =>
+      val dd = T.t(s, dir, "documents").select(split(col("text"), " ").as("arr"))
+      val bg = dd.select(explode(expr(
+        "transform(sequence(0, size(arr)-2), i -> concat_ws(' ', arr[i], arr[i+1]))")).as("bigram"))
+      val cxy = bg.groupBy("bigram").agg(count(lit(1)).as("c_xy"))
+      val uni = dd.select(explode(col("arr")).as("tok"))
+      val cx = uni.groupBy("tok").agg(count(lit(1)).as("c"))
+      val tot = uni.agg(count(lit(1)).as("n"))
+        .crossJoin(bg.agg(count(lit(1)).as("nb")))
+      cxy.filter(col("c_xy") >= 5)
+        .withColumn("w1", element_at(split(col("bigram"), " "), 1))
+        .withColumn("w2", element_at(split(col("bigram"), " "), 2))
+        .join(cx.select(col("tok").as("w1"), col("c").as("ca")), "w1")
+        .join(cx.select(col("tok").as("w2"), col("c").as("cb")), "w2")
+        .crossJoin(broadcast(tot))
+        .withColumn("pmi", round(log(
+          (col("c_xy").cast(DoubleType) * col("n") * col("n"))
+            / (col("nb").cast(DoubleType) * col("ca") * col("cb"))), 6))
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("pmi").desc, col("bigram"))).cast(IntegerType))
+        .filter(col("rn") <= 20)
+        .select("bigram", "c_xy", "pmi", "rn")
+        .orderBy("rn")
+    },
+
     // Trigonometric/inverse scalar surface: libm ulp differences between
     // engines are ~1e-16, absorbed by the 6dp round (SURVEY §2 rule 2's
     // provably-smaller case). Inputs normalized to [0, 2π) from exact ints.
