@@ -196,6 +196,40 @@ object Pipelines {
       .drop("_prev", "_new")
   }
 
+  /** N-stage ordered funnel: for each key, how far through `stages` the
+    * entity progressed, where each stage's event must be strictly later
+    * than the previous stage's reach time. One co-partitioned aggregation
+    * per stage (all shuffles share the key). Returns (key, stage) with
+    * stage ∈ [0, stages.length]. */
+  def funnelStages(events: DataFrame, keyCol: String, typeCol: String,
+                   tsCol: String, stages: Seq[String]): DataFrame = {
+    require(stages.nonEmpty, "need at least one stage")
+    val keys = events.select(col(keyCol)).distinct()
+    // reach(i): per-key earliest time stage i was hit after reach(i-1)
+    val reaches = stages.zipWithIndex.foldLeft(List.empty[(Int, DataFrame)]) {
+      case (acc, (stage, i)) =>
+        val hits = events.filter(col(typeCol) === stage)
+        val reached = acc.headOption match {
+          case None =>
+            hits.groupBy(keyCol).agg(min(col(tsCol)).as(s"_t$i"))
+          case Some((prev, prevDf)) =>
+            hits.join(prevDf, keyCol)
+              .filter(col(tsCol) > col(s"_t$prev"))
+              .groupBy(keyCol).agg(min(col(tsCol)).as(s"_t$i"))
+        }
+        (i, reached) :: acc
+    }.reverse
+    val joined = reaches.foldLeft(keys) { case (df, (i, r)) =>
+      df.join(r.select(col(keyCol), col(s"_t$i")), Seq(keyCol), "left")
+    }
+    // fold ascending so the HIGHEST reached stage ends up outermost
+    val stageExpr = stages.indices.foldLeft(lit(0)) { (acc, i) =>
+      when(col(s"_t$i").isNotNull, i + 1).otherwise(acc)
+    }
+    joined.withColumn("stage", stageExpr)
+      .select(col(keyCol), col("stage"))
+  }
+
   /** Deterministic hash sample: keep rows whose md5(key) bucket matches —
     * a pure function of the data (same sample on any cluster layout or
     * engine), evaluated at the scan, no shuffle. */

@@ -83,6 +83,16 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("funnelStages matches window_funnel_stages' stage counts") {
+    val api = graft.api.Pipelines
+      .funnelStages(graft.T.t(s, sf, "events"), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+      .groupBy("stage").agg(count(lit(1)).as("n_users"))
+    val graded = SparkEntry.queries("window_funnel_stages")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
   test("hashSample matches etl_sample_hash's key set") {
     val api = graft.api.Pipelines
       .hashSample(graft.T.t(s, sf, "orders"), "o_orderkey")
