@@ -860,6 +860,26 @@ object GroupAnalytics {
         .orderBy("q_id", "rnk")
     },
 
+    // Spark 4 VARIANT semi-structured type: parse_json → binary variant,
+    // typed variant_get extraction — the schema-on-read path for mixed
+    // JSON at 100 TB (variant decode is columnar+lazy where from_json
+    // materializes the full struct). Declared output = typed extraction
+    // parity with DuckDB's JSON accessors.
+    q("scalar_variant_funcs",
+      """SELECT event_id,
+        |  CAST(json_extract(props, '$.k') AS INT) AS k_int,
+        |  CAST(CAST(json_extract(props, '$.k') AS INT) % 2 = 0 AS INT) AS k_even
+        |FROM events ORDER BY event_id LIMIT 1000""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .select(
+          col("event_id"),
+          expr("variant_get(parse_json(props), '$.k', 'int')").as("k_int"),
+          expr("cast(variant_get(parse_json(props), '$.k', 'int') % 2 = 0 as int)")
+            .as("k_even"))
+        .orderBy("event_id")
+        .limit(1000)
+    },
+
     // Exact higher moments (skewness, excess kurtosis) from decimal power
     // sums S1..S4 — same construction as agg_variance_exact/agg_corr_covar,
     // extended to 3rd/4th order. x is cast to DECIMAL(9,2) so the x⁴
