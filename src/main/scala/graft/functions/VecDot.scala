@@ -80,13 +80,68 @@ case class VecDot(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Codegen'd exact integer dot product of two int arrays (long result) —
+  * the scoring loop of int8-quantized vector search (§2-Q
+  * vector_quantized_topk). Integer accumulation is associative, so unlike
+  * the float path there is no order-sensitivity at all; the codegen win
+  * over the boxed zip_with/aggregate fold is the same as VecDot's. */
+case class VecDotInt(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    val ok = Seq(left, right).forall(e => e.dataType match {
+      case ArrayType(org.apache.spark.sql.types.IntegerType, _) => true
+      case _ => false
+    })
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"vec_dot_int expects (array<int>, array<int>), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "vec_dot_int"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) { s += x.getInt(i).toLong * y.getInt(i).toLong; i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += ((long) $a.getInt($i)) * ((long) $b.getInt($i));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): VecDotInt =
+    copy(left = newLeft, right = newRight)
+}
+
 /** Registry for graft's native Catalyst expressions. */
 object GraftFunctions {
-  /** Idempotently register `vec_dot` on the session so `expr("vec_dot(a,b)")`
-    * resolves; safe to call at the top of every query builder. */
-  def register(s: SparkSession): Unit =
+  /** Idempotently register `vec_dot`/`vec_dot_int` on the session so
+    * `expr("vec_dot(a,b)")` resolves; safe to call at the top of every
+    * query builder. */
+  def register(s: SparkSession): Unit = {
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "vec_dot_int", exprs => VecDotInt(exprs.head, exprs(1)), "built-in")
+  }
 }
 
 /** The idiomatic library packaging of graft's Catalyst surface: set
@@ -96,10 +151,16 @@ object GraftFunctions {
   * defaults in spark-defaults.conf, not per-notebook register calls).
   * Injection happens at session build, before any query parses. */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(e: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     e.injectFunction((
       org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot"),
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDot].getName, "vec_dot"),
       (exprs: Seq[Expression]) => VecDot(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_int"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDotInt].getName, "vec_dot_int"),
+      (exprs: Seq[Expression]) => VecDotInt(exprs.head, exprs(1))))
+  }
 }

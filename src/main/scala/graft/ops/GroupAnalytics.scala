@@ -245,6 +245,7 @@ object GroupAnalytics {
         |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk
         |  FROM s)
         |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       def quant(c: org.apache.spark.sql.Column) =
         transform(c, x => floor(x * 127.0 + 0.5).cast(IntegerType))
       val e = T.t(s, dir, "embeddings")
@@ -253,9 +254,9 @@ object GroupAnalytics {
       val cs = e.filter(col("vec_id") >= 20)
         .select(col("vec_id").as("c_id"), quant(col("embedding")).as("cq"))
       cs.crossJoin(broadcast(qs))
-        .withColumn("sim",
-          aggregate(zip_with(col("qq"), col("cq"), (x, y) => x * y),
-            lit(0L), (acc, v) => acc + v))
+        // codegen'd exact integer dot (VecDotInt) — integer accumulation is
+        // associative, so the value is identical to the HOF fold it replaced
+        .withColumn("sim", call_function("vec_dot_int", col("qq"), col("cq")))
         .withColumn("rnk",
           row_number().over(Window.partitionBy("q_id")
             .orderBy(col("sim").desc, col("c_id"))))

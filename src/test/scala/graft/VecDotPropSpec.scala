@@ -47,6 +47,26 @@ class VecDotPropSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("vec_dot_int == exact integer reference fold") {
+    graft.functions.GraftFunctions.register(s)
+    val intSchema = StructType(Seq(
+      StructField("a", ArrayType(IntegerType)), StructField("b", ArrayType(IntegerType))))
+    val intGen: Gen[List[Int]] = Gen.listOfN(64, Gen.chooseNum(-127, 127))
+    val prop = Prop.forAll(Gen.listOfN(4, Gen.zip(intGen, intGen))) { pairs =>
+      pairs.isEmpty || {
+        val rows = pairs.map { case (a, b) => Row(a, b) }
+        val df = s.createDataFrame(s.sparkContext.parallelize(rows, 2), intSchema)
+        val got = df.select(expr("vec_dot_int(a, b)")).collect()
+        got.zip(pairs).forall { case (r, (a, b)) =>
+          r.getLong(0) == a.zip(b).map { case (x, y) => x.toLong * y }.sum
+        }
+      }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(20).withInitialSeed(Seed(7L)), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("vec_dot handles nulls and mismatched lengths") {
     graft.functions.GraftFunctions.register(s)
     val rows = Seq(
