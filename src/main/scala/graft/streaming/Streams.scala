@@ -187,6 +187,45 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Stateful streaming funnel (view → later click → later purchase):
+    * per-user stage machine in two ValueStates (current stage, reach time).
+    * Rows are sorted by ts within each micro-batch; across batches the
+    * replay is time-ordered, so stage advancement matches the batch funnel
+    * (strictly-later semantics at micros resolution). */
+  def funnel(stream: DataFrame): Dataset[(Long, Int)] = {
+    val stages = Seq("view", "click", "purchase")
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("event_type"),
+        expr("unix_micros(cast(ts as timestamp))").as("us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, String, Long), (Long, Int)] {
+          @transient private var stage: ValueState[Int] = _
+          @transient private var reachUs: ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+            stage = getHandle.getValueState[Int]("stage", TTLConfig.NONE)
+            reachUs = getHandle.getValueState[Long]("reachUs", TTLConfig.NONE)
+          }
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, String, Long)],
+              timerValues: TimerValues): Iterator[(Long, Int)] = {
+            var st = if (stage.exists()) stage.get() else 0
+            var at = if (reachUs.exists()) reachUs.get() else Long.MinValue
+            rows.toSeq.sortBy(_._3).foreach { case (_, tpe, us) =>
+              if (st < stages.length && tpe == stages(st) &&
+                  (st == 0 || us > at)) {
+                st += 1; at = us
+              }
+            }
+            stage.update(st); reachUs.update(at)
+            Iterator((key, st))
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks within ±30 min per
     * user (stream_stream_join). Watermarks bound the join state. */
   def purchaseClickJoin(stream1: DataFrame, stream2: DataFrame): DataFrame = {

@@ -210,6 +210,28 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stateful streaming funnel: final stages == batch funnel") {
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(prov)
+    s.conf.set(prov,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // stage is monotone, so the max Update emission per user is final
+      val got = Streams.runToMemory(
+          Streams.funnel(Streams.readReplay(s, chunks())).toDF("user_id", "st"),
+          "t_funnel", OutputMode.Update())
+        .groupBy("user_id").agg(max(col("st")).as("stage"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      val want = graft.api.Pipelines
+        .funnelStages(T.t(s, sf, "events"), "user_id", "event_type", "ts",
+          Seq("view", "click", "purchase"))
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(got == want)
+    } finally {
+      old match { case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov) }
+    }
+  }
+
   test("left-outer stream-stream join == batch stream_join_left_outer") {
     // flushTail: without the sentinel chunk the watermark never passes the
     // last purchases' join windows, so their null-padded rows are withheld
