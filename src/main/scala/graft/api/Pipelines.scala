@@ -239,6 +239,24 @@ object Pipelines {
       conv(substring(md5(col(keyCol).cast(StringType)), 1, 8), 16, 10)
         .cast(LongType) % modulus === bucket)
 
+  /** Fixed-width histogram over an exact integer expression (callers
+    * pre-convert to cents/int units — float boundary ambiguity is the
+    * caller's to eliminate). One map-side-combinable aggregation. */
+  def histogram(df: DataFrame, intCol: Column, bucketWidth: Long): DataFrame =
+    df.select((intCol / bucketWidth).cast(LongType).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+      .withColumn("lo_edge", col("bucket") * bucketWidth)
+
+  /** Z-order (Morton) key of two dimensions, `bits` bits each — pure
+    * integer bit interleave. Sort/range-partition a write by this column
+    * and min/max file statistics prune BOTH dimensions. */
+  def zorderKey(x: Column, y: Column, bits: Int = 8): Column = {
+    require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
+    def bit(c: Column, i: Int, out: Int) =
+      shiftleft(shiftrightunsigned(c.cast(LongType), i).bitwiseAND(lit(1L)), out)
+    (0 until bits).map(i => bit(x, i, 2 * i) + bit(y, i, 2 * i + 1)).reduce(_ + _)
+  }
+
   /** Quality filter: keep documents with ≥ minTokens whitespace tokens and
     * a stopword ratio ≤ maxStopRatio — single stateless pass, exact
     * integer arithmetic (ratio test cross-multiplied, no division). */

@@ -102,6 +102,33 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("histogram matches agg_histogram_fixed") {
+    val orders = graft.T.t(s, sf, "orders")
+    val api = graft.api.Pipelines.histogram(orders,
+        round(col("o_totalprice") * 100).cast("long"), 2500000L)
+      .select("bucket", "lo_edge", "cnt")
+    val graded = SparkEntry.queries("agg_histogram_fixed")(s, sf)
+      .select(col("bucket"), (col("lo_edge") * 100).as("lo_edge"), col("cnt"))
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("zorderKey matches etl_zorder_layout's interleave") {
+    val orders = graft.T.t(s, sf, "orders")
+    val z = orders.select(
+      graft.api.Pipelines.zorderKey(
+        col("o_custkey").bitwiseAND(lit(255L)),
+        expr("cast(round(o_totalprice * 100) as bigint) DIV 2500000")
+          .bitwiseAND(lit(255L))).as("zval"))
+    // same per-64 block counts as the graded audit
+    val api = z.withColumn("zblock", expr("zval DIV 64"))
+      .groupBy("zblock").agg(count(lit(1)).as("cnt"))
+    val graded = SparkEntry.queries("etl_zorder_layout")(s, sf)
+      .select("zblock", "cnt")
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
   test("qualityFilter retains exactly the docs passing the thresholds") {
     val kept = graft.api.Pipelines.qualityFilter(docs, "text", 50, 0.2).count()
     val expected = docs
