@@ -61,4 +61,17 @@ class ExecSpec extends AnyFunSuite {
       r.getAs[String]("column_name") == "l_quantity" &&
         r.getAs[String]("data_type") == "double"))
   }
+
+  test("tidySql uppercases keywords, preserves strings, idempotent, still runs") {
+    val raw = "select  n_name,   'select me' as s  from nation\n  where n_nationkey in (1,2);"
+    val tidy = Graft.tidySql(raw)
+    assert(tidy ==
+      "SELECT n_name, 'select me' AS s FROM nation WHERE n_nationkey IN (1,2);")
+    assert(Graft.tidySql(tidy) == tidy, "idempotent")
+    // the tidied text is still valid Spark SQL producing the same result
+    Graft.registerTables(s, sf)
+    val a = s.sql(raw.stripSuffix(";")).collect().toSet
+    val b = s.sql(tidy.stripSuffix(";")).collect().toSet
+    assert(a == b)
+  }
 }
