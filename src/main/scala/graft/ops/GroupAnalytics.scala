@@ -1005,24 +1005,29 @@ object GroupAnalytics {
     // Trigonometric/inverse scalar surface: libm ulp differences between
     // engines are ~1e-16, absorbed by the 6dp round (SURVEY §2 rule 2's
     // provably-smaller case). Inputs normalized to [0, 2π) from exact ints.
+    // Each rounded value gets `+ 0.0` in BOTH engines: DuckDB's round keeps
+    // IEEE signed zero (cos(270°) → −0.0) while Spark's BigDecimal round
+    // yields +0.0; adding +0.0 canonicalizes (−0.0 + 0.0 = +0.0) without
+    // changing any other value.
     q("scalar_trig_funcs",
       """WITH t AS (SELECT p_partkey, (p_partkey % 360) * pi() / 180.0 AS rad,
         |    (p_size % 100) / 100.0 AS frac FROM part)
         |SELECT p_partkey,
-        |  round(sin(rad), 6) AS s, round(cos(rad), 6) AS c,
-        |  round(atan2(sin(rad), cos(rad)), 6) AS at2,
-        |  round(asin(frac), 6) AS asn, round(degrees(rad), 6) AS deg
+        |  round(sin(rad), 6) + 0.0 AS s, round(cos(rad), 6) + 0.0 AS c,
+        |  round(atan2(sin(rad), cos(rad)), 6) + 0.0 AS at2,
+        |  round(asin(frac), 6) + 0.0 AS asn,
+        |  round(degrees(rad), 6) + 0.0 AS deg
         |FROM t ORDER BY p_partkey LIMIT 400""") { (s, dir) =>
       T.t(s, dir, "part")
         .withColumn("rad", (col("p_partkey") % 360) * lit(math.Pi) / 180.0)
         .withColumn("frac", (col("p_size") % 100) / 100.0)
         .select(
           col("p_partkey"),
-          round(sin(col("rad")), 6).as("s"),
-          round(cos(col("rad")), 6).as("c"),
-          round(atan2(sin(col("rad")), cos(col("rad"))), 6).as("at2"),
-          round(asin(col("frac")), 6).as("asn"),
-          round(degrees(col("rad")), 6).as("deg"))
+          (round(sin(col("rad")), 6) + 0.0).as("s"),
+          (round(cos(col("rad")), 6) + 0.0).as("c"),
+          (round(atan2(sin(col("rad")), cos(col("rad"))), 6) + 0.0).as("at2"),
+          (round(asin(col("frac")), 6) + 0.0).as("asn"),
+          (round(degrees(col("rad")), 6) + 0.0).as("deg"))
         .orderBy("p_partkey")
         .limit(400)
     },
