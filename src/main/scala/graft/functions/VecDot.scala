@@ -141,6 +141,8 @@ object GraftFunctions {
       "vec_dot", exprs => VecDot(exprs.head, exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "vec_dot_int", exprs => VecDotInt(exprs.head, exprs(1)), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "poly_hash", exprs => PolyTokenHash(exprs.head), "built-in")
   }
 }
 
@@ -162,5 +164,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[VecDotInt].getName, "vec_dot_int"),
       (exprs: Seq[Expression]) => VecDotInt(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("poly_hash"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[PolyTokenHash].getName, "poly_hash"),
+      (exprs: Seq[Expression]) => PolyTokenHash(exprs.head)))
   }
 }

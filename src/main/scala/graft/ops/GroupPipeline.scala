@@ -45,26 +45,60 @@ object GroupPipeline {
   }
 
   val defs: Seq[Q] = Seq(
-    // 64-bit SimHash over the token multiset (xxhash64 per token, signed bit
-    // votes), banded 4×16 for candidate generation, verified by Hamming
-    // distance ≤ 8. Hash function is engine-specific → property-tested
-    // (SimHashSpec), rows-only for the driver.
-    qNoOracle("dedup_simhash") { (s, dir) =>
+    // 60-bit SimHash over the token multiset (engine-portable poly_hash per
+    // token — Rabin-Karp fold + multiplicative finalizer, graft.functions
+    // .PolyTokenHash — signed bit votes), banded 4×15 for candidate
+    // generation, verified by Hamming distance ≤ 8. The portable hash is
+    // what earns the full DuckDB oracle (promoted from rows-only in round
+    // 6): DuckDB folds the same arithmetic with HUGEINT intermediates.
+    q("dedup_simhash",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |th AS (
+        |  SELECT doc_id, (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(tok)),
+        |        i -> CAST(ascii(substr(tok, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) AS hv
+        |  FROM toks),
+        |votes AS (
+        |  SELECT doc_id, b,
+        |    sum(CASE WHEN (hv >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+        |  FROM th, range(60) t(b) GROUP BY 1, 2),
+        |sim AS (
+        |  SELECT doc_id, CAST(sum(CASE WHEN v > 0
+        |      THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+        |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+        |  FROM votes GROUP BY 1),
+        |banded AS (
+        |  SELECT doc_id, simhash, p,
+        |    CAST((simhash >> CAST(p*15 AS INT)) % 32768 AS INT) AS bv
+        |  FROM sim, range(4) t(p)),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+        |    a.simhash AS sa, b.simhash AS sb
+        |  FROM banded a JOIN banded b
+        |    ON a.p = b.p AND a.bv = b.bv AND a.doc_id < b.doc_id)
+        |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
       val toks = T.t(s, dir, "documents")
         .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", xxhash64(col("tok")))
-      val bitSums = (0 until 64).map { b =>
+        .withColumn("h", call_function("poly_hash", col("tok")))
+      val bitSums = (0 until 60).map { b =>
         sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
       }
       val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
         .withColumn("simhash",
-          (0 until 64).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
             .reduce(_ + _))
         .select("doc_id", "simhash")
       val banded = sim.select(
         col("doc_id"), col("simhash"),
         posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL))): _*))
+          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
           .as(Seq("band_pos", "band_val")))
       val a = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"),
         col("band_pos"), col("band_val"))
@@ -73,7 +107,7 @@ object GroupPipeline {
       a.join(b, col("band_pos") === col("bp2") && col("band_val") === col("bv2")
           && col("ia") < col("ib"))
         .dropDuplicates("ia", "ib")
-        .withColumn("hamming", expr("bit_count(sa ^ sb)"))
+        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
         .filter(col("hamming") <= 8)
         .select("ia", "ib", "hamming")
         .orderBy("ia", "ib")
