@@ -257,6 +257,96 @@ object Pipelines {
     (0 until bits).map(i => bit(x, i, 2 * i) + bit(y, i, 2 * i + 1)).reduce(_ + _)
   }
 
+  /** Random-hyperplane (sign-of-dot) LSH band values for cosine similarity:
+    * (id, band_pos, band_val) rows, `bands` bands of `rowsPerBand` sign
+    * bits each, computed by the codegen'd `lsh_bands` expression
+    * (graft.functions.LshBands — register GraftFunctions first, or use
+    * Graft.session). Deterministic for a given seed. */
+  def cosineLshBands(df: DataFrame, idCol: String, vecCol: String,
+                     bands: Int, rowsPerBand: Int, seed: Long): DataFrame =
+    df.select(col(idCol).as("_id"),
+      posexplode(call_function("lsh_bands", col(vecCol),
+        lit(bands), lit(rowsPerBand), lit(seed))).as(Seq("band_pos", "band_val")))
+
+  /** Banded cosine threshold self-join: all pairs (ia < ib, sim ≥
+    * threshold) via LSH-band candidate generation + exact codegen'd
+    * `vec_dot` verification — precision 1.0 by construction (every emitted
+    * pair is exactly verified); recall is the banding probability
+    * 1−(1−p^r)^b with p = 1−θ/π at the threshold angle. The band count is
+    * derived from the threshold so a pair AT the threshold is missed with
+    * probability ≤ `perPairMiss`; pairs above it are safer still. The
+    * candidate join is a shuffle equi-join on (band_pos, band_val) — NO
+    * nested-loop/cartesian operator appears.
+    *
+    * Parameter honesty for 100 TB: at real dedup thresholds (τ ≥ 0.9,
+    * p ≥ 0.86/bit) a few dozen bands suffice and candidates are ~0.05% of
+    * pairs; at low thresholds like 0.45 the background bit-agreement (0.5)
+    * is close to the threshold's (0.65), so recall-safety costs hundreds
+    * of bands and the candidate set stays dense — no subquadratic exact
+    * method exists there. Selectivity comes from `rowsPerBand` (2^r
+    * buckets per band); 8 bits ⇒ each band passes ~1/256 of random pairs. */
+  def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double, rowsPerBand: Int = 8,
+                     perPairMiss: Double = 1e-5,
+                     seed: Long = 42L): DataFrame = {
+    val bands = graft.functions.CosineLsh.bandsFor(threshold, rowsPerBand, perPairMiss)
+    // the signature is the compute-heavy stage (bands·rowsPerBand·dim
+    // multiplies per row): spread the narrow (id, vec) projection across
+    // the cluster first — a single-file source otherwise runs it on one
+    // task. The shuffle moves only id+vector, and each side of the band
+    // self-join recomputes signatures in parallel.
+    val src = df.select(col(idCol), col(vecCol)).repartition(col(idCol))
+    val banded = cosineLshBands(src, idCol, vecCol, bands, rowsPerBand, seed)
+    // verify BEFORE dedup: the band join's multiplicity-bearing candidate
+    // stream stays inside one codegen stage (equi-join → vector joins →
+    // inline vec_dot filter — nothing materializes), and only the verified
+    // survivors (true pairs × band multiplicity, a tiny set) reach the
+    // distinct's shuffle. Deduping first would shuffle the full candidate
+    // multiset — at low thresholds that is the dominant cost.
+    val cand = banded.select(col("_id").as("ia"), col("band_pos"), col("band_val"))
+      .join(banded.select(col("_id").as("ib"), col("band_pos").as("bp"),
+          col("band_val").as("bv")),
+        col("band_pos") === col("bp") && col("band_val") === col("bv")
+          && col("ia") < col("ib"))
+      .select("ia", "ib")
+    val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
+    cand
+      .join(vecs.select(col("_vid").as("ia"), col("_vv").as("_va")), Seq("ia"))
+      .join(vecs.select(col("_vid").as("ib"), col("_vv").as("_vb")), Seq("ib"))
+      .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("ia", "ib", "sim").distinct()
+  }
+
+  /** Banded cosine threshold join across two sides (a_id from left, b_id
+    * from right, sim ≥ threshold) — same candidate/verify machinery as
+    * `cosinePairsLSH`, sharing one hyperplane family so both sides band
+    * identically. */
+  def cosineThresholdJoinLSH(left: DataFrame, right: DataFrame,
+                             idCol: String, vecCol: String,
+                             threshold: Double, rowsPerBand: Int = 8,
+                             perPairMiss: Double = 1e-5,
+                             seed: Long = 42L): DataFrame = {
+    val bands = graft.functions.CosineLsh.bandsFor(threshold, rowsPerBand, perPairMiss)
+    // same signature-compute spreading as cosinePairsLSH
+    def spread(d: DataFrame) =
+      d.select(col(idCol), col(vecCol)).repartition(col(idCol))
+    val la = cosineLshBands(spread(left), idCol, vecCol, bands, rowsPerBand, seed)
+    val rb = cosineLshBands(spread(right), idCol, vecCol, bands, rowsPerBand, seed)
+    // verify-before-dedup, same rationale as cosinePairsLSH
+    val cand = la.select(col("_id").as("a_id"), col("band_pos"), col("band_val"))
+      .join(rb.select(col("_id").as("b_id"), col("band_pos").as("bp"),
+          col("band_val").as("bv")),
+        col("band_pos") === col("bp") && col("band_val") === col("bv"))
+      .select("a_id", "b_id")
+    cand
+      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")), Seq("a_id"))
+      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")), Seq("b_id"))
+      .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
+      .filter(col("sim") >= threshold)
+      .select("a_id", "b_id", "sim").distinct()
+  }
+
   /** Quality filter: keep documents with ≥ minTokens whitespace tokens and
     * a stopword ratio ≤ maxStopRatio — single stateless pass, exact
     * integer arithmetic (ratio test cross-multiplied, no division). */

@@ -143,6 +143,8 @@ object GraftFunctions {
       "vec_dot_int", exprs => VecDotInt(exprs.head, exprs(1)), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "poly_hash", exprs => PolyTokenHash(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "lsh_bands", exprs => CosineLsh.build(exprs), "built-in")
   }
 }
 
@@ -169,5 +171,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[PolyTokenHash].getName, "poly_hash"),
       (exprs: Seq[Expression]) => PolyTokenHash(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("lsh_bands"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[LshBands].getName, "lsh_bands"),
+      (exprs: Seq[Expression]) => CosineLsh.build(exprs)))
   }
 }

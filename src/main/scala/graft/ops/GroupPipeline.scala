@@ -227,19 +227,15 @@ object GroupPipeline {
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, sim FROM p WHERE sim >= 0.45 ORDER BY keep_id, dup_id""") { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      val e = T.t(s, dir, "embeddings")
-      val a = e.select(col("vec_id").as("keep_id"), col("embedding").as("ea"))
-      val b = e.select(col("vec_id").as("dup_id"), col("embedding").as("eb"))
-      // threshold INSIDE the join condition: the nested-loop join then
-      // evaluates the codegen'd dot in-place and only materializes joined
-      // rows for the ~1e-5 of pairs that pass — the all-pairs row copies,
-      // not the arithmetic, were the steady-state cost. The And
-      // short-circuits, so the dot runs for ordered pairs only; the
-      // projection recomputes it just for survivors.
-      a.join(b, col("keep_id") < col("dup_id")
-          && round(dot(col("ea"), col("eb")), 6) >= 0.45)
-        .withColumn("sim", round(dot(col("ea"), col("eb")), 6))
-        .select("keep_id", "dup_id", "sim")
+      // banded LSH candidates + exact vec_dot verify (round 6; previously a
+      // threshold-in-condition BNLJ — correct but O(n²) row evaluation, the
+      // named scale-killer). Candidates ride a shuffle equi-join on
+      // (band_pos, band_val); embeddings are re-joined only for the
+      // deduplicated candidate pairs. Recall 1.0 attested at 3 scales
+      // (LshRecallSpec); precision 1.0 by construction.
+      graft.api.Pipelines.cosinePairsLSH(
+          T.t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+        .select(col("ia").as("keep_id"), col("ib").as("dup_id"), col("sim"))
         .orderBy("keep_id", "dup_id")
     },
 

@@ -119,6 +119,28 @@ object GroupVector {
         .withColumn("sim", round(dot(col("ae"), col("be")), 6))
         .select("a_id", "b_id", "sim")
         .orderBy("a_id", "b_id")
+    },
+
+    // Banded (random-hyperplane LSH) variant of the threshold join — the
+    // scale path: candidates come from a shuffle equi-join on band values
+    // (NO nested-loop operator; PlanShapeSpec pins this), each candidate is
+    // exactly verified with the codegen'd vec_dot, so precision is 1.0 by
+    // construction and the oracle is the same brute-force SQL. Recall 1.0
+    // attested empirically at sf0.001/0.01/0.1 (LshRecallSpec) with
+    // r=2×b=24 — at τ=0.35 the banding is recall-safe but dense (see
+    // Pipelines.cosinePairsLSH's parameter-honesty note); at real dedup
+    // thresholds the same operator prunes ~99.95% of pairs.
+    q("similarity_join_lsh",
+      """WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS ae FROM embeddings WHERE label = 0),
+        |b AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS be FROM embeddings WHERE label = 1)
+        |SELECT a_id, b_id, sim FROM (
+        |  SELECT a_id, b_id, round(list_dot_product(ae, be), 6) AS sim FROM a CROSS JOIN b)
+        |WHERE sim >= 0.35 ORDER BY a_id, b_id""") { (s, dir) =>
+      val e = emb(s, dir)
+      graft.api.Pipelines.cosineThresholdJoinLSH(
+          e.filter(col("label") === 0), e.filter(col("label") === 1),
+          "vec_id", "embedding", threshold = 0.35)
+        .orderBy("a_id", "b_id")
     }
   )
 }

@@ -45,6 +45,29 @@ class DedupSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Double]("jac") >= 0.8))
   }
 
+  test("similarity_join_lsh: identical output to the brute-force threshold join") {
+    val lsh = run("similarity_join_lsh").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    val brute = run("similarity_join_threshold").collect()
+      .map(r => (r.getAs[Long]("a_id"), r.getAs[Long]("b_id"))).toSet
+    assert(brute.nonEmpty, "fixture should contain threshold pairs")
+    assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
+  }
+
+  test("dedup_embedding_cosine (banded): recall 1.0 vs all-pairs brute force") {
+    val e = T.t(s, sf, "embeddings")
+    val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
+    val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
+    val brute = a.join(b, col("ia") < col("ib"))
+      .withColumn("sim", round(call_function("vec_dot", col("ea"), col("eb")), 6))
+      .filter(col("sim") >= 0.45)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val banded = run("dedup_embedding_cosine").collect()
+      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_id"))).toSet
+    assert(brute.nonEmpty, "fixture should contain cosine near-dup pairs")
+    assert(banded == brute, s"missed=${brute -- banded} extra=${banded -- brute}")
+  }
+
   test("text_rolling_fingerprint: matches independent reference, injective on corpus") {
     val mod = BigInt((1L << 61) - 1)
     val got = run("text_rolling_fingerprint").collect()

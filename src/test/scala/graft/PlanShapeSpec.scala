@@ -64,12 +64,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("etl_merge_upsert").contains("FullOuter"))
   }
 
-  test("dedup_embedding_cosine evaluates vec_dot inside the join (no all-pairs materialization)") {
+  test("dedup_embedding_cosine rides banded equi-join candidates (no BNLJ/cartesian)") {
     val p = plan("dedup_embedding_cosine")
-    assert(p.contains("BroadcastNestedLoopJoin"), p.take(2000))
-    // the threshold predicate sits in the join condition, not a post-filter
-    assert(p.linesIterator.exists(l =>
-      l.contains("Join") && l.contains("vec_dot")), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    // candidate generation is an equi-join on the LSH band columns
+    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
+  }
+
+  test("similarity_join_lsh rides banded equi-join candidates (no BNLJ/cartesian)") {
+    val p = plan("similarity_join_lsh")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
   }
 
   test("bucketed_join_colocated joins without shuffling either input") {
