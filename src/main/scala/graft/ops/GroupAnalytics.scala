@@ -530,14 +530,19 @@ object GroupAnalytics {
         .orderBy("o_orderstatus")
     },
 
-    // Hand-built Bloom prefilter ahead of an exact semi-join — the manual
-    // runtime-filter pattern: a compact bloom over the build side's keys
-    // (urgent 1995 orders) ships to every task and discards most probe rows
-    // BEFORE the shuffle; the exact semi-join then removes the false
-    // positives, so the result is identical to the plain semi-join. At
-    // 100 TB this is what you do when the optimizer's automatic runtime
-    // filter doesn't fire: 1% selectivity means ~99% of the fact never
-    // enters the exchange.
+    // Bloom prefilter ahead of an exact semi-join via Catalyst's OWN
+    // runtime-filter machinery (InjectRuntimeFilter): a `bloom_filter_agg`
+    // subquery builds the filter over the build side's keys at EXECUTION
+    // time and a codegen'd `might_contain` lands right above the probe
+    // scan, discarding ~99% of the fact before its exchange. Round 6
+    // rewrite: the previous hand pattern ran an eager `.stat.bloomFilter`
+    // Spark job at DataFrame-construction time and probed through a
+    // closure UDF opaque to Catalyst. Confs are scoped to a child session
+    // (newSession shares the context, isolates SQLConf): the app-side size
+    // threshold must drop to 0 at fixture scale, and the semi-join must be
+    // a shuffle join for the rule to fire — which is exactly its 100 TB
+    // shape (a 100 TB probe side never broadcasts its build anyway).
+    // PlanShapeSpec pins bloom_filter_agg + might_contain in the plan.
     q("join_bloom_prefilter",
       """SELECT l.l_orderkey, CAST(count(*) AS BIGINT) AS n_lines,
         |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
@@ -545,19 +550,20 @@ object GroupAnalytics {
         |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey
         |  AND o.o_orderpriority = '1-URGENT' AND year(o.o_orderdate) = 1995)
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val urgent = T.t(s, dir, "orders")
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      sc.conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      sc.conf.set("spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold", "100MB")
+      sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val urgent = T.t(sc, dir, "orders")
         .filter(col("o_orderpriority") === "1-URGENT" &&
           year(col("o_orderdate")) === 1995)
         .select("o_orderkey")
-      val bloom = urgent.stat.bloomFilter("o_orderkey", 100000L, 0.01)
-      val mightContain = udf((k: Long) => bloom.mightContain(k))
-      T.t(s, dir, "lineitem")
-        .filter(mightContain(col("l_orderkey")))   // cheap task-local discard
+      T.t(sc, dir, "lineitem")
         .join(urgent, col("l_orderkey") === col("o_orderkey"), "left_semi")
         .groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_lines"), T.dsum(col("l_extendedprice")).as("sum_price"))
         .orderBy("l_orderkey")
-        .withColumnRenamed("l_orderkey", "l_orderkey")
     },
 
     // Small-file compaction — the 100 TB table-maintenance primitive: a

@@ -89,6 +89,14 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("Exchange hashpartitioning(c_custkey"), p.take(3000))
   }
 
+  test("join_bloom_prefilter injects Catalyst's runtime bloom filter (no eager job, no UDF)") {
+    val p = plan("join_bloom_prefilter")
+    assert(p.contains("bloom_filter_agg"), p.take(3000))
+    assert(p.contains("might_contain"), p.take(3000))
+    // the probe is a codegen'd expression, not a closure UDF
+    assert(!p.contains("UDF"), p.take(3000))
+  }
+
   test("join_shuffle_hash_hint forces a ShuffledHashJoin") {
     assert(plan("join_shuffle_hash_hint").contains("ShuffledHashJoin"))
   }
