@@ -27,6 +27,20 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(bad == 0)
   }
 
+  test("vector_pq_topk stages its index once and reuses it (index-as-artifact)") {
+    val r1 = run("vector_pq_topk").collect()
+    // the index must already be staged for this dataset: a second staged()
+    // access for the same (tag, dir) must NOT invoke the writer again
+    var reinvoked = false
+    val d = T.staged("pq_index", sf) { _ => reinvoked = true }
+    assert(!reinvoked, "pq_index writer ran twice for the same dataset")
+    assert(new java.io.File(s"$d/cents").exists, "persisted codebook missing")
+    assert(new java.io.File(s"$d/codes").exists, "persisted codes missing")
+    // re-running the query reads the artifact and returns identical results
+    val r2 = run("vector_pq_topk").collect()
+    assert(r1.toSeq == r2.toSeq)
+  }
+
   test("vector_quantized_topk sims bounded by int8 geometry") {
     // |dot| <= 64 * 127^2 for 64-dim int8 vectors; unit-norm inputs keep
     // the true value near <=127^2 but the hard bound must always hold
