@@ -90,6 +90,30 @@ object Exec {
     results.toSeq
   }
 
+  /** Execute several scripts CONCURRENTLY — the reference `dbexec`'s
+    * multi-script parallelism ([P3], SURVEY §0; reference mount empty).
+    * Each script stays internally sequential with its own error handling;
+    * Spark's driver is thread-safe for concurrent job submission, so
+    * independent scripts overlap their cluster work (FIFO scheduler by
+    * default; set spark.scheduler.mode=FAIR for fair sharing). Scripts
+    * share the session catalog — callers parallelize only scripts without
+    * catalog write conflicts. Results return in input order. */
+  def runScripts(s: SparkSession, scripts: Seq[String],
+                 mode: ErrorMode = AbortOnError,
+                 parallelism: Int = 4): Seq[Seq[StmtResult]] = {
+    if (scripts.isEmpty) return Seq.empty
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(parallelism, scripts.size)))
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    try {
+      val futs = scripts.map(sc => scala.concurrent.Future(runScript(s, sc, mode)))
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf)
+    } finally pool.shutdown()
+  }
+
   /** Catalog extraction — the `dbmakedoc` input-plugin analogue: the
     * SYSCAT-style metadata relation for everything visible in the session
     * catalog (database → table → column with types), as a DataFrame the

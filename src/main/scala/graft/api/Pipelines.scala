@@ -303,7 +303,11 @@ object Pipelines {
     // survivors (true pairs × band multiplicity, a tiny set) reach the
     // distinct's shuffle. Deduping first would shuffle the full candidate
     // multiset — at low thresholds that is the dominant cost.
+    // shuffle_hash: the banded side is hundreds of rows per input row —
+    // broadcasting it serializes a near-megarow hash map through the
+    // driver; a shuffled hash join keeps both sides distributed
     val cand = banded.select(col("_id").as("ia"), col("band_pos"), col("band_val"))
+      .hint("shuffle_hash")
       .join(banded.select(col("_id").as("ib"), col("band_pos").as("bp"),
           col("band_val").as("bv")),
         col("band_pos") === col("bp") && col("band_val") === col("bv")
@@ -333,8 +337,9 @@ object Pipelines {
       d.select(col(idCol), col(vecCol)).repartition(col(idCol))
     val la = cosineLshBands(spread(left), idCol, vecCol, bands, rowsPerBand, seed)
     val rb = cosineLshBands(spread(right), idCol, vecCol, bands, rowsPerBand, seed)
-    // verify-before-dedup, same rationale as cosinePairsLSH
+    // verify-before-dedup and shuffle_hash, same rationale as cosinePairsLSH
     val cand = la.select(col("_id").as("a_id"), col("band_pos"), col("band_val"))
+      .hint("shuffle_hash")
       .join(rb.select(col("_id").as("b_id"), col("band_pos").as("bp"),
           col("band_val").as("bv")),
         col("band_pos") === col("bp") && col("band_val") === col("bv"))

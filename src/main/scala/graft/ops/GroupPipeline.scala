@@ -226,15 +226,22 @@ object GroupPipeline {
         |    round(list_dot_product(a.e, b.e), 6) AS sim
         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
         |SELECT keep_id, dup_id, sim FROM p WHERE sim >= 0.45 ORDER BY keep_id, dup_id""") { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
       // banded LSH candidates + exact vec_dot verify (round 6; previously a
       // threshold-in-condition BNLJ — correct but O(n²) row evaluation, the
       // named scale-killer). Candidates ride a shuffle equi-join on
       // (band_pos, band_val); embeddings are re-joined only for the
       // deduplicated candidate pairs. Recall 1.0 attested at 3 scales
-      // (LshRecallSpec); precision 1.0 by construction.
+      // (DedupSpec); precision 1.0 by construction.
+      // Scoped session: the band join's OUTPUT is ~100× its shuffle input
+      // (dense buckets at this low threshold), the one shape AQE's
+      // input-byte coalescing misjudges — it packs the 15 MB input into one
+      // partition and serializes the 3M-row join. A small advisory
+      // partition size keeps the explosive stage parallel.
+      val sc = s.newSession()
+      graft.functions.GraftFunctions.register(sc)
+      sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       graft.api.Pipelines.cosinePairsLSH(
-          T.t(s, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
+          T.t(sc, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
         .select(col("ia").as("keep_id"), col("ib").as("dup_id"), col("sim"))
         .orderBy("keep_id", "dup_id")
     },

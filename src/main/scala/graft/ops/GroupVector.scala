@@ -136,7 +136,11 @@ object GroupVector {
         |SELECT a_id, b_id, sim FROM (
         |  SELECT a_id, b_id, round(list_dot_product(ae, be), 6) AS sim FROM a CROSS JOIN b)
         |WHERE sim >= 0.35 ORDER BY a_id, b_id""") { (s, dir) =>
-      val e = emb(s, dir)
+      // scoped advisory partition size: see dedup_embedding_cosine's note
+      // (explosive band join vs AQE input-byte coalescing)
+      val sc = s.newSession()
+      val e = emb(sc, dir)
+      sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
       graft.api.Pipelines.cosineThresholdJoinLSH(
           e.filter(col("label") === 0), e.filter(col("label") === 1),
           "vec_id", "embedding", threshold = 0.35)

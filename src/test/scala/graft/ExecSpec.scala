@@ -52,6 +52,28 @@ class ExecSpec extends AnyFunSuite {
     assert(cont.length == 4 && !cont(2).ok && cont(3).ok)
   }
 
+  test("runScripts executes independent scripts concurrently, results in input order") {
+    Graft.registerTables(s, sf)
+    val scripts = (0 until 4).map { i =>
+      s"""CREATE OR REPLACE TEMP VIEW par_v$i AS
+         |  SELECT * FROM orders WHERE o_orderkey % 4 = $i;
+         |SELECT o_orderkey FROM par_v$i""".stripMargin
+    }
+    val rs = Exec.runScripts(s, scripts, Exec.AbortOnError, parallelism = 4)
+    assert(rs.length == 4)
+    rs.zipWithIndex.foreach { case (r, i) =>
+      assert(r.length == 2 && r.forall(_.ok), s"script $i: $r")
+      assert(r(1).sql.contains(s"par_v$i"), "results must follow input order")
+    }
+    // the four disjoint mod-4 slices must cover orders exactly once
+    val total = rs.map(_.apply(1).rowCount).sum
+    assert(total == T.t(s, sf, "orders").count())
+    // one failing script must not poison its siblings
+    val mixed = Exec.runScripts(s,
+      Seq("SELECT * FROM does_not_exist", "SELECT 1"), Exec.ContinueOnError)
+    assert(!mixed.head.head.ok && mixed(1).head.ok)
+  }
+
   test("catalogColumns extracts SYSCAT-style metadata for registered views") {
     Graft.registerTables(s, sf)
     val cat = Exec.catalogColumns(s)
