@@ -283,6 +283,111 @@ object GroupScale {
         .orderBy("rnk")
     },
 
+    // Column profiling — the data-quality reconnaissance pass every new
+    // 100 TB table gets: per-column row/non-null/distinct counts and
+    // min/max, one aggregation per column unioned into a tall relation.
+    // Values are stringified through exact types (bigint, DECIMAL(18,2))
+    // so the rendering is engine-identical.
+    q("dq_profile_columns",
+      """SELECT 'o_custkey' AS col, count(*) AS n_rows,
+        |  count(o_custkey) AS n_nonnull, count(DISTINCT o_custkey) AS n_distinct,
+        |  CAST(min(o_custkey) AS VARCHAR) AS vmin, CAST(max(o_custkey) AS VARCHAR) AS vmax
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderpriority', count(*), count(o_orderpriority),
+        |  count(DISTINCT o_orderpriority),
+        |  CAST(min(o_orderpriority) AS VARCHAR), CAST(max(o_orderpriority) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_orderstatus', count(*), count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders
+        |UNION ALL
+        |SELECT 'o_totalprice', count(*), count(o_totalprice),
+        |  count(DISTINCT CAST(o_totalprice AS DECIMAL(18,2))),
+        |  CAST(min(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR),
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
+        |FROM orders
+        |ORDER BY col""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      def prof(name: String, c: org.apache.spark.sql.Column) =
+        o.agg(count(lit(1)).as("n_rows"), count(c).as("n_nonnull"),
+            countDistinct(c).as("n_distinct"),
+            min(c).cast(StringType).as("vmin"), max(c).cast(StringType).as("vmax"))
+          .select(lit(name).as("col"), col("n_rows"), col("n_nonnull"),
+            col("n_distinct"), col("vmin"), col("vmax"))
+      prof("o_custkey", col("o_custkey"))
+        .unionByName(prof("o_orderpriority", col("o_orderpriority")))
+        .unionByName(prof("o_orderstatus", col("o_orderstatus")))
+        .unionByName(prof("o_totalprice", col("o_totalprice").cast(T.dec)))
+        .orderBy("col")
+    },
+
+    // Event-path analysis: each user's full ordered event-type path (the
+    // product-analytics "user journey" relation) plus a conversion flag.
+    // Order inside the path is pinned by sorting (ts, event_id, type)
+    // structs — deterministic under any partitioning; DuckDB's ordered
+    // string_agg is the same sequence.
+    q("window_pattern_path",
+      """SELECT user_id,
+        |  string_agg(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  CAST(contains(string_agg(event_type, '>' ORDER BY ts, event_id),
+        |    'click>purchase') AS INT) AS converted
+        |FROM events GROUP BY user_id ORDER BY user_id LIMIT 500""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(concat_ws(">",
+          transform(
+            sort_array(collect_list(struct(col("ts"), col("event_id"),
+              col("event_type").as("et")))),
+            x => x.getField("et"))).as("path"))
+        .withColumn("converted",
+          col("path").contains("click>purchase").cast(IntegerType))
+        .orderBy("user_id")
+        .limit(500)
+    },
+
+    // Deterministic argmax (max_by / arg_max): the most expensive order
+    // per status. Ties are impossible by construction — the ordering value
+    // packs exact cents with the unique key (cents·10⁶ + key, < 2⁶³).
+    q("agg_argmax_by",
+      """SELECT o_orderstatus,
+        |  arg_max(o_orderkey,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * 1000000
+        |      + o_orderkey) AS top_orderkey,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS top_price
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          max_by(col("o_orderkey"),
+            (col("o_totalprice").cast(T.dec) * 100).cast(LongType) * 1000000L
+              + col("o_orderkey")).as("top_orderkey"),
+          max(col("o_totalprice").cast(T.dec)).cast(DoubleType).as("top_price"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Several DISTINCT aggregates in one GROUP BY — the planner's Expand
+    // path (each distinct column fans the input into its own group-set
+    // lane, partial-aggregated map-side before one shuffle).
+    q("agg_multi_distinct",
+      """SELECT o_orderstatus,
+        |  count(DISTINCT o_custkey) AS n_cust,
+        |  count(DISTINCT o_orderpriority) AS n_prio,
+        |  count(DISTINCT year(o_orderdate)) AS n_years,
+        |  count(*) AS n_rows
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          countDistinct(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_orderpriority")).as("n_prio"),
+          countDistinct(year(col("o_orderdate"))).as("n_years"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("o_orderstatus")
+    },
+
     // Daily resample + LINEAR interpolation per user (etl_gap_fill_spine
     // fills with a constant; this fills with the line between the
     // surrounding observations — the time-series feature-prep primitive).

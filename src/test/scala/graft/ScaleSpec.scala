@@ -45,6 +45,35 @@ class ScaleSpec extends AnyFunSuite {
     assert(run("etl_surrogate_key").filter(col("dup_cnt") =!= 1).count() == 0)
   }
 
+  test("dq_profile_columns: count invariants hold per column") {
+    val rows = run("dq_profile_columns").collect()
+    assert(rows.length == 4)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nonnull") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_nonnull"))
+    }
+  }
+
+  test("agg_argmax_by: returned key really carries the max price") {
+    val orders = T.t(s, sf, "orders")
+      .select(col("o_orderkey"), col("o_totalprice").cast(T.dec).cast("double").as("p"))
+    run("agg_argmax_by").collect().foreach { r =>
+      val price = orders.filter(col("o_orderkey") === r.getAs[Long]("top_orderkey"))
+        .collect().head.getAs[Double]("p")
+      assert(price == r.getAs[Double]("top_price"),
+        s"argmax key price $price != max $r")
+    }
+  }
+
+  test("window_pattern_path: path length equals the user's event count") {
+    val counts = T.t(s, sf, "events").groupBy("user_id").count().collect()
+      .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("count")).toMap
+    run("window_pattern_path").collect().foreach { r =>
+      val n = r.getAs[String]("path").split(">").length.toLong
+      assert(n == counts(r.getAs[Long]("user_id")))
+    }
+  }
+
   test("ts_resample_interpolate: every spine day filled, interior values bounded") {
     val res = run("ts_resample_interpolate").collect()
     assert(res.nonEmpty && res.length % 30 == 0, s"30 days per user, got ${res.length}")
