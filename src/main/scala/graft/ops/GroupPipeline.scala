@@ -507,14 +507,24 @@ object GroupPipeline {
       val e = T.t(s, dir, "embeddings")
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
-      val cand = e.filter(col("vec_id") >= 20)
-        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
-      val assign = cand.crossJoin(broadcast(cent))
-        .withColumn("d", round(dot(col("ce"), col("cent")), 6))
-        .withColumn("rn",
-          row_number().over(Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
-        .filter(col("rn") === 1)
-        .select(col("c_id"), col("ce"), col("cent_id").as("cell"))
+      // The IVF index — the corpus PARTITIONED BY its coarse cell — is a
+      // persisted parquet artifact (round 6, the PQ-index pattern): staged
+      // once per dataset, and because `cell` is the physical partition
+      // column, a probe touching nprobe=2 cells opens only those
+      // directories. At 100 TB this cell-partitioned layout IS the index.
+      val idx = T.staged("ivf_index", dir) { o =>
+        e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("ce"), col("cent_id").as("cell"))
+          .write.partitionBy("cell").parquet(s"$o/assign")
+      }
+      val assign = s.read.parquet(s"$idx/assign")
+        .select(col("c_id"), col("ce"), col("cell").cast(LongType).as("cell"))
       val qs = e.filter(col("vec_id") < 20)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
       val probe = qs.crossJoin(broadcast(cent))

@@ -388,6 +388,28 @@ object GroupScale {
         .orderBy("o_orderstatus")
     },
 
+    // Deterministic per-group "reservoir": a uniform-looking k-sample per
+    // group whose membership is a pure function of the data — rank by
+    // md5(key) inside each group, keep k. Same sample on every engine,
+    // every run, every partitioning (real reservoir sampling is
+    // order-dependent and unreproducible across engines).
+    q("etl_sample_reservoir_group",
+      """SELECT o_orderpriority, o_orderkey, rk FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS INT) AS rk
+        |  FROM orders)
+        |WHERE rk <= 5 ORDER BY o_orderpriority, rk""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("o_orderpriority")
+            .orderBy(md5(col("o_orderkey").cast(StringType)), col("o_orderkey")))
+          .cast(IntegerType))
+        .filter(col("rk") <= 5)
+        .select("o_orderpriority", "o_orderkey", "rk")
+        .orderBy("o_orderpriority", "rk")
+    },
+
     // Daily resample + LINEAR interpolation per user (etl_gap_fill_spine
     // fills with a constant; this fills with the line between the
     // surrounding observations — the time-series feature-prep primitive).

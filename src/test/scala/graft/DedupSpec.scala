@@ -82,6 +82,18 @@ class DedupSpec extends AnyFunSuite {
       "distinct texts must map to distinct fingerprints (no collisions on corpus)")
   }
 
+  test("vector_ivf_topk stages its cell-partitioned index once and reuses it") {
+    val r1 = run("vector_ivf_topk").collect()
+    var reinvoked = false
+    val d = T.staged("ivf_index", sf) { _ => reinvoked = true }
+    assert(!reinvoked, "ivf_index writer ran twice for the same dataset")
+    // the artifact is physically partitioned by cell (directory per cell)
+    val cells = new java.io.File(s"$d/assign").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cells.nonEmpty, "expected cell=N partition directories")
+    assert(run("vector_ivf_topk").collect().toSeq == r1.toSeq)
+  }
+
   test("vector_ivf_topk recall vs brute-force vector_cosine_topk >= 60%") {
     // nprobe=2 of 8 cells: recall is partial by design; assert it's useful
     val ivf = run("vector_ivf_topk").collect()
