@@ -17,6 +17,31 @@ import org.apache.spark.sql.types._
 object GroupStream {
 
   val defs: Seq[Q] = Seq(
+    // Daily windowed top-3 event types — the "trending" pattern: the
+    // stream maintains incremental (window, type) counts (Streams
+    // .dailyTypeCounts, watermarked); the rank runs at read time over the
+    // sink. This batch form IS counts+rank in one plan; StreamingSpec
+    // proves the split streaming formulation equal.
+    q("stream_topk_per_window",
+      """WITH c AS (SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS w_start,
+        |    event_type, count(*) AS cnt
+        |  FROM events GROUP BY 1, 2)
+        |SELECT w_start, event_type, cnt, rnk FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY w_start ORDER BY cnt DESC, event_type) AS INT) AS rnk
+        |  FROM c)
+        |WHERE rnk <= 3 ORDER BY w_start, rnk""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("w_start"), col("event_type"), col("cnt"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("w_start").orderBy(col("cnt").desc, col("event_type")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .orderBy("w_start", "rnk")
+    },
+
     // groupBy(window($"ts","1 hour")) — the same expression a readStream
     // plan uses; batch-equivalent of the tumbling-window stream.
     q("stream_tumbling_window",

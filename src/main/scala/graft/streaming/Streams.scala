@@ -268,6 +268,20 @@ object Streams {
 
   /** Run a streaming DataFrame to completion into an in-memory table and
     * return the collected sink rows. */
+  /** Watermarked daily tumbling (window × event_type) counts — the
+    * streaming half of stream_topk_per_window. The stream maintains the
+    * windowed counts (an incremental operator); the top-k RANK happens at
+    * read time over the sink table ("rank at serve" — a global row_number
+    * is not incremental, the counts it ranks are). Window starts are cast
+    * back to NTZ so they compare against the batch date_trunc form. */
+  def dailyTypeCounts(stream: DataFrame): DataFrame =
+    stream.withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 day").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast(TimestampNTZType).as("w_start"),
+        col("event_type"), col("cnt"))
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)

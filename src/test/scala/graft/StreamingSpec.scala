@@ -50,6 +50,22 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("daily top-k: streaming counts + rank-at-serve == batch stream_topk_per_window") {
+    val counts = Streams.runToMemory(
+      Streams.dailyTypeCounts(Streams.readReplay(s, chunks())), "t_topk",
+      OutputMode.Complete())
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("w_start").orderBy(col("cnt").desc, col("event_type"))
+    val got = counts.withColumn("rnk", row_number().over(w).cast("int"))
+      .filter(col("rnk") <= 3)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getLong(2), r.getInt(3))).toSet
+    val want = SparkEntry.queries("stream_topk_per_window")(s, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getAs[Long]("cnt"), r.getAs[Int]("rnk"))).toSet
+    assert(got == want)
+  }
+
   test("watermark: late chunk rows are dropped by the 1h watermark") {
     val q = Streams.tumblingWithWatermark(Streams.readReplay(s, chunks(late = true)))
       .writeStream.format("memory").queryName("t_wm").outputMode(OutputMode.Update())
