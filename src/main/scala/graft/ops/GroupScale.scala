@@ -310,17 +310,30 @@ object GroupScale {
         |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR)
         |FROM orders
         |ORDER BY col""") { (s, dir) =>
+      // ONE scan for all columns (the oracle's UNION spells the semantics;
+      // a 100 TB profile cannot afford a scan per column): a single
+      // aggregate computes every column's stats in one pass — the distinct
+      // counts ride the planner's Expand lanes — and the wide row is
+      // stacked to the tall (col, stats) shape with a literal-array
+      // explode. PlanShapeSpec pins the single scan.
       val o = T.t(s, dir, "orders")
-      def prof(name: String, c: org.apache.spark.sql.Column) =
-        o.agg(count(lit(1)).as("n_rows"), count(c).as("n_nonnull"),
-            countDistinct(c).as("n_distinct"),
-            min(c).cast(StringType).as("vmin"), max(c).cast(StringType).as("vmax"))
-          .select(lit(name).as("col"), col("n_rows"), col("n_nonnull"),
-            col("n_distinct"), col("vmin"), col("vmax"))
-      prof("o_custkey", col("o_custkey"))
-        .unionByName(prof("o_orderpriority", col("o_orderpriority")))
-        .unionByName(prof("o_orderstatus", col("o_orderstatus")))
-        .unionByName(prof("o_totalprice", col("o_totalprice").cast(T.dec)))
+      val cols: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+        "o_custkey" -> col("o_custkey"),
+        "o_orderpriority" -> col("o_orderpriority"),
+        "o_orderstatus" -> col("o_orderstatus"),
+        "o_totalprice" -> col("o_totalprice").cast(T.dec))
+      val aggs = count(lit(1)).as("n_rows") +: cols.flatMap { case (n, c) => Seq(
+        count(c).as(s"nn_$n"), countDistinct(c).as(s"nd_$n"),
+        min(c).cast(StringType).as(s"mn_$n"), max(c).cast(StringType).as(s"mx_$n"))
+      }
+      val wide = o.agg(aggs.head, aggs.tail: _*)
+      wide.select(col("n_rows"), explode(array(cols.map { case (n, _) =>
+          struct(lit(n).as("col"), col(s"nn_$n").as("n_nonnull"),
+            col(s"nd_$n").as("n_distinct"), col(s"mn_$n").as("vmin"),
+            col(s"mx_$n").as("vmax"))
+        }: _*)).as("p"))
+        .select(col("p.col").as("col"), col("n_rows"), col("p.n_nonnull"),
+          col("p.n_distinct"), col("p.vmin"), col("p.vmax"))
         .orderBy("col")
     },
 

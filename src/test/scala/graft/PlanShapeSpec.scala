@@ -97,6 +97,11 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(!p.contains("UDF"), p.take(3000))
   }
 
+  test("dq_profile_columns profiles every column in ONE scan") {
+    val p = plan("dq_profile_columns")
+    assert("Scan parquet".r.findAllIn(p).size == 1, p.take(3000))
+  }
+
   test("join_shuffle_hash_hint forces a ShuffledHashJoin") {
     assert(plan("join_shuffle_hash_hint").contains("ShuffledHashJoin"))
   }
