@@ -29,7 +29,8 @@ object SparkEntry {
     ops.GroupEtl.defs,        // §2-O ETL/maintenance surface (round 3)
     ops.GroupQuality.defs,    // §2-P data-quality constraint audits (round 4)
     ops.GroupAnalytics.defs,  // §2-Q analytics widening (round 5)
-    ops.GroupScale.defs       // §2-R pipeline-scale widening (round 6)
+    ops.GroupScale.defs,      // §2-R pipeline-scale widening (round 6)
+    ops.GroupDepth.defs       // §2-S analytics depth (round 6)
   )
 
   private val all: Seq[T.Q] = groups.flatten

@@ -1,0 +1,383 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-S (round 6) — analytics depth: cohort retention, anomaly
+  * scoring, Welch's t-test, weighted PageRank over a derived trade graph,
+  * weighted (multiset) Jaccard dedup, exact rolling medians, incremental
+  * watermark ingest, two-stage ANN rerank, catalog introspection, and the
+  * SQL-macro UDF surface.
+  *
+  * Determinism posture (SURVEY §2 preamble): integer/decimal arithmetic for
+  * every count and money sum; double formulas are written with IDENTICAL
+  * parenthesization in the Spark plan and the DuckDB oracle, with named
+  * intermediates where an expression is reused (squaring a quotient, the
+  * pooled standard error) so both engines square/divide the same IEEE64
+  * value; results are rounded to 6dp (9dp inside the PageRank loop) before
+  * ranking or output; every query ends in a total ordering.
+  */
+object GroupDepth {
+
+  val defs: Seq[Q] = Seq(
+    // Cohort retention matrix — the activation dashboard every event
+    // pipeline feeds: users cohorted by first-seen day, distinct active
+    // users per (cohort, day-offset ≤ 7). Two shuffles, both on user_id
+    // (first-day agg, then the activity join), then one count-distinct agg;
+    // at 100 TB the cohort map is a per-user scalar carried by one
+    // partitioning.
+    q("window_retention_cohort",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |coh AS (SELECT user_id, min(d) AS cd FROM act GROUP BY 1)
+        |SELECT coh.cd AS cohort_day, CAST(act.d - coh.cd AS INT) AS offset_d,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN coh ON act.user_id = coh.user_id
+        |WHERE CAST(act.d - coh.cd AS INT) <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val act = T.t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val coh = act.groupBy("user_id").agg(min(col("d")).as("cd"))
+      act.join(coh, "user_id")
+        .withColumn("offset_d", datediff(col("d"), col("cd")).cast(IntegerType))
+        .filter(col("offset_d") <= 7)
+        .groupBy(col("cd").as("cohort_day"), col("offset_d"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy("cohort_day", "offset_d")
+    },
+
+    // Daily-volume anomaly flags — z-score of per-day purchase counts
+    // against the full-period mean/std. The moments come from exact integer
+    // power sums (S1, S2 over bigint counts), so mean and std are single
+    // IEEE ops on bit-identical operands; z is rounded to 6dp. One agg +
+    // one broadcast of the 1-row stats — the 100 TB shape for "flag the
+    // weird days" monitoring.
+    q("dq_anomaly_zscore",
+      """WITH daily AS (
+        |  SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(c) AS s1, sum(c * c) AS s2 FROM daily),
+        |sc AS (SELECT d, c,
+        |    CAST(s1 AS DOUBLE) / n AS mean,
+        |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS std
+        |  FROM daily CROSS JOIN st)
+        |SELECT d, c, round((CAST(c AS DOUBLE) - mean) / std, 6) AS z,
+        |  CASE WHEN abs((CAST(c AS DOUBLE) - mean) / std) > 2 THEN 1 ELSE 0 END AS is_anomaly
+        |FROM sc ORDER BY d""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum("c").as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      val z = (col("c").cast(DoubleType) - col("mean")) / col("std")
+      daily.crossJoin(broadcast(st))
+        .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
+        .withColumn("std", sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType)) / col("n"))
+        .select(col("d"), col("c"), round(z, 6).as("z"),
+          when(abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+        .orderBy("d")
+    },
+
+    // Welch's unequal-variance t-test between purchase and view values —
+    // the A/B-significance primitive a data pipeline runs after every
+    // experiment. Sample moments come from exact DECIMAL power sums
+    // (value is exact 2dp; value² exact 4dp), so means/variances are
+    // deterministic doubles; the t statistic and Welch–Satterthwaite df
+    // reuse named intermediates (a1 = v1/n1, a2 = v2/n2) so both engines
+    // square identical values. Single scan, one conditional aggregate.
+    q("stat_ttest_welch",
+      """WITH g AS (SELECT
+        |    count(*) FILTER (WHERE event_type = 'purchase') AS n1,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s1a,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s2a,
+        |    count(*) FILTER (WHERE event_type = 'view') AS n2,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS s1b,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS s2b
+        |  FROM events),
+        |m AS (SELECT n1, n2,
+        |    s1a / n1 AS m1, s1b / n2 AS m2,
+        |    (s2a - (s1a * s1a) / n1) / (n1 - 1) AS v1,
+        |    (s2b - (s1b * s1b) / n2) / (n2 - 1) AS v2
+        |  FROM g),
+        |a AS (SELECT n1, n2, m1, m2, v1, v2, v1 / n1 AS a1, v2 / n2 AS a2 FROM m)
+        |SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |  round((m1 - m2) / sqrt(a1 + a2), 6) AS t_stat,
+        |  round(((a1 + a2) * (a1 + a2)) / ((a1 * a1) / (n1 - 1) + (a2 * a2) / (n2 - 1)), 6) AS df_welch
+        |FROM a""") { (s, dir) =>
+      def d2(c: Column) = c.cast(T.dec)
+      val v = col("value")
+      val g = T.t(s, dir, "events").agg(
+        count(when(col("event_type") === "purchase", 1)).as("n1"),
+        sum(when(col("event_type") === "purchase", d2(v))).cast(DoubleType).as("s1a"),
+        sum(when(col("event_type") === "purchase", d2(v) * d2(v))).cast(DoubleType).as("s2a"),
+        count(when(col("event_type") === "view", 1)).as("n2"),
+        sum(when(col("event_type") === "view", d2(v))).cast(DoubleType).as("s1b"),
+        sum(when(col("event_type") === "view", d2(v) * d2(v))).cast(DoubleType).as("s2b"))
+      g.withColumn("m1", col("s1a") / col("n1"))
+        .withColumn("m2", col("s1b") / col("n2"))
+        .withColumn("v1", (col("s2a") - (col("s1a") * col("s1a")) / col("n1")) / (col("n1") - 1))
+        .withColumn("v2", (col("s2b") - (col("s1b") * col("s1b")) / col("n2")) / (col("n2") - 1))
+        .withColumn("a1", col("v1") / col("n1"))
+        .withColumn("a2", col("v2") / col("n2"))
+        .select(col("n1"), col("n2"),
+          round(col("m1"), 6).as("mean1"), round(col("m2"), 6).as("mean2"),
+          round((col("m1") - col("m2")) / sqrt(col("a1") + col("a2")), 6).as("t_stat"),
+          round(((col("a1") + col("a2")) * (col("a1") + col("a2")))
+            / ((col("a1") * col("a1")) / (col("n1") - 1)
+              + (col("a2") * col("a2")) / (col("n2") - 1)), 6).as("df_welch"))
+    },
+
+    // Weighted PageRank over the nation trade graph (customer-nation →
+    // supplier-nation, edge weight = lineitem count). The iterative shape
+    // is the point: edge derivation is one star join materialized ONCE
+    // (localCheckpoint truncates lineage so 5 iterations don't re-run it),
+    // then each iteration is one contribution-join + per-node sum. The
+    // ENTIRE loop runs in integer nano-rank units (rank × 1e9 as BIGINT,
+    // floor division for the out-weight split and the 0.85 damping), so
+    // every iteration is bit-exact on any engine and any partitioning —
+    // no float round anywhere inside the loop (a 9dp double re-round
+    // diverged: DuckDB rounds doubles via x·1e9 float math, Spark via
+    // BigDecimal). Dangling mass is dropped (classic simplified PR)
+    // identically on both sides; the final display division is one IEEE
+    // op on identical integers.
+    q("graph_pagerank", {
+      val iter = (p: Int, c: Int) =>
+        s"""p$c AS (SELECT n.node, 6000000 + (85 * coalesce((
+           |    SELECT sum((p.nr * e.w) // e.ow)
+           |    FROM e JOIN p$p p ON p.node = e.src WHERE e.dst = n.node), 0)) // 100 AS nr
+           |  FROM n)""".stripMargin
+      s"""WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |outw AS (SELECT src, sum(w) AS ow FROM e0 GROUP BY 1),
+         |e AS (SELECT e0.src, e0.dst, e0.w, outw.ow FROM e0 JOIN outw ON e0.src = outw.src),
+         |n AS (SELECT n_nationkey AS node FROM nation),
+         |p0 AS (SELECT node, CAST(40000000 AS BIGINT) AS nr FROM n),
+         |${iter(0, 1)},
+         |${iter(1, 2)},
+         |${iter(2, 3)},
+         |${iter(3, 4)},
+         |${iter(4, 5)}
+         |SELECT node, CAST(nr AS DOUBLE) / 1e9 AS pagerank FROM p5 ORDER BY node"""
+    }) { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val outw = e0.groupBy("src").agg(sum("w").as("ow"))
+      // one materialization of the star join; 25² edges max thereafter
+      val e = e0.join(outw, "src").localCheckpoint()
+      val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      var ranks = n.withColumn("nr", lit(40000000L))
+      for (_ <- 1 to 5) {
+        val contrib = e.join(broadcast(ranks), col("src") === col("node"))
+          .groupBy(col("dst"))
+          .agg(sum(expr("(nr * w) DIV ow")).as("c"))
+        ranks = n.join(broadcast(contrib), col("node") === col("dst"), "left")
+          .select(col("node"),
+            expr("6000000L + (85 * coalesce(c, 0L)) DIV 100").as("nr"))
+      }
+      ranks.select(col("node"),
+          (col("nr").cast(DoubleType) / lit(1e9)).as("pagerank"))
+        .orderBy("node")
+    },
+
+    // Weighted (multiset) Jaccard near-dup — the SURVEY "weighted MinHash"
+    // idea in its exact form: 3-token shingles WITH multiplicity,
+    // J_w = Σ min(cA,cB) / Σ max(cA,cB), threshold 0.8 decided by the exact
+    // integer cross-multiplication 5·Σmin ≥ 4·(lenA+lenB−Σmin). Candidates
+    // come from the same df≥2-pruned inverted index as dedup_ngram_jaccard
+    // (a shingle in one doc can never pair) — index self-join, never
+    // all-pairs.
+    q("dedup_weighted_jaccard",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh0 AS (SELECT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |shc AS (SELECT doc_id, sh, count(*) AS c FROM sh0 GROUP BY 1, 2),
+        |lens AS (SELECT doc_id, sum(c) AS len FROM shc GROUP BY 1),
+        |keep AS (SELECT sh FROM shc GROUP BY sh HAVING count(*) >= 2),
+        |mins AS (SELECT a.doc_id AS ia, b.doc_id AS ib, sum(least(a.c, b.c)) AS smin
+        |  FROM shc a JOIN keep ON a.sh = keep.sh
+        |  JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT ia, ib,
+        |  round(CAST(smin AS DOUBLE) / (la.len + lb.len - smin), 6) AS wjac
+        |FROM mins JOIN lens la ON la.doc_id = ia JOIN lens lb ON lb.doc_id = ib
+        |WHERE 5 * smin >= 4 * (la.len + lb.len - smin)
+        |ORDER BY ia, ib""") { (s, dir) =>
+      val shc = T.t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+      val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("sh")
+      val idx = shc.join(keep, "sh")
+      val mins = idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("ca"))
+        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("c").as("cb")),
+          col("sh") === col("sh2") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(sum(least(col("ca"), col("cb"))).as("smin"))
+      mins
+        .join(lens.select(col("doc_id").as("ia"), col("len").as("la")), "ia")
+        .join(lens.select(col("doc_id").as("ib"), col("len").as("lb")), "ib")
+        .filter(lit(5) * col("smin") >= lit(4) * (col("la") + col("lb") - col("smin")))
+        .select(col("ia"), col("ib"),
+          round(col("smin").cast(DoubleType) / (col("la") + col("lb") - col("smin")), 6).as("wjac"))
+        .orderBy("ia", "ib")
+    },
+
+    // Exact rolling median (7-row frame per user) — the robust smoother
+    // pipelines prefer over means when values spike. Spark evaluates the
+    // exact `percentile` aggregate over the moving frame; DuckDB its
+    // windowed `median` (= quantile_cont 0.5). Both interpolate even-count
+    // frames as lower + frac·(upper−lower) over the same IEEE64 inputs,
+    // and the 6dp round collapses any last-ulp difference. One shuffle on
+    // user_id.
+    q("window_rolling_median",
+      """SELECT event_id, user_id,
+        |  round(median(value) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6) AS med7
+        |FROM events ORDER BY event_id LIMIT 2000""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      T.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          round(expr("percentile(value, 0.5)").over(w), 6).as("med7"))
+        .orderBy("event_id")
+        .limit(2000)
+    },
+
+    // Incremental watermark ingest — the only-new-rows pattern every
+    // periodic 100 TB load runs: the committed high-water mark (max ts of
+    // the already-loaded half) gates the next batch; output audits the
+    // newly ingested rows per day. The watermark is a 1-row broadcast; the
+    // batch filter is a scan-level predicate.
+    q("etl_incremental_watermark",
+      """WITH wm AS (SELECT max(ts) AS w FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00'),
+        |nw AS (SELECT CAST(ts AS DATE) AS d FROM events, wm WHERE ts > wm.w)
+        |SELECT d, count(*) AS n_new,
+        |  (SELECT epoch_us(w) // 1000000 FROM wm) AS watermark_s
+        |FROM nw GROUP BY d ORDER BY d""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val wm = ev.filter(col("ts") < lit("2024-01-15 00:00:00").cast(TimestampNTZType))
+        .agg(max("ts").as("w"))
+      ev.crossJoin(broadcast(wm))
+        .filter(col("ts") > col("w"))
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("n_new"),
+          first(expr("unix_micros(cast(w as timestamp)) DIV 1000000")).as("watermark_s"))
+        .orderBy("d")
+    },
+
+    // Two-stage ANN rerank — the production serving shape: a cheap int8
+    // quantized dot (codegen'd vec_dot_int) ranks the whole corpus, the
+    // exact double dot re-scores only the top-50 survivors, and the final
+    // top-5 equals brute force (coarse recall attested at all 3 scales by
+    // DepthSpec — the quantization error bound ≪ the 5th/50th margin).
+    // Exact-dot evaluations drop from |corpus| to 50 per query.
+    q("vector_rerank_two_stage",
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id >= 20 AND vec_id < 40),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 40),
+        |s AS (SELECT q_id, c_id, round(list_dot_product(qe, ce), 6) AS sim FROM q CROSS JOIN c)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      def quant(c: Column) = transform(c, x => floor(x * 127.0 + 0.5).cast(IntegerType))
+      val e = T.t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          quant(col("embedding")).as("qq"))
+      val cs = e.filter(col("vec_id") >= 40)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+          quant(col("embedding")).as("cq"))
+      val coarse = cs.crossJoin(broadcast(qs))
+        .withColumn("isim", call_function("vec_dot_int", col("qq"), col("cq")))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("isim").desc, col("c_id"))))
+        .filter(col("crnk") <= 50)
+      coarse
+        .withColumn("sim", round(call_function("vec_dot", col("qe"), col("ce")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))).cast(IntegerType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    },
+
+    // Catalog introspection — dbsuite's heart (SYSCAT extraction → object
+    // model): every fixture table's columns with ordinal and type, as a
+    // relation. The Spark side walks the live Dataset schemas and maps
+    // Catalyst types to portable SQL names; the oracle reads DuckDB's
+    // information_schema over the same parquet — agreeing output IS the
+    // cross-engine type-mapping table.
+    q("catalog_profile_tables", {
+      val tabs = Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+      s"""SELECT table_name AS tbl, CAST(ordinal_position AS INT) AS ord,
+         |  column_name AS col_name, data_type AS dtype
+         |FROM information_schema.columns
+         |WHERE table_name IN (${tabs.map(t => s"'$t'").mkString(", ")})
+         |ORDER BY tbl, ord"""
+    }) { (s, dir) =>
+      val tabs = Seq("customer", "documents", "embeddings", "events", "lineitem",
+        "nation", "orders", "part", "region", "supplier")
+      def duckName(dt: DataType): String = dt match {
+        case LongType => "BIGINT"
+        case IntegerType => "INTEGER"
+        case DoubleType => "DOUBLE"
+        case FloatType => "FLOAT"
+        case StringType => "VARCHAR"
+        case DateType => "DATE"
+        case _: TimestampType | _: TimestampNTZType => "TIMESTAMP"
+        case ArrayType(e, _) => duckName(e) + "[]"
+        case other => other.sql
+      }
+      import s.implicits._
+      tabs.flatMap { tb =>
+        T.t(s, dir, tb).schema.fields.zipWithIndex.map { case (f, i) =>
+          (tb, i + 1, f.name, duckName(f.dataType))
+        }
+      }.toDF("tbl", "ord", "col_name", "dtype")
+        .orderBy("tbl", "ord")
+    },
+
+    // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
+    // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
+    // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share
+    // business logic). The macro bands order totals; the oracle inlines the
+    // same CASE.
+    q("udf_sql_macro",
+      """SELECT CASE WHEN o_totalprice < 50000 THEN 'low'
+        |    WHEN o_totalprice < 150000 THEN 'mid' ELSE 'high' END AS band,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      s.sql("""CREATE OR REPLACE TEMPORARY FUNCTION graft_price_band(p DOUBLE)
+              |RETURNS STRING
+              |RETURN CASE WHEN p < 50000 THEN 'low'
+              |  WHEN p < 150000 THEN 'mid' ELSE 'high' END""".stripMargin)
+      T.t(s, dir, "orders").createOrReplaceTempView("graft_sqludf_orders")
+      s.sql("""SELECT graft_price_band(o_totalprice) AS band, count(*) AS n,
+              |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+              |FROM graft_sqludf_orders GROUP BY 1 ORDER BY 1""".stripMargin)
+    }
+  )
+}

