@@ -359,6 +359,186 @@ object GroupDepth {
         .orderBy("tbl", "ord")
     },
 
+    // RAG retrieval prep — the end-to-end shape a training/serving pipeline
+    // runs: join documents to their embeddings (doc_id ≡ vec_id), retrieve
+    // top-3 similar docs per query doc with the codegen'd exact dot, and
+    // join the neighbor's text metadata back on. Queries broadcast over the
+    // corpus; the metadata join is a second broadcast of the tiny result.
+    q("pipeline_rag_retrieval",
+      """WITH de AS (SELECT d.doc_id, d.lang, d.source, e.embedding::DOUBLE[] AS emb
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+        |q AS (SELECT doc_id AS q_id, emb AS qe FROM de WHERE doc_id < 10),
+        |c AS (SELECT doc_id AS c_id, lang, source, emb AS ce FROM de WHERE doc_id >= 10),
+        |s AS (SELECT q_id, c_id, lang, source, round(list_dot_product(qe, ce), 6) AS sim
+        |  FROM q CROSS JOIN c)
+        |SELECT q_id, rnk, c_id, sim, lang, source FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk
+        |  FROM s)
+        |WHERE rnk <= 3 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val de = T.t(s, dir, "documents").select("doc_id", "lang", "source")
+        .join(T.t(s, dir, "embeddings").select(col("vec_id"), col("embedding")),
+          col("doc_id") === col("vec_id"))
+      val qs = de.filter(col("doc_id") < 10)
+        .select(col("doc_id").as("q_id"), col("embedding").as("qe"))
+      val cs = de.filter(col("doc_id") >= 10)
+        .select(col("doc_id").as("c_id"), col("lang"), col("source"),
+          col("embedding").as("ce"))
+      cs.crossJoin(broadcast(qs))
+        .withColumn("sim", round(call_function("vec_dot", col("qe"), col("ce")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select("q_id", "rnk", "c_id", "sim", "lang", "source")
+        .orderBy("q_id", "rnk")
+    },
+
+    // Near-containment detection — training-data decontamination's core
+    // test: is ≥90% of the SMALLER document's shingle set inside the
+    // larger's? Catches quotes/subsets that symmetric Jaccard misses
+    // (a small doc embedded in a big one has low Jaccard but containment
+    // 1.0). Same df≥2-pruned inverted index as the Jaccard family; the
+    // threshold is the exact integer cross-multiplication 10·c ≥ 9·min(na,nb).
+    q("dedup_containment",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents
+        |  WHERE len(string_split(text,' ')) >= 3),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN keep ON a.sh = keep.sh
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT ia, ib,
+        |  round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+        |WHERE 10 * c >= 9 * least(sa.n, sb.n)
+        |ORDER BY ia, ib""") { (s, dir) =>
+      val sh = GroupText.shingleRows(s, dir)
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("sh")
+      val idx = sh.join(keep, "sh")
+      val common = idx.select(col("doc_id").as("ia"), col("sh"))
+        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      common
+        .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+        .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .filter(lit(10) * col("c") >= lit(9) * least(col("na"), col("nb")))
+        .select(col("ia"), col("ib"),
+          round(col("c").cast(DoubleType) / least(col("na"), col("nb")), 6).as("containment"))
+        .orderBy("ia", "ib")
+    },
+
+    // Sessionized conversion rate — the product metric behind every funnel:
+    // 30-min-gap sessions (lag-gap → cumulative sum, the stream_session_window
+    // batch form), a per-session purchase flag, then conversion per
+    // session-start day. All shuffles share the user_id key until the final
+    // small per-day agg; the rate is one IEEE division of exact counts.
+    q("window_session_conversion",
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |        PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000
+        |      OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |sess AS (SELECT *, sum(brk) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM g),
+        |per AS (SELECT user_id, sid,
+        |    CAST(min(ts) AS DATE) AS start_day,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT start_day, count(*) AS n_sessions, sum(conv) AS n_converted,
+        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+        |FROM per GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val g = T.t(s, dir, "events")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("brk",
+          when(col("prev").isNull ||
+            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev as timestamp))") > 1800000000L, 1)
+            .otherwise(0))
+      val sess = g.withColumn("sid",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sess.groupBy("user_id", "sid")
+        .agg(to_date(min(col("ts"))).as("start_day"),
+          max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .groupBy("start_day")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"),
+          round(sum(col("conv")).cast(DoubleType) / count(lit(1)), 6).as("conv_rate"))
+        .orderBy("start_day")
+    },
+
+    // Profile drift monitor — the scheduled check that catches silent
+    // upstream changes: per-event_type row counts and exact-decimal value
+    // means for the first half (days ≤ 15) vs the second, with a drift
+    // flag when the volume ratio leaves [0.8, 1.25] (integer
+    // cross-multiplied — no float compare). One scan, conditional
+    // aggregates, 5-row output.
+    q("dq_profile_drift",
+      """WITH h AS (SELECT event_type,
+        |    CASE WHEN CAST(ts AS DATE) <= DATE '2024-01-15' THEN 0 ELSE 1 END AS half,
+        |    CAST(value AS DECIMAL(18,2)) AS v
+        |  FROM events),
+        |agg AS (SELECT event_type,
+        |    count(*) FILTER (WHERE half = 0) AS n_a,
+        |    count(*) FILTER (WHERE half = 1) AS n_b,
+        |    CAST(sum(v) FILTER (WHERE half = 0) AS DOUBLE) AS s_a,
+        |    CAST(sum(v) FILTER (WHERE half = 1) AS DOUBLE) AS s_b
+        |  FROM h GROUP BY 1)
+        |SELECT event_type, n_a, n_b,
+        |  round(s_a / n_a, 6) AS mean_a, round(s_b / n_b, 6) AS mean_b,
+        |  CASE WHEN 5 * n_b < 4 * n_a OR 4 * n_b > 5 * n_a THEN 1 ELSE 0 END AS volume_drift
+        |FROM agg ORDER BY event_type""") { (s, dir) =>
+      val h = T.t(s, dir, "events")
+        .withColumn("half",
+          when(to_date(col("ts")) <= lit("2024-01-15").cast(DateType), 0).otherwise(1))
+        .withColumn("v", col("value").cast(T.dec))
+      h.groupBy("event_type")
+        .agg(count(when(col("half") === 0, 1)).as("n_a"),
+          count(when(col("half") === 1, 1)).as("n_b"),
+          sum(when(col("half") === 0, col("v"))).cast(DoubleType).as("s_a"),
+          sum(when(col("half") === 1, col("v"))).cast(DoubleType).as("s_b"))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          round(col("s_a") / col("n_a"), 6).as("mean_a"),
+          round(col("s_b") / col("n_b"), 6).as("mean_b"),
+          when(lit(5) * col("n_b") < lit(4) * col("n_a")
+            || lit(4) * col("n_b") > lit(5) * col("n_a"), 1).otherwise(0).as("volume_drift"))
+        .orderBy("event_type")
+    },
+
+    // Sliding exact distinct — distinct users over a trailing 7-day window
+    // per day, computed the scale-safe way: each active (user, day) fact is
+    // replicated to the ≤7 window-end days it can serve (a constant
+    // fan-out, like the interval-bucketed join), then one count-distinct
+    // per day. No per-day rescan, no window-of-sets state; the shuffle key
+    // is the day.
+    q("window_sliding_distinct_users",
+      """WITH act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |span AS (SELECT min(d) AS d0, max(d) AS d1 FROM act),
+        |rep AS (SELECT a.user_id, a.d + CAST(x.o AS INT) AS wd
+        |  FROM act a CROSS JOIN (SELECT unnest(range(7)) AS o) x, span
+        |  WHERE a.d + CAST(x.o AS INT) <= span.d1)
+        |SELECT wd AS day_end, count(DISTINCT user_id) AS users_7d
+        |FROM rep GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val act = T.t(s, dir, "events")
+        .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      val span = act.agg(max(col("d")).as("d1"))
+      act.crossJoin(broadcast(span))
+        .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("o"),
+          col("d"), col("d1"))
+        .withColumn("wd", date_add(col("d"), col("o")))
+        .filter(col("wd") <= col("d1"))
+        .groupBy(col("wd").as("day_end"))
+        .agg(countDistinct(col("user_id")).as("users_7d"))
+        .orderBy("day_end")
+    },
+
     // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
     // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
     // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share

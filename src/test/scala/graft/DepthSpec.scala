@@ -76,6 +76,36 @@ class DepthSpec extends AnyFunSuite {
     assert(m(("customer", "c_custkey")) == "BIGINT")
   }
 
+  test("window_sliding_distinct_users: replicated-fact shape equals naive" +
+    " per-day recompute") {
+    val act = T.t(s, sf, "events")
+      .select(col("user_id"), to_date(col("ts")).as("d")).distinct()
+      .collect().map(r => (r.getLong(0), r.getDate(1).toLocalDate))
+    val days = act.map(_._2).distinct.sorted(Ordering.by((d: java.time.LocalDate) => d.toEpochDay))
+    val naive = days.map { d =>
+      d -> act.filter { case (_, ad) =>
+        !ad.isAfter(d) && !ad.isBefore(d.minusDays(6))
+      }.map(_._1).distinct.length.toLong
+    }.toMap
+    val got = run("window_sliding_distinct_users").collect()
+      .map(r => (r.getDate(0).toLocalDate, r.getLong(1))).toMap
+    assert(got == naive)
+  }
+
+  test("dedup_containment: every pair is >= 0.9 contained and includes the" +
+    " symmetric near-dup pairs") {
+    val rows = run("dedup_containment").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("containment") >= 0.9))
+    // symmetric near-dups (Jaccard >= 0.8 is close to containment >= 0.9
+    // only at equality 1.0): exact Jaccard-1.0 pairs must appear here too
+    val jac1 = run("dedup_ngram_jaccard").collect()
+      .filter(_.getAs[Double]("jac") == 1.0)
+      .map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    val cont = rows.map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))).toSet
+    assert(jac1.subsetOf(cont), s"missing=${jac1 -- cont}")
+  }
+
   test("stat_ttest_welch: t-statistic magnitude consistent with a recompute" +
     " from per-group exact moments") {
     val r = run("stat_ttest_welch").collect().head
