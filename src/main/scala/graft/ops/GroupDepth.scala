@@ -539,6 +539,151 @@ object GroupDepth {
         .orderBy("day_end")
     },
 
+    // Pareto / cumulative-share curve — "which customers are 80% of
+    // revenue": per-customer exact decimal revenue, ranked desc, running
+    // share of the total. The running sum is decimal (exact at any
+    // partitioning); only the final share divides two exact decimals as
+    // doubles. One agg + one window pass + a 1-row broadcast total.
+    q("window_cumulative_share",
+      """WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
+        |  FROM orders GROUP BY 1),
+        |tot AS (SELECT sum(rev) AS t FROM per),
+        |ranked AS (SELECT o_custkey, rev,
+        |    CAST(row_number() OVER (ORDER BY rev DESC, o_custkey) AS INT) AS rnk,
+        |    sum(rev) OVER (ORDER BY rev DESC, o_custkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
+        |  FROM per)
+        |SELECT rnk, o_custkey, CAST(rev AS DOUBLE) AS rev,
+        |  round(CAST(crev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS cum_share
+        |FROM ranked CROSS JOIN tot WHERE rnk <= 100 ORDER BY rnk""") { (s, dir) =>
+      val per = T.t(s, dir, "orders")
+        .groupBy("o_custkey").agg(sum(col("o_totalprice").cast(T.dec)).as("rev"))
+      val tot = per.agg(sum("rev").as("t"))
+      val wOrd = Window.orderBy(col("rev").desc, col("o_custkey"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("rnk", row_number().over(wOrd).cast(IntegerType))
+        .withColumn("crev", sum(col("rev")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .filter(col("rnk") <= 100)
+        .select(col("rnk"), col("o_custkey"), col("rev").cast(DoubleType).as("rev"),
+          round(col("crev").cast(DoubleType) / col("t").cast(DoubleType), 6).as("cum_share"))
+        .orderBy("rnk")
+    },
+
+    // Gini concentration coefficient of customer revenue — the inequality
+    // summary behind "how skewed is our data": G = (2·Σ i·xᵢ)/(n·Σxᵢ)
+    // − (n+1)/n over revenues sorted ASC with integer ranks. Revenues are
+    // integer CENTS (G is invariant to the ×100 scaling), so every sum is
+    // exact BIGINT arithmetic — no decimal-precision capping (Spark trims
+    // scale on wide decimal products) and both engines divide identical
+    // operands. Per-nation grouping keeps the rank window keyed. 6dp round.
+    q("agg_gini_concentration",
+      """WITH per AS (SELECT c.c_nationkey AS nk, o.o_custkey,
+        |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT nk, cents,
+        |    row_number() OVER (PARTITION BY nk ORDER BY cents, o_custkey) AS i
+        |  FROM per),
+        |g AS (SELECT nk, count(*) AS n,
+        |    CAST(sum(cents) AS DOUBLE) AS sx,
+        |    CAST(sum(i * cents) AS DOUBLE) AS six
+        |  FROM rk GROUP BY 1)
+        |SELECT nk, n,
+        |  round((2.0 * six) / (n * sx) - (CAST(n + 1 AS DOUBLE)) / n, 6) AS gini
+        |FROM g ORDER BY nk""") { (s, dir) =>
+      val per = T.t(s, dir, "orders")
+        .join(T.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey"))
+        .agg((sum(col("o_totalprice").cast(T.dec)) * 100).cast(LongType).as("cents"))
+      val rk = per.withColumn("i", row_number().over(
+        Window.partitionBy("nk").orderBy(col("cents"), col("o_custkey"))))
+      rk.groupBy("nk")
+        .agg(count(lit(1)).as("n"),
+          sum(col("cents")).cast(DoubleType).as("sx"),
+          sum(col("i") * col("cents")).cast(DoubleType).as("six"))
+        .select(col("nk"), col("n"),
+          round((lit(2.0) * col("six")) / (col("n") * col("sx"))
+            - (col("n") + 1).cast(DoubleType) / col("n"), 6).as("gini"))
+        .orderBy("nk")
+    },
+
+    // Bigram language-model table — next-word prediction the counting way:
+    // P(w2|w1) = c(w1,w2)/c(w1,·) for the 10 most frequent first words,
+    // top-3 continuations each. Probabilities are one IEEE division of
+    // exact counts, 6dp-rounded; ranks tie-break lexicographically. The
+    // explode→count→window shape is the n-gram LM build at any corpus size.
+    q("text_ngram_lm_nextword",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents
+        |  WHERE len(string_split(text,' ')) >= 2),
+        |bg0 AS (SELECT unnest(list_transform(range(len(arr)-1),
+        |    i -> arr[i+1] || ' ' || arr[i+2])) AS b FROM dd),
+        |c2 AS (SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*) AS c FROM bg0 GROUP BY 1, 2),
+        |c1 AS (SELECT w1, sum(c) AS tot FROM c2 GROUP BY 1),
+        |top1 AS (SELECT w1, tot FROM (SELECT w1, tot,
+        |    row_number() OVER (ORDER BY tot DESC, w1) AS rn FROM c1) WHERE rn <= 10),
+        |nxt AS (SELECT c2.w1, c2.w2, c2.c, top1.tot,
+        |    CAST(row_number() OVER (PARTITION BY c2.w1 ORDER BY c2.c DESC, c2.w2) AS INT) AS rnk
+        |  FROM c2 JOIN top1 ON c2.w1 = top1.w1)
+        |SELECT w1, rnk, w2, c, round(CAST(c AS DOUBLE) / tot, 6) AS p
+        |FROM nxt WHERE rnk <= 3 ORDER BY w1, rnk""") { (s, dir) =>
+      val bg = T.t(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks)-2), i -> struct(toks[i] as w1, toks[i+1] as w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+      val c1 = c2.groupBy("w1").agg(sum("c").as("tot"))
+      val top1 = c1.withColumn("rn", row_number().over(
+        Window.orderBy(col("tot").desc, col("w1")))).filter(col("rn") <= 10)
+        .select("w1", "tot")
+      c2.join(broadcast(top1), "w1")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))).cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select(col("w1"), col("rnk"), col("w2"), col("c"),
+          round(col("c").cast(DoubleType) / col("tot"), 6).as("p"))
+        .orderBy("w1", "rnk")
+    },
+
+    // Tolerance-bounded as-of — sensor-style enrichment: each purchase
+    // takes the most recent prior click of the same user ONLY if it is
+    // within 1 hour; older matches become NULL instead of stale joins.
+    // Same single window pass as join_asof (one user-keyed shuffle), the
+    // tolerance applied as an integer-microsecond postfilter on the
+    // carried timestamp.
+    q("join_asof_tolerance",
+      """WITH base AS (SELECT event_id, user_id, ts, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |w AS (SELECT event_id, user_id, ts, event_type,
+        |    max(CASE WHEN event_type = 'click' THEN ts END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS bts
+        |  FROM base)
+        |SELECT event_id, user_id, ts,
+        |  CASE WHEN bts IS NOT NULL AND epoch_us(ts) - epoch_us(bts) <= 3600000000
+        |    THEN bts END AS click_ts,
+        |  CASE WHEN bts IS NOT NULL AND epoch_us(ts) - epoch_us(bts) <= 3600000000
+        |    THEN (epoch_us(ts) - epoch_us(bts)) // 1000000 END AS age_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""") { (s, dir) =>
+      val wB = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select("event_id", "user_id", "ts", "event_type")
+        .withColumn("bts", max(when(col("event_type") === "click", col("ts"))).over(wB))
+        .filter(col("event_type") === "purchase")
+        .withColumn("d_us",
+          expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(bts as timestamp))"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(col("bts").isNotNull && col("d_us") <= 3600000000L, col("bts")).as("click_ts"),
+          when(col("bts").isNotNull && col("d_us") <= 3600000000L,
+            expr("d_us DIV 1000000")).as("age_s"))
+        .orderBy("event_id")
+    },
+
     // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
     // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
     // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share

