@@ -368,4 +368,85 @@ object Pipelines {
         col("_nStop") * lit(1000) <= col("_nTok") * lit((maxStopRatio * 1000).toInt))
       .drop("_toks", "_nTok", "_nStop")
   }
+
+  /** Near-containment pairs (ia < ib): fraction of the SMALLER document's
+    * shingle set inside the larger ≥ `threshold` — the asymmetric
+    * decontamination test symmetric Jaccard misses (a doc quoted inside a
+    * bigger one has low Jaccard but containment ~1). Same df≥2-pruned
+    * inverted-index self-join as [[nearDupPairs]]; the threshold is decided
+    * by an exact integer cross-multiplication. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("sh")
+    val idx = sh.join(keep, "sh")
+    val thNum = math.round(threshold * 1000)
+    idx.select(col("doc_id").as("ia"), col("sh"))
+      .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
+      .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+      .filter(lit(1000) * col("c") >= lit(thNum) * least(col("na"), col("nb")))
+      .select(col("ia"), col("ib"),
+        (col("c").cast(DoubleType) / least(col("na"), col("nb"))).as("containment"))
+  }
+
+  /** Two-stage ANN top-k: int8-quantized dot (codegen'd `vec_dot_int`)
+    * ranks all candidates, the exact double dot re-scores only the top
+    * `coarseK` survivors. Equal to brute force whenever the quantization
+    * error (≤ ~0.07 for unit vectors) is under the coarseK-th margin —
+    * attest on a sample before trusting a new corpus. Exact-dot cost drops
+    * from |candidates| to coarseK per query. */
+  def cosineTopKReranked(queries: DataFrame, candidates: DataFrame,
+                         qIdCol: String, cIdCol: String, vecCol: String,
+                         k: Int, coarseK: Int = 50): DataFrame = {
+    def quant(c: Column) = transform(c, x => floor(x * 127.0 + 0.5).cast(IntegerType))
+    val qs = queries.select(col(qIdCol).as("q_id"), col(vecCol).as("_qv"),
+      quant(col(vecCol)).as("_qq"))
+    val cs = candidates.select(col(cIdCol).as("c_id"), col(vecCol).as("_cv"),
+      quant(col(vecCol)).as("_cq"))
+    cs.crossJoin(broadcast(qs))
+      .withColumn("_isim", call_function("vec_dot_int", col("_qq"), col("_cq")))
+      .withColumn("_crnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("_isim").desc, col("c_id"))))
+      .filter(col("_crnk") <= coarseK)
+      .withColumn("sim", round(call_function("vec_dot", col("_qv"), col("_cv")), 6))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "sim")
+  }
+
+  /** Cohort retention matrix: users cohorted by first-seen day of `tsCol`,
+    * distinct active users per (cohort_day, day offset ≤ maxOffset). */
+  def retentionMatrix(events: DataFrame, keyCol: String, tsCol: String,
+                      maxOffset: Int = 7): DataFrame = {
+    val act = events.select(col(keyCol).as("_k"), to_date(col(tsCol)).as("_d")).distinct()
+    val coh = act.groupBy("_k").agg(min(col("_d")).as("_cd"))
+    act.join(coh, "_k")
+      .withColumn("offset_d", datediff(col("_d"), col("_cd")).cast("int"))
+      .filter(col("offset_d") <= maxOffset)
+      .groupBy(col("_cd").as("cohort_day"), col("offset_d"))
+      .agg(countDistinct(col("_k")).as("n_users"))
+  }
+
+  /** Trailing-window exact distinct per day: each (key, day) fact is
+    * replicated to the ≤ `windowDays` window-end days it can serve — a
+    * constant fan-out instead of a per-day rescan — then one
+    * count-distinct keyed by day. */
+  def slidingDistinct(events: DataFrame, keyCol: String, tsCol: String,
+                      windowDays: Int = 7): DataFrame = {
+    val act = events.select(col(keyCol).as("_k"), to_date(col(tsCol)).as("_d")).distinct()
+    val span = act.agg(max(col("_d")).as("_d1"))
+    act.crossJoin(broadcast(span))
+      .select(col("_k"), explode(sequence(lit(0), lit(windowDays - 1))).as("_o"),
+        col("_d"), col("_d1"))
+      .withColumn("day_end", date_add(col("_d"), col("_o")))
+      .filter(col("day_end") <= col("_d1"))
+      .groupBy("day_end")
+      .agg(countDistinct(col("_k")).as(s"distinct_${windowDays}d"))
+  }
 }

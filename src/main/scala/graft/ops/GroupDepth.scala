@@ -217,12 +217,19 @@ object GroupDepth {
         |FROM mins JOIN lens la ON la.doc_id = ia JOIN lens lb ON lb.doc_id = ib
         |WHERE 5 * smin >= 4 * (la.len + lb.len - smin)
         |ORDER BY ia, ib""") { (s, dir) =>
-      val shc = T.t(s, dir, "documents")
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
-        .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+      // multiset shingle-count inverted index, staged once per (JVM, sf)
+      // like the distinct-shingle index — at 100 TB this is a persisted
+      // table shared by every weighted-similarity consumer
+      val stage = T.staged("wshingle", dir) { o =>
+        T.t(s, dir, "documents")
+          .withColumn("toks", split(col("text"), " "))
+          .filter(size(col("toks")) >= 3)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")).as("sh"))
+          .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+          .write.mode("overwrite").parquet(o)
+      }
+      val shc = s.read.parquet(stage)
       val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
       val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2).select("sh")

@@ -139,4 +139,40 @@ class PipelinesSpec extends AnyFunSuite {
       .count()
     assert(kept == expected)
   }
+
+  test("containmentPairs matches the graded dedup_containment pair set") {
+    val api = graft.api.Pipelines.containmentPairs(docs, "doc_id", "text")
+      .select(col("ia"), col("ib"), round(col("containment"), 6).as("containment"))
+    val graded = SparkEntry.queries("dedup_containment")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("cosineTopKReranked matches the graded two-stage rerank result") {
+    graft.functions.GraftFunctions.register(s)
+    val e = graft.T.t(s, sf, "embeddings")
+    val api = graft.api.Pipelines.cosineTopKReranked(
+      e.filter(col("vec_id") >= 20 && col("vec_id") < 40),
+      e.filter(col("vec_id") >= 40), "vec_id", "vec_id", "embedding", 5)
+      .withColumn("rnk", col("rnk").cast("int"))
+    val graded = SparkEntry.queries("vector_rerank_two_stage")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("retentionMatrix matches window_retention_cohort") {
+    val ev = graft.T.t(s, sf, "events")
+    val api = graft.api.Pipelines.retentionMatrix(ev, "user_id", "ts")
+    val graded = SparkEntry.queries("window_retention_cohort")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("slidingDistinct matches window_sliding_distinct_users") {
+    val ev = graft.T.t(s, sf, "events")
+    val api = graft.api.Pipelines.slidingDistinct(ev, "user_id", "ts")
+    val graded = SparkEntry.queries("window_sliding_distinct_users")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
 }
