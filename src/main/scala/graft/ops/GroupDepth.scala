@@ -691,6 +691,74 @@ object GroupDepth {
         .orderBy("event_id")
     },
 
+    // Inter-arrival time distribution — pipeline telemetry's latency
+    // histogram: per event_type, exact quantiles (p50/p90/p99) of the
+    // integer-second gaps between consecutive events of that type for the
+    // same user. Gaps are exact BIGINTs from one lag window; the quantile
+    // interpolation runs over identical integer inputs in both engines,
+    // 6dp-rounded. Shuffles: one on (user), one small agg on type.
+    q("ts_interarrival_quantiles",
+      """WITH g AS (SELECT event_type,
+        |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
+        |      PARTITION BY user_id, event_type ORDER BY ts, event_id))) // 1000000 AS gap_s
+        |  FROM events),
+        |q AS (SELECT event_type,
+        |    count(gap_s) AS n_gaps,
+        |    round(quantile_cont(gap_s, 0.5), 6) AS p50,
+        |    round(quantile_cont(gap_s, 0.9), 6) AS p90,
+        |    round(quantile_cont(gap_s, 0.99), 6) AS p99
+        |  FROM g WHERE gap_s IS NOT NULL GROUP BY 1)
+        |SELECT * FROM q ORDER BY event_type""") { (s, dir) =>
+      val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+      T.t(s, dir, "events")
+        .withColumn("gap_s", expr(
+          "(unix_micros(cast(ts as timestamp)) - unix_micros(cast(lag(ts) over " +
+            "(partition by user_id, event_type order by ts, event_id) as timestamp))) DIV 1000000"))
+        .filter(col("gap_s").isNotNull)
+        .groupBy("event_type")
+        .agg(count(col("gap_s")).as("n_gaps"),
+          round(expr("percentile(gap_s, 0.5)"), 6).as("p50"),
+          round(expr("percentile(gap_s, 0.9)"), 6).as("p90"),
+          round(expr("percentile(gap_s, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")
+    },
+
+    // Weighted median — the order statistic that respects row mass: per
+    // returnflag, the smallest l_extendedprice whose cumulative quantity
+    // weight reaches half the total. Lower weighted median ⇒ NO
+    // interpolation: the answer is an exact data value picked by exact
+    // integer cumulative sums (quantities are whole units in the
+    // fixtures). One sort-window pass per group + a 1-row-per-group pick.
+    q("agg_weighted_median",
+      """WITH w AS (SELECT l_returnflag AS rf,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS price,
+        |    CAST(l_quantity AS BIGINT) AS qty
+        |  FROM lineitem),
+        |c AS (SELECT rf, price, qty,
+        |    sum(qty) OVER (PARTITION BY rf ORDER BY price, qty
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumw,
+        |    sum(qty) OVER (PARTITION BY rf) AS totw
+        |  FROM w),
+        |pick AS (SELECT rf, CAST(price AS DOUBLE) AS wmedian,
+        |    row_number() OVER (PARTITION BY rf ORDER BY price, qty) AS rn
+        |  FROM c WHERE 2 * cumw >= totw)
+        |SELECT rf, wmedian FROM pick WHERE rn = 1 ORDER BY rf""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_extendedprice").cast(T.dec).as("price"),
+          col("l_quantity").cast(LongType).as("qty"))
+      val byPrice = Window.partitionBy("rf").orderBy("price", "qty")
+      val c = li
+        .withColumn("cumw", sum(col("qty")).over(
+          byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("qty")).over(Window.partitionBy("rf")))
+        .filter(lit(2) * col("cumw") >= col("totw"))
+      c.withColumn("rn", row_number().over(byPrice))
+        .filter(col("rn") === 1)
+        .select(col("rf"), col("price").cast(DoubleType).as("wmedian"))
+        .orderBy("rf")
+    },
+
     // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
     // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
     // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share
