@@ -759,6 +759,156 @@ object GroupDepth {
         .orderBy("rf")
     },
 
+    // Feature hashing (the "hashing trick") — fixed-width bag-of-words
+    // featurization with no vocabulary coordination: token → engine-portable
+    // poly_hash → one of 64 dims, exact integer counts per (doc, dim).
+    // The vocabulary-free property is WHY it scales: no global dictionary
+    // build, no OOV handling — one stateless pass + one count agg. DuckDB
+    // reproduces the hash with a HUGEINT fold, so the features themselves
+    // are oracle-checked.
+    q("text_feature_hashing",
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents WHERE doc_id < 10),
+        |dims AS (SELECT doc_id, CAST((list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(tok)),
+        |        j -> CAST(ascii(substr(tok, CAST(j+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) % 64 AS INT) AS dim
+        |  FROM toks)
+        |SELECT doc_id, dim, count(*) AS cnt
+        |FROM dims GROUP BY 1, 2 ORDER BY doc_id, dim""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      T.t(s, dir, "documents")
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .withColumn("dim",
+          (call_function("poly_hash", col("tok")) % 64).cast(IntegerType))
+        .groupBy("doc_id", "dim").agg(count(lit(1)).as("cnt"))
+        .orderBy("doc_id", "dim")
+    },
+
+    // Closed-form OLS (price-per-quantity line per returnflag) — model
+    // fitting as one aggregate: slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²)
+    // over EXACT integer sums (y in cents, x in whole units), combined in
+    // 128-bit-safe integer space (Spark DECIMAL(38,0), DuckDB HUGEINT) so
+    // both engines divide bit-identical operands. One scan, map-side
+    // combinable — the canonical "train a tiny model on 100 TB" shape.
+    q("ml_linreg_closed_form",
+      """WITH b AS (SELECT l_returnflag AS rf,
+        |    CAST(l_quantity AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+        |  FROM lineitem),
+        |g AS (SELECT rf, count(*) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x * y) AS HUGEINT) AS sxy, CAST(sum(x * x) AS HUGEINT) AS sxx
+        |  FROM b GROUP BY 1)
+        |SELECT rf, n,
+        |  round(CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS slope_cents,
+        |  round((CAST(sy AS DOUBLE) - (CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) / n, 6) AS intercept_cents
+        |FROM g ORDER BY rf""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val b = T.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
+          col("l_quantity").cast(LongType).as("x"),
+          (col("l_extendedprice").cast(T.dec) * 100).cast(LongType).as("y"))
+      val g = b.groupBy("rf")
+        .agg(count(lit(1)).as("n"),
+          sum("x").cast(d38).as("sx"), sum("y").cast(d38).as("sy"),
+          sum(col("x") * col("y")).cast(d38).as("sxy"),
+          sum(col("x") * col("x")).cast(d38).as("sxx"))
+      val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+        (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
+      g.select(col("rf"), col("n"),
+          round(slope, 6).as("slope_cents"),
+          round((col("sy").cast(DoubleType) - slope * col("sx").cast(DoubleType)) / col("n"), 6)
+            .as("intercept_cents"))
+        .orderBy("rf")
+    },
+
+    // Per-key feature standardization — the z-score normalization every
+    // feature pipeline applies before training, per entity: each user's
+    // events standardized against that user's own exact integer-cents
+    // moments (population std). Users with one event or zero variance are
+    // excluded by exact integer predicates. The per-key stats join is the
+    // same user-partitioned shuffle the window family uses.
+    q("ml_feature_standardize",
+      """WITH b AS (SELECT event_id, user_id,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |st AS (SELECT user_id, count(*) AS n, sum(c) AS s1, sum(c * c) AS s2
+        |  FROM b GROUP BY 1),
+        |z AS (SELECT b.event_id, b.user_id,
+        |    round((CAST(b.c AS DOUBLE) - CAST(st.s1 AS DOUBLE) / st.n)
+        |      / (sqrt(CAST(st.n * st.s2 - st.s1 * st.s1 AS DOUBLE)) / st.n), 6) AS z
+        |  FROM b JOIN st ON b.user_id = st.user_id
+        |  WHERE st.n >= 2 AND st.n * st.s2 - st.s1 * st.s1 > 0)
+        |SELECT event_id, user_id, z FROM z ORDER BY event_id LIMIT 2000""") { (s, dir) =>
+      val b = T.t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          (col("value").cast(T.dec) * 100).cast(LongType).as("c"))
+      val st = b.groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+      b.join(st, "user_id")
+        .filter(col("n") >= 2 && col("n") * col("s2") - col("s1") * col("s1") > 0)
+        .select(col("event_id"), col("user_id"),
+          round((col("c").cast(DoubleType) - col("s1").cast(DoubleType) / col("n"))
+            / (sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType)) / col("n")), 6)
+            .as("z"))
+        .orderBy("event_id")
+        .limit(2000)
+    },
+
+    // Point-in-time join — the feature-store correctness primitive: which
+    // VERSION of the customer's state (their cumulative order index) was
+    // current when each lineitem shipped? Versions (orders) and probes
+    // (lineitems) union into ONE stream per custkey ordered by date, a
+    // window carries the last version forward — the as-of machinery, so
+    // no range join, no per-probe scan, one shuffle on the customer key.
+    // Output: how many lineitems shipped under each version number.
+    q("join_point_in_time",
+      """WITH v AS (SELECT o_custkey AS k, CAST(o_orderdate AS DATE) AS d,
+        |    o_orderkey AS tie,
+        |    CAST(row_number() OVER (PARTITION BY o_custkey
+        |      ORDER BY CAST(o_orderdate AS DATE), o_orderkey) AS BIGINT) AS ver,
+        |    0 AS is_probe, CAST(NULL AS DATE) AS pd
+        |  FROM orders),
+        |p AS (SELECT o.o_custkey AS k, CAST(l.l_shipdate AS DATE) AS d,
+        |    l.l_orderkey AS tie, CAST(NULL AS BIGINT) AS ver, 1 AS is_probe,
+        |    CAST(l.l_shipdate AS DATE) AS pd
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+        |u AS (SELECT *, max(ver) OVER (PARTITION BY k
+        |    ORDER BY d, is_probe, tie, ver
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cur_ver
+        |  FROM (SELECT k, d, tie, ver, is_probe, pd FROM v
+        |        UNION ALL SELECT k, d, tie, ver, is_probe, pd FROM p))
+        |SELECT coalesce(cur_ver, 0) AS version, count(*) AS n_lineitems
+        |FROM u WHERE is_probe = 1 GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val orders = T.t(s, dir, "orders")
+      val v = orders
+        .select(col("o_custkey").as("k"), col("o_orderdate").cast(DateType).as("d"),
+          col("o_orderkey").as("tie"))
+        .withColumn("ver", row_number().over(
+          Window.partitionBy("k").orderBy("d", "tie")).cast(LongType))
+        .withColumn("is_probe", lit(0))
+      val p = T.t(s, dir, "lineitem")
+        .join(orders.select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_custkey").as("k"), col("l_shipdate").cast(DateType).as("d"),
+          col("l_orderkey").as("tie"),
+          lit(null).cast(LongType).as("ver"), lit(1).as("is_probe"))
+      val u = v.select("k", "d", "tie", "ver", "is_probe")
+        .unionByName(p)
+        .withColumn("cur_ver", max(col("ver")).over(
+          Window.partitionBy("k").orderBy("d", "is_probe", "tie", "ver")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      u.filter(col("is_probe") === 1)
+        .groupBy(coalesce(col("cur_ver"), lit(0L)).as("version"))
+        .agg(count(lit(1)).as("n_lineitems"))
+        .orderBy("version")
+    },
+
     // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
     // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
     // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share
