@@ -909,6 +909,177 @@ object GroupDepth {
         .orderBy("version")
     },
 
+    // Order-independent table checksum — migration validation's handshake:
+    // per-table row count + the exact sum of per-row portable fingerprints
+    // (poly_hash over '|'-joined key columns). Summing in 128-bit-safe
+    // space (DECIMAL(38,0) ≡ HUGEINT) keeps the checksum exact and
+    // partition-order-independent, so source and target clusters can
+    // compare one row per table instead of re-reading each other's data.
+    q("dq_table_checksum", {
+      def side(t: String, cols: String) =
+        s"""SELECT '$t' AS tbl, count(*) AS n_rows,
+           |  sum(CAST((list_reduce(
+           |    list_concat([CAST(0 AS HUGEINT)],
+           |      list_transform(range(length($cols)),
+           |        j -> CAST(ascii(substr($cols, CAST(j+1 AS INT), 1)) AS HUGEINT))),
+           |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+           |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+           |    % CAST(2305843009213693951 AS HUGEINT) AS HUGEINT))::VARCHAR AS checksum
+           |FROM $t""".stripMargin
+      side("nation", "concat_ws('|', CAST(n_nationkey AS VARCHAR), n_name)") +
+        "\nUNION ALL\n" +
+        side("region", "concat_ws('|', CAST(r_regionkey AS VARCHAR), r_name)") +
+        "\nUNION ALL\n" +
+        side("supplier", "concat_ws('|', CAST(s_suppkey AS VARCHAR), s_name)") +
+        "\nORDER BY tbl"
+    }) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      def side(t: String, cols: Column) =
+        T.t(s, dir, t).agg(
+          count(lit(1)).as("n_rows"),
+          sum(call_function("poly_hash", cols).cast(DecimalType(38, 0)))
+            .cast(StringType).as("checksum"))
+          .select(lit(t).as("tbl"), col("n_rows"), col("checksum"))
+      side("nation", concat_ws("|", col("n_nationkey").cast(StringType), col("n_name")))
+        .unionByName(side("region",
+          concat_ws("|", col("r_regionkey").cast(StringType), col("r_name"))))
+        .unionByName(side("supplier",
+          concat_ws("|", col("s_suppkey").cast(StringType), col("s_name"))))
+        .orderBy("tbl")
+    },
+
+    // Median absolute deviation — the robust spread measure outlier-heavy
+    // pipelines use instead of stddev: MAD = median(|v − median(v)|) per
+    // event_type. Two exact-percentile aggregation passes (the per-type
+    // median is a 5-row broadcast between them); deviations are exact
+    // cents, both medians 6dp-rounded.
+    q("stat_mad_robust",
+      """WITH b AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+        |  FROM events),
+        |med AS (SELECT event_type, median(c) AS m FROM b GROUP BY 1),
+        |dev AS (SELECT b.event_type, abs(CAST(b.c AS DOUBLE) - med.m) AS d
+        |  FROM b JOIN med ON b.event_type = med.event_type)
+        |SELECT event_type, round(min(m) / 100, 6) AS median_val,
+        |  round(median(d) / 100, 6) AS mad
+        |FROM dev JOIN med USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""") { (s, dir) =>
+      val b = T.t(s, dir, "events")
+        .select(col("event_type"), (col("value").cast(T.dec) * 100).cast(LongType).as("c"))
+      val med = b.groupBy("event_type").agg(expr("percentile(c, 0.5)").as("m"))
+      b.join(broadcast(med), "event_type")
+        .withColumn("d", abs(col("c").cast(DoubleType) - col("m")))
+        .groupBy("event_type")
+        .agg(round(min(col("m")) / 100, 6).as("median_val"),
+          round(expr("percentile(d, 0.5)") / 100, 6).as("mad"))
+        .orderBy("event_type")
+    },
+
+    // Calendar activity matrix — the weekday × hour heatmap behind every
+    // ops dashboard: event counts per (day-of-week, hour-of-day). Pure
+    // integer bucketing (dow aligned to DuckDB's 0=Sunday), one small agg.
+    q("ts_weekday_hour_matrix",
+      """SELECT CAST(date_part('dow', ts) AS INT) AS dow,
+        |  CAST(date_part('hour', ts) AS INT) AS hh, count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy((dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"),
+          hour(col("ts")).cast(IntegerType).as("hh"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("dow", "hh")
+    },
+
+    // Day-over-day top movers — "what changed the most since yesterday":
+    // per-type daily counts, lag for the previous day, rank by absolute
+    // integer delta (ties by type then day). Lag+rank over exact counts —
+    // the anomaly-triage view dq_anomaly_zscore's flags link to.
+    q("window_top_movers",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT *, lag(c) OVER (PARTITION BY event_type ORDER BY day) AS prev
+        |  FROM d)
+        |SELECT event_type, day, c, prev, c - prev AS delta,
+        |  CAST(row_number() OVER (ORDER BY abs(c - prev) DESC, event_type, day) AS INT) AS rnk
+        |FROM l WHERE prev IS NOT NULL
+        |QUALIFY rnk <= 20 ORDER BY rnk""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("c"))
+      d.withColumn("prev", lag(col("c"), 1).over(
+          Window.partitionBy("event_type").orderBy("day")))
+        .filter(col("prev").isNotNull)
+        .withColumn("delta", col("c") - col("prev"))
+        .withColumn("rnk", row_number().over(
+          Window.orderBy(abs(col("delta")).desc, col("event_type"), col("day")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 20)
+        .select("event_type", "day", "c", "prev", "delta", "rnk")
+        .orderBy("rnk")
+    },
+
+    // Semi-supervised label propagation — classify the unlabeled half of
+    // the nation graph from trade-weighted neighbor votes: even-keyed
+    // nations keep their region as seed labels, odd-keyed nations take the
+    // weighted-majority region of their trading partners (2 rounds, ties →
+    // smaller label). Each round is one edges⋈labels join + an argmax —
+    // the same broadcast-iteration shape as PageRank, with exact integer
+    // vote weights so the argmax is deterministic everywhere.
+    q("graph_label_propagation", {
+      val vote = (p: Int, c: Int) =>
+        s"""v$c AS (SELECT e.dst AS node, l.lab, sum(e.w) AS votes
+           |  FROM e JOIN l$p l ON l.node = e.src WHERE l.lab IS NOT NULL
+           |  GROUP BY 1, 2),
+           |w$c AS (SELECT node, lab, row_number() OVER (
+           |    PARTITION BY node ORDER BY votes DESC, lab) AS rn FROM v$c),
+           |l$c AS (SELECT n.node,
+           |    CASE WHEN n.node % 2 = 0 THEN n.seed
+           |      ELSE coalesce(w.lab, NULL) END AS lab
+           |  FROM n LEFT JOIN (SELECT node, lab FROM w$c WHERE rn = 1) w
+           |    ON w.node = n.node)""".stripMargin
+      s"""WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |e AS (SELECT src, dst, w FROM e0 UNION ALL
+         |      SELECT dst, src, w FROM e0 WHERE src <> dst),
+         |n AS (SELECT n_nationkey AS node, n_regionkey AS seed FROM nation),
+         |l0 AS (SELECT node, CASE WHEN node % 2 = 0 THEN seed END AS lab FROM n),
+         |${vote(0, 1)},
+         |${vote(1, 2)}
+         |SELECT node, lab AS label FROM l2 ORDER BY node"""
+    }) { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+      val e = e0.select("src", "dst", "w")
+        .unionByName(e0.filter(col("src") =!= col("dst"))
+          .select(col("dst").as("src"), col("src").as("dst"), col("w")))
+        .localCheckpoint()
+      val n = T.t(s, dir, "nation")
+        .select(col("n_nationkey").as("node"), col("n_regionkey").as("seed"))
+      var labels = n.select(col("node"),
+        when(col("node") % 2 === 0, col("seed")).as("lab"))
+      for (_ <- 1 to 2) {
+        val votes = e.join(broadcast(labels.filter(col("lab").isNotNull)),
+            col("src") === col("node"))
+          .groupBy(col("dst"), col("lab")).agg(sum("w").as("votes"))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("dst").orderBy(col("votes").desc, col("lab"))))
+          .filter(col("rn") === 1).select(col("dst"), col("lab").as("wlab"))
+        labels = n.join(broadcast(votes), col("node") === col("dst"), "left")
+          .select(col("node"),
+            when(col("node") % 2 === 0, col("seed")).otherwise(col("wlab")).as("lab"))
+      }
+      labels.select(col("node"), col("lab").as("label")).orderBy("node")
+    },
+
     // SQL-macro UDF — Spark 4's CREATE TEMPORARY FUNCTION ... RETURN expr
     // (SQL-defined scalar UDF): unlike a closure UDF the body is Catalyst-
     // visible (inlined, optimized, codegen'd — the 100 TB-safe way to share

@@ -185,6 +185,36 @@ class DepthSpec extends AnyFunSuite {
     assert(byUser.nonEmpty)
   }
 
+  test("dq_table_checksum: checksum is order-independent (repartitioned" +
+    " recompute matches) and changes when a row changes") {
+    graft.functions.GraftFunctions.register(s)
+    val nation = T.t(s, sf, "nation")
+    def sum64(df: org.apache.spark.sql.DataFrame) = df
+      .agg(sum(call_function("poly_hash",
+        concat_ws("|", col("n_nationkey").cast("string"), col("n_name")))
+        .cast(org.apache.spark.sql.types.DecimalType(38, 0))).cast("string"))
+      .head.getString(0)
+    val a = sum64(nation)
+    val b = sum64(nation.repartition(13))
+    assert(a == b, "partition order changed the checksum")
+    val c = sum64(nation.withColumn("n_name",
+      when(col("n_nationkey") === 0, lit("XX")).otherwise(col("n_name"))))
+    assert(a != c, "a changed row must change the checksum")
+  }
+
+  test("graph_label_propagation: even nodes keep their seed region; odd" +
+    " nodes receive a valid region label") {
+    val regions = T.t(s, sf, "nation").select("n_nationkey", "n_regionkey")
+      .collect().map(r => r.getAs[Number](0).longValue -> r.getInt(1)).toMap
+    val out = run("graph_label_propagation").collect()
+    assert(out.length == 25)
+    out.foreach { r =>
+      val node = r.getAs[Number](0).longValue
+      if (node % 2 == 0) assert(r.getInt(1) == regions(node))
+      else if (!r.isNullAt(1)) assert(r.getInt(1) >= 0 && r.getInt(1) <= 4)
+    }
+  }
+
   test("stat_ttest_welch: t-statistic magnitude consistent with a recompute" +
     " from per-group exact moments") {
     val r = run("stat_ttest_welch").collect().head
