@@ -548,9 +548,12 @@ object GroupDepth {
 
     // Pareto / cumulative-share curve — "which customers are 80% of
     // revenue": per-customer exact decimal revenue, ranked desc, running
-    // share of the total. The running sum is decimal (exact at any
-    // partitioning); only the final share divides two exact decimals as
-    // doubles. One agg + one window pass + a 1-row broadcast total.
+    // share of the total. The top-100 is taken with TakeOrderedAndProject
+    // (parallel per-partition heaps) BEFORE any window — the ordered
+    // window only ever sees 100 rows, so no global single-partition sort
+    // of the full customer set exists at any scale. The running sum is
+    // decimal (exact); only the final share divides two exact decimals as
+    // doubles.
     q("window_cumulative_share",
       """WITH per AS (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS rev
         |  FROM orders GROUP BY 1),
@@ -567,11 +570,11 @@ object GroupDepth {
         .groupBy("o_custkey").agg(sum(col("o_totalprice").cast(T.dec)).as("rev"))
       val tot = per.agg(sum("rev").as("t"))
       val wOrd = Window.orderBy(col("rev").desc, col("o_custkey"))
-      per.crossJoin(broadcast(tot))
+      per.orderBy(col("rev").desc, col("o_custkey")).limit(100) // TakeOrdered
+        .crossJoin(broadcast(tot))
         .withColumn("rnk", row_number().over(wOrd).cast(IntegerType))
         .withColumn("crev", sum(col("rev")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .filter(col("rnk") <= 100)
         .select(col("rnk"), col("o_custkey"), col("rev").cast(DoubleType).as("rev"),
           round(col("crev").cast(DoubleType) / col("t").cast(DoubleType), 6).as("cum_share"))
         .orderBy("rnk")
@@ -697,6 +700,9 @@ object GroupDepth {
     // same user. Gaps are exact BIGINTs from one lag window; the quantile
     // interpolation runs over identical integer inputs in both engines,
     // 6dp-rounded. Shuffles: one on (user), one small agg on type.
+    // Scale note: exact `percentile` buffers each group's values — fine to
+    // ~10⁷ gaps/group; beyond that swap in the sketch (`agg_approx_quantile`
+    // pattern), same plan shape.
     q("ts_interarrival_quantiles",
       """WITH g AS (SELECT event_type,
         |    (epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -952,7 +958,8 @@ object GroupDepth {
     // pipelines use instead of stddev: MAD = median(|v − median(v)|) per
     // event_type. Two exact-percentile aggregation passes (the per-type
     // median is a 5-row broadcast between them); deviations are exact
-    // cents, both medians 6dp-rounded.
+    // cents, both medians 6dp-rounded. Scale note: same exact-percentile
+    // caveat as ts_interarrival_quantiles — sketch it past ~10⁷/group.
     q("stat_mad_robust",
       """WITH b AS (SELECT event_type,
         |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
