@@ -19,7 +19,18 @@ object DrivePlanAudit {
     // all-pairs int8 ranking (vector_quantized_topk), and the k-row
     // centroid broadcast in the Lloyd loop (ml_kmeans_lloyd)
     "agg_approx_quantile", "agg_hll_sketch_merge", "etl_compact_small_files",
-    "vector_quantized_topk", "ml_kmeans_lloyd")
+    "vector_quantized_topk", "ml_kmeans_lloyd",
+    // round 6: 1-row stats/watermark/total/span broadcasts
+    // (dq_anomaly_zscore, etl_incremental_watermark, text_bigram_pmi,
+    // text_bm25_topk, window_cumulative_share,
+    // window_sliding_distinct_users) and broadcast-query-set coarse
+    // stages where all-vs-queries IS the semantics (pipeline_rag_retrieval,
+    // vector_rerank_two_stage — the rerank's exact dot still runs only on
+    // the top-50 survivors)
+    "dq_anomaly_zscore", "etl_incremental_watermark", "text_bigram_pmi",
+    "text_bm25_topk", "window_cumulative_share",
+    "window_sliding_distinct_users", "pipeline_rag_retrieval",
+    "vector_rerank_two_stage")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
