@@ -420,6 +420,68 @@ object Pipelines {
       .select("q_id", "rnk", "c_id", "sim")
   }
 
+  /** Exact weighted (multiset) Jaccard near-dup pairs: shingle COUNTS
+    * instead of sets — J_w = Σmin(cA,cB)/Σmax(cA,cB) ≥ threshold, decided
+    * by integer cross-multiplication. Same df≥2-pruned index join as
+    * [[nearDupPairs]]; catches repetition-structure similarity the set
+    * form flattens. */
+  def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val shc = df.withColumn("_toks", split(col(textCol), " "))
+      .filter(size(col("_toks")) >= n)
+      .select(col(idCol).as("doc_id"),
+        explode(expr(
+          s"transform(sequence(0, size(_toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"_toks[i+$j]").mkString(", ")}))"))
+          .as("sh"))
+      .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
+    val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+    val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2).select("sh")
+    val idx = shc.join(keep, "sh")
+    val thNum = math.round(threshold * 1000)
+    idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("_ca"))
+      .join(idx.select(col("doc_id").as("ib"), col("sh").as("_sh2"), col("c").as("_cb")),
+        col("sh") === col("_sh2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(sum(least(col("_ca"), col("_cb"))).as("_smin"))
+      .join(lens.select(col("doc_id").as("ia"), col("len").as("_la")), "ia")
+      .join(lens.select(col("doc_id").as("ib"), col("len").as("_lb")), "ib")
+      .filter(lit(1000) * col("_smin") >=
+        lit(thNum) * (col("_la") + col("_lb") - col("_smin")))
+      .select(col("ia"), col("ib"),
+        (col("_smin").cast(DoubleType) / (col("_la") + col("_lb") - col("_smin")))
+          .as("wjac"))
+  }
+
+  /** Point-in-time enrichment (the feature-store PIT join): for each probe
+    * row, the latest version row of the same key with version timestamp ≤
+    * the probe timestamp. Versions and probes union into one stream per
+    * key and a single window carries the last version id forward — no
+    * range join, no per-probe scan, one shuffle on the key. Probes before
+    * any version get `asOfVersionCol` = 0. Returns the probe rows plus the
+    * resolved version id. */
+  def pointInTime(versions: DataFrame, probes: DataFrame, keyCol: String,
+                  versionTsCol: String, probeTsCol: String,
+                  versionIdCol: String = "version"): DataFrame = {
+    val v = versions.select(col(keyCol).as("_k"), col(versionTsCol).as("_t"),
+        col(versionIdCol).cast(LongType).as("_ver"))
+      .withColumn("_p", lit(0))
+    val probeCols = probes.columns
+    val p = probes
+      .withColumn("_k", col(keyCol)).withColumn("_t", col(probeTsCol))
+      .withColumn("_ver", lit(null).cast(LongType)).withColumn("_p", lit(1))
+    val w = Window.partitionBy("_k").orderBy("_t", "_p", "_ver")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    v.select("_k", "_t", "_ver", "_p")
+      .unionByName(p.select("_k", "_t", "_ver", "_p"), allowMissingColumns = false)
+      .withColumn("_cur", max(col("_ver")).over(w))
+      .filter(col("_p") === 1)
+      // re-join the carried version back onto the full probe row set is the
+      // caller's choice at scale; here the compact (key, ts, version) map
+      // is returned — one row per probe event
+      .select(col("_k").as(keyCol), col("_t").as(probeTsCol),
+        coalesce(col("_cur"), lit(0L)).as(versionIdCol))
+  }
+
   /** Cohort retention matrix: users cohorted by first-seen day of `tsCol`,
     * distinct active users per (cohort_day, day offset ≤ maxOffset). */
   def retentionMatrix(events: DataFrame, keyCol: String, tsCol: String,

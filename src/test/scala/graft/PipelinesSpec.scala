@@ -168,6 +168,34 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("weightedJaccardPairs matches the graded dedup_weighted_jaccard set") {
+    val api = graft.api.Pipelines.weightedJaccardPairs(docs, "doc_id", "text")
+      .select(col("ia"), col("ib"), round(col("wjac"), 6).as("wjac"))
+    val graded = SparkEntry.queries("dedup_weighted_jaccard")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("pointInTime matches join_point_in_time's version histogram") {
+    val orders = graft.T.t(s, sf, "orders")
+    val versions = orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("vd"),
+        col("o_orderkey"))
+      .withColumn("version", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy("vd", "o_orderkey")))
+    val probes = graft.T.t(s, sf, "lineitem")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate").cast("date").as("pd"))
+    val api = graft.api.Pipelines.pointInTime(
+        versions, probes, "o_custkey", "vd", "pd")
+      .groupBy("version").agg(count(lit(1)).as("n_lineitems"))
+    val graded = SparkEntry.queries("join_point_in_time")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
   test("slidingDistinct matches window_sliding_distinct_users") {
     val ev = graft.T.t(s, sf, "events")
     val api = graft.api.Pipelines.slidingDistinct(ev, "user_id", "ts")
