@@ -44,6 +44,34 @@ object T {
     * IEEE division of bit-identical operands in both engines. */
   def davg(c: Column): Column = sum(c.cast(dec)).cast(DoubleType) / count(c)
 
+  /** Engine-portable HALF_UP rounding to 6 dp of an exact NON-NEGATIVE
+    * integer rational num/den (den > 0), emitted as DOUBLE: one pure-integer
+    * division — q = (2·10⁶·num + den) div (2·den) — then a single IEEE
+    * division of that exact integer by 1e6. Bit-identical in every engine and
+    * build. This retires the `round(CAST(a AS DOUBLE)/b, 6)` tie class
+    * (VERDICT r6 #1: 645/3200 = 0.2015625 is an exact .5 at the 6th decimal;
+    * Spark rounds it half-up while some DuckDB builds round the scaled double
+    * half-even). `num`/`den` are SQL expression strings over in-scope
+    * columns; pre-cast to DECIMAL(38,0) inside them when 2·10⁶·num could
+    * exceed LONG range (Spark `div` accepts decimals and returns LONG).
+    * DuckDB oracle counterpart:
+    *   CAST((2000000*num + den) // (2*den) AS BIGINT) / 1000000.0 */
+  def r6(num: String, den: String): Column =
+    // 1000000.0D: the D suffix forces a DOUBLE literal — Spark parses a bare
+    // decimal literal as DecimalType, which would make the whole output
+    // DECIMAL and trip the driver's no-DECIMAL-output rule (see dsum).
+    expr(s"((2000000L * ($num) + ($den)) div (2L * ($den))) / 1000000.0D")
+
+  /** Sign-aware variant of [[r6]] for rationals that may be negative:
+    * HALF_UP = away-from-zero, so round |num|/den and restore the sign.
+    * Both engines divide only non-negative integers, sidestepping any
+    * truncate-vs-floor ambiguity in integral division. DuckDB counterpart:
+    *   (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
+    *     CAST((2000000*abs(num) + den) // (2*den) AS BIGINT) / 1000000.0 */
+  def r6s(num: String, den: String): Column =
+    expr(s"(CASE WHEN ($num) < 0 THEN -1L ELSE 1L END) * " +
+      s"((2000000L * abs($num) + ($den)) div (2L * ($den))) / 1000000.0D")
+
   /** One query definition: key, DataFrame builder, optional DuckDB oracle. */
   final case class Q(
       name: String,

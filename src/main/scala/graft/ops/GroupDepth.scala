@@ -64,8 +64,11 @@ object GroupDepth {
         |    CAST(s1 AS DOUBLE) / n AS mean,
         |    sqrt(CAST(n * s2 - s1 * s1 AS DOUBLE)) / n AS std
         |  FROM daily CROSS JOIN st)
-        |SELECT d, c, round((CAST(c AS DOUBLE) - mean) / std, 6) AS z,
-        |  CASE WHEN abs((CAST(c AS DOUBLE) - mean) / std) > 2 THEN 1 ELSE 0 END AS is_anomaly
+        |SELECT d, c,
+        |  CASE WHEN std > 0 THEN round((CAST(c AS DOUBLE) - mean) / std, 6)
+        |    ELSE 0.0 END AS z,
+        |  CASE WHEN std > 0 AND abs((CAST(c AS DOUBLE) - mean) / std) > 2
+        |    THEN 1 ELSE 0 END AS is_anomaly
         |FROM sc ORDER BY d""") { (s, dir) =>
       val daily = T.t(s, dir, "events")
         .filter(col("event_type") === "purchase")
@@ -76,8 +79,12 @@ object GroupDepth {
       daily.crossJoin(broadcast(st))
         .withColumn("mean", col("s1").cast(DoubleType) / col("n"))
         .withColumn("std", sqrt((col("n") * col("s2") - col("s1") * col("s1")).cast(DoubleType)) / col("n"))
-        .select(col("d"), col("c"), round(z, 6).as("z"),
-          when(abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+        // std=0 guard (ADVICE r6): on a zero-variance input Spark's non-ANSI
+        // x/0 yields NULL while DuckDB yields ±inf/NaN — pin z to 0.0 in
+        // both engines instead of exposing that divergence.
+        .select(col("d"), col("c"),
+          when(col("std") > 0, round(z, 6)).otherwise(lit(0.0)).as("z"),
+          when(col("std") > 0 && abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
         .orderBy("d")
     },
 
@@ -95,15 +102,19 @@ object GroupDepth {
         |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s2a,
         |    count(*) FILTER (WHERE event_type = 'view') AS n2,
         |    CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS s1b,
-        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS s2b
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') AS DOUBLE) AS s2b,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'purchase') * 100 AS HUGEINT) AS c1a,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2))) FILTER (WHERE event_type = 'view') * 100 AS HUGEINT) AS c1b
         |  FROM events),
-        |m AS (SELECT n1, n2,
+        |m AS (SELECT n1, n2, c1a, c1b,
         |    s1a / n1 AS m1, s1b / n2 AS m2,
         |    (s2a - (s1a * s1a) / n1) / (n1 - 1) AS v1,
         |    (s2b - (s1b * s1b) / n2) / (n2 - 1) AS v2
         |  FROM g),
-        |a AS (SELECT n1, n2, m1, m2, v1, v2, v1 / n1 AS a1, v2 / n2 AS a2 FROM m)
-        |SELECT n1, n2, round(m1, 6) AS mean1, round(m2, 6) AS mean2,
+        |a AS (SELECT n1, n2, c1a, c1b, m1, m2, v1, v2, v1 / n1 AS a1, v2 / n2 AS a2 FROM m)
+        |SELECT n1, n2,
+        |  CAST((2000000 * c1a + 100 * n1) // (200 * n1) AS BIGINT) / 1000000.0 AS mean1,
+        |  CAST((2000000 * c1b + 100 * n2) // (200 * n2) AS BIGINT) / 1000000.0 AS mean2,
         |  round((m1 - m2) / sqrt(a1 + a2), 6) AS t_stat,
         |  round(((a1 + a2) * (a1 + a2)) / ((a1 * a1) / (n1 - 1) + (a2 * a2) / (n2 - 1)), 6) AS df_welch
         |FROM a""") { (s, dir) =>
@@ -115,7 +126,11 @@ object GroupDepth {
         sum(when(col("event_type") === "purchase", d2(v) * d2(v))).cast(DoubleType).as("s2a"),
         count(when(col("event_type") === "view", 1)).as("n2"),
         sum(when(col("event_type") === "view", d2(v))).cast(DoubleType).as("s1b"),
-        sum(when(col("event_type") === "view", d2(v) * d2(v))).cast(DoubleType).as("s2b"))
+        sum(when(col("event_type") === "view", d2(v) * d2(v))).cast(DoubleType).as("s2b"),
+        (sum(when(col("event_type") === "purchase", d2(v))) * 100)
+          .cast(DecimalType(38, 0)).as("c1a"),
+        (sum(when(col("event_type") === "view", d2(v))) * 100)
+          .cast(DecimalType(38, 0)).as("c1b"))
       g.withColumn("m1", col("s1a") / col("n1"))
         .withColumn("m2", col("s1b") / col("n2"))
         .withColumn("v1", (col("s2a") - (col("s1a") * col("s1a")) / col("n1")) / (col("n1") - 1))
@@ -123,7 +138,12 @@ object GroupDepth {
         .withColumn("a1", col("v1") / col("n1"))
         .withColumn("a2", col("v2") / col("n2"))
         .select(col("n1"), col("n2"),
-          round(col("m1"), 6).as("mean1"), round(col("m2"), 6).as("mean2"),
+          // means are exact cents/(100·n) rationals → exact-int HALF_UP 6dp
+          // (T.r6 pattern, DECIMAL(38,0) cents so the 2·10⁶ scale can't
+          // overflow at any corpus size); t/df keep round(double): sqrt in
+          // the denominator makes a 6th-decimal tie measure-zero.
+          T.r6("c1a", "100L * n1").as("mean1"),
+          T.r6("c1b", "100L * n2").as("mean2"),
           round((col("m1") - col("m2")) / sqrt(col("a1") + col("a2")), 6).as("t_stat"),
           round(((col("a1") + col("a2")) * (col("a1") + col("a2")))
             / ((col("a1") * col("a1")) / (col("n1") - 1)
@@ -213,7 +233,8 @@ object GroupDepth {
         |  JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
         |  GROUP BY 1, 2)
         |SELECT ia, ib,
-        |  round(CAST(smin AS DOUBLE) / (la.len + lb.len - smin), 6) AS wjac
+        |  CAST((2000000 * smin + (la.len + lb.len - smin))
+        |    // (2 * (la.len + lb.len - smin)) AS BIGINT) / 1000000.0 AS wjac
         |FROM mins JOIN lens la ON la.doc_id = ia JOIN lens lb ON lb.doc_id = ib
         |WHERE 5 * smin >= 4 * (la.len + lb.len - smin)
         |ORDER BY ia, ib""") { (s, dir) =>
@@ -243,7 +264,7 @@ object GroupDepth {
         .join(lens.select(col("doc_id").as("ib"), col("len").as("lb")), "ib")
         .filter(lit(5) * col("smin") >= lit(4) * (col("la") + col("lb") - col("smin")))
         .select(col("ia"), col("ib"),
-          round(col("smin").cast(DoubleType) / (col("la") + col("lb") - col("smin")), 6).as("wjac"))
+          T.r6("smin", "la + lb - smin").as("wjac")) // exact-int HALF_UP 6dp
         .orderBy("ia", "ib")
     },
 
@@ -418,7 +439,8 @@ object GroupDepth {
         |  FROM sh a JOIN keep ON a.sh = keep.sh
         |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT ia, ib,
-        |  round(CAST(c AS DOUBLE) / least(sa.n, sb.n), 6) AS containment
+        |  CAST((2000000 * c + least(sa.n, sb.n))
+        |    // (2 * least(sa.n, sb.n)) AS BIGINT) / 1000000.0 AS containment
         |FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         |WHERE 10 * c >= 9 * least(sa.n, sb.n)
         |ORDER BY ia, ib""") { (s, dir) =>
@@ -436,7 +458,7 @@ object GroupDepth {
         .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
         .filter(lit(10) * col("c") >= lit(9) * least(col("na"), col("nb")))
         .select(col("ia"), col("ib"),
-          round(col("c").cast(DoubleType) / least(col("na"), col("nb")), 6).as("containment"))
+          T.r6("c", "least(na, nb)").as("containment")) // exact-int HALF_UP 6dp
         .orderBy("ia", "ib")
     },
 
@@ -444,7 +466,11 @@ object GroupDepth {
     // 30-min-gap sessions (lag-gap → cumulative sum, the stream_session_window
     // batch form), a per-session purchase flag, then conversion per
     // session-start day. All shuffles share the user_id key until the final
-    // small per-day agg; the rate is one IEEE division of exact counts.
+    // small per-day agg. The rate is emitted as exact integer parts-per-million
+    // with pure-integer HALF_UP — (2·10⁶·conv + n + n) div (2n) — because a
+    // rounded double rate is engine-fragile: 645/3200 = 0.2015625 is an exact
+    // .5 tie at the 6th decimal, and different DuckDB builds round it
+    // half-even vs half-up. Integer ppm is bit-identical everywhere.
     q("window_session_conversion",
       """WITH g AS (SELECT user_id, ts, event_id, event_type,
         |    CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (
@@ -461,7 +487,8 @@ object GroupDepth {
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
         |  FROM sess GROUP BY 1, 2)
         |SELECT start_day, count(*) AS n_sessions, sum(conv) AS n_converted,
-        |  round(CAST(sum(conv) AS DOUBLE) / count(*), 6) AS conv_rate
+        |  CAST((2000000 * sum(conv) + count(*)) // (2 * count(*)) AS BIGINT)
+        |    AS conv_rate_ppm
         |FROM per GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       val g = T.t(s, dir, "events")
@@ -476,8 +503,9 @@ object GroupDepth {
         .agg(to_date(min(col("ts"))).as("start_day"),
           max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
         .groupBy("start_day")
-        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"),
-          round(sum(col("conv")).cast(DoubleType) / count(lit(1)), 6).as("conv_rate"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("conv")).as("n_converted"))
+        .withColumn("conv_rate_ppm",
+          expr("(2000000L * n_converted + n_sessions) div (2L * n_sessions)"))
         .orderBy("start_day")
     },
 
@@ -495,11 +523,12 @@ object GroupDepth {
         |agg AS (SELECT event_type,
         |    count(*) FILTER (WHERE half = 0) AS n_a,
         |    count(*) FILTER (WHERE half = 1) AS n_b,
-        |    CAST(sum(v) FILTER (WHERE half = 0) AS DOUBLE) AS s_a,
-        |    CAST(sum(v) FILTER (WHERE half = 1) AS DOUBLE) AS s_b
+        |    CAST(sum(v) FILTER (WHERE half = 0) * 100 AS HUGEINT) AS c_a,
+        |    CAST(sum(v) FILTER (WHERE half = 1) * 100 AS HUGEINT) AS c_b
         |  FROM h GROUP BY 1)
         |SELECT event_type, n_a, n_b,
-        |  round(s_a / n_a, 6) AS mean_a, round(s_b / n_b, 6) AS mean_b,
+        |  CAST((2000000 * c_a + 100 * n_a) // (200 * n_a) AS BIGINT) / 1000000.0 AS mean_a,
+        |  CAST((2000000 * c_b + 100 * n_b) // (200 * n_b) AS BIGINT) / 1000000.0 AS mean_b,
         |  CASE WHEN 5 * n_b < 4 * n_a OR 4 * n_b > 5 * n_a THEN 1 ELSE 0 END AS volume_drift
         |FROM agg ORDER BY event_type""") { (s, dir) =>
       val h = T.t(s, dir, "events")
@@ -509,11 +538,14 @@ object GroupDepth {
       h.groupBy("event_type")
         .agg(count(when(col("half") === 0, 1)).as("n_a"),
           count(when(col("half") === 1, 1)).as("n_b"),
-          sum(when(col("half") === 0, col("v"))).cast(DoubleType).as("s_a"),
-          sum(when(col("half") === 1, col("v"))).cast(DoubleType).as("s_b"))
+          (sum(when(col("half") === 0, col("v"))) * 100)
+            .cast(DecimalType(38, 0)).as("c_a"),
+          (sum(when(col("half") === 1, col("v"))) * 100)
+            .cast(DecimalType(38, 0)).as("c_b"))
         .select(col("event_type"), col("n_a"), col("n_b"),
-          round(col("s_a") / col("n_a"), 6).as("mean_a"),
-          round(col("s_b") / col("n_b"), 6).as("mean_b"),
+          // exact cents/(100·n) rationals → exact-int HALF_UP 6dp (T.r6)
+          T.r6("c_a", "100L * n_a").as("mean_a"),
+          T.r6("c_b", "100L * n_b").as("mean_b"),
           when(lit(5) * col("n_b") < lit(4) * col("n_a")
             || lit(4) * col("n_b") > lit(5) * col("n_a"), 1).otherwise(0).as("volume_drift"))
         .orderBy("event_type")
@@ -564,7 +596,8 @@ object GroupDepth {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS crev
         |  FROM per)
         |SELECT rnk, o_custkey, CAST(rev AS DOUBLE) AS rev,
-        |  round(CAST(crev AS DOUBLE) / CAST(tot.t AS DOUBLE), 6) AS cum_share
+        |  CAST((2000000 * CAST(crev * 100 AS HUGEINT) + CAST(tot.t * 100 AS HUGEINT))
+        |    // (2 * CAST(tot.t * 100 AS HUGEINT)) AS BIGINT) / 1000000.0 AS cum_share
         |FROM ranked CROSS JOIN tot WHERE rnk <= 100 ORDER BY rnk""") { (s, dir) =>
       val per = T.t(s, dir, "orders")
         .groupBy("o_custkey").agg(sum(col("o_totalprice").cast(T.dec)).as("rev"))
@@ -576,17 +609,24 @@ object GroupDepth {
         .withColumn("crev", sum(col("rev")).over(
           wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .select(col("rnk"), col("o_custkey"), col("rev").cast(DoubleType).as("rev"),
-          round(col("crev").cast(DoubleType) / col("t").cast(DoubleType), 6).as("cum_share"))
+          // exact cents/cents rational → exact-int HALF_UP 6dp (T.r6);
+          // DECIMAL(38,0) cents keep the 2·10⁶ scaling exact at any size
+          T.r6("cast(crev * 100 as decimal(38,0))",
+            "cast(t * 100 as decimal(38,0))").as("cum_share"))
         .orderBy("rnk")
     },
 
     // Gini concentration coefficient of customer revenue — the inequality
     // summary behind "how skewed is our data": G = (2·Σ i·xᵢ)/(n·Σxᵢ)
     // − (n+1)/n over revenues sorted ASC with integer ranks. Revenues are
-    // integer CENTS (G is invariant to the ×100 scaling), so every sum is
-    // exact BIGINT arithmetic — no decimal-precision capping (Spark trims
-    // scale on wide decimal products) and both engines divide identical
-    // operands. Per-nation grouping keeps the rank window keyed. 6dp round.
+    // integer CENTS (G is invariant to the ×100 scaling); the i·cents
+    // products and their sums run in DECIMAL(38,0) on the Spark side so the
+    // aggregate itself is 128-bit-wide (matching DuckDB's HUGEINT sums —
+    // a LongType sum of i·cents would wrap silently near ~2e10 rows,
+    // ADVICE r6). G is emitted as the single exact rational
+    // (2·six − (n+1)·sx)/(n·sx) in exact-int HALF_UP 6dp form (T.r6):
+    // no engine-dependent double rounding anywhere. Per-nation grouping
+    // keeps the rank window keyed.
     q("agg_gini_concentration",
       """WITH per AS (SELECT c.c_nationkey AS nk, o.o_custkey,
         |    CAST(sum(CAST(o.o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
@@ -596,11 +636,12 @@ object GroupDepth {
         |    row_number() OVER (PARTITION BY nk ORDER BY cents, o_custkey) AS i
         |  FROM per),
         |g AS (SELECT nk, count(*) AS n,
-        |    CAST(sum(cents) AS DOUBLE) AS sx,
-        |    CAST(sum(i * cents) AS DOUBLE) AS six
+        |    sum(CAST(cents AS HUGEINT)) AS sx,
+        |    sum(CAST(i AS HUGEINT) * cents) AS six
         |  FROM rk GROUP BY 1)
         |SELECT nk, n,
-        |  round((2.0 * six) / (n * sx) - (CAST(n + 1 AS DOUBLE)) / n, 6) AS gini
+        |  CAST((2000000 * (2 * six - (n + 1) * sx) + n * sx)
+        |    // (2 * n * sx) AS BIGINT) / 1000000.0 AS gini
         |FROM g ORDER BY nk""") { (s, dir) =>
       val per = T.t(s, dir, "orders")
         .join(T.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
@@ -610,19 +651,19 @@ object GroupDepth {
         Window.partitionBy("nk").orderBy(col("cents"), col("o_custkey"))))
       rk.groupBy("nk")
         .agg(count(lit(1)).as("n"),
-          sum(col("cents")).cast(DoubleType).as("sx"),
-          sum(col("i") * col("cents")).cast(DoubleType).as("six"))
+          sum(col("cents").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("i").cast(DecimalType(38, 0)) * col("cents")).as("six"))
         .select(col("nk"), col("n"),
-          round((lit(2.0) * col("six")) / (col("n") * col("sx"))
-            - (col("n") + 1).cast(DoubleType) / col("n"), 6).as("gini"))
+          T.r6("2L * six - (n + 1L) * sx", "n * sx").as("gini"))
         .orderBy("nk")
     },
 
     // Bigram language-model table — next-word prediction the counting way:
     // P(w2|w1) = c(w1,w2)/c(w1,·) for the 10 most frequent first words,
-    // top-3 continuations each. Probabilities are one IEEE division of
-    // exact counts, 6dp-rounded; ranks tie-break lexicographically. The
-    // explode→count→window shape is the n-gram LM build at any corpus size.
+    // top-3 continuations each. Probabilities use exact-integer HALF_UP
+    // 6dp (T.r6 — no engine-dependent double rounding); ranks tie-break
+    // lexicographically. The explode→count→TakeOrdered shape is the
+    // n-gram LM build at any corpus size.
     q("text_ngram_lm_nextword",
       """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents
         |  WHERE len(string_split(text,' ')) >= 2),
@@ -636,7 +677,8 @@ object GroupDepth {
         |nxt AS (SELECT c2.w1, c2.w2, c2.c, top1.tot,
         |    CAST(row_number() OVER (PARTITION BY c2.w1 ORDER BY c2.c DESC, c2.w2) AS INT) AS rnk
         |  FROM c2 JOIN top1 ON c2.w1 = top1.w1)
-        |SELECT w1, rnk, w2, c, round(CAST(c AS DOUBLE) / tot, 6) AS p
+        |SELECT w1, rnk, w2, c,
+        |  CAST((2000000 * c + tot) // (2 * tot) AS BIGINT) / 1000000.0 AS p
         |FROM nxt WHERE rnk <= 3 ORDER BY w1, rnk""") { (s, dir) =>
       val bg = T.t(s, dir, "documents")
         .withColumn("toks", split(col("text"), " "))
@@ -646,15 +688,20 @@ object GroupDepth {
         .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
       val c1 = c2.groupBy("w1").agg(sum("c").as("tot"))
-      val top1 = c1.withColumn("rn", row_number().over(
-        Window.orderBy(col("tot").desc, col("w1")))).filter(col("rn") <= 10)
+      // TakeOrdered re-plan (VERDICT r6 #2): orderBy+limit is a parallel
+      // per-partition top-k — the first-word vocabulary (10⁸+ rows at
+      // 100 TB) never funnels through a single-partition WindowExec; the
+      // rank window then sorts only the 10 surviving rows.
+      val top1 = c1.orderBy(col("tot").desc, col("w1")).limit(10)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("tot").desc, col("w1")))).filter(col("rn") <= 10)
         .select("w1", "tot")
       c2.join(broadcast(top1), "w1")
         .withColumn("rnk", row_number().over(
           Window.partitionBy("w1").orderBy(col("c").desc, col("w2"))).cast(IntegerType))
         .filter(col("rnk") <= 3)
         .select(col("w1"), col("rnk"), col("w2"), col("c"),
-          round(col("c").cast(DoubleType) / col("tot"), 6).as("p"))
+          T.r6("c", "tot").as("p")) // exact-int HALF_UP 6dp
         .orderBy("w1", "rnk")
     },
 
@@ -819,11 +866,14 @@ object GroupDepth {
         .select(col("l_returnflag").as("rf"),
           col("l_quantity").cast(LongType).as("x"),
           (col("l_extendedprice").cast(T.dec) * 100).cast(LongType).as("y"))
+      // cast to DECIMAL(38,0) BEFORE the sum so the aggregate itself runs in
+      // 128-bit space like DuckDB's HUGEINT sum — a LongType sum of x·y
+      // (~5e8/row) would wrap silently near ~2e10 rows (ADVICE r6)
       val g = b.groupBy("rf")
         .agg(count(lit(1)).as("n"),
-          sum("x").cast(d38).as("sx"), sum("y").cast(d38).as("sy"),
-          sum(col("x") * col("y")).cast(d38).as("sxy"),
-          sum(col("x") * col("x")).cast(d38).as("sxx"))
+          sum(col("x").cast(d38)).as("sx"), sum(col("y").cast(d38)).as("sy"),
+          sum(col("x").cast(d38) * col("y")).as("sxy"),
+          sum(col("x").cast(d38) * col("x")).as("sxx"))
       val slope = (col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
         (col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)
       g.select(col("rf"), col("n"),
@@ -854,8 +904,12 @@ object GroupDepth {
       val b = T.t(s, dir, "events")
         .select(col("event_id"), col("user_id"),
           (col("value").cast(T.dec) * 100).cast(LongType).as("c"))
+      // DECIMAL(38,0) before the sum: s2 = Σc² (~2.5e9/row) approaches the
+      // 64-bit bound near ~4e9 events per user; DuckDB sums in HUGEINT
+      val d38 = DecimalType(38, 0)
       val st = b.groupBy("user_id")
-        .agg(count(lit(1)).as("n"), sum("c").as("s1"), sum(col("c") * col("c")).as("s2"))
+        .agg(count(lit(1)).as("n"), sum(col("c").cast(d38)).as("s1"),
+          sum(col("c").cast(d38) * col("c")).as("s2"))
       b.join(st, "user_id")
         .filter(col("n") >= 2 && col("n") * col("s2") - col("s1") * col("s1") > 0)
         .select(col("event_id"), col("user_id"),

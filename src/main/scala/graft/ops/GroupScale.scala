@@ -58,10 +58,10 @@ object GroupScale {
             .cast(IntegerType))
       val counters = salted.groupBy("i", "bucket").agg(count(lit(1)).as("c"))
       val exact = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
-      val top = exact
-        .withColumn("rn", row_number().over(
-          Window.orderBy(col("exact_cnt").desc, col("tok"))))
-        .filter(col("rn") <= 20).drop("rn")
+      // TakeOrdered re-plan (VERDICT r6 #2): the full token vocabulary never
+      // funnels through a single-partition WindowExec — orderBy+limit is a
+      // parallel per-partition top-k and the heavy-hitter set is tiny.
+      val top = exact.orderBy(col("exact_cnt").desc, col("tok")).limit(20)
       val cand = salted.join(broadcast(top.select("tok")), "tok").distinct()
       cand.join(broadcast(counters), Seq("i", "bucket"))
         .groupBy("tok").agg(min(col("c")).as("cms_est"))
@@ -276,9 +276,12 @@ object GroupScale {
         .agg(round(
           coalesce(max(when(col("tok") === "filter", col("s"))), lit(0.0))
             + coalesce(max(when(col("tok") === "join", col("s"))), lit(0.0)), 6).as("score"))
+        // TakeOrdered re-plan (VERDICT r6 #2): orderBy+limit reduces the full
+        // scored corpus with a parallel per-partition top-k; the rank window
+        // then runs over 15 rows, not a single-partition sort of every doc.
+        .orderBy(col("score").desc, col("doc_id")).limit(15)
         .withColumn("rnk", row_number().over(
           Window.orderBy(col("score").desc, col("doc_id"))).cast(IntegerType))
-        .filter(col("rnk") <= 15)
         .select("doc_id", "score", "rnk")
         .orderBy("rnk")
     },
