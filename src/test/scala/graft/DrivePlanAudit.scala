@@ -1,18 +1,26 @@
 package graft
 
+import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec,
+  GlobalLimitExec, LocalLimitExec, CollectLimitExec}
+import org.apache.spark.sql.execution.window.WindowExec
+
 /** Dump executed-plan red-flag audit for every registered query:
   * unintended CartesianProduct/BroadcastNestedLoopJoin, un-pruned lineitem
-  * scans (ReadSchema listing all 11 columns), and missing PushedFilters on
-  * filtered scans. Test/runMain graft.DrivePlanAudit [sfDir] */
+  * scans (ReadSchema listing all 11 columns), missing PushedFilters on
+  * filtered scans, and unpartitioned WindowExec over a non-limited input
+  * (the single-partition global sort that kills a 100 TB plan).
+  * Test/runMain graft.DrivePlanAudit [sfDir] */
 object DrivePlanAudit {
   // nested-loop joins by design: explicit cartesians, all-pairs vector
   // similarity (brute force IS the semantics; IVF probes prune the pair
   // space but cells still pair all-vs-all), 1-row scalar broadcasts, and
-  // the salt-replication crossJoin
+  // the salt-replication crossJoin.
+  // (dedup_embedding_cosine was REMOVED in r7: it runs banded LSH now — a
+  // BNLJ reappearing there must flag, not be masked by a stale allowlist.)
   private val intendedNested = Set(
     "join_cross_limited",
     "vector_cosine_topk", "vector_knn_classify", "vector_ivf_topk",
-    "similarity_join_threshold", "dedup_embedding_cosine",
+    "similarity_join_threshold",
     "text_tfidf_top_terms", "stream_dedup_stateful", "join_skew_salted",
     // round 5: 1-row audit/scalar crossJoins (agg_approx_quantile,
     // agg_hll_sketch_merge, etl_compact_small_files), the deliberate
@@ -32,16 +40,47 @@ object DrivePlanAudit {
     "window_sliding_distinct_users", "pipeline_rag_retrieval",
     "vector_rerank_two_stage")
 
+  // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
+  // rather than by a visible limit in the plan. Every other
+  // empty-partition WindowExec must sit above a limit (the TakeOrdered
+  // re-plan) or it flags. The audit prints `globalwin-ok` for allowlisted
+  // hits — prune any entry that stops printing.
+  private val intendedGlobalWindow = Set(
+    "window_moving_avg", // frame over ≤31 rows (one per calendar day)
+    "window_ntile_cume") // post-agg relation keyed by a bounded enum
+
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
     val s = TestSpark.spark
     var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val p = fn(s, sfDir).queryExecution.executedPlan.toString
+        val qe = fn(s, sfDir).queryExecution
+        val p = qe.executedPlan.toString
         val nested = p.contains("CartesianProduct") || p.contains("BroadcastNestedLoopJoin")
         if (nested && !intendedNested(name) && !name.contains("cross")) {
           println(s"AUDIT NESTED    $name"); flags += 1
+        }
+        // Unpartitioned WindowExec over a non-limited input: at 100 TB this
+        // is "sort the whole relation on one task". Accept when a limit
+        // (TakeOrdered / Global/Local/CollectLimit) bounds the window input,
+        // or the key is in the semantics-bounded allowlist. Uses sparkPlan
+        // (pre-AQE) so WindowExec nodes are directly collectable.
+        def limited(pl: SparkPlan): Boolean = pl.collectFirst {
+          case _: TakeOrderedAndProjectExec => ()
+          case _: GlobalLimitExec => ()
+          case _: LocalLimitExec => ()
+          case _: CollectLimitExec => ()
+        }.isDefined
+        val globalWins = qe.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty && !limited(w.child) => w
+        }
+        if (globalWins.nonEmpty && !intendedGlobalWindow(name)) {
+          println(s"AUDIT GLOBALWIN $name (${globalWins.size})"); flags += 1
+        } else if (globalWins.nonEmpty) {
+          // informational: allowlisted global window actually present —
+          // keeps the allowlist honest (prune entries that stop printing)
+          println(s"AUDIT globalwin-ok $name (${globalWins.size})")
         }
         val wideLineitem = "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate"
         if (p.contains(wideLineitem) && !Set("scan_parquet", "scalar_math_funcs", "bulk_load_pipeline").contains(name)) {
