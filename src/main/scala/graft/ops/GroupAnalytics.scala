@@ -313,8 +313,10 @@ object GroupAnalytics {
         |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
         |  FROM dd),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000),
         |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |  FROM sh a JOIN keep ON a.sh = keep.sh
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
         |pairs AS (SELECT ia, ib
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),

