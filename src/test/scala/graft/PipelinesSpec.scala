@@ -203,4 +203,29 @@ class PipelinesSpec extends AnyFunSuite {
     assert(api.exceptAll(graded).count() == 0)
     assert(graded.exceptAll(api).count() == 0)
   }
+
+  test("topKGlobal == unpartitioned-window rank, without the global sort") {
+    import org.apache.spark.sql.expressions.Window
+    val counts = graft.T.t(s, sf, "events")
+      .groupBy("user_id").agg(count(lit(1)).as("c"))
+    val ord = Seq(col("c").desc, col("user_id").asc)
+    val api = graft.api.Pipelines.topKGlobal(counts, 25, ord: _*)
+    val reference = counts
+      .withColumn("rnk", row_number().over(Window.orderBy(ord: _*)).cast("int"))
+      .filter(col("rnk") <= 25)
+    assert(api.exceptAll(reference).count() == 0)
+    assert(reference.exceptAll(api).count() == 0)
+    // and the plan is the scale-safe one: a TakeOrdered bounds the window
+    val plan = api.queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"))
+  }
+
+  test("rerankRecall attests 1.0 for the graded (k=5, coarseK=50) setting") {
+    graft.functions.GraftFunctions.register(s)
+    val e = graft.T.t(s, sf, "embeddings")
+    val rec = graft.api.Pipelines.rerankRecall(
+      e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", 5, 50)
+    assert(rec.filter(col("recall") < 1.0).count() == 0)
+  }
 }
