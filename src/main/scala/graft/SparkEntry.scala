@@ -30,7 +30,8 @@ object SparkEntry {
     ops.GroupQuality.defs,    // §2-P data-quality constraint audits (round 4)
     ops.GroupAnalytics.defs,  // §2-Q analytics widening (round 5)
     ops.GroupScale.defs,      // §2-R pipeline-scale widening (round 6)
-    ops.GroupDepth.defs       // §2-S analytics depth (round 6)
+    ops.GroupDepth.defs,      // §2-S analytics depth (round 6)
+    ops.GroupSeven.defs       // §2-T statistics/mining/pipeline (round 7)
   )
 
   private val all: Seq[T.Q] = groups.flatten

@@ -1,0 +1,484 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-T (round 7) — statistics, mining, and pipeline widening:
+  * χ² independence, Benford digit audit, fixed-point naive Bayes,
+  * degree-oriented triangle counting, frequent-pair mining, shard-manifest
+  * planning, bucketed interval-overlap join, MERGE upsert matrix, seasonal
+  * indexing, and prefix-dimension (matryoshka-style) two-stage retrieval.
+  *
+  * Determinism posture: every rate/share output uses the exact-integer
+  * HALF_UP 6dp form (graft.T.r6) — no engine-dependent double rounding of
+  * small-denominator rationals; double formulas (χ² contributions, log
+  * probabilities) pass through a transcendental so a 6th-decimal tie has
+  * measure zero (tools/tiescan.py enforces), and are written with IDENTICAL
+  * parenthesization in the Spark plan and the DuckDB oracle; every query
+  * ends in a total ordering.
+  */
+object GroupSeven {
+
+  /** The engine-portable polynomial string hash as a DuckDB fold — same
+    * arithmetic as graft.functions.PolyTokenHash (h·257+c mod 2⁶¹−1, then a
+    * multiplicative finalizer), HUGEINT intermediates. */
+  private def duckPolyHash(expr: String): String =
+    s"""(list_reduce(
+       |    list_concat([CAST(0 AS HUGEINT)],
+       |      list_transform(range(length($expr)),
+       |        j -> CAST(ascii(substr($expr, CAST(j+1 AS INT), 1)) AS HUGEINT))),
+       |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+       |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+       |    % CAST(2305843009213693951 AS HUGEINT)""".stripMargin
+
+  val defs: Seq[Q] = Seq(
+
+    // χ² test of independence (event_type × day-of-week) — the "is usage
+    // day-patterned per type" screen run before any seasonality modeling.
+    // Observed counts and both marginals are exact integers from ONE scan;
+    // expected = rt·ct/n is an exact small-denominator rational → emitted
+    // in exact-int HALF_UP form (T.r6); the χ² cell contribution
+    // (n·o − rt·ct)²/(n·rt·ct) divides two exact integers cast to double
+    // with identical parenthesization (its denominator is astronomically
+    // large, so a 6dp tie is structurally impossible — tiescan-verified).
+    // All joins after the scan are against enum-sized marginals: broadcast.
+    q("stat_chi2_independence",
+      """WITH base AS (SELECT event_type AS et,
+        |    CAST(date_part('dow', ts) AS INT) AS dow FROM events),
+        |o AS (SELECT et, dow, count(*) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT et, count(*) AS rt FROM base GROUP BY 1),
+        |ct AS (SELECT dow, count(*) AS ct FROM base GROUP BY 1),
+        |n AS (SELECT count(*) AS n FROM base)
+        |SELECT et, dow, o,
+        |  CAST((2000000 * CAST(rt AS HUGEINT) * ct + n)
+        |    // (2 * CAST(n AS HUGEINT)) AS BIGINT) / 1000000.0 AS expected,
+        |  round((CAST(n * o - rt * ct AS DOUBLE) * CAST(n * o - rt * ct AS DOUBLE))
+        |    / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS contrib
+        |FROM o JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n
+        |ORDER BY et, dow""") { (s, dir) =>
+      val base = T.t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          (dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"))
+      val o = base.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val rt = base.groupBy("et").agg(count(lit(1)).as("rt"))
+      val ct = base.groupBy("dow").agg(count(lit(1)).as("ct"))
+      val n = base.agg(count(lit(1)).as("n"))
+      o.join(broadcast(rt), "et").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(col("et"), col("dow"), col("o"),
+          T.r6("cast(rt as decimal(38,0)) * ct", "n").as("expected"),
+          round((col("n") * col("o") - col("rt") * col("ct")).cast(DoubleType)
+            * (col("n") * col("o") - col("rt") * col("ct")).cast(DoubleType)
+            / col("n").cast(DoubleType) / col("rt").cast(DoubleType)
+            / col("ct").cast(DoubleType), 6).as("contrib"))
+        .orderBy("et", "dow")
+    },
+
+    // Benford leading-digit audit of order totals — the fraud/corruption
+    // screen finance pipelines run on money columns. The leading digit of
+    // exact integer cents is a pure string op (no float log bucketing);
+    // shares are exact-int HALF_UP ppm; the Benford expectation
+    // log10(1+1/d) is a transcendental constant whose 6dp neighborhood is
+    // tie-free for all nine digits (checked: min boundary distance 0.009).
+    // One scan, 9-row output.
+    q("stat_benford_digit",
+      """WITH b AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), 1, 1) AS INT) AS digit FROM orders),
+        |c AS (SELECT digit, count(*) AS n FROM b GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM b)
+        |SELECT digit, n,
+        |  CAST((2000000 * n + tot) // (2 * tot) AS BIGINT) / 1000000.0 AS share,
+        |  round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |FROM c CROSS JOIN t ORDER BY digit""") { (s, dir) =>
+      val b = T.t(s, dir, "orders")
+        .select(substring(round(col("o_totalprice") * 100).cast(LongType)
+          .cast(StringType), 1, 1).cast(IntegerType).as("digit"))
+      val c = b.groupBy("digit").agg(count(lit(1)).as("n"))
+      val t = b.agg(count(lit(1)).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("digit"), col("n"),
+          T.r6("n", "tot").as("share"),
+          round(log10(lit(1.0) + lit(1.0) / col("digit")), 6).as("benford"))
+        .orderBy("digit")
+    },
+
+    // Multinomial naive Bayes "train by counting" — the canonical 100 TB
+    // classifier: class-conditional token counts with add-1 smoothing over
+    // an 8-token vocabulary (top global df, TakeOrdered — no single-
+    // partition vocabulary sort), then classification of the first 20 docs.
+    // The trick that makes it ENGINE-EXACT: each log probability is rounded
+    // once to integer MICRO-NATS (round(ln(p)·1e6) — ln of identical IEEE
+    // doubles, tie measure-zero), and the per-doc score is then an exact
+    // integer Σ xₜ·lpₜ + lp_prior — order-independent, partition-
+    // independent, bit-identical on any engine. Argmax by (score desc,
+    // source asc). Counts are map-side combinable; the model grid
+    // (20 sources × 8 tokens) broadcasts.
+    q("ml_naive_bayes_classify",
+      """WITH toks AS (SELECT doc_id, source, unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |vstat AS (SELECT count(DISTINCT tok) AS v FROM toks),
+        |nd AS (SELECT count(DISTINCT doc_id) AS nd FROM toks),
+        |vocab AS (SELECT tok FROM (SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        |    ORDER BY c DESC, tok LIMIT 8)),
+        |tots AS (SELECT source, count(*) AS tot FROM toks GROUP BY 1),
+        |prior AS (SELECT source, count(DISTINCT doc_id) AS ndocs FROM toks GROUP BY 1),
+        |cts AS (SELECT source, tok, count(*) AS c FROM toks
+        |  JOIN vocab USING (tok) GROUP BY 1, 2),
+        |grid AS (SELECT t.source, v.tok,
+        |    CAST(round(ln((coalesce(c.c, 0) + 1.0) / (t.tot + vs.v)) * 1000000.0)
+        |      AS BIGINT) AS lp
+        |  FROM tots t CROSS JOIN vocab v CROSS JOIN vstat vs
+        |  LEFT JOIN cts c ON c.source = t.source AND c.tok = v.tok),
+        |pri AS (SELECT p.source,
+        |    CAST(round(ln(CAST(p.ndocs AS DOUBLE) / nd.nd) * 1000000.0) AS BIGINT) AS lp0
+        |  FROM prior p CROSS JOIN nd),
+        |dx AS (SELECT doc_id, tok, count(*) AS x FROM toks
+        |  JOIN vocab USING (tok) WHERE doc_id < 20 GROUP BY 1, 2),
+        |target AS (SELECT DISTINCT doc_id FROM toks WHERE doc_id < 20),
+        |scored AS (SELECT tg.doc_id, pri.source,
+        |    pri.lp0 + coalesce(sum(dx.x * g.lp), 0) AS score
+        |  FROM target tg CROSS JOIN pri
+        |  LEFT JOIN dx ON dx.doc_id = tg.doc_id
+        |  LEFT JOIN grid g ON g.source = pri.source AND g.tok = dx.tok
+        |  GROUP BY 1, 2, pri.lp0),
+        |ranked AS (SELECT doc_id, source, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rn
+        |  FROM scored)
+        |SELECT doc_id, source AS pred_source, score AS score_micronats
+        |FROM ranked WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
+      val toks = T.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+      val vstat = toks.agg(countDistinct(col("tok")).as("v"))
+      val nd = toks.agg(countDistinct(col("doc_id")).as("nd"))
+      val vocab = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("tok")).limit(8) // TakeOrdered vocab
+        .select("tok")
+      val tots = toks.groupBy("source").agg(count(lit(1)).as("tot"))
+      val prior = toks.groupBy("source").agg(countDistinct(col("doc_id")).as("ndocs"))
+      val cts = toks.join(broadcast(vocab), "tok")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val grid = tots.crossJoin(broadcast(vocab)).crossJoin(broadcast(vstat))
+        .join(cts, Seq("source", "tok"), "left")
+        .select(col("source"), col("tok"),
+          round(log((coalesce(col("c"), lit(0)) + lit(1.0))
+            / (col("tot") + col("v"))) * 1000000.0).cast(LongType).as("lp"))
+      val pri = prior.crossJoin(broadcast(nd))
+        .select(col("source"),
+          round(log(col("ndocs").cast(DoubleType) / col("nd")) * 1000000.0)
+            .cast(LongType).as("lp0"))
+      val dx = toks.join(broadcast(vocab), "tok").filter(col("doc_id") < 20)
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("x"))
+      val target = toks.filter(col("doc_id") < 20).select("doc_id").distinct()
+      val scored = target.crossJoin(broadcast(pri))
+        .join(dx, Seq("doc_id"), "left")
+        .join(broadcast(grid).withColumnRenamed("lp", "glp"),
+          Seq("source", "tok"), "left")
+        .groupBy("doc_id", "source", "lp0")
+        .agg(coalesce(sum(col("x") * col("glp")), lit(0L)).as("sx"))
+        .select(col("doc_id"), col("source"), (col("lp0") + col("sx")).as("score"))
+      scored
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy(col("score").desc, col("source"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("source").as("pred_source"),
+          col("score").as("score_micronats"))
+        .orderBy("doc_id")
+    },
+
+    // Triangle counting on the co-purchase graph (parts sharing an order)
+    // — the clustering-coefficient primitive of graph analytics. The Spark
+    // plan uses DEGREE ORIENTATION, the standard scale trick: orient every
+    // edge from the (degree, id)-smaller endpoint, so each triangle is
+    // counted exactly once at its unique out-degree-2 pivot and the wedge
+    // self-join fans out per node by ORIENTED out-degree ≤ O(√m) instead of
+    // raw degree (hot parts would otherwise wedge quadratically). The
+    // oracle counts the same triangles with the plain a<b formulation —
+    // orientation is count-invariant.
+    q("graph_triangle_count",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |tri AS (SELECT count(*) AS t FROM e e1
+        |  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)
+        |SELECT (SELECT count(DISTINCT l_partkey) FROM li) AS n_nodes,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  (SELECT t FROM tri) AS n_triangles""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e0 = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb").distinct()
+      // degree per node, then orient pa→pb iff (deg,id)(pa) < (deg,id)(pb)
+      val deg = e0.select(col("pa").as("node"))
+        .unionAll(e0.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val ed = e0
+        .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
+        .select(
+          when(col("da") < col("db")
+            || (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+            .otherwise(col("pb")).as("src"),
+          when(col("da") < col("db")
+            || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+            .otherwise(col("pa")).as("dst"))
+      // wedges = ordered pairs of out-neighbors of one pivot; close with the
+      // undirected a<b edge set
+      val wedges = ed.select(col("src"), col("dst").as("v"))
+        .join(ed.select(col("src"), col("dst").as("w")), "src")
+        .filter(col("v") < col("w"))
+      val tri = wedges.join(e0,
+          col("pa") === col("v") && col("pb") === col("w"))
+        .agg(count(lit(1)).as("n_triangles"))
+      li.agg(countDistinct(col("l_partkey")).as("n_nodes"))
+        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+        .crossJoin(tri)
+    },
+
+    // Frequent-pair mining (market basket, the A-Priori pairs pass): how
+    // many orders contain both parts, top-20 by support. The pair counts
+    // come from the same bounded per-order self-join as the triangle graph
+    // (per-order fan-out is the order's line count, not corpus²); the
+    // top-20 is a TakeOrdered, never a global window; support is
+    // exact-int HALF_UP ppm of total orders.
+    q("agg_frequent_pairs",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |n AS (SELECT count(*) AS n_orders FROM orders),
+        |top AS (SELECT pa, pb, c FROM pc ORDER BY c DESC, pa, pb LIMIT 20)
+        |SELECT pa, pb, c,
+        |  CAST((2000000 * c + n_orders) // (2 * n_orders) AS BIGINT) / 1000000.0
+        |    AS support
+        |FROM top CROSS JOIN n ORDER BY c DESC, pa, pb""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val pc = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      val n = T.t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
+      pc.orderBy(col("c").desc, col("pa"), col("pb")).limit(20) // TakeOrdered
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("c"), T.r6("c", "n_orders").as("support"))
+        .orderBy(col("c").desc, col("pa"), col("pb"))
+    },
+
+    // Shard-manifest planning (the WebDataset/tar-shard layout step every
+    // training-data export runs): docs packed greedily in doc_id order into
+    // ~100 KB shards PER SOURCE — shard index = exact integer division of
+    // the running byte offset. The running sum is a per-source keyed window
+    // (never global); at 100 TB the same plan shards each source/date
+    // partition independently — the manifest is the partition-local
+    // artifact. Output: per-shard doc count and exact byte total.
+    q("multimodal_shard_manifest",
+      """WITH w AS (SELECT source, doc_id, n_chars,
+        |    sum(n_chars) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS off
+        |  FROM documents)
+        |SELECT source, CAST(off // 100000 AS BIGINT) AS shard_ix,
+        |  count(*) AS n_docs, sum(n_chars) AS n_bytes
+        |FROM w GROUP BY 1, 2 ORDER BY source, shard_ix""") { (s, dir) =>
+      val w = T.t(s, dir, "documents")
+        .withColumn("off",
+          sum(col("n_chars")).over(Window.partitionBy("source").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("n_chars"))
+      w.groupBy(col("source"),
+          expr("off div 100000L").as("shard_ix"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("n_bytes"))
+        .orderBy("source", "shard_ix")
+    },
+
+    // Bucketed interval-overlap join — the temporal/genomic overlap shape
+    // done WITHOUT a theta range join: each order's service interval
+    // ([orderdate, +3..9 days], key-derived) and each campaign window
+    // (8 fixed 45-day windows) explode to the calendar MONTHS they touch
+    // (constant ≤2 / ≤3 fan-out), meet on an equi-join keyed by month, and
+    // only bucket-collided pairs take the exact overlap test. Overlap days
+    // are exact date arithmetic. The month bucket is the partitioning a
+    // 1000-executor range join actually wants.
+    q("join_interval_overlap",
+      """WITH o AS (SELECT o_orderkey,
+        |    CAST(o_orderdate AS DATE) AS ostart,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 7 + 3 AS INT) AS oend
+        |  FROM orders),
+        |camp AS (SELECT CAST(i AS INT) AS campaign_id,
+        |    DATE '1995-03-01' + CAST(i * 300 AS INT) AS cstart,
+        |    DATE '1995-03-01' + CAST(i * 300 + 44 AS INT) AS cend
+        |  FROM range(8) t(i)),
+        |ob AS (SELECT o_orderkey, ostart, oend,
+        |    unnest(range(year(ostart)*12 + month(ostart),
+        |      year(oend)*12 + month(oend) + 1)) AS mb FROM o),
+        |cb AS (SELECT campaign_id, cstart, cend,
+        |    unnest(range(year(cstart)*12 + month(cstart),
+        |      year(cend)*12 + month(cend) + 1)) AS mb FROM camp),
+        |hits AS (SELECT DISTINCT campaign_id, o_orderkey, ostart, oend, cstart, cend
+        |  FROM ob JOIN cb USING (mb)
+        |  WHERE ostart <= cend AND cstart <= oend)
+        |SELECT campaign_id, count(*) AS n_orders,
+        |  sum(least(oend, cend) - greatest(ostart, cstart) + 1) AS overlap_days
+        |FROM hits GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          col("o_orderdate").cast(DateType).as("ostart"),
+          date_add(col("o_orderdate").cast(DateType),
+            (col("o_orderkey") % 7 + 3).cast(IntegerType)).as("oend"))
+      val camp = s.range(8)
+        .select(col("id").cast(IntegerType).as("campaign_id"),
+          date_add(lit("1995-03-01").cast(DateType),
+            (col("id") * 300).cast(IntegerType)).as("cstart"),
+          date_add(lit("1995-03-01").cast(DateType),
+            (col("id") * 300 + 44).cast(IntegerType)).as("cend"))
+      def mb(c: Column) = year(c) * 12 + month(c)
+      val ob = o.select(col("o_orderkey"), col("ostart"), col("oend"),
+        explode(sequence(mb(col("ostart")), mb(col("oend")))).as("mb"))
+      val cb = camp.select(col("campaign_id"), col("cstart"), col("cend"),
+        explode(sequence(mb(col("cstart")), mb(col("cend")))).as("mb"))
+      ob.join(broadcast(cb), "mb")
+        .filter(col("ostart") <= col("cend") && col("cstart") <= col("oend"))
+        .select("campaign_id", "o_orderkey", "ostart", "oend", "cstart", "cend")
+        .distinct()
+        .groupBy("campaign_id")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(datediff(least(col("oend"), col("cend")),
+            greatest(col("ostart"), col("cstart"))) + 1).as("overlap_days"))
+        .orderBy("campaign_id")
+    },
+
+    // MERGE upsert matrix — snapshot_diff's sibling that actually APPLIES
+    // the merge: per-customer aggregates from orders ≤ 1997 (target) merged
+    // with ≥ 1998 (source); matched keys take the source row (update),
+    // source-only keys insert, target-only keys carry over. Output is the
+    // audit handshake: per-class counts plus an order-independent
+    // poly_hash checksum of the MERGED table (the dq_table_checksum
+    // pattern) — one row that proves both engines materialized the same
+    // post-merge state. One full-outer join on the customer key.
+    q("etl_merge_upsert_matrix",
+      s"""WITH tgt AS (SELECT o_custkey AS k, count(*) AS cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) <= 1997 GROUP BY 1),
+        |src AS (SELECT o_custkey AS k, count(*) AS cnt,
+        |    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) * 100 AS BIGINT) AS cents
+        |  FROM orders WHERE year(o_orderdate) >= 1998 GROUP BY 1),
+        |m AS (SELECT coalesce(s.k, t.k) AS k,
+        |    coalesce(s.cnt, t.cnt) AS cnt, coalesce(s.cents, t.cents) AS cents,
+        |    CASE WHEN t.k IS NULL THEN 'insert'
+        |         WHEN s.k IS NULL THEN 'carry'
+        |         ELSE 'update' END AS cls
+        |  FROM tgt t FULL OUTER JOIN src s ON t.k = s.k),
+        |h AS (SELECT cls, k, concat_ws('|', CAST(k AS VARCHAR),
+        |    CAST(cnt AS VARCHAR), CAST(cents AS VARCHAR)) AS row_repr FROM m)
+        |SELECT
+        |  count(*) FILTER (WHERE cls = 'insert') AS n_insert,
+        |  count(*) FILTER (WHERE cls = 'update') AS n_update,
+        |  count(*) FILTER (WHERE cls = 'carry') AS n_carry,
+        |  CAST(sum(CAST(${duckPolyHash("row_repr")} AS HUGEINT)) AS VARCHAR)
+        |    AS merged_checksum
+        |FROM h""".stripMargin) { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      def snap(pred: Column) = T.t(s, dir, "orders").filter(pred)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(count(lit(1)).as("cnt"),
+          (sum(col("o_totalprice").cast(T.dec)) * 100).cast(LongType).as("cents"))
+      val tgt = snap(year(col("o_orderdate")) <= 1997)
+        .select(col("k"), col("cnt").as("tcnt"), col("cents").as("tcents"))
+      val src = snap(year(col("o_orderdate")) >= 1998)
+        .select(col("k"), col("cnt").as("scnt"), col("cents").as("scents"))
+      val m = tgt.join(src, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("scnt"), col("tcnt")).as("cnt"),
+          coalesce(col("scents"), col("tcents")).as("cents"),
+          when(col("tcnt").isNull, "insert")
+            .when(col("scnt").isNull, "carry").otherwise("update").as("cls"))
+      m.select(col("cls"), concat_ws("|", col("k").cast(StringType),
+          col("cnt").cast(StringType), col("cents").cast(StringType)).as("row_repr"))
+        .agg(
+          count(when(col("cls") === "insert", 1)).as("n_insert"),
+          count(when(col("cls") === "update", 1)).as("n_update"),
+          count(when(col("cls") === "carry", 1)).as("n_carry"),
+          sum(call_function("poly_hash", col("row_repr")).cast(DecimalType(38, 0)))
+            .cast(StringType).as("merged_checksum"))
+    },
+
+    // Day-of-week seasonal index — idx = volume share vs a flat week,
+    // 7·c/total as exact-int HALF_UP ppm (the r6 contract: no double
+    // rounding of a small-denominator rational). One scan, 7-row output —
+    // the seasonality factor table a forecasting pipeline joins back
+    // against at serve time.
+    q("ts_seasonal_index",
+      """WITH d AS (SELECT CAST(date_part('dow', ts) AS INT) AS dow FROM events),
+        |c AS (SELECT dow, count(*) AS n FROM d GROUP BY 1),
+        |t AS (SELECT count(*) AS tot FROM d)
+        |SELECT dow, n,
+        |  CAST((2000000 * 7 * n + tot) // (2 * tot) AS BIGINT) / 1000000.0
+        |    AS seasonal_idx
+        |FROM c CROSS JOIN t ORDER BY dow""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .select((dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"))
+      val c = d.groupBy("dow").agg(count(lit(1)).as("n"))
+      val t = d.agg(count(lit(1)).as("tot"))
+      c.crossJoin(broadcast(t))
+        .select(col("dow"), col("n"), T.r6("7L * n", "tot").as("seasonal_idx"))
+        .orderBy("dow")
+    },
+
+    // Prefix-dimension two-stage retrieval (the matryoshka/MRL serving
+    // shape): coarse rank on the FIRST 16 of 64 dims (quarter the
+    // multiply-adds), exact 64-dim rerank on the top-20 survivors only.
+    // Declared semantics = the two-stage result itself (top-5 by exact
+    // similarity AMONG the prefix-coarse top-20): on MRL-trained embeddings
+    // the prefix carries most of the signal and this approaches brute
+    // force; the fixtures' random vectors have no such structure, so no
+    // exactness claim is made — rerankRecall (api.Pipelines) measures the
+    // gap on any corpus. Queries broadcast; both ranks are per-query keyed
+    // windows.
+    q("vector_matryoshka_prefix_topk",
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings
+        |  WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings
+        |  WHERE vec_id >= 20),
+        |co AS (SELECT q_id, c_id, qe, ce,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(list_dot_product(qe[1:16], ce[1:16]), 6) DESC, c_id)
+        |      AS crnk
+        |  FROM q CROSS JOIN c),
+        |rr AS (SELECT q_id, c_id,
+        |    round(list_dot_product(qe, ce), 6) AS sim FROM co WHERE crnk <= 20),
+        |fin AS (SELECT q_id, c_id, sim,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY sim DESC, c_id) AS INT) AS rnk FROM rr)
+        |SELECT q_id, rnk, c_id, sim FROM fin WHERE rnk <= 5
+        |ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T.t(s, dir, "embeddings")
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val cs = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      cs.crossJoin(broadcast(qs))
+        .withColumn("crnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(
+            round(call_function("vec_dot",
+              slice(col("qe"), 1, 16), slice(col("ce"), 1, 16)), 6).desc,
+            col("c_id"))))
+        .filter(col("crnk") <= 20)
+        .withColumn("sim", round(call_function("vec_dot", col("qe"), col("ce")), 6))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

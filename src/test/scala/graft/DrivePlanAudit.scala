@@ -38,7 +38,13 @@ object DrivePlanAudit {
     "dq_anomaly_zscore", "etl_incremental_watermark", "text_bigram_pmi",
     "text_bm25_topk", "window_cumulative_share",
     "window_sliding_distinct_users", "pipeline_rag_retrieval",
-    "vector_rerank_two_stage")
+    "vector_rerank_two_stage",
+    // round 7: 1-row / enum-sized stat broadcasts (total counts, marginal
+    // tables, the 20×8 NB model grid, campaign month table) and the
+    // broadcast-query-set coarse stage of the matryoshka rerank
+    "stat_chi2_independence", "stat_benford_digit", "ts_seasonal_index",
+    "ml_naive_bayes_classify", "graph_triangle_count", "agg_frequent_pairs",
+    "vector_matryoshka_prefix_topk")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
