@@ -212,10 +212,14 @@ object GroupSeven {
         |  (SELECT t FROM tri) AS n_triangles""") { (s, dir) =>
       val li = T.t(s, dir, "lineitem")
         .select("l_orderkey", "l_partkey").distinct()
+      // materialize the edge list ONCE (localCheckpoint, the pagerank
+      // pattern): it feeds four consumers (degrees, orientation, the
+      // closing-edge join, the edge count) — without truncation the
+      // per-order self-join + distinct would re-run for each
       val e0 = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
         .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
         .filter(col("pa") < col("pb"))
-        .select("pa", "pb").distinct()
+        .select("pa", "pb").distinct().localCheckpoint()
       // degree per node, then orient pa→pb iff (deg,id)(pa) < (deg,id)(pb)
       val deg = e0.select(col("pa").as("node"))
         .unionAll(e0.select(col("pb").as("node")))
@@ -230,14 +234,24 @@ object GroupSeven {
           when(col("da") < col("db")
             || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
             .otherwise(col("pa")).as("dst"))
-      // wedges = ordered pairs of out-neighbors of one pivot; close with the
-      // undirected a<b edge set
-      val wedges = ed.select(col("src"), col("dst").as("v"))
-        .join(ed.select(col("src"), col("dst").as("w")), "src")
-        .filter(col("v") < col("w"))
-      val tri = wedges.join(e0,
-          col("pa") === col("v") && col("pb") === col("w"))
-        .agg(count(lit(1)).as("n_triangles"))
+      // edge-iterator with adjacency intersection: for each oriented edge
+      // (u,v), triangles closed at it = |N⁺(u) ∩ N⁺(v)| — each triangle is
+      // counted exactly once, at the edge between its two orientation-
+      // smallest nodes. This never materializes the wedge set (40M rows at
+      // sf0.1): the edge stream takes two hash joins against the per-node
+      // out-neighbor arrays (bounded at O(√m) ≈ 97 entries here by the
+      // orientation) and one codegen'd array_intersect per edge. The
+      // adjacency table is node-sized — broadcast; on a graph where it
+      // outgrows the budget, drop the hints for shuffle joins keyed by
+      // src/dst and the per-edge intersection bound still holds.
+      val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+      val tri = ed
+        .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+          Seq("dst"), "left")
+        .select(size(array_intersect(col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
+        .agg(sum(col("closed")).as("n_triangles"))
       li.agg(countDistinct(col("l_partkey")).as("n_nodes"))
         .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri)
