@@ -493,6 +493,161 @@ object GroupSeven {
         .filter(col("rnk") <= 5)
         .select("q_id", "rnk", "c_id", "sim")
         .orderBy("q_id", "rnk")
+    },
+
+    // KMV (k-minimum-values) distinct sketch — the mergeable distinct-count
+    // sketch in its oracle-checkable form: the 64 smallest portable
+    // poly_hash values of the distinct tokens, estimate (k−1)·M div h₍ₖ₎
+    // as PURE integer division (M = 2⁶¹−1, the hash modulus) — bit-exact in
+    // both engines, no float estimate drift. The k-mins reduce per
+    // partition then merge (TakeOrdered); at 100 TB the per-partition
+    // k-sets are the mergeable sketch state. Exact distinct computed
+    // alongside for the accuracy handshake.
+    q("agg_kmv_distinct",
+      """WITH toks AS (SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |h AS (SELECT (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(tok)),
+        |        j -> CAST(ascii(substr(tok, CAST(j+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) AS hv FROM toks),
+        |kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+        |kth AS (SELECT max(hv) AS hk, count(*) AS k FROM kmin),
+        |ex AS (SELECT count(*) AS n_exact FROM toks)
+        |SELECT n_exact, CAST(hk AS BIGINT) AS kth_hash,
+        |  CAST((CAST(k - 1 AS HUGEINT) * 2305843009213693951) // hk AS BIGINT)
+        |    AS est_kmv
+        |FROM ex CROSS JOIN kth""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val toks = T.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok")).distinct()
+      val h = toks.select(call_function("poly_hash", col("tok")).as("hv"))
+      val kth = h.orderBy("hv").limit(64) // TakeOrdered k-min merge
+        .agg(max(col("hv")).as("hk"), count(lit(1)).as("k"))
+      toks.agg(count(lit(1)).as("n_exact"))
+        .crossJoin(broadcast(kth))
+        .select(col("n_exact"), col("hk").cast(LongType).as("kth_hash"),
+          expr("(cast(k - 1 as decimal(38,0)) * 2305843009213693951L) div hk")
+            .as("est_kmv"))
+    },
+
+    // CUSUM changepoint scan over the daily purchase series — the shift
+    // detector monitoring runs after the z-score screen: Sₖ = n·prefixₖ −
+    // k·total is EXACT integer at every day (no mean subtraction in float),
+    // and the changepoint is the argmax of |Sₖ| (tie → earliest day). One
+    // small ordered pass over the ≤31-row daily spine; the heavy work is
+    // the per-day count agg, which is map-side combinable at any scale.
+    q("ts_changepoint_cusum",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |st AS (SELECT count(*) AS n, sum(c) AS t FROM daily),
+        |cu AS (SELECT d, c,
+        |    n * sum(c) OVER (ORDER BY d
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - (row_number() OVER (ORDER BY d)) * t AS sk
+        |  FROM daily CROSS JOIN st),
+        |mx AS (SELECT max(abs(sk)) AS m FROM cu)
+        |SELECT d, c, sk,
+        |  CASE WHEN abs(sk) = mx.m AND d = (SELECT min(d) FROM cu, mx
+        |    WHERE abs(sk) = mx.m) THEN 1 ELSE 0 END AS is_changepoint
+        |FROM cu CROSS JOIN mx ORDER BY d""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      val st = daily.agg(count(lit(1)).as("n"), sum("c").as("t"))
+      val w = Window.orderBy("d")
+      val cu = daily.crossJoin(broadcast(st))
+        .withColumn("sk", col("n") * sum(col("c")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - row_number().over(w) * col("t"))
+      val mx = cu.agg(max(abs(col("sk"))).as("m"))
+      val first = cu.crossJoin(broadcast(mx)).filter(abs(col("sk")) === col("m"))
+        .agg(min(col("d")).as("d0"))
+      cu.crossJoin(broadcast(mx)).crossJoin(broadcast(first))
+        .select(col("d"), col("c"), col("sk"),
+          when(abs(col("sk")) === col("m") && col("d") === col("d0"), 1)
+            .otherwise(0).as("is_changepoint"))
+        .orderBy("d")
+    },
+
+    // Late-arriving dimension handling — the nightly-warehouse reality:
+    // 1-in-20 customers (key % 20 = 0) haven't landed in the dim yet; facts
+    // still flow, enriched with an UNKNOWN segment and a late flag for the
+    // backfill queue. LEFT broadcast join keeps the fact table in place;
+    // the audit aggregates per effective segment with exact decimal
+    // revenue. At 100 TB this is the standard "don't block the fact load
+    // on the dim" pattern + a reconciliation count.
+    q("etl_late_arriving_dim",
+      """WITH dim AS (SELECT c_custkey, c_mktsegment FROM customer
+        |  WHERE c_custkey % 20 <> 0),
+        |j AS (SELECT o.o_orderkey, o.o_totalprice,
+        |    coalesce(d.c_mktsegment, 'UNKNOWN') AS seg,
+        |    CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS late
+        |  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
+        |SELECT seg, count(*) AS n_orders, sum(late) AS n_late,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val dim = T.t(s, dir, "customer")
+        .filter(col("c_custkey") % 20 =!= 0)
+        .select("c_custkey", "c_mktsegment")
+      T.t(s, dir, "orders")
+        .join(broadcast(dim), col("o_custkey") === col("c_custkey"), "left")
+        .select(col("o_totalprice"),
+          coalesce(col("c_mktsegment"), lit("UNKNOWN")).as("seg"),
+          when(col("c_custkey").isNull, 1).otherwise(0).as("late"))
+        .groupBy("seg")
+        .agg(count(lit(1)).as("n_orders"), sum(col("late")).as("n_late"),
+          T.dsum(col("o_totalprice")).as("revenue"))
+        .orderBy("seg")
+    },
+
+    // Wald–Wolfowitz runs test on the daily purchase series — "is the
+    // sequence random around its median": the median of an even-length
+    // integer series is the exact rational (c₍₁₅₎+c₍₁₆₎)/2, so the
+    // above-median sign is the INTEGER comparison 2c > c₍₁₅₎+c₍₁₆₎ (ties
+    // below, deterministic), runs are counted by one lag pass, and the
+    // expected run count 1 + 2·na·nb/n is emitted in exact-int HALF_UP ppm
+    // (T.r6). All on the ≤31-row daily spine above a map-side-combinable
+    // count agg.
+    q("stat_runs_test",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |rk AS (SELECT c, row_number() OVER (ORDER BY c, d) AS r FROM daily),
+        |med AS (SELECT sum(c) AS m2 FROM rk
+        |  WHERE r IN ((SELECT count(*) FROM daily) / 2,
+        |              (SELECT count(*) FROM daily) / 2 + 1)),
+        |sg AS (SELECT d, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS sign
+        |  FROM daily CROSS JOIN med),
+        |rn AS (SELECT sign, lag(sign) OVER (ORDER BY d) AS prev FROM sg),
+        |agg AS (SELECT count(*) AS n,
+        |    sum(sign) AS na, count(*) - sum(sign) AS nb,
+        |    1 + sum(CASE WHEN prev IS NOT NULL AND sign <> prev
+        |      THEN 1 ELSE 0 END) AS n_runs
+        |  FROM rn)
+        |SELECT n, na, nb, n_runs,
+        |  CAST((2000000 * (n + 2 * na * nb) + n) // (2 * n) AS BIGINT)
+        |    / 1000000.0 AS expected_runs
+        |FROM agg""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      val cnt = daily.agg(count(lit(1)).as("nd"))
+      val rk = daily.withColumn("r",
+        row_number().over(Window.orderBy(col("c"), col("d"))))
+      val med = rk.crossJoin(broadcast(cnt))
+        .filter(col("r") === expr("nd div 2") || col("r") === expr("nd div 2 + 1"))
+        .agg(sum(col("c")).as("m2"))
+      val sg = daily.crossJoin(broadcast(med))
+        .select(col("d"), when(lit(2) * col("c") > col("m2"), 1).otherwise(0).as("sign"))
+      val rn = sg.withColumn("prev", lag(col("sign"), 1).over(Window.orderBy("d")))
+      rn.agg(count(lit(1)).as("n"), sum(col("sign")).as("na"),
+          (count(lit(1)) - sum(col("sign"))).as("nb"),
+          (lit(1) + sum(when(col("prev").isNotNull
+            && col("sign") =!= col("prev"), 1).otherwise(0))).as("n_runs"))
+        .select(col("n"), col("na"), col("nb"), col("n_runs"),
+          T.r6("n + 2L * na * nb", "n").as("expected_runs"))
     }
   )
 }

@@ -44,7 +44,10 @@ object DrivePlanAudit {
     // broadcast-query-set coarse stage of the matryoshka rerank
     "stat_chi2_independence", "stat_benford_digit", "ts_seasonal_index",
     "ml_naive_bayes_classify", "graph_triangle_count", "agg_frequent_pairs",
-    "vector_matryoshka_prefix_topk")
+    "vector_matryoshka_prefix_topk",
+    // round 7b: 1-row sketch/stat broadcasts (k-th min hash, CUSUM
+    // max/argmax scalars, median-of-30 scalar)
+    "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -52,8 +55,10 @@ object DrivePlanAudit {
   // re-plan) or it flags. The audit prints `globalwin-ok` for allowlisted
   // hits — prune any entry that stops printing.
   private val intendedGlobalWindow = Set(
-    "window_moving_avg", // frame over ≤31 rows (one per calendar day)
-    "window_ntile_cume") // post-agg relation keyed by a bounded enum
+    "window_moving_avg",    // frame over ≤31 rows (one per calendar day)
+    "window_ntile_cume",    // post-agg relation keyed by a bounded enum
+    "ts_changepoint_cusum", // CUSUM prefix sums over the ≤31-day spine
+    "stat_runs_test")       // rank + lag over the same ≤31-day spine
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

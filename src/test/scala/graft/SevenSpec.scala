@@ -92,6 +92,40 @@ class SevenSpec extends AnyFunSuite {
     assert(r.filter(abs(col("sim")) > 1.0).count() == 0)
   }
 
+  test("agg_kmv_distinct: estimate within the sketch's error envelope") {
+    val r = SparkEntry.queries("agg_kmv_distinct")(s, sf).head()
+    val exact = r.getAs[Long]("n_exact")
+    val est = r.getAs[Long]("est_kmv")
+    // KMV with k=64 has relative σ ≈ 1/√(k−2) ≈ 12.7%; 4σ envelope
+    assert(est > 0 && math.abs(est - exact).toDouble / exact < 0.51)
+  }
+
+  test("ts_changepoint_cusum: S_k telescopes to zero, exactly one changepoint") {
+    val r = SparkEntry.queries("ts_changepoint_cusum")(s, sf).cache()
+    // S_n = n·total − n·total = 0 at the last day by construction
+    val lastSk = r.orderBy(col("d").desc).head().getAs[Long]("sk")
+    assert(lastSk == 0L)
+    assert(r.filter(col("is_changepoint") === 1).count() == 1)
+  }
+
+  test("etl_late_arriving_dim: UNKNOWN rows are exactly the late ones") {
+    val r = SparkEntry.queries("etl_late_arriving_dim")(s, sf).cache()
+    val unk = r.filter(col("seg") === "UNKNOWN").head()
+    assert(unk.getAs[Long]("n_orders") == unk.getAs[Long]("n_late"))
+    assert(r.filter(col("seg") =!= "UNKNOWN" && col("n_late") =!= 0).count() == 0)
+    // totals reconcile with the fact table
+    assert(r.agg(sum("n_orders")).head().getLong(0) ==
+      T.t(s, sf, "orders").count())
+  }
+
+  test("stat_runs_test: runs bounded by days, signs partition the series") {
+    val r = SparkEntry.queries("stat_runs_test")(s, sf).head()
+    val n = r.getAs[Long]("n")
+    assert(r.getAs[Long]("na") + r.getAs[Long]("nb") == n)
+    val runs = r.getAs[Long]("n_runs")
+    assert(runs >= 1 && runs <= n)
+  }
+
   test("agg_frequent_pairs: support consistent with pair count") {
     val r = SparkEntry.queries("agg_frequent_pairs")(s, sf).cache()
     assert(r.count() == 20)
