@@ -541,6 +541,76 @@ object Pipelines {
       .agg(countDistinct(col("_k")).as("n_users"))
   }
 
+  /** Shard-manifest planning (WebDataset/tar-shard layout): rows packed
+    * greedily in `idCol` order into shards of ~`budgetBytes` per group —
+    * shard index = exact integer division of the per-group running byte
+    * offset. One keyed window + one agg; at scale each group (source, date
+    * partition, …) plans its shards independently. Returns one row per
+    * (group, shard_ix) with `n_docs` and `n_bytes`. */
+  def shardManifest(df: DataFrame, groupCol: String, idCol: String,
+                    bytesCol: String, budgetBytes: Long = 100000L): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_off", sum(col(bytesCol)).over(w) - col(bytesCol))
+      .withColumn("shard_ix", expr(s"_off div ${budgetBytes}L"))
+      .groupBy(col(groupCol), col("shard_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(bytesCol)).as("n_bytes"))
+  }
+
+  /** Exact triangle count of an undirected graph given as (src, dst) edge
+    * pairs (direction/duplicates normalized here). Degree-oriented
+    * edge-iterator: orient each edge toward the (degree, id)-larger
+    * endpoint, build per-node out-neighbor arrays (bounded at O(√m) by the
+    * orientation), and sum |N⁺(u) ∩ N⁺(v)| over edges — each triangle
+    * counted exactly once, no wedge set ever materialized. `broadcastAdj`
+    * controls whether the node-sized adjacency table broadcasts (default)
+    * or shuffle-joins (graphs whose adjacency outgrows the budget). */
+  def triangleCount(edges: DataFrame, srcCol: String, dstCol: String,
+                    broadcastAdj: Boolean = true): DataFrame = {
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("pa"),
+        greatest(col(srcCol), col(dstCol)).as("pb"))
+      .filter(col("pa") < col("pb")).distinct().localCheckpoint()
+    val deg = e0.select(col("pa").as("node"))
+      .unionAll(e0.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("d"))
+    val ed = e0
+      .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
+      .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
+      .select(
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+          .otherwise(col("pb")).as("src"),
+        when(col("da") < col("db")
+          || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+          .otherwise(col("pa")).as("dst"))
+    val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+    def maybeB(d: DataFrame) = if (broadcastAdj) broadcast(d) else d
+    ed.join(maybeB(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+      .join(maybeB(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        Seq("dst"), "left")
+      .select(size(array_intersect(col("nu"),
+        coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
+      .agg(sum(col("closed")).as("n_triangles"))
+  }
+
+  /** KMV (k-minimum-values) distinct-count sketch over any column, using
+    * the engine-portable `poly_hash`: estimate = (k−1)·M div h₍ₖ₎ as PURE
+    * integer division — deterministic on any engine/partitioning. The
+    * per-partition k-smallest sets merge through a TakeOrdered, which is
+    * exactly the sketch's mergeable state. Returns (kth_hash, est_kmv).
+    * Relative σ ≈ 1/√(k−2). */
+  def kmvDistinct(df: DataFrame, colName: String, k: Int = 64): DataFrame = {
+    val m = 2305843009213693951L // poly_hash modulus, 2⁶¹ − 1
+    df.select(col(colName)).distinct()
+      .select(call_function("poly_hash", col(colName).cast("string")).as("hv"))
+      .orderBy("hv").limit(k)
+      .agg(max(col("hv")).as("kth_hash"), count(lit(1)).as("_k"))
+      .select(col("kth_hash"),
+        expr(s"(cast(_k - 1 as decimal(38,0)) * ${m}L) div kth_hash")
+          .as("est_kmv"))
+  }
+
   /** Trailing-window exact distinct per day: each (key, day) fact is
     * replicated to the ≤ `windowDays` window-end days it can serve — a
     * constant fan-out instead of a per-day rescan — then one

@@ -220,6 +220,38 @@ class PipelinesSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"))
   }
 
+  test("shardManifest matches multimodal_shard_manifest") {
+    val api = graft.api.Pipelines.shardManifest(
+        docs, "source", "doc_id", "n_chars", 100000L)
+      .withColumnRenamed("shard_ix", "six")
+      .select(col("source"), col("six").cast("long").as("shard_ix"),
+        col("n_docs"), col("n_bytes"))
+    val graded = SparkEntry.queries("multimodal_shard_manifest")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("triangleCount matches graph_triangle_count on the co-purchase graph") {
+    val li = graft.T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val edges = li.select(col("l_orderkey").as("k"), col("l_partkey").as("a"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("b")), "k")
+      .filter(col("a") =!= col("b")).select("a", "b")
+    val api = graft.api.Pipelines.triangleCount(edges, "a", "b")
+      .head().getAs[Long]("n_triangles")
+    val graded = SparkEntry.queries("graph_triangle_count")(s, sf)
+      .head().getAs[Long]("n_triangles")
+    assert(api == graded)
+  }
+
+  test("kmvDistinct matches agg_kmv_distinct's sketch state") {
+    graft.functions.GraftFunctions.register(s)
+    val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
+    val api = graft.api.Pipelines.kmvDistinct(toks, "tok", 64).head()
+    val graded = SparkEntry.queries("agg_kmv_distinct")(s, sf).head()
+    assert(api.getAs[Long]("kth_hash") == graded.getAs[Long]("kth_hash"))
+    assert(api.getAs[Long]("est_kmv") == graded.getAs[Long]("est_kmv"))
+  }
+
   test("rerankRecall attests 1.0 for the graded (k=5, coarseK=50) setting") {
     graft.functions.GraftFunctions.register(s)
     val e = graft.T.t(s, sf, "embeddings")
