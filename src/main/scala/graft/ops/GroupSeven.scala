@@ -648,6 +648,124 @@ object GroupSeven {
             && col("sign") =!= col("prev"), 1).otherwise(0))).as("n_runs"))
         .select(col("n"), col("na"), col("nb"), col("n_runs"),
           T.r6("n + 2L * na * nb", "n").as("expected_runs"))
+    },
+
+    // Sequential probability-ratio test (SPRT) over the conversion stream —
+    // the always-valid A/B monitor that stops as soon as the evidence
+    // crosses Wald's bounds, H₀: p=0.2 vs H₁: p=0.25 (α=β=0.05). Two scale
+    // ideas compose here: (a) the per-event log-likelihood increments are
+    // integer MICRO-NATS (the naive-Bayes trick — one round of each
+    // constant, then pure-integer sums, engine/partition-exact); (b) the
+    // running LLR is a PARALLEL PREFIX SUM — per-day partial sums roll up
+    // through a ≤31-row offset table, and the within-day cumsum window is
+    // day-partitioned. No global-ordered window over the event stream ever
+    // runs. Output: totals, the crossing event, and the decision.
+    q("ml_ab_sequential_sprt",
+      """WITH ev AS (SELECT event_id, ts, CAST(ts AS DATE) AS d,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS x
+        |  FROM events WHERE event_type IN ('purchase', 'view')),
+        |k AS (SELECT CAST(round(ln(0.25 / 0.2) * 1000000.0) AS BIGINT) AS lp1,
+        |    CAST(round(ln(0.75 / 0.8) * 1000000.0) AS BIGINT) AS lp0,
+        |    CAST(round(ln(19.0) * 1000000.0) AS BIGINT) AS bound),
+        |inc AS (SELECT event_id, ts, d,
+        |    x * k.lp1 + (1 - x) * k.lp0 AS w FROM ev CROSS JOIN k),
+        |daily AS (SELECT d, sum(w) AS dw FROM inc GROUP BY 1),
+        |off AS (SELECT d, sum(dw) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior FROM daily),
+        |llr AS (SELECT i.event_id, i.ts,
+        |    coalesce(o.prior, 0) + sum(i.w) OVER (PARTITION BY i.d
+        |      ORDER BY i.ts, i.event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+        |  FROM inc i JOIN off o ON i.d = o.d),
+        |crossed AS (SELECT event_id, ts, s FROM llr CROSS JOIN k
+        |  WHERE abs(s) >= k.bound ORDER BY ts, event_id LIMIT 1),
+        |agg AS (SELECT count(*) AS n_events,
+        |    (SELECT s FROM llr ORDER BY ts DESC, event_id DESC LIMIT 1)
+        |      AS llr_final FROM ev)
+        |SELECT agg.n_events, agg.llr_final,
+        |  coalesce((SELECT event_id FROM crossed), -1) AS first_cross_event,
+        |  CASE WHEN (SELECT s FROM crossed) >= (SELECT bound FROM k)
+        |      THEN 'accept_h1'
+        |    WHEN (SELECT s FROM crossed) IS NOT NULL THEN 'accept_h0'
+        |    ELSE 'continue' END AS decision
+        |FROM agg""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .select(col("event_id"), col("ts"), to_date(col("ts")).as("d"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("x"))
+      val inc = ev.select(col("event_id"), col("ts"), col("d"),
+        (col("x") * expr("cast(round(ln(0.25 / 0.2) * 1000000.0) as bigint)")
+          + (lit(1) - col("x"))
+          * expr("cast(round(ln(0.75 / 0.8) * 1000000.0) as bigint)")).as("w"))
+      val bound = math.round(math.log(19.0) * 1e6)
+      val daily = inc.groupBy("d").agg(sum(col("w")).as("dw"))
+      val off = daily.withColumn("prior",
+        coalesce(sum(col("dw")).over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("d", "prior")
+      val llr = inc.join(broadcast(off), "d")
+        .withColumn("s", col("prior") + sum(col("w")).over(
+          Window.partitionBy("d").orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val crossed = llr.filter(abs(col("s")) >= bound)
+        .orderBy("ts", "event_id").limit(1)
+        .select(col("event_id").as("ce"), col("s").as("cs"))
+      val fin = llr.orderBy(col("ts").desc, col("event_id").desc).limit(1)
+        .select(col("s").as("llr_final"))
+      ev.agg(count(lit(1)).as("n_events"))
+        .crossJoin(broadcast(fin))
+        .crossJoin(broadcast(crossed.select(
+          col("ce").as("first_cross_event"),
+          when(col("cs") >= bound, "accept_h1")
+            .when(col("cs").isNotNull, "accept_h0")
+            .otherwise("continue").as("decision"))
+          // default row so a never-crossing stream still yields one row
+          .unionByName(s.range(1).select(lit(-1L).as("first_cross_event"),
+            lit("continue").as("decision")))
+          .orderBy(col("first_cross_event").desc).limit(1)))
+    },
+
+    // Functional-dependency audit — profiling's "which columns determine
+    // which": for three candidate FDs, the exact count of determinant keys
+    // whose dependent column is NOT single-valued, plus the worst fan-out.
+    // Each FD is one keyed count-distinct agg (map-side combinable),
+    // unioned into the tall audit relation a data-quality dashboard reads.
+    q("dq_fd_violations",
+      """WITH fd1 AS (SELECT 'orders: o_custkey->o_orderpriority' AS fd,
+        |    count(*) AS n_keys,
+        |    count(*) FILTER (WHERE nd > 1) AS n_violating,
+        |    max(nd) AS max_fanout
+        |  FROM (SELECT o_custkey, count(DISTINCT o_orderpriority) AS nd
+        |        FROM orders GROUP BY 1)),
+        |fd2 AS (SELECT 'lineitem: l_partkey->l_returnflag' AS fd,
+        |    count(*) AS n_keys,
+        |    count(*) FILTER (WHERE nd > 1) AS n_violating,
+        |    max(nd) AS max_fanout
+        |  FROM (SELECT l_partkey, count(DISTINCT l_returnflag) AS nd
+        |        FROM lineitem GROUP BY 1)),
+        |fd3 AS (SELECT 'customer: c_nationkey->c_mktsegment' AS fd,
+        |    count(*) AS n_keys,
+        |    count(*) FILTER (WHERE nd > 1) AS n_violating,
+        |    max(nd) AS max_fanout
+        |  FROM (SELECT c_nationkey, count(DISTINCT c_mktsegment) AS nd
+        |        FROM customer GROUP BY 1))
+        |SELECT * FROM fd1 UNION ALL SELECT * FROM fd2 UNION ALL
+        |SELECT * FROM fd3 ORDER BY fd""") { (s, dir) =>
+      def fd(label: String, table: String, a: String, b: String) =
+        T.t(s, dir, table).groupBy(col(a))
+          .agg(countDistinct(col(b)).as("nd"))
+          .agg(count(lit(1)).as("n_keys"),
+            count(when(col("nd") > 1, 1)).as("n_violating"),
+            max(col("nd")).as("max_fanout"))
+          .select(lit(label).as("fd"), col("n_keys"), col("n_violating"),
+            col("max_fanout"))
+      fd("orders: o_custkey->o_orderpriority", "orders",
+          "o_custkey", "o_orderpriority")
+        .unionByName(fd("lineitem: l_partkey->l_returnflag", "lineitem",
+          "l_partkey", "l_returnflag"))
+        .unionByName(fd("customer: c_nationkey->c_mktsegment", "customer",
+          "c_nationkey", "c_mktsegment"))
+        .orderBy("fd")
     }
   )
 }

@@ -46,8 +46,9 @@ object DrivePlanAudit {
     "ml_naive_bayes_classify", "graph_triangle_count", "agg_frequent_pairs",
     "vector_matryoshka_prefix_topk",
     // round 7b: 1-row sketch/stat broadcasts (k-th min hash, CUSUM
-    // max/argmax scalars, median-of-30 scalar)
-    "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test")
+    // max/argmax scalars, median-of-30 scalar, SPRT crossing/final scalars)
+    "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test",
+    "ml_ab_sequential_sprt")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -58,7 +59,9 @@ object DrivePlanAudit {
     "window_moving_avg",    // frame over ≤31 rows (one per calendar day)
     "window_ntile_cume",    // post-agg relation keyed by a bounded enum
     "ts_changepoint_cusum", // CUSUM prefix sums over the ≤31-day spine
-    "stat_runs_test")       // rank + lag over the same ≤31-day spine
+    "stat_runs_test",       // rank + lag over the same ≤31-day spine
+    "ml_ab_sequential_sprt") // day-offset table of the parallel prefix sum
+                             // (≤31 rows; the event cumsum is day-keyed)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -126,6 +126,30 @@ class SevenSpec extends AnyFunSuite {
     assert(runs >= 1 && runs <= n)
   }
 
+  test("ml_ab_sequential_sprt: parallel prefix LLR == naive global cumsum") {
+    import org.apache.spark.sql.expressions.Window
+    val r = SparkEntry.queries("ml_ab_sequential_sprt")(s, sf).head()
+    // recompute the final LLR with a single global-ordered window (the
+    // formulation the graded key avoids for scale) — must agree exactly
+    val ev = T.t(s, sf, "events")
+      .filter(col("event_type").isin("purchase", "view"))
+      .select(col("event_id"), col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("x"))
+    val w = (col("x") * expr("cast(round(ln(0.25 / 0.2) * 1000000.0) as bigint)")
+      + (lit(1) - col("x"))
+      * expr("cast(round(ln(0.75 / 0.8) * 1000000.0) as bigint)"))
+    val naiveFinal = ev.select(w.as("w")).agg(sum("w")).head().getLong(0)
+    assert(r.getAs[Long]("llr_final") == naiveFinal)
+    assert(Set("accept_h0", "accept_h1", "continue")(r.getAs[String]("decision")))
+  }
+
+  test("dq_fd_violations: violation counts bounded by key counts") {
+    val r = SparkEntry.queries("dq_fd_violations")(s, sf).cache()
+    assert(r.count() == 3)
+    assert(r.filter(col("n_violating") > col("n_keys")).count() == 0)
+    assert(r.filter(col("max_fanout") < 1).count() == 0)
+  }
+
   test("agg_frequent_pairs: support consistent with pair count") {
     val r = SparkEntry.queries("agg_frequent_pairs")(s, sf).cache()
     assert(r.count() == 20)
