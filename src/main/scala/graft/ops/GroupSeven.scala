@@ -766,6 +766,91 @@ object GroupSeven {
         .unionByName(fd("customer: c_nationkey->c_mktsegment", "customer",
           "c_nationkey", "c_mktsegment"))
         .orderBy("fd")
+    },
+
+    // Lag-k autocorrelation of the daily purchase series (k = 1 and 7 —
+    // momentum and weekly seasonality) — Pearson over the (cₜ, cₜ₊ₖ) pairs
+    // from EXACT integer power sums; the sqrt in the denominator makes the
+    // 6dp round tie-safe (tiescan class). The heavy agg is the map-side
+    // day count; the lag pass runs on the ≤31-row spine.
+    q("ts_autocorr_lag",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c FROM events
+        |  WHERE event_type = 'purchase' GROUP BY 1),
+        |pairs AS (SELECT k.k, c AS x,
+        |    CASE WHEN k.k = 1 THEN lead(c, 1) OVER (PARTITION BY k.k ORDER BY d)
+        |         ELSE lead(c, 7) OVER (PARTITION BY k.k ORDER BY d) END AS y
+        |  FROM daily CROSS JOIN (SELECT unnest([1, 7]) AS k) k),
+        |g AS (SELECT k, count(*) AS p,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM pairs WHERE y IS NOT NULL GROUP BY 1)
+        |SELECT k, p AS n_pairs,
+        |  round(CAST(p * sxy - sx * sy AS DOUBLE)
+        |    / (sqrt(CAST(p * sxx - sx * sx AS DOUBLE))
+        |      * sqrt(CAST(p * syy - sy * sy AS DOUBLE))), 6) AS autocorr
+        |FROM g ORDER BY k""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      val ks = daily.crossJoin(broadcast(
+        s.range(2).select(when(col("id") === 0, 1).otherwise(7).as("k"))))
+      val w = Window.partitionBy("k").orderBy("d")
+      val pairs = ks.withColumn("y",
+          when(col("k") === 1, lead(col("c"), 1).over(w))
+            .otherwise(lead(col("c"), 7).over(w)))
+        .filter(col("y").isNotNull)
+        .select(col("k"), col("c").as("x"), col("y"))
+      pairs.groupBy("k")
+        .agg(count(lit(1)).as("p"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("k"), col("p").as("n_pairs"),
+          round((col("p") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (sqrt((col("p") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+              * sqrt((col("p") * col("syy") - col("sy") * col("sy")).cast(DoubleType))),
+            6).as("autocorr"))
+        .orderBy("k")
+    },
+
+    // Time-weighted average (TWAP) per event type — the telemetry/finance
+    // average that weights each observation by how long it was current:
+    // weight = exact integer micro-seconds to the next same-type event
+    // (the last observation carries no interval). Products and sums run in
+    // DECIMAL(38,0) (cents × micro-seconds ≈ 4e15/row — a LongType sum
+    // would wrap); the final rate is the exact rational Σ(cents·w) /
+    // (100·Σw) in exact-int HALF_UP 6dp form (T.r6). One event_type-keyed
+    // window + one agg.
+    q("ts_time_weighted_avg",
+      """WITH e AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+        |    epoch_us(ts) AS us FROM events),
+        |w AS (SELECT event_type, cents,
+        |    lead(us) OVER (PARTITION BY event_type ORDER BY us, cents) - us AS w
+        |  FROM e),
+        |g AS (SELECT event_type, count(*) AS n_weighted,
+        |    sum(CAST(cents AS HUGEINT) * w) AS num, sum(CAST(w AS HUGEINT)) AS den
+        |  FROM w WHERE w IS NOT NULL GROUP BY 1)
+        |SELECT event_type, n_weighted,
+        |  CAST((2000000 * num + 100 * den) // (200 * den) AS BIGINT) / 1000000.0
+        |    AS twap
+        |FROM g ORDER BY event_type""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val e = T.t(s, dir, "events")
+        .select(col("event_type"),
+          (col("value").cast(T.dec) * 100).cast(LongType).as("cents"),
+          expr("unix_micros(cast(ts as timestamp))").as("us"))
+      val w = e.withColumn("w",
+          lead(col("us"), 1).over(
+            Window.partitionBy("event_type").orderBy("us", "cents")) - col("us"))
+        .filter(col("w").isNotNull)
+      w.groupBy("event_type")
+        .agg(count(lit(1)).as("n_weighted"),
+          sum(col("cents").cast(d38) * col("w")).as("num"),
+          sum(col("w").cast(d38)).as("den"))
+        .select(col("event_type"), col("n_weighted"),
+          T.r6("num", "100L * den").as("twap"))
+        .orderBy("event_type")
     }
   )
 }

@@ -48,7 +48,9 @@ object DrivePlanAudit {
     // round 7b: 1-row sketch/stat broadcasts (k-th min hash, CUSUM
     // max/argmax scalars, median-of-30 scalar, SPRT crossing/final scalars)
     "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test",
-    "ml_ab_sequential_sprt")
+    "ml_ab_sequential_sprt",
+    // 2-row lag-k replication crossJoin (k ∈ {1, 7})
+    "ts_autocorr_lag")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

@@ -150,6 +150,21 @@ class SevenSpec extends AnyFunSuite {
     assert(r.filter(col("max_fanout") < 1).count() == 0)
   }
 
+  test("ts_autocorr_lag: coefficients in [-1,1], both lags present") {
+    val r = SparkEntry.queries("ts_autocorr_lag")(s, sf).cache()
+    assert(r.select("k").collect().map(_.getInt(0)).toSet == Set(1, 7))
+    assert(r.filter(abs(col("autocorr")) > 1.0).count() == 0)
+  }
+
+  test("ts_time_weighted_avg: TWAP bounded by per-type min/max value") {
+    val r = SparkEntry.queries("ts_time_weighted_avg")(s, sf)
+    val bounds = T.t(s, sf, "events").groupBy("event_type")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    val bad = r.join(bounds, "event_type")
+      .filter(col("twap") < col("lo") - 0.01 || col("twap") > col("hi") + 0.01)
+    assert(bad.count() == 0)
+  }
+
   test("agg_frequent_pairs: support consistent with pair count") {
     val r = SparkEntry.queries("agg_frequent_pairs")(s, sf).cache()
     assert(r.count() == 20)
