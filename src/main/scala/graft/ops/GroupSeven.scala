@@ -851,6 +851,73 @@ object GroupSeven {
         .select(col("event_type"), col("n_weighted"),
           T.r6("num", "100L * den").as("twap"))
         .orderBy("event_type")
+    },
+
+    // Partition-size advisor — the nightly ops pass that decides how many
+    // output files each day partition deserves: per-day row counts +
+    // `ceil(rows / target)` recommended file count (integer arithmetic:
+    // (rows + target − 1) div target), and a skew flag when a day runs
+    // ≥2× the daily median. At 100 TB this runs per table per day and
+    // feeds the compaction planner (etl_compact_small_files executes what
+    // this recommends).
+    q("etl_partition_advisor",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS n_rows
+        |  FROM events GROUP BY 1),
+        |rk AS (SELECT n_rows, row_number() OVER (ORDER BY n_rows, d) AS r
+        |  FROM daily),
+        |med AS (SELECT sum(n_rows) AS m2 FROM rk, (SELECT count(*) AS nd FROM daily)
+        |  WHERE r IN (nd // 2, nd // 2 + 1))
+        |SELECT d, n_rows,
+        |  CAST((n_rows + 1999) // 2000 AS BIGINT) AS rec_files,
+        |  CASE WHEN n_rows >= m2 THEN 1 ELSE 0 END AS skew_flag
+        |FROM daily CROSS JOIN med ORDER BY d""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("n_rows"))
+      val cnt = daily.agg(count(lit(1)).as("nd"))
+      val rk = daily.withColumn("r",
+        row_number().over(Window.orderBy(col("n_rows"), col("d"))))
+      // m2 = c₍ₙ/₂₎ + c₍ₙ/₂₊₁₎ = 2·median, so `n_rows >= m2` IS the exact
+      // "≥ 2× the median" test with no division
+      val med = rk.crossJoin(broadcast(cnt))
+        .filter(col("r") === expr("nd div 2") || col("r") === expr("nd div 2 + 1"))
+        .agg(sum(col("n_rows")).as("m2"))
+      daily.crossJoin(broadcast(med))
+        .select(col("d"), col("n_rows"),
+          expr("(n_rows + 1999L) div 2000L").as("rec_files"),
+          when(col("n_rows") >= col("m2"), 1).otherwise(0).as("skew_flag"))
+        .orderBy("d")
+    },
+
+    // Prefix-blocked exact dedup — the cheap blocking pass real pipelines
+    // run BEFORE any shingle machinery: normalize (lowercase, squeeze
+    // whitespace) and block on the 64-char prefix; only blocks with ≥2
+    // members go to full-text comparison, here resolved exactly within the
+    // block. Output: per-block survivor and duplicate counts for blocks
+    // that actually deduplicated. One groupBy on the prefix — the blocking
+    // key IS the shuffle key, and block sizes bound all later work.
+    q("dedup_prefix_blocked",
+      """WITH n AS (SELECT doc_id,
+        |    substr(lower(regexp_replace(text, ' +', ' ', 'g')), 1, 64) AS pfx,
+        |    lower(regexp_replace(text, ' +', ' ', 'g')) AS norm
+        |  FROM documents),
+        |b AS (SELECT pfx, count(*) AS n_docs,
+        |    count(DISTINCT norm) AS n_distinct, min(doc_id) AS block_rep
+        |  FROM n GROUP BY 1)
+        |SELECT pfx, n_docs, n_distinct, CAST(n_docs - n_distinct AS BIGINT)
+        |    AS n_dups, block_rep
+        |FROM b WHERE n_docs >= 2 ORDER BY pfx""") { (s, dir) =>
+      val n = T.t(s, dir, "documents")
+        .withColumn("norm", lower(regexp_replace(col("text"), " +", " ")))
+        .select(col("doc_id"), substring(col("norm"), 1, 64).as("pfx"), col("norm"))
+      n.groupBy("pfx")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("norm")).as("n_distinct"),
+          min(col("doc_id")).as("block_rep"))
+        .filter(col("n_docs") >= 2)
+        .select(col("pfx"), col("n_docs"), col("n_distinct"),
+          (col("n_docs") - col("n_distinct")).cast(LongType).as("n_dups"),
+          col("block_rep"))
+        .orderBy("pfx")
     }
   )
 }

@@ -49,8 +49,8 @@ object DrivePlanAudit {
     // max/argmax scalars, median-of-30 scalar, SPRT crossing/final scalars)
     "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test",
     "ml_ab_sequential_sprt",
-    // 2-row lag-k replication crossJoin (k ∈ {1, 7})
-    "ts_autocorr_lag")
+    // 2-row lag-k replication crossJoin (k ∈ {1, 7}); 1-row median scalar
+    "ts_autocorr_lag", "etl_partition_advisor")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -62,8 +62,9 @@ object DrivePlanAudit {
     "window_ntile_cume",    // post-agg relation keyed by a bounded enum
     "ts_changepoint_cusum", // CUSUM prefix sums over the ≤31-day spine
     "stat_runs_test",       // rank + lag over the same ≤31-day spine
-    "ml_ab_sequential_sprt") // day-offset table of the parallel prefix sum
+    "ml_ab_sequential_sprt", // day-offset table of the parallel prefix sum
                              // (≤31 rows; the event cumsum is day-keyed)
+    "etl_partition_advisor") // median rank over the ≤31-day spine
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -165,6 +165,21 @@ class SevenSpec extends AnyFunSuite {
     assert(bad.count() == 0)
   }
 
+  test("etl_partition_advisor: rec_files is the exact ceiling of rows/2000") {
+    val r = SparkEntry.queries("etl_partition_advisor")(s, sf).cache()
+    val bad = r.filter(
+      col("rec_files") =!= ceil(col("n_rows").cast("double") / 2000).cast("long"))
+    assert(bad.count() == 0)
+    assert(r.agg(sum("n_rows")).head().getLong(0) == T.t(s, sf, "events").count())
+  }
+
+  test("dedup_prefix_blocked: dup counts consistent, only multi-doc blocks") {
+    val r = SparkEntry.queries("dedup_prefix_blocked")(s, sf).cache()
+    assert(r.filter(col("n_docs") < 2).count() == 0)
+    assert(r.filter(col("n_dups") =!= col("n_docs") - col("n_distinct")).count() == 0)
+    assert(r.filter(col("n_distinct") > col("n_docs")).count() == 0)
+  }
+
   test("agg_frequent_pairs: support consistent with pair count") {
     val r = SparkEntry.queries("agg_frequent_pairs")(s, sf).cache()
     assert(r.count() == 20)
