@@ -491,7 +491,7 @@ object GroupDepth {
         |    CAST(min(ts) AS DATE) AS start_day,
         |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
         |  FROM sess GROUP BY 1, 2)
-        |SELECT start_day, count(*) AS n_sessions, sum(conv) AS n_converted,
+        |SELECT start_day, count(*) AS n_sessions, CAST(sum(conv) AS BIGINT) AS n_converted,
         |  CAST((2000000 * sum(conv) + count(*)) // (2 * count(*)) AS BIGINT)
         |    AS conv_rate_ppm
         |FROM per GROUP BY 1 ORDER BY 1""") { (s, dir) =>

@@ -148,7 +148,8 @@ object GroupSeven {
         |ranked AS (SELECT doc_id, source, score,
         |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, source) AS rn
         |  FROM scored)
-        |SELECT doc_id, source AS pred_source, score AS score_micronats
+        |SELECT doc_id, source AS pred_source,
+        |  CAST(score AS BIGINT) AS score_micronats
         |FROM ranked WHERE rn = 1 ORDER BY doc_id""") { (s, dir) =>
       val toks = T.t(s, dir, "documents")
         .select(col("doc_id"), col("source"),
@@ -300,7 +301,7 @@ object GroupSeven {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_chars AS off
         |  FROM documents)
         |SELECT source, CAST(off // 100000 AS BIGINT) AS shard_ix,
-        |  count(*) AS n_docs, sum(n_chars) AS n_bytes
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS n_bytes
         |FROM w GROUP BY 1, 2 ORDER BY source, shard_ix""") { (s, dir) =>
       val w = T.t(s, dir, "documents")
         .withColumn("off",
@@ -340,7 +341,8 @@ object GroupSeven {
         |  FROM ob JOIN cb USING (mb)
         |  WHERE ostart <= cend AND cstart <= oend)
         |SELECT campaign_id, count(*) AS n_orders,
-        |  sum(least(oend, cend) - greatest(ostart, cstart) + 1) AS overlap_days
+        |  CAST(sum(least(oend, cend) - greatest(ostart, cstart) + 1) AS BIGINT)
+        |    AS overlap_days
         |FROM hits GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val o = T.t(s, dir, "orders")
         .select(col("o_orderkey"),
@@ -549,7 +551,7 @@ object GroupSeven {
         |      - (row_number() OVER (ORDER BY d)) * t AS sk
         |  FROM daily CROSS JOIN st),
         |mx AS (SELECT max(abs(sk)) AS m FROM cu)
-        |SELECT d, c, sk,
+        |SELECT d, c, CAST(sk AS BIGINT) AS sk,
         |  CASE WHEN abs(sk) = mx.m AND d = (SELECT min(d) FROM cu, mx
         |    WHERE abs(sk) = mx.m) THEN 1 ELSE 0 END AS is_changepoint
         |FROM cu CROSS JOIN mx ORDER BY d""") { (s, dir) =>
@@ -586,7 +588,7 @@ object GroupSeven {
         |    coalesce(d.c_mktsegment, 'UNKNOWN') AS seg,
         |    CASE WHEN d.c_custkey IS NULL THEN 1 ELSE 0 END AS late
         |  FROM orders o LEFT JOIN dim d ON o.o_custkey = d.c_custkey)
-        |SELECT seg, count(*) AS n_orders, sum(late) AS n_late,
+        |SELECT seg, count(*) AS n_orders, CAST(sum(late) AS BIGINT) AS n_late,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
         |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val dim = T.t(s, dir, "customer")
@@ -626,7 +628,8 @@ object GroupSeven {
         |    1 + sum(CASE WHEN prev IS NOT NULL AND sign <> prev
         |      THEN 1 ELSE 0 END) AS n_runs
         |  FROM rn)
-        |SELECT n, na, nb, n_runs,
+        |SELECT n, CAST(na AS BIGINT) AS na, CAST(nb AS BIGINT) AS nb,
+        |  CAST(n_runs AS BIGINT) AS n_runs,
         |  CAST((2000000 * (n + 2 * na * nb) + n) // (2 * n) AS BIGINT)
         |    / 1000000.0 AS expected_runs
         |FROM agg""") { (s, dir) =>
@@ -682,7 +685,7 @@ object GroupSeven {
         |agg AS (SELECT count(*) AS n_events,
         |    (SELECT s FROM llr ORDER BY ts DESC, event_id DESC LIMIT 1)
         |      AS llr_final FROM ev)
-        |SELECT agg.n_events, agg.llr_final,
+        |SELECT agg.n_events, CAST(agg.llr_final AS BIGINT) AS llr_final,
         |  coalesce((SELECT event_id FROM crossed), -1) AS first_cross_event,
         |  CASE WHEN (SELECT s FROM crossed) >= (SELECT bound FROM k)
         |      THEN 'accept_h1'
