@@ -12,6 +12,9 @@ wrote for the same key.
 import sys, json, glob, os, math, datetime, decimal
 import duckdb
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from typegate import type_issues
+
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -53,6 +56,10 @@ def main():
         got_cols = sorted(got_rel.columns)
         if [c.lower() for c in got_cols] != [c.lower() for c in exp_cols]:
             print(f"SCHEMA   {key}: spark={got_cols} oracle={exp_cols}")
+            n_fail += 1; continue
+        tissues = type_issues(got_rel, exp_rel)
+        if tissues:
+            print(f"TYPE     {key}: " + "; ".join(tissues))
             n_fail += 1; continue
         got = con.execute(f"SELECT {', '.join(got_cols)} FROM got_rel").fetchall()
         if len(got) != len(exp):

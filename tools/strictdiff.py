@@ -14,8 +14,11 @@ each of these lenses:
 A key that is clean under all three lenses hash-matches under any driver
 implementation (value-hash, string-hash, ordered or sorted).
 """
-import sys, json, glob, datetime, decimal
+import sys, json, glob, datetime, decimal, os
 import duckdb
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from typegate import type_issues
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
@@ -54,6 +57,11 @@ def main():
         gcols = sorted(got_rel.columns)
         if [c.lower() for c in gcols] != [c.lower() for c in cols]:
             print(f"SCHEMA  {key}: spark={gcols} oracle={cols}")
+            n_dirty += 1
+            continue
+        tissues = type_issues(got_rel, exp_rel)
+        if tissues:
+            print(f"TYPE    {key}: " + "; ".join(tissues))
             n_dirty += 1
             continue
         got = con.execute(f"SELECT {', '.join(gcols)} FROM got_rel").fetchall()
