@@ -445,7 +445,11 @@ object Pipelines {
       .join(two.select(col("q_id"), col("c_id")).withColumn("_hit", lit(1)),
         Seq("q_id", "c_id"), "left")
       .groupBy("q_id")
-      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType) / k).as("recall"))
+      // denominator = this query's EXACT result count, not the constant k:
+      // a corpus smaller than k would otherwise report recall < 1 even for
+      // an identical two-stage result.
+      .agg((sum(coalesce(col("_hit"), lit(0))).cast(DoubleType)
+        / count(lit(1))).as("recall"))
   }
 
   /** Global top-k WITHOUT a single-partition window: `orderBy(ord).limit(k)`
@@ -590,7 +594,8 @@ object Pipelines {
       .join(maybeB(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
         Seq("dst"), "left")
       .select(size(array_intersect(col("nu"),
-        coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
+        coalesce(col("nv"), array().cast(
+          ArrayType(edges.schema(dstCol).dataType))))).as("closed"))
       .agg(sum(col("closed")).as("n_triangles"))
   }
 

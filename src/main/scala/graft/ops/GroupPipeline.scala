@@ -36,11 +36,14 @@ object GroupPipeline {
     // - df ≤ dfCap (10⁴): the hot-shingle ceiling. A viral shingle with
     //   df = 10⁶ alone generates ~10¹² candidate pairs in the index
     //   self-join — the classic blowup that stalls the stage at 100 TB.
-    //   Dropping it bounds per-shingle join fan-out at dfCap² and loses
-    //   only pairs whose ENTIRE overlap is such stop-shingles: a pair at
-    //   Jaccard ≥ 0.8 shares ≥ 0.8·min(|A|,|B|) shingles, so it survives
-    //   unless essentially all of them are corpus-viral — the same
-    //   recall-vs-bound trade banding makes in Pipelines.cosinePairsLSH.
+    //   Dropping it bounds per-shingle join fan-out at dfCap². The cost is
+    //   a DOWNWARD similarity bias, not just lost fully-viral pairs: every
+    //   capped shingle in a pair's overlap reduces the common count c while
+    //   `sizes` still counts all shingles, so any pair whose overlap
+    //   TOUCHES a hot shingle reports an underestimated jac/wjac/
+    //   containment, and a near-threshold pair can drop below the cut —
+    //   the same recall-vs-bound trade banding makes in
+    //   Pipelines.cosinePairsLSH.
     //   (Fixture max df is 25, so the cap never binds at test scale; the
     //   oracle applies the identical BETWEEN bound in lockstep.)
     // The df agg shuffles on the same key as the self-join, so it adds no

@@ -56,7 +56,8 @@ object GroupSeven {
         |SELECT et, dow, o,
         |  CAST((2000000 * CAST(rt AS HUGEINT) * ct + n)
         |    // (2 * CAST(n AS HUGEINT)) AS BIGINT) / 1000000.0 AS expected,
-        |  round((CAST(n * o - rt * ct AS DOUBLE) * CAST(n * o - rt * ct AS DOUBLE))
+        |  round((CAST(CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct AS DOUBLE)
+        |      * CAST(CAST(n AS HUGEINT) * o - CAST(rt AS HUGEINT) * ct AS DOUBLE))
         |    / CAST(n AS DOUBLE) / CAST(rt AS DOUBLE) / CAST(ct AS DOUBLE), 6) AS contrib
         |FROM o JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n
         |ORDER BY et, dow""") { (s, dir) =>
@@ -71,8 +72,13 @@ object GroupSeven {
         .crossJoin(broadcast(n))
         .select(col("et"), col("dow"), col("o"),
           T.r6("cast(rt as decimal(38,0)) * ct", "n").as("expected"),
-          round((col("n") * col("o") - col("rt") * col("ct")).cast(DoubleType)
-            * (col("n") * col("o") - col("rt") * col("ct")).cast(DoubleType)
+          // n·o and rt·ct as DECIMAL(38,0) products: at 100 TB (n ~1e12,
+          // rt·ct ~1e23) the BIGINT product wraps silently — same overflow
+          // class the gini/regression/zscore keys already guard.
+          round(expr("cast(cast(n as decimal(38,0)) * o" +
+              " - cast(rt as decimal(38,0)) * ct as double)")
+            * expr("cast(cast(n as decimal(38,0)) * o" +
+              " - cast(rt as decimal(38,0)) * ct as double)")
             / col("n").cast(DoubleType) / col("rt").cast(DoubleType)
             / col("ct").cast(DoubleType), 6).as("contrib"))
         .orderBy("et", "dow")
@@ -618,8 +624,8 @@ object GroupSeven {
         |  WHERE event_type = 'purchase' GROUP BY 1),
         |rk AS (SELECT c, row_number() OVER (ORDER BY c, d) AS r FROM daily),
         |med AS (SELECT sum(c) AS m2 FROM rk
-        |  WHERE r IN ((SELECT count(*) FROM daily) / 2,
-        |              (SELECT count(*) FROM daily) / 2 + 1)),
+        |  WHERE r IN ((SELECT count(*) FROM daily) // 2,
+        |              (SELECT count(*) FROM daily) // 2 + 1)),
         |sg AS (SELECT d, CASE WHEN 2 * c > m2 THEN 1 ELSE 0 END AS sign
         |  FROM daily CROSS JOIN med),
         |rn AS (SELECT sign, lag(sign) OVER (ORDER BY d) AS prev FROM sg),

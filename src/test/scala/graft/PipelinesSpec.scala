@@ -243,6 +243,18 @@ class PipelinesSpec extends AnyFunSuite {
     assert(api == graded)
   }
 
+  test("triangleCount works for non-bigint node id columns (ADVICE r7)") {
+    import s.implicits._
+    // K4 minus one edge = 2 triangles, as INT ids and as STRING ids
+    val intEdges = Seq((1, 2), (1, 3), (1, 4), (2, 3), (2, 4)).toDF("a", "b")
+    assert(graft.api.Pipelines.triangleCount(intEdges, "a", "b")
+      .head().getAs[Long]("n_triangles") == 2L)
+    val strEdges = intEdges.select(
+      concat(lit("n"), col("a")).as("a"), concat(lit("n"), col("b")).as("b"))
+    assert(graft.api.Pipelines.triangleCount(strEdges, "a", "b")
+      .head().getAs[Long]("n_triangles") == 2L)
+  }
+
   test("kmvDistinct matches agg_kmv_distinct's sketch state") {
     graft.functions.GraftFunctions.register(s)
     val toks = docs.select(explode(split(col("text"), " ")).as("tok"))
@@ -257,6 +269,16 @@ class PipelinesSpec extends AnyFunSuite {
     val e = graft.T.t(s, sf, "embeddings")
     val rec = graft.api.Pipelines.rerankRecall(
       e.filter(col("vec_id") < 20), e.filter(col("vec_id") >= 20),
+      "vec_id", "vec_id", "embedding", 5, 50)
+    assert(rec.filter(col("recall") < 1.0).count() == 0)
+  }
+
+  test("rerankRecall is 1.0 when the corpus is smaller than k (ADVICE r7)") {
+    graft.functions.GraftFunctions.register(s)
+    val e = graft.T.t(s, sf, "embeddings")
+    // 3 candidates, k=5: identical exact/two-stage results must read 1.0
+    val rec = graft.api.Pipelines.rerankRecall(
+      e.filter(col("vec_id") < 5), e.filter(col("vec_id").between(5, 7)),
       "vec_id", "vec_id", "embedding", 5, 50)
     assert(rec.filter(col("recall") < 1.0).count() == 0)
   }
