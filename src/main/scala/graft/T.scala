@@ -44,6 +44,19 @@ object T {
     * IEEE division of bit-identical operands in both engines. */
   def davg(c: Column): Column = sum(c.cast(dec)).cast(DoubleType) / count(c)
 
+  /** The session's broadcast budget in bytes, or None when broadcasting is
+    * disabled (`spark.sql.autoBroadcastJoinThreshold = -1`). For operators
+    * that choose broadcast-vs-shuffle from a driver-side size estimate
+    * (graph adjacency tables, codebooks): respect the same knob the
+    * planner uses instead of pinning a hint. */
+  def broadcastBudgetBytes(s: SparkSession): Option[Long] = {
+    val v = s.conf.get("spark.sql.autoBroadcastJoinThreshold", "10MB").trim
+    if (v == "-1" || v == "-1b") None
+    else scala.util.Try(
+      org.apache.spark.network.util.JavaUtils.byteStringAsBytes(v))
+      .toOption.filter(_ > 0L)
+  }
+
   /** Engine-portable HALF_UP rounding to 6 dp of an exact NON-NEGATIVE
     * integer rational num/den (den > 0), emitted as DOUBLE: one pure-integer
     * division — q = (2·10⁶·num + den) div (2·den) — then a single IEEE

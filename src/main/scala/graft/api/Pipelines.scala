@@ -512,24 +512,42 @@ object Pipelines {
     * caller's choice of shuffle at scale. */
   def pointInTime(versions: DataFrame, probes: DataFrame, keyCol: String,
                   versionTsCol: String, probeTsCol: String,
-                  versionIdCol: String = "version"): DataFrame = {
+                  versionIdCol: String = "version"): DataFrame =
+    pointInTimeEnrich(
+      versions.withColumn(versionIdCol, col(versionIdCol).cast(LongType)),
+      probes, keyCol, versionTsCol, probeTsCol, Seq(versionIdCol))
+      .withColumn(versionIdCol, coalesce(col(versionIdCol), lit(0L)))
+
+  /** Generalized PIT resolution carrying ARBITRARY version payload columns
+    * (not just a numeric id): for each probe event, the payload of the
+    * version row whose timestamp is the latest ≤ the probe timestamp.
+    * Same single-shuffle union+window shape as [[pointInTime]]: versions
+    * and probes interleave per key ordered by (ts, kind, payload) and
+    * `last(_, ignoreNulls)` carries the most recent version payload
+    * forward — no range join, no per-probe scan. Probes before any
+    * version get NULL payload columns. The payload struct is the final
+    * ordering tiebreak, so equal-timestamp versions resolve
+    * deterministically as long as the payload columns are orderable
+    * (include a unique version-id-like column when timestamps can tie).
+    * Returns the compact (`keyCol`, `probeTsCol`, payload...) map — one
+    * row per probe event; join it back on (key, ts) for enriched rows. */
+  def pointInTimeEnrich(versions: DataFrame, probes: DataFrame,
+                        keyCol: String, versionTsCol: String,
+                        probeTsCol: String,
+                        payloadCols: Seq[String]): DataFrame = {
     val v = versions.select(col(keyCol).as("_k"), col(versionTsCol).as("_t"),
-        col(versionIdCol).cast(LongType).as("_ver"))
+        struct(payloadCols.map(col): _*).as("_pay"))
       .withColumn("_p", lit(0))
-    val p = probes
-      .withColumn("_k", col(keyCol)).withColumn("_t", col(probeTsCol))
-      .withColumn("_ver", lit(null).cast(LongType)).withColumn("_p", lit(1))
-    val w = Window.partitionBy("_k").orderBy("_t", "_p", "_ver")
+    val p = probes.select(col(keyCol).as("_k"), col(probeTsCol).as("_t"))
+      .withColumn("_pay", lit(null).cast(v.schema("_pay").dataType))
+      .withColumn("_p", lit(1))
+    val w = Window.partitionBy("_k").orderBy("_t", "_p", "_pay")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    v.select("_k", "_t", "_ver", "_p")
-      .unionByName(p.select("_k", "_t", "_ver", "_p"), allowMissingColumns = false)
-      .withColumn("_cur", max(col("_ver")).over(w))
+    v.unionByName(p, allowMissingColumns = false)
+      .withColumn("_cur", last(col("_pay"), ignoreNulls = true).over(w))
       .filter(col("_p") === 1)
-      // re-join the carried version back onto the full probe row set is the
-      // caller's choice at scale; here the compact (key, ts, version) map
-      // is returned — one row per probe event
-      .select(col("_k").as(keyCol), col("_t").as(probeTsCol),
-        coalesce(col("_cur"), lit(0L)).as(versionIdCol))
+      .select(col("_k").as(keyCol) +: col("_t").as(probeTsCol) +:
+        payloadCols.map(c => col("_cur").getField(c).as(c)): _*)
   }
 
   /** Cohort retention matrix: users cohorted by first-seen day of `tsCol`,

@@ -2,7 +2,7 @@ package graft.ops
 
 import graft.T
 import graft.T.{Q, q}
-import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -247,20 +247,28 @@ object GroupSeven {
       // smallest nodes. This never materializes the wedge set (40M rows at
       // sf0.1): the edge stream takes two hash joins against the per-node
       // out-neighbor arrays (bounded at O(√m) ≈ 97 entries here by the
-      // orientation) and one codegen'd array_intersect per edge. The
-      // adjacency table is node-sized — broadcast; on a graph where it
-      // outgrows the budget, drop the hints for shuffle joins keyed by
-      // src/dst and the per-edge intersection bound still holds.
+      // orientation) and one codegen'd array_intersect per edge.
+      // Adjacency distribution is SIZE-CONDITIONAL, not a pinned hint:
+      // the table carries one bigint per oriented edge (~40·m bytes with
+      // array/row overhead), and m is a one-job count over the already-
+      // checkpointed edge list (reused as the n_edges output). Under the
+      // session broadcast budget → broadcast both probes (no shuffle of
+      // the edge stream); over it → leave unhinted, the joins shuffle on
+      // src/dst, and the O(√m) out-degree bound still caps per-edge work.
+      val m = e0.count()
+      val fitsBudget = T.broadcastBudgetBytes(s).exists(40L * m <= _)
+      val maybeBcast: DataFrame => DataFrame =
+        if (fitsBudget) broadcast else identity
       val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
       val tri = ed
-        .join(broadcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        .join(maybeBcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+        .join(maybeBcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
           Seq("dst"), "left")
         .select(size(array_intersect(col("nu"),
           coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
         .agg(sum(col("closed")).as("n_triangles"))
       li.agg(countDistinct(col("l_partkey")).as("n_nodes"))
-        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+        .withColumn("n_edges", lit(m))
         .crossJoin(tri)
     },
 

@@ -196,6 +196,39 @@ class PipelinesSpec extends AnyFunSuite {
     assert(graded.exceptAll(api).count() == 0)
   }
 
+  test("pointInTimeEnrich carries arbitrary payload columns (VERDICT r7 #10)") {
+    val orders = graft.T.t(s, sf, "orders")
+    val versions = orders
+      .select(col("o_custkey"), col("o_orderdate").cast("date").as("vd"),
+        col("o_orderkey"))
+      .withColumn("version", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("o_custkey")
+          .orderBy("vd", "o_orderkey")))
+    val probes = graft.T.t(s, sf, "lineitem")
+      .join(orders.select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_shipdate").cast("date").as("pd"))
+    // multi-column payload: the numeric id AND the source order key ride
+    // along; the id column must agree row-for-row with pointInTime's map
+    val enriched = graft.api.Pipelines.pointInTimeEnrich(
+      versions, probes, "o_custkey", "vd", "pd",
+      Seq("version", "o_orderkey", "vd"))
+    val viaEnrich = enriched.select(col("o_custkey"), col("pd"),
+      coalesce(col("version").cast("long"), lit(0L)).as("version"))
+    val viaId = graft.api.Pipelines.pointInTime(
+      versions, probes, "o_custkey", "vd", "pd")
+    assert(viaEnrich.exceptAll(viaId).count() == 0)
+    assert(viaId.exceptAll(viaEnrich).count() == 0)
+    // the carried (o_orderkey, vd) pair must BE the version row it claims:
+    // joining back onto the version table on the id must reproduce them
+    val bad = enriched.filter(col("version").isNotNull)
+      .join(versions.select(col("o_custkey"), col("version"),
+          col("o_orderkey").as("_ok"), col("vd").as("_vd")),
+        Seq("o_custkey", "version"))
+      .filter(col("o_orderkey") =!= col("_ok") || col("vd") =!= col("_vd"))
+    assert(bad.count() == 0)
+  }
+
   test("slidingDistinct matches window_sliding_distinct_users") {
     val ev = graft.T.t(s, sf, "events")
     val api = graft.api.Pipelines.slidingDistinct(ev, "user_id", "ts")
