@@ -51,10 +51,19 @@ object GroupStorage {
       T.staged("bucketed", dir) { _ =>
         s.sql(s"DROP TABLE IF EXISTS $ordersTbl")
         s.sql(s"DROP TABLE IF EXISTS $custTbl")
-        T.t(s, dir, "orders").write.mode("overwrite")
+        // repartition(8, key) before the bucketed write: repartition and
+        // bucketing share the murmur3-pmod placement, so with numPartitions
+        // = bucket count every task holds exactly one bucket → ONE file per
+        // bucket. That's the condition under which the scan reports the
+        // sortBy order back to the planner and an SMJ read needs neither
+        // Exchange NOR Sort (pinned by PlanShapeSpec); multi-file buckets
+        // would silently re-sort on every read.
+        T.t(s, dir, "orders").repartition(8, col("o_custkey"))
+          .write.mode("overwrite")
           .bucketBy(8, "o_custkey").sortBy("o_custkey")
           .saveAsTable(ordersTbl)
-        T.t(s, dir, "customer").write.mode("overwrite")
+        T.t(s, dir, "customer").repartition(8, col("c_custkey"))
+          .write.mode("overwrite")
           .bucketBy(8, "c_custkey").sortBy("c_custkey")
           .saveAsTable(custTbl)
       }

@@ -89,6 +89,36 @@ class PlanShapeSpec extends AnyFunSuite {
       !p.contains("Exchange hashpartitioning(c_custkey"), p.take(3000))
   }
 
+  test("bucketed sortBy write: SMJ reads back with neither Exchange nor Sort (VERDICT r7 #8)") {
+    import org.apache.spark.sql.functions.col
+    plan("bucketed_join_colocated") // stages the bucketed+sorted tables
+    val suffix = (sf.hashCode & Int.MaxValue).toString
+    // Since 3.0 Spark only reports a bucketed scan's sortBy order to the
+    // planner under this flag (default off because multi-file buckets
+    // interleave); the staged write repartitions by the bucket key so
+    // every bucket is ONE file, which is exactly the layout the flag is
+    // safe on. Planning-time conf: set around plan construction only.
+    val key = "spark.sql.legacy.bucketedTableScan.outputOrdering"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "true")
+    try {
+      val j = s.table(s"graft_orders_b_$suffix").hint("merge")
+        .join(s.table(s"graft_customer_b_$suffix"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_name")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), p.take(3000))
+      // one file per bucket + ordering reported ⇒ the SMJ needs neither
+      // Exchange nor Sort on either side. "Sort [" matches only the Sort
+      // operator node, not SortMergeJoin's own header.
+      assert(!p.contains("Exchange"), p.take(3000))
+      assert("Sort \\[".r.findAllIn(p).isEmpty, p.take(3000))
+    } finally {
+      prev match { case Some(v) => s.conf.set(key, v)
+                   case None => s.conf.unset(key) }
+    }
+  }
+
   test("join_bloom_prefilter injects Catalyst's runtime bloom filter (no eager job, no UDF)") {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("bloom_filter_agg"), p.take(3000))
