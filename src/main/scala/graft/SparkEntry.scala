@@ -31,7 +31,8 @@ object SparkEntry {
     ops.GroupAnalytics.defs,  // §2-Q analytics widening (round 5)
     ops.GroupScale.defs,      // §2-R pipeline-scale widening (round 6)
     ops.GroupDepth.defs,      // §2-S analytics depth (round 6)
-    ops.GroupSeven.defs       // §2-T statistics/mining/pipeline (round 7)
+    ops.GroupSeven.defs,      // §2-T statistics/mining/pipeline (round 7)
+    ops.GroupEight.defs       // §2-U compositions & graph depth (round 8)
   )
 
   private val all: Seq[T.Q] = groups.flatten

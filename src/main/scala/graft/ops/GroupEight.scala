@@ -1,0 +1,140 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-U (round 8) — compositions and depth over the existing
+  * artifact families: IVF-PQ approximate nearest neighbor (the production
+  * ANN serving shape: coarse cell pruning + product-quantized ADC scoring
+  * against one persisted index), and weighted single-source shortest paths
+  * (the third iterative-graph shape after pagerank and label propagation).
+  *
+  * Design rules follow the proven §2-T patterns: every float is rounded at
+  * a deterministic 6dp boundary shared with the oracle, ranks break ties
+  * on ids, and integer outputs are CAST AS BIGINT in the oracle (DuckDB
+  * HUGEINT never reaches an output column — SURVEY §2 determinism rule 6).
+  */
+object GroupEight {
+
+  private def dot(a: Column, b: Column): Column =
+    call_function("vec_dot", a, b)
+
+  val defs: Seq[Q] = Seq(
+
+    // IVF-PQ ANN — the composition of the two persisted index artifacts
+    // (vector_ivf_topk's cell-partitioned corpus, vector_pq_topk's
+    // codebook+codes) into the shape production ANN engines actually
+    // serve: ONE staged index holding (a) the PQ codebook (32 sub-
+    // centroids: 4 subspaces × 8 candidates) and (b) each candidate's
+    // 4-byte PQ code stored PARTITIONED BY its coarse IVF cell. A query
+    // probes nprobe=2 cells — dynamic partition pruning opens only those
+    // cell directories — and ADC-scores the codes there against its own
+    // broadcast per-(m,cid) distance table. At 100 TB: the corpus is
+    // never rescanned (codes are the index), the scan is cell-pruned,
+    // and everything joined to it is broadcast-sized.
+    q("vector_ivfpq_topk",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v WHERE vec_id < 8),
+        |cents AS (SELECT CAST(c.vec_id AS INT) AS cid, t.m,
+        |    c.e[(t.m*16+1):(t.m*16+16)] AS cvec
+        |  FROM v c, generate_series(0, 3) t(m) WHERE c.vec_id < 8),
+        |assign AS (SELECT c_id, ce, cent_id AS cell FROM (
+        |    SELECT c_id, ce, cent_id, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY round(list_dot_product(ce, cent), 6) DESC, cent_id) AS rn
+        |    FROM (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id >= 20)
+        |    CROSS JOIN cent) WHERE rn = 1),
+        |code AS (SELECT c_id, cell, m, cid FROM (
+        |    SELECT c_id, cell, csub.m, cid, row_number() OVER (
+        |      PARTITION BY c_id, csub.m ORDER BY
+        |        round(list_dot_product(sub, cvec) - 0.5 * list_dot_product(cvec, cvec), 6) DESC,
+        |        cid) AS rn
+        |    FROM (SELECT c_id, cell, t.m, ce[(t.m*16+1):(t.m*16+16)] AS sub
+        |          FROM assign, generate_series(0, 3) t(m)) csub
+        |    JOIN cents ON csub.m = cents.m) WHERE rn = 1),
+        |probe AS (SELECT q_id, cent_id AS cell FROM (
+        |    SELECT q_id, cent_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY round(list_dot_product(qe, cent), 6) DESC, cent_id) AS rn
+        |    FROM (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20)
+        |    CROSS JOIN cent) WHERE rn <= 2),
+        |qd AS (SELECT q_id, qsub.m, cid,
+        |    CAST(round(list_dot_product(sub, cvec), 6) AS DECIMAL(10,6)) AS d
+        |  FROM (SELECT vec_id AS q_id, t.m, e[(t.m*16+1):(t.m*16+16)] AS sub
+        |        FROM v, generate_series(0, 3) t(m) WHERE vec_id < 20) qsub
+        |  JOIN cents ON qsub.m = cents.m),
+        |sim AS (SELECT probe.q_id, code.c_id, CAST(SUM(d) AS DOUBLE) AS sim
+        |  FROM probe JOIN code ON probe.cell = code.cell
+        |  JOIN qd ON qd.q_id = probe.q_id AND qd.m = code.m AND qd.cid = code.cid
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk FROM sim)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T.t(s, dir, "embeddings")
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      def subs(df: DataFrame, id: Column, idAs: String, vec: Column) =
+        df.select(id.as(idAs), posexplode(array((0 until 4).map(m =>
+          slice(vec, m * 16 + 1, 16)): _*)).as(Seq("m", "sub")))
+      // ONE persisted artifact: codebook + cell-partitioned codes. Staged
+      // once per dataset; later runs only read it (PqIndexSpec pattern).
+      val idx = T.staged("ivfpq_index", dir) { o =>
+        val cents0 = subs(e.filter(col("vec_id") < 8),
+            col("vec_id").cast(IntegerType), "cid", col("embedding"))
+          .select(col("cid"), col("m"), col("sub").as("cvec"))
+        cents0.write.parquet(s"$o/cents")
+        val assign0 = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("ce"), col("cent_id").as("cell"))
+        subs(assign0, col("c_id"), "c_id", col("ce"))
+          .join(assign0.select("c_id", "cell"), "c_id")
+          .join(broadcast(cents0), "m")
+          .withColumn("score", round(dot(col("sub"), col("cvec"))
+            - lit(0.5) * dot(col("cvec"), col("cvec")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_id", "m").orderBy(col("score").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select("c_id", "m", "cid", "cell")
+          .write.partitionBy("cell").parquet(s"$o/codes")
+      }
+      val cents = s.read.parquet(s"$idx/cents")
+      val codes = s.read.parquet(s"$idx/codes")
+        .select(col("c_id"), col("m"), col("cid"),
+          col("cell").cast(LongType).as("cell"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val probe = qs.crossJoin(broadcast(cent))
+        .withColumn("d", round(dot(col("qe"), col("cent")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cent_id").as("cell"))
+      val qd = subs(qs, col("q_id"), "q_id", col("qe"))
+        .join(broadcast(cents), "m")
+        .select(col("q_id"), col("m"), col("cid"),
+          round(dot(col("sub"), col("cvec")), 6).cast(DecimalType(10, 6)).as("d"))
+      // codes is the streamed side: broadcast probe triggers dynamic
+      // partition pruning on the cell directories (PlanShapeSpec pin);
+      // the ADC distance table qd is queries×32 rows — broadcast.
+      codes.join(broadcast(probe), "cell")
+        .join(broadcast(qd), Seq("q_id", "m", "cid"))
+        .groupBy("q_id", "c_id")
+        .agg(sum("d").cast(DoubleType).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    }
+  )
+}

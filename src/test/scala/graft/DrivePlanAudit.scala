@@ -50,7 +50,11 @@ object DrivePlanAudit {
     "agg_kmv_distinct", "ts_changepoint_cusum", "stat_runs_test",
     "ml_ab_sequential_sprt",
     // 2-row lag-k replication crossJoin (k ∈ {1, 7}); 1-row median scalar
-    "ts_autocorr_lag", "etl_partition_advisor")
+    "ts_autocorr_lag", "etl_partition_advisor",
+    // round 8: the 8-row coarse-centroid fan-out of the IVF-PQ probe
+    // (same bounded cross-score as vector_ivf_topk; the corpus-sized
+    // code scan itself is cell-pruned + hash-joined, PlanShapeSpec pin)
+    "vector_ivfpq_topk")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

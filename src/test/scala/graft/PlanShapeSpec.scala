@@ -119,6 +119,22 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("vector_ivfpq_topk: cell-pruned code scan, broadcast probe/codebook, no BNLJ") {
+    val p = plan("vector_ivfpq_topk")
+    // the probed-cells join must dynamically prune the cell-partitioned
+    // code scan (only nprobe directories open), and the ADC distance
+    // table rides a broadcast — the corpus-sized side never shuffles.
+    // The only nested-loop join allowed is the 8-row coarse-centroid
+    // fan-out of the query probe (bounded by design, DrivePlanAudit
+    // allowlist). It appears TWICE in the plan string — once in the main
+    // plan, once in the DPP subquery's embedded copy of the probe plan —
+    // so the bound is 2; a third would mean the code scan degraded.
+    assert(p.contains("dynamicpruning"), p.take(3000))
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    assert(!p.contains("CartesianProduct"), p.take(3000))
+    assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
+  }
+
   test("join_bloom_prefilter injects Catalyst's runtime bloom filter (no eager job, no UDF)") {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("bloom_filter_agg"), p.take(3000))
