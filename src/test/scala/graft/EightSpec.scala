@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the §2-U (round 8) keys. */
+class EightSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("graph_sssp_frontier equals a driver-side Bellman-Ford (6 hops)") {
+    // rebuild the same weighted edge list, run textbook Bellman-Ford on
+    // the driver (25 nodes — trivially collectable IN THE TEST ONLY), and
+    // demand exact equality with the distributed frontier loop
+    val li = T.t(s, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = T.t(s, sf, "orders").select("o_orderkey", "o_custkey")
+    val cust = T.t(s, sf, "customer").select("c_custkey", "c_nationkey")
+    val supp = T.t(s, sf, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("1L + 1000L DIV (1L + cnt)").as("cost"))
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        r.getAs[Number](1).longValue, r.getAs[Number](2).longValue))
+    val nodes = T.t(s, sf, "nation").select("n_nationkey")
+      .collect().map(_.getAs[Number](0).longValue)
+    val inf = 1000000000000000L
+    var d = nodes.map(n => n -> (if (n == 0L) 0L else inf)).toMap
+    for (_ <- 1 to 6)
+      d = d.map { case (v, dv) =>
+        val relax = edges.collect { case (u, `v`, c) if d(u) < inf => d(u) + c }
+        v -> math.min(dv, if (relax.isEmpty) inf else relax.min)
+      }
+    val expected = d.toSeq.sortBy(_._1)
+      .map { case (n, dv) => (n, if (dv >= inf) None else Some(dv)) }
+    val got = SparkEntry.queries("graph_sssp_frontier")(s, sf)
+      .collect().map(r => (r.getAs[Number](0).longValue,
+        if (r.isNullAt(1)) None else Some(r.getAs[Number](1).longValue))).toSeq
+    assert(got == expected)
+    // source pins: dist(0) = 0, and every finite distance is positive
+    assert(got.find(_._1 == 0L).flatMap(_._2).contains(0L))
+    assert(got.flatMap(_._2).forall(_ >= 0L))
+  }
+}
