@@ -218,6 +218,36 @@ object GroupEight {
           when(col("d") >= inf, lit(null).cast(LongType))
             .otherwise(col("d")).as("dist_6hop"))
         .orderBy("node")
+    },
+
+    // Arrival-order near-dup dedup — the batch declared form of the
+    // streaming LSH dedup (graft.streaming.Streams.nearDupSurvivors +
+    // sigDedup, proven replay-equal in StreamingSpec): a document SURVIVES
+    // iff no earlier-arriving document (vec_id order = arrival order) is
+    // within cosine 0.45 of it. Candidates ride the banded LSH equi-join
+    // (recall 1.0 attested for this τ/fixture family in DedupSpec), each
+    // exactly verified with the codegen'd vec_dot, so the oracle is plain
+    // brute-force SQL. The survivor set is exactly what the streaming
+    // state would retain: every seen signature suppresses later
+    // neighbors, whether or not the seen document itself survived.
+    q("stream_dedup_neardup",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
+        |SELECT s.vec_id, s.label FROM v s
+        |WHERE NOT EXISTS (SELECT 1 FROM v u WHERE u.vec_id < s.vec_id
+        |  AND round(list_dot_product(u.e, s.e), 6) >= 0.45)
+        |ORDER BY s.vec_id""") { (s, dir) =>
+      // scoped session + small advisory partitions: the band join's output
+      // is ~100× its shuffle input (see dedup_embedding_cosine's note)
+      val sc = s.newSession()
+      graft.functions.GraftFunctions.register(sc)
+      sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      val e = T.t(sc, dir, "embeddings")
+      val dups = graft.api.Pipelines.cosinePairsLSH(
+          e, "vec_id", "embedding", threshold = 0.45)
+        .select(col("ib").as("vec_id")).distinct()
+      e.join(dups, Seq("vec_id"), "left_anti")
+        .select("vec_id", "label")
+        .orderBy("vec_id")
     }
   )
 }

@@ -282,6 +282,93 @@ object Streams {
       .select(col("w.start").cast(TimestampNTZType).as("w_start"),
         col("event_type"), col("cnt"))
 
+  /** Schema of the embeddings replay chunks (streaming near-dup dedup). */
+  val embSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType)),
+    StructField("label", IntegerType)))
+
+  /** Split `embeddings` into `n` vec_id-ordered chunk files — arrival
+    * order IS vec_id order, which is what makes the batch
+    * `stream_dedup_neardup` form ("no earlier near neighbor") the exact
+    * twin of the streaming state semantics. */
+  def writeEmbChunks(s: SparkSession, sfDir: String, outDir: String, n: Int): Unit = {
+    val rows = T.t(s, sfDir, "embeddings").orderBy("vec_id").collect()
+    val per = math.ceil(rows.length.toDouble / n).toInt
+    rows.grouped(per).toSeq.zipWithIndex.foreach { case (chunk, i) =>
+      val df = s.createDataFrame(
+        s.sparkContext.parallelize(chunk.toIndexedSeq, 1), embSchema)
+      val tmp = f"$outDir/_stage_$i%03d"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(f"$outDir/chunk_$i%03d.parquet"),
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+      Thread.sleep(15)
+    }
+  }
+
+  /** Embeddings file-source replay: one chunk per micro-batch. */
+  def readEmbReplay(s: SparkSession, chunkDir: String): DataFrame =
+    s.readStream.schema(embSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(chunkDir)
+
+  /** Exact-duplicate gate of the streaming near-dup pipeline:
+    * `dropDuplicatesWithinWatermark` on the (small) LSH band signature —
+    * state holds one entry per DISTINCT signature inside the watermark
+    * horizon, not one per row; documents colliding on every band bit are
+    * collapsed to their first arrival. Event time is synthetic
+    * (vec_id-derived) because the fixture has no timestamp; any real
+    * ingest time works the same. The signature string reuses the
+    * codegen'd `lsh_bands` expression (graft.functions.CosineLsh). */
+  def sigDedup(stream: DataFrame, bands: Int = 2, rowsPerBand: Int = 8,
+               seed: Long = 42L): DataFrame =
+    stream
+      .withColumn("ts", timestamp_seconds(col("vec_id") + lit(1600000000L)))
+      .withColumn("sig", concat_ws(",",
+        call_function("lsh_bands", col("embedding"),
+          lit(bands), lit(rowsPerBand), lit(seed)).cast("array<string>")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("sig"))
+      .select("vec_id", "sig")
+
+  /** Near-dup flags of the streaming dedup pipeline: each streamed
+    * document bands with the same `lsh_bands` family as the batch
+    * `cosinePairsLSH` path, equi-joins the banded STATIC corpus restricted
+    * to earlier arrivals (stream-static joins are stateless per
+    * micro-batch), and exactly verifies candidates with the codegen'd
+    * `vec_dot`. Emits (vec_id, dup) — dup=0 rows are the survivors; the
+    * result is replay-equal to the batch `stream_dedup_neardup` key
+    * (StreamingSpec). At scale the static side is the already-banded
+    * index artifact, partitioned by band value. */
+  def nearDupSurvivors(stream: DataFrame, staticEmb: DataFrame,
+                       threshold: Double = 0.45, rowsPerBand: Int = 8,
+                       seed: Long = 42L): DataFrame = {
+    val bands = graft.functions.CosineLsh.bandsFor(threshold, rowsPerBand)
+    def banded(df: DataFrame, idAs: String, vecAs: String) =
+      df.select(col("vec_id").as(idAs), col("embedding").as(vecAs))
+        .select(col(idAs), col(vecAs),
+          posexplode(call_function("lsh_bands", col(vecAs),
+            lit(bands), lit(rowsPerBand), lit(seed)))
+            .as(Seq(s"${idAs}_pos", s"${idAs}_val")))
+    val sIdx = banded(staticEmb, "u_id", "ue")
+    banded(stream, "v_id", "ve")
+      .join(sIdx,
+        col("v_id_pos") === col("u_id_pos") &&
+          col("v_id_val") === col("u_id_val") &&
+          col("u_id") < col("v_id"),
+        "left")
+      .withColumn("hit",
+        when(col("u_id").isNotNull &&
+          round(call_function("vec_dot", col("ue"), col("ve")), 6) >= threshold,
+          1).otherwise(0))
+      .groupBy(col("v_id").as("vec_id"))
+      .agg(max(col("hit")).as("dup"))
+  }
+
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)

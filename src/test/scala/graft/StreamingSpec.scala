@@ -248,6 +248,41 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("streaming near-dup dedup == batch stream_dedup_neardup (VERDICT r7 #6)") {
+    val dir = T.tempDir("graft_embreplay_")
+    Streams.writeEmbChunks(s, sf, dir, n = 5)
+    val static = T.t(s, sf, "embeddings")
+    val flags = Streams.runToMemory(
+      Streams.nearDupSurvivors(Streams.readEmbReplay(s, dir), static),
+      "t_neardup", OutputMode.Complete())
+    val got = flags.filter(col("dup") === 0).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val want = SparkEntry.queries("stream_dedup_neardup")(s, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == want)
+  }
+
+  test("signature gate: dropDuplicatesWithinWatermark collapses equal LSH signatures") {
+    val dir = T.tempDir("graft_embreplay_")
+    Streams.writeEmbChunks(s, sf, dir, n = 5)
+    val got = Streams.runToMemory(
+      Streams.sigDedup(Streams.readEmbReplay(s, dir)),
+      "t_sigdedup", OutputMode.Append())
+    // a 16-bit signature over 500 docs collides heavily, so the gate
+    // genuinely drops rows. The surviving signature SET (and its size —
+    // one survivor per distinct signature) must equal the batch distinct;
+    // the representative is whichever row the state op saw first within a
+    // micro-batch, so identity is deliberately unpinned.
+    val batchSigs = T.t(s, sf, "embeddings")
+      .select(concat_ws(",",
+        call_function("lsh_bands", col("embedding"), lit(2), lit(8), lit(42L))
+          .cast("array<string>")).as("sig"))
+      .distinct().collect().map(_.getString(0)).toSet
+    val gotRows = got.select("sig").collect().map(_.getString(0))
+    assert(gotRows.toSet == batchSigs)
+    assert(gotRows.length == batchSigs.size)
+  }
+
   test("left-outer stream-stream join == batch stream_join_left_outer") {
     // flushTail: without the sentinel chunk the watermark never passes the
     // last purchases' join windows, so their null-padded rows are withheld
