@@ -145,6 +145,8 @@ object GraftFunctions {
       "poly_hash", exprs => PolyTokenHash(exprs.head), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "lsh_bands", exprs => CosineLsh.build(exprs), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bigrams", exprs => TokenBigrams(exprs.head), "built-in")
   }
 }
 
@@ -176,5 +178,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[LshBands].getName, "lsh_bands"),
       (exprs: Seq[Expression]) => CosineLsh.build(exprs)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("bigrams"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[TokenBigrams].getName, "bigrams"),
+      (exprs: Seq[Expression]) => TokenBigrams(exprs.head)))
   }
 }

@@ -67,23 +67,22 @@ object GroupUdf {
         .orderBy("l_returnflag")
     },
 
-    // Custom generator via typed flatMap (the Dataset-level UDTF); a Catalyst
-    // `Generator` subclass is the expression-level alternative when codegen
-    // visibility matters.
+    // Expression-level UDTF: the codegen'd `bigrams` collection expression
+    // (graft.functions.TokenBigrams) exploded through Catalyst's own
+    // Generate — the whole pipeline stays inside one WholeStageCodegen
+    // span (PlanShapeSpec pin). Round 7 used a Dataset.flatMap closure
+    // here, which broke the codegen span and paid an Encoder round-trip
+    // per row; a bespoke Generator subclass would only re-implement the
+    // iteration Explode already provides.
     q("udtf_generator",
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS arr FROM documents),
         |b AS (SELECT unnest(list_transform(range(len(arr)-1), i -> arr[i+1] || ' ' || arr[i+2])) AS bigram
         |      FROM d)
         |SELECT bigram, count(*) AS cnt FROM b
         |GROUP BY 1 ORDER BY cnt DESC, bigram LIMIT 20""") { (s, dir) =>
-      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       T.t(s, dir, "documents")
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .flatMap { case (_, text) =>
-          text.split(" ").iterator.sliding(2).withPartial(false).map(p => p.head + " " + p(1))
-        }
-        .toDF("bigram")
+        .select(explode(call_function("bigrams", col("text"))).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("bigram"))

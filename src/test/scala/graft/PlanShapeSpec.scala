@@ -135,6 +135,21 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("BroadcastNestedLoopJoin".r.findAllIn(p).size <= 2, p.take(3000))
   }
 
+  test("udtf_generator generates through codegen'd Generate, not a flatMap closure") {
+    val df = SparkEntry.queries("udtf_generator")(s, sf)
+    df.collect() // finalize the AQE plan so codegen spans appear (gotcha)
+    val p = df.queryExecution.executedPlan.toString
+    // "*(n) Generate" = the Generate sits INSIDE WholeStageCodegen span n
+    // (plain toString marks codegen stages with the * prefix); the scan,
+    // generate, and partial agg share one span
+    assert("\\*\\(\\d+\\) Generate explode\\(bigrams\\(".r.findFirstIn(p).nonEmpty,
+      p.take(3000))
+    // the old Dataset.flatMap form showed SerializeFromObject/MapElements
+    // (an Encoder round-trip per row outside any codegen span)
+    assert(!p.contains("SerializeFromObject") && !p.contains("MapPartitions"),
+      p.take(3000))
+  }
+
   test("join_bloom_prefilter injects Catalyst's runtime bloom filter (no eager job, no UDF)") {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("bloom_filter_agg"), p.take(3000))
