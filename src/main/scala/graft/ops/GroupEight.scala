@@ -248,6 +248,112 @@ object GroupEight {
       e.join(dups, Seq("vec_id"), "left_anti")
         .select("vec_id", "label")
         .orderBy("vec_id")
+    },
+
+    // Two-sample Kolmogorov–Smirnov distance between the daily-count
+    // distributions of purchases and clicks — drift detection's workhorse.
+    // Samples are the ≤31 per-day counts of each type (the day spine
+    // bounds every window, the stat_runs_test pattern), so D can be EXACT:
+    // the ECDF step heights are integer cross-products f·n, and
+    // D = max|f1·n2 − f2·n1| / (n1·n2) emits through the tie-safe
+    // exact-integer HALF_UP ppm form (T.r6). The RANGE frame makes each
+    // row's cumulative count include its value-ties — identical to the
+    // oracle's correlated `count(c <= v)` formulation.
+    q("stat_ks_two_sample",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type AS et, count(*) AS c
+        |  FROM events WHERE event_type IN ('purchase', 'click') GROUP BY 1, 2),
+        |n AS (SELECT
+        |    (SELECT count(*) FROM daily WHERE et = 'purchase') AS n1,
+        |    (SELECT count(*) FROM daily WHERE et = 'click') AS n2),
+        |f AS (SELECT v,
+        |    (SELECT count(*) FROM daily WHERE et = 'purchase' AND c <= v) AS f1,
+        |    (SELECT count(*) FROM daily WHERE et = 'click' AND c <= v) AS f2
+        |  FROM (SELECT DISTINCT c AS v FROM daily)),
+        |dm AS (SELECT max(abs(f1 * n2 - f2 * n1)) AS dn FROM f CROSS JOIN n)
+        |SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST((2000000 * dn + n1 * n2) // (2 * n1 * n2) AS BIGINT) / 1000000.0 AS d_stat
+        |FROM dm CROSS JOIN n""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .groupBy(col("ts").cast(DateType).as("d"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+        .select(col("c"),
+          when(col("et") === "purchase", 1L).otherwise(0L).as("i1"),
+          when(col("et") === "click", 1L).otherwise(0L).as("i2"))
+      val n = daily.agg(sum(col("i1")).as("n1"), sum(col("i2")).as("n2"))
+      // RANGE frame over the ≤62-row day-spine union: value-ties included
+      val wr = Window.orderBy("c")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val dn = daily
+        .withColumn("f1", sum(col("i1")).over(wr))
+        .withColumn("f2", sum(col("i2")).over(wr))
+        .crossJoin(broadcast(n))
+        .agg(max(abs(col("f1") * col("n2") - col("f2") * col("n1"))).as("dn"))
+      dn.crossJoin(broadcast(n))
+        .select(col("n1"), col("n2"), T.r6("dn", "n1 * n2").as("d_stat"))
+    },
+
+    // Mann–Kendall trend test over the daily purchase series:
+    // S = Σ_{i<j} sign(x_j − x_i) — the nonparametric "is this metric
+    // trending" screen. The pair set is the day spine × itself (≤31², a
+    // few hundred pairs AFTER the map-side day aggregation), so the
+    // bounded theta self-join is the honest plan; every output is an
+    // exact integer or a CASE label.
+    q("stat_mann_kendall",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT CASE WHEN b.c > a.c THEN 1 WHEN b.c < a.c THEN -1 ELSE 0 END AS sgn
+        |  FROM daily a JOIN daily b ON b.d > a.d)
+        |SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+        |  CAST(coalesce(sum(sgn), 0) AS BIGINT) AS s_stat,
+        |  CASE WHEN coalesce(sum(sgn), 0) > 0 THEN 'increasing'
+        |       WHEN coalesce(sum(sgn), 0) < 0 THEN 'decreasing'
+        |       ELSE 'flat' END AS trend
+        |FROM p""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint() // two consumers of the tiny day agg
+      val pairs = daily.select(col("d").as("da"), col("c").as("ca"))
+        .join(daily.select(col("d").as("db"), col("c").as("cb")),
+          col("db") > col("da"))
+        .select(when(col("cb") > col("ca"), 1L)
+          .when(col("cb") < col("ca"), -1L).otherwise(0L).as("sgn"))
+      daily.agg(count(lit(1)).as("n_days"))
+        .crossJoin(pairs.agg(coalesce(sum(col("sgn")), lit(0L)).as("s_stat")))
+        .select(col("n_days"), col("s_stat"),
+          when(col("s_stat") > 0, "increasing")
+            .when(col("s_stat") < 0, "decreasing")
+            .otherwise("flat").as("trend"))
+    },
+
+    // Training-context packing — the sequence-packing step between dedup
+    // and tokenized export in every LLM data pipeline: documents packed
+    // greedily in doc_id order into 2048-token contexts PER LANGUAGE,
+    // context index = exact integer division of the per-lang running
+    // token offset (the multimodal_shard_manifest shape, token- instead
+    // of byte-budgeted). The running sum is a lang-keyed window, never
+    // global; at 100 TB each lang/date partition packs independently.
+    q("pipeline_context_pack",
+      """WITH w AS (SELECT lang, doc_id,
+        |    len(string_split(text, ' ')) AS toks,
+        |    sum(len(string_split(text, ' '))) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |      - len(string_split(text, ' ')) AS off
+        |  FROM documents)
+        |SELECT lang, CAST(off // 2048 AS BIGINT) AS ctx_ix,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY 1, 2 ORDER BY lang, ctx_ix""") { (s, dir) =>
+      val w = T.t(s, dir, "documents")
+        .withColumn("toks", size(split(col("text"), " ")).cast(LongType))
+        .withColumn("off",
+          sum(col("toks")).over(Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("toks"))
+      w.groupBy(col("lang"), expr("off div 2048L").as("ctx_ix"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy("lang", "ctx_ix")
     }
   )
 }

@@ -53,8 +53,10 @@ object DrivePlanAudit {
     "ts_autocorr_lag", "etl_partition_advisor",
     // round 8: the 8-row coarse-centroid fan-out of the IVF-PQ probe
     // (same bounded cross-score as vector_ivf_topk; the corpus-sized
-    // code scan itself is cell-pruned + hash-joined, PlanShapeSpec pin)
-    "vector_ivfpq_topk")
+    // code scan itself is cell-pruned + hash-joined, PlanShapeSpec pin),
+    // 1-row stat scalars of the KS test, and the ≤31²-pair bounded theta
+    // self-join of the Mann-Kendall day spine
+    "vector_ivfpq_topk", "stat_ks_two_sample", "stat_mann_kendall")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -68,7 +70,9 @@ object DrivePlanAudit {
     "stat_runs_test",       // rank + lag over the same ≤31-day spine
     "ml_ab_sequential_sprt", // day-offset table of the parallel prefix sum
                              // (≤31 rows; the event cumsum is day-keyed)
-    "etl_partition_advisor") // median rank over the ≤31-day spine
+    "etl_partition_advisor", // median rank over the ≤31-day spine
+    "stat_ks_two_sample")    // ECDF range frame over the ≤62-row day-
+                             // spine union (two event types × ≤31 days)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
