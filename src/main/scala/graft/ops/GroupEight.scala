@@ -354,6 +354,53 @@ object GroupEight {
       w.groupBy(col("lang"), expr("off div 2048L").as("ctx_ix"))
         .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
         .orderBy("lang", "ctx_ix")
+    },
+
+    // One-way ANOVA F over the daily counts of the event types — "does
+    // this metric differ by group" in one pass. FIXED-POINT form (the
+    // naive-Bayes micro-nats idea): the between/within sums of squares
+    // are rationals with per-group denominators n_g, so each group term
+    // is scaled to micro-units by ONE exact integer division
+    // S_g²·10⁶ div n_g — order/partition/engine-independent — and
+    // F = (A·(N−k)) / (B·(k−1)) ends in a single IEEE division of exact
+    // integers. Products run in DECIMAL(38,0)/HUGEINT before the double
+    // cast (the chi2 overflow guard): at 100 TB S_g² alone wraps BIGINT.
+    q("stat_anova_oneway",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, event_type AS et, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |g AS (SELECT et, count(*) AS ng, CAST(sum(c) AS BIGINT) AS sg,
+        |    CAST(sum(c * c) AS BIGINT) AS sq FROM daily GROUP BY 1),
+        |r AS (SELECT CAST(sum(CAST(sg AS HUGEINT) * sg * 1000000 // ng) AS BIGINT) AS r
+        |  FROM g),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS k, CAST(sum(ng) AS BIGINT) AS n,
+        |    CAST(sum(sg) AS BIGINT) AS tt, CAST(sum(sq) AS BIGINT) AS sqq FROM g),
+        |ab AS (SELECT k, n,
+        |    CAST(r - CAST(tt AS HUGEINT) * tt * 1000000 // n AS BIGINT) AS a,
+        |    CAST(CAST(sqq AS HUGEINT) * 1000000 - r AS BIGINT) AS b
+        |  FROM r CROSS JOIN t)
+        |SELECT k AS k_groups, n AS n_obs,
+        |  round(CAST(CAST(a AS HUGEINT) * (n - k) AS DOUBLE)
+        |      / CAST(CAST(b AS HUGEINT) * (k - 1) AS DOUBLE), 6) AS f_stat
+        |FROM ab""") { (s, dir) =>
+      val g = T.t(s, dir, "events")
+        .groupBy(col("ts").cast(DateType).as("d"), col("event_type").as("et"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("et")
+        .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
+          sum(col("c") * col("c")).as("sq"))
+        .localCheckpoint() // tiny (one row per event type), three consumers
+      val r = g.agg(
+        sum(expr("cast(sg as decimal(38,0)) * sg * 1000000 div ng")).as("r"))
+      val t = g.agg(count(lit(1)).cast(LongType).as("k"),
+        sum(col("ng")).as("n"), sum(col("sg")).as("tt"), sum(col("sq")).as("sqq"))
+      r.crossJoin(broadcast(t))
+        .select(col("k"), col("n"),
+          expr("cast(r - cast(tt as decimal(38,0)) * tt * 1000000 div n as bigint)").as("a"),
+          expr("cast(cast(sqq as decimal(38,0)) * 1000000 - r as bigint)").as("b"))
+        .select(col("k").as("k_groups"), col("n").as("n_obs"),
+          round(expr("cast(cast(a as decimal(38,0)) * (n - k) as double)")
+            / expr("cast(cast(b as decimal(38,0)) * (k - 1) as double)"), 6)
+            .as("f_stat"))
     }
   )
 }

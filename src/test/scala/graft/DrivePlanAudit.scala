@@ -56,7 +56,9 @@ object DrivePlanAudit {
     // code scan itself is cell-pruned + hash-joined, PlanShapeSpec pin),
     // 1-row stat scalars of the KS test, and the ≤31²-pair bounded theta
     // self-join of the Mann-Kendall day spine
-    "vector_ivfpq_topk", "stat_ks_two_sample", "stat_mann_kendall")
+    "vector_ivfpq_topk", "stat_ks_two_sample", "stat_mann_kendall",
+    // 1-row scalar crossJoin of the ANOVA A/B terms
+    "stat_anova_oneway")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
