@@ -401,6 +401,69 @@ object GroupEight {
           round(expr("cast(cast(a as decimal(38,0)) * (n - k) as double)")
             / expr("cast(cast(b as decimal(38,0)) * (k - 1) as double)"), 6)
             .as("f_stat"))
+    },
+
+    // k-core peeling on the part co-purchase graph — the fourth iterative-
+    // graph shape (pagerank: fixed-power; label-prop: min-fold; sssp:
+    // min-relax; here: ITERATIVE SUBGRAPH RESTRICTION). Semantics are
+    // "the surviving subgraph after 4 peel rounds at k=10" — bounded
+    // rounds, well-defined without a fixpoint claim, CTE-unrollable.
+    // Each round recomputes degrees over the current edge set and keeps
+    // nodes with deg ≥ k; the Spark loop is edge-list agg + two semi-
+    // restriction joins per round, localCheckpoint per layer (the
+    // cluster-components pattern), with only the tiny per-round audit
+    // counts touching the driver (the transitive-closure precedent).
+    // Output: per-round (n_nodes, n_edges) — the peel curve.
+    q("graph_kcore_peel", {
+      val layer = (p: Int, c: Int) =>
+        s"""k$c AS MATERIALIZED (SELECT src AS node FROM l$p
+           |  GROUP BY 1 HAVING count(*) >= 10),
+           |l$c AS MATERIALIZED (SELECT l.src, l.dst FROM l$p l
+           |  JOIN k$c a ON l.src = a.node JOIN k$c b ON l.dst = b.node)""".stripMargin
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+         |e AS MATERIALIZED (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+         |    AND a.l_partkey < b.l_partkey),
+         |l0 AS MATERIALIZED (SELECT pa AS src, pb AS dst FROM e
+         |  UNION ALL SELECT pb, pa FROM e),
+         |${layer(0, 1)},
+         |${layer(1, 2)},
+         |${layer(2, 3)},
+         |${layer(3, 4)}
+         |SELECT * FROM (
+         |  SELECT 1 AS round, CAST((SELECT count(*) FROM k1) AS BIGINT) AS n_nodes,
+         |    CAST((SELECT count(*) FROM l1) // 2 AS BIGINT) AS n_edges
+         |  UNION ALL SELECT 2, CAST((SELECT count(*) FROM k2) AS BIGINT),
+         |    CAST((SELECT count(*) FROM l2) // 2 AS BIGINT)
+         |  UNION ALL SELECT 3, CAST((SELECT count(*) FROM k3) AS BIGINT),
+         |    CAST((SELECT count(*) FROM l3) // 2 AS BIGINT)
+         |  UNION ALL SELECT 4, CAST((SELECT count(*) FROM k4) AS BIGINT),
+         |    CAST((SELECT count(*) FROM l4) // 2 AS BIGINT)
+         |) ORDER BY round"""
+    }) { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+        .filter(col("pa") < col("pb"))
+        .select("pa", "pb").distinct()
+      var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      val audit = Seq.newBuilder[(Int, Long, Long)]
+      for (r <- 1 to 4) {
+        val keep = edges.groupBy(col("src").as("node"))
+          .agg(count(lit(1)).as("dg")).filter(col("dg") >= 10)
+          .select("node").localCheckpoint() // 2 joins + a count below
+        edges = edges
+          .join(keep.withColumnRenamed("node", "src"), "src")
+          .join(keep.withColumnRenamed("node", "dst"), "dst")
+          .select("src", "dst").localCheckpoint()
+        audit += ((r, keep.count(), edges.count() / 2))
+      }
+      import s.implicits._
+      audit.result().toDF("round", "n_nodes", "n_edges")
+        .orderBy("round")
     }
   )
 }

@@ -44,4 +44,15 @@ class EightSpec extends AnyFunSuite {
     assert(got.find(_._1 == 0L).flatMap(_._2).contains(0L))
     assert(got.flatMap(_._2).forall(_ >= 0L))
   }
+
+  test("graph_kcore_peel: peel curve is monotone and rounds actually bite") {
+    val rows = SparkEntry.queries("graph_kcore_peel")(s, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3, 4))
+    // peeling can only shrink the subgraph
+    assert(rows.sliding(2).forall { case Array(a, b) =>
+      b._2 <= a._2 && b._3 <= a._3 })
+    // at sf0.001 the k=10 threshold genuinely removes nodes in round 1
+    assert(rows.head._2 > 0 && rows.head._3 > 0)
+  }
 }
