@@ -455,11 +455,19 @@ object GroupEight {
         val keep = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("dg")).filter(col("dg") >= 10)
           .select("node").localCheckpoint() // 2 joins + a count below
+        // the keep set is NODE-sized (~16 bytes/row); under the session
+        // broadcast budget both restriction joins broadcast it and the
+        // edge list never shuffles in-round (the audit needs this count
+        // anyway). Over budget → unhinted shuffle joins on src/dst.
+        val nKeep = keep.count()
+        val maybeB: DataFrame => DataFrame =
+          if (T.broadcastBudgetBytes(s).exists(16L * nKeep <= _)) broadcast
+          else identity
         edges = edges
-          .join(keep.withColumnRenamed("node", "src"), "src")
-          .join(keep.withColumnRenamed("node", "dst"), "dst")
+          .join(maybeB(keep.withColumnRenamed("node", "src")), "src")
+          .join(maybeB(keep.withColumnRenamed("node", "dst")), "dst")
           .select("src", "dst").localCheckpoint()
-        audit += ((r, keep.count(), edges.count() / 2))
+        audit += ((r, nKeep, edges.count() / 2))
       }
       import s.implicits._
       audit.result().toDF("round", "n_nodes", "n_edges")
