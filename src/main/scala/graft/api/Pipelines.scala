@@ -617,6 +617,85 @@ object Pipelines {
       .agg(sum(col("closed")).as("n_triangles"))
   }
 
+  /** Training-context packing: rows packed greedily in `idCol` order into
+    * `budgetTokens`-token contexts per group — the sequence-packing step
+    * between dedup and tokenized export. Context index = exact integer
+    * division of the per-group running token offset (shardManifest,
+    * token-budgeted). Returns one row per (group, ctx_ix) with `n_docs`
+    * and `n_tokens`. */
+  def contextPack(df: DataFrame, groupCol: String, idCol: String,
+                  tokensCol: String, budgetTokens: Long = 2048L): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("_off", sum(col(tokensCol)).over(w) - col(tokensCol))
+      .withColumn("ctx_ix", expr(s"_off div ${budgetTokens}L"))
+      .groupBy(col(groupCol), col("ctx_ix"))
+      .agg(count(lit(1)).as("n_docs"), sum(col(tokensCol)).as("n_tokens"))
+  }
+
+  /** Bounded-hop weighted single-source shortest paths over (src, dst,
+    * cost) edges: `maxHops` Bellman-Ford relaxation layers — well-defined
+    * whether or not the graph has converged. The dist table is node-sized:
+    * under the session broadcast budget each relax iteration broadcasts
+    * it (the edge list never shuffles); over budget the joins shuffle on
+    * the node key and the hop bound still holds. Unreachable ⇒ NULL. */
+  def ssspFrontier(edges: DataFrame, srcCol: String, dstCol: String,
+                   costCol: String, source: Long, maxHops: Int = 6): DataFrame = {
+    val inf = 1000000000000000L
+    val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"),
+      col(costCol).as("_c")).localCheckpoint()
+    val n = e.select(col("_s").as("node")).unionAll(e.select(col("_t").as("node")))
+      .distinct().localCheckpoint()
+    val nCount = n.count()
+    val maybeB: DataFrame => DataFrame =
+      if (graft.T.broadcastBudgetBytes(e.sparkSession).exists(24L * nCount <= _))
+        broadcast else identity
+    var dist = n.withColumn("d",
+      when(col("node") === source, lit(0L)).otherwise(lit(inf)))
+    for (_ <- 1 to maxHops) {
+      val relax = e.join(maybeB(dist), col("_s") === col("node"))
+        .groupBy(col("_t")).agg(min(col("d") + col("_c")).as("rd"))
+      dist = n.join(maybeB(dist), "node")
+        .join(maybeB(relax.withColumnRenamed("_t", "node")), Seq("node"), "left")
+        .select(col("node"), least(col("d"), coalesce(col("rd"), lit(inf))).as("d"))
+    }
+    dist.select(col("node"),
+      when(col("d") >= inf, lit(null).cast(LongType)).otherwise(col("d")).as("dist"))
+  }
+
+  /** k-core peeling of an undirected (src, dst) edge set: `rounds`
+    * iterations of degree-filter + subgraph restriction, returning the
+    * per-round (round, n_nodes, n_edges) peel curve. Node-sized keep sets
+    * broadcast under the session budget; each layer localCheckpoints so
+    * lineage stays one round deep. */
+  def kcorePeel(edges: DataFrame, srcCol: String, dstCol: String,
+                k: Int, rounds: Int = 4): DataFrame = {
+    val s = edges.sparkSession
+    val e0 = edges.select(
+        least(col(srcCol), col(dstCol)).as("pa"),
+        greatest(col(srcCol), col(dstCol)).as("pb"))
+      .filter(col("pa") < col("pb")).distinct()
+    var cur = e0.select(col("pa").as("src"), col("pb").as("dst"))
+      .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
+      .localCheckpoint()
+    val audit = Seq.newBuilder[(Int, Long, Long)]
+    for (r <- 1 to rounds) {
+      val keep = cur.groupBy(col("src").as("node"))
+        .agg(count(lit(1)).as("dg")).filter(col("dg") >= k)
+        .select("node").localCheckpoint()
+      val nKeep = keep.count()
+      val maybeB: DataFrame => DataFrame =
+        if (graft.T.broadcastBudgetBytes(s).exists(16L * nKeep <= _)) broadcast
+        else identity
+      cur = cur.join(maybeB(keep.withColumnRenamed("node", "src")), "src")
+        .join(maybeB(keep.withColumnRenamed("node", "dst")), "dst")
+        .select("src", "dst").localCheckpoint()
+      audit += ((r, nKeep, cur.count() / 2))
+    }
+    import s.implicits._
+    audit.result().toDF("round", "n_nodes", "n_edges")
+  }
+
   /** KMV (k-minimum-values) distinct-count sketch over any column, using
     * the engine-portable `poly_hash`: estimate = (k−1)·M div h₍ₖ₎ as PURE
     * integer division — deterministic on any engine/partitioning. The

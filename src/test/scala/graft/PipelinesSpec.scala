@@ -315,4 +315,53 @@ class PipelinesSpec extends AnyFunSuite {
       "vec_id", "vec_id", "embedding", 5, 50)
     assert(rec.filter(col("recall") < 1.0).count() == 0)
   }
+
+  test("contextPack matches pipeline_context_pack") {
+    val withToks = docs.withColumn("toks",
+      size(split(col("text"), " ")).cast("long"))
+    val api = graft.api.Pipelines.contextPack(
+        withToks, "lang", "doc_id", "toks", 2048L)
+      .select("lang", "ctx_ix", "n_docs", "n_tokens")
+    val graded = SparkEntry.queries("pipeline_context_pack")(s, sf)
+    assert(api.exceptAll(graded).count() == 0)
+    assert(graded.exceptAll(api).count() == 0)
+  }
+
+  test("ssspFrontier matches graph_sssp_frontier on the trade graph") {
+    val li = graft.T.t(s, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = graft.T.t(s, sf, "orders").select("o_orderkey", "o_custkey")
+    val cust = graft.T.t(s, sf, "customer").select("c_custkey", "c_nationkey")
+    val supp = graft.T.t(s, sf, "supplier").select("s_suppkey", "s_nationkey")
+    val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("src") =!= col("dst"))
+      .select(col("src"), col("dst"), expr("1L + 1000L DIV (1L + cnt)").as("cost"))
+    val api = graft.api.Pipelines.ssspFrontier(e, "src", "dst", "cost", 0L, 6)
+    // the generic operator derives its node set from the edges; the graded
+    // key spines over the nation table — compare on the common nodes
+    val graded = SparkEntry.queries("graph_sssp_frontier")(s, sf)
+      .withColumnRenamed("dist_6hop", "dist")
+    val a = api.collect().map(r => r.getAs[Number](0).longValue ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val g = graded.collect().map(r => r.getAs[Number](0).longValue ->
+      (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(a.keySet.subsetOf(g.keySet))
+    assert(a.forall { case (n, d) => g(n) == d })
+  }
+
+  test("kcorePeel matches graph_kcore_peel's peel curve") {
+    val li = graft.T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") < col("pb"))
+      .select(col("pa").as("src"), col("pb").as("dst"))
+    val api = graft.api.Pipelines.kcorePeel(e, "src", "dst", 10, 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val graded = SparkEntry.queries("graph_kcore_peel")(s, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(api.sortBy(_._1) == graded.sortBy(_._1))
+  }
 }
