@@ -472,6 +472,73 @@ object GroupEight {
       import s.implicits._
       audit.result().toDF("round", "n_nodes", "n_edges")
         .orderBy("round")
+    },
+
+    // Incremental batch-vs-corpus dedup — the continuous-ingest shape of
+    // the dedup family: a NEW batch (doc_id % 5 = 0, ~20%) is admitted
+    // against the EXISTING corpus, never corpus-vs-corpus. Exact dups
+    // match on text (at scale: on the persisted content-hash index);
+    // near-dups ride the staged shingle inverted index restricted to
+    // batch×corpus — the bipartite join's fan-out is batch-sized, so
+    // daily ingest cost scales with the batch, not the corpus. The
+    // near test is the exact integer cross-multiplication
+    // 5c ≥ 4(n_b + n_c − c) (Jaccard ≥ 0.8), corpus-side shingles
+    // df-ceilinged at dfCap in lockstep with the oracle. Classification
+    // precedence: exact > near > accepted.
+    q("dedup_incremental_batch",
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 <> 0),
+        |batch AS (SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0),
+        |ex AS (SELECT DISTINCT b.doc_id FROM batch b JOIN corpus c ON b.text = c.text),
+        |allsh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2), i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM (SELECT doc_id, string_split(text,' ') AS arr FROM documents)),
+        |bs AS (SELECT * FROM allsh WHERE doc_id % 5 = 0),
+        |cs AS (SELECT * FROM allsh WHERE doc_id % 5 <> 0),
+        |bn AS (SELECT doc_id, count(*) AS n FROM bs GROUP BY 1),
+        |cn AS (SELECT doc_id, count(*) AS n FROM cs GROUP BY 1),
+        |ck AS (SELECT sh FROM cs GROUP BY sh HAVING count(*) <= 10000),
+        |common AS (SELECT b.doc_id AS ib, c.doc_id AS ic, count(*) AS c
+        |  FROM bs b JOIN ck ON b.sh = ck.sh JOIN cs c ON b.sh = c.sh GROUP BY 1, 2),
+        |near AS (SELECT DISTINCT ib FROM common
+        |  JOIN bn ON bn.doc_id = ib JOIN cn ON cn.doc_id = ic
+        |  WHERE 5 * c >= 4 * (bn.n + cn.n - c)),
+        |cls AS (SELECT CASE WHEN ex.doc_id IS NOT NULL THEN 'dup_exact'
+        |    WHEN nr.ib IS NOT NULL THEN 'dup_near' ELSE 'accepted' END AS class
+        |  FROM batch b LEFT JOIN ex ON b.doc_id = ex.doc_id
+        |  LEFT JOIN near nr ON b.doc_id = nr.ib)
+        |SELECT class, count(*) AS n_docs FROM cls GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val d = T.t(s, dir, "documents").select("doc_id", "text")
+      val corpus = d.filter(col("doc_id") % 5 =!= 0)
+      val batch = d.filter(col("doc_id") % 5 === 0)
+      val exIds = batch
+        .join(corpus.select("text").distinct(), Seq("text"), "left_semi")
+        .select("doc_id")
+      val sh = GroupText.shingleRows(s, dir) // staged once, shared
+      val bs = sh.filter(col("doc_id") % 5 === 0)
+      val cs = sh.filter(col("doc_id") % 5 =!= 0)
+      val bn = bs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val cn = cs.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val ck = cs.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= GroupPipeline.dfCap).select("sh")
+      val common = bs.join(ck, "sh")
+        .select(col("doc_id").as("ib"), col("sh"))
+        .join(cs.select(col("doc_id").as("ic"), col("sh").as("sh2")),
+          col("sh") === col("sh2"))
+        .groupBy("ib", "ic").agg(count(lit(1)).as("c"))
+      val near = common
+        .join(bn.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
+        .join(cn.select(col("doc_id").as("ic"), col("n").as("nc")), "ic")
+        .filter(lit(5) * col("c") >= lit(4) * (col("nb") + col("nc") - col("c")))
+        .select("ib").distinct()
+      batch.select("doc_id")
+        .join(exIds.withColumn("_ex", lit(1)), Seq("doc_id"), "left")
+        .join(near.withColumnRenamed("ib", "doc_id").withColumn("_nr", lit(1)),
+          Seq("doc_id"), "left")
+        .select(when(col("_ex") === 1, "dup_exact")
+          .when(col("_nr") === 1, "dup_near")
+          .otherwise("accepted").as("class"))
+        .groupBy("class").agg(count(lit(1)).as("n_docs"))
+        .orderBy("class")
     }
   )
 }
