@@ -210,6 +210,25 @@ object GroupStream {
         .groupBy("user_id")
         .agg(countDistinct(col("event_type")).as("n_types"))
         .orderBy("user_id")
+    },
+
+    // Batch form of the ListState bounded top-k processor
+    // (Streams.topValuesPerUser): per-user top-3 event values, ties to
+    // the smaller event_id — the final state of the O(k)-per-key list.
+    // StreamingSpec proves replay equality.
+    q("stream_topk_state",
+      """SELECT user_id, rnk, value FROM (
+        |  SELECT user_id, value, CAST(row_number() OVER (
+        |    PARTITION BY user_id ORDER BY value DESC, event_id) AS INT) AS rnk
+        |  FROM events)
+        |WHERE rnk <= 3 ORDER BY user_id, rnk""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("value").desc, col("event_id")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 3)
+        .select("user_id", "rnk", "value")
+        .orderBy("user_id", "rnk")
     }
   )
 }

@@ -226,6 +226,39 @@ object Streams {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Spark 4 ListState demo (stream_topk_state) — the third state-API-v2
+    * primitive after ValueState (running totals) and MapState (distinct
+    * types): a bounded per-user TOP-3 of event values held as a sorted
+    * ListState of (value, event_id) pairs. Each batch merges its rows
+    * into the list, truncates to 3 (state is O(k) per key, never the
+    * event history), and emits the current top-3. Ties break on the
+    * smaller event_id — identical to the batch rank window. */
+  def topValuesPerUser(stream: DataFrame, k: Int = 3): Dataset[(Long, String)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("value"), col("event_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Double, Long), (Long, String)] {
+          @transient private var top: org.apache.spark.sql.streaming.ListState[(Double, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            top = getHandle.getListState[(Double, Long)]("top", TTLConfig.NONE)
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, Double, Long)],
+              timerValues: TimerValues): Iterator[(Long, String)] = {
+            val merged = (top.get().toSeq ++ rows.map(r => (r._2, r._3)))
+              .sortBy { case (v, id) => (-v, id) }.take(k)
+            top.put(merged.toArray)
+            // one emission per batch: the whole current list in rank order.
+            // The list is MONOTONE (merging only improves it pointwise),
+            // so the final state is each user's pointwise-max emission.
+            Iterator((key, merged.map(_._1.toString).mkString(",")))
+          }
+        },
+        TimeMode.None(), OutputMode.Update())
+  }
+
   /** Stream-stream interval join: purchases ⋈ clicks within ±30 min per
     * user (stream_stream_join). Watermarks bound the join state. */
   def purchaseClickJoin(stream1: DataFrame, stream2: DataFrame): DataFrame = {

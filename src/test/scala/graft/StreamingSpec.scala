@@ -283,6 +283,33 @@ class StreamingSpec extends AnyFunSuite {
     assert(gotRows.length == batchSigs.size)
   }
 
+  test("ListState top-k: final per-user top-3 == batch stream_topk_state") {
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(prov)
+    s.conf.set(prov,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // the memory sink appends one whole-list emission per (user, batch);
+      // the list state is monotone (merging only improves it pointwise),
+      // so each user's FINAL state is their pointwise-maximal emission
+      import scala.math.Ordering.Implicits._
+      val emitted = Streams.runToMemory(
+        Streams.topValuesPerUser(Streams.readReplay(s, chunks()))
+          .toDF("user_id", "top"),
+        "t_liststate", OutputMode.Update())
+      val got = emitted.collect()
+        .map(r => (r.getLong(0), r.getString(1).split(",").map(_.toDouble).toSeq))
+        .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
+      val want = SparkEntry.queries("stream_topk_state")(s, sf)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (u, rows) => u -> rows.sortBy(_._2).map(_._3).toSeq }
+      assert(got == want)
+    } finally {
+      old match { case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov) }
+    }
+  }
+
   test("left-outer stream-stream join == batch stream_join_left_outer") {
     // flushTail: without the sentinel chunk the watermark never passes the
     // last purchases' join windows, so their null-padded rows are withheld
