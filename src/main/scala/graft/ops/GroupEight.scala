@@ -539,6 +539,77 @@ object GroupEight {
           .otherwise("accepted").as("class"))
         .groupBy("class").agg(count(lit(1)).as("n_docs"))
         .orderBy("class")
+    },
+
+    // Full-batch perceptron training as PURE AGGREGATION — "ML training
+    // is just an agg loop" in its most distilled form (the Lloyd-kmeans /
+    // closed-form-OLS family): classify purchase(+1) vs click(−1) from
+    // integer features (bias, day-of-week, hour). Each epoch is ONE
+    // distributed scan: w ← w + Σ_{misclassified} y·x, every quantity an
+    // exact BIGINT — no learning-rate float, no per-sample ordering, so
+    // the weights are partition/order/engine-independent and the oracle
+    // is a 3-epoch unrolled CTE ladder. Epochs are full-batch by design:
+    // sequential per-sample updates don't distribute; summed batch
+    // updates are the scalable form. Accuracy emits as exact-int ppm.
+    q("ml_perceptron_epochs", {
+      val margin = "y * (w.w0 * x0 + w.w1 * x1 + w.w2 * x2)"
+      val epoch = (p: String, c: String) =>
+        s"""$c AS ($${sel})""".replace("${sel}",
+          s"""SELECT
+             |  w.w0 + CAST(coalesce(sum(CASE WHEN $margin <= 0 THEN y * x0 END), 0) AS BIGINT) AS w0,
+             |  w.w1 + CAST(coalesce(sum(CASE WHEN $margin <= 0 THEN y * x1 END), 0) AS BIGINT) AS w1,
+             |  w.w2 + CAST(coalesce(sum(CASE WHEN $margin <= 0 THEN y * x2 END), 0) AS BIGINT) AS w2
+             |FROM s CROSS JOIN $p w GROUP BY w.w0, w.w1, w.w2""".stripMargin)
+      s"""WITH s AS MATERIALIZED (SELECT
+         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y,
+         |    1 AS x0, (CAST(ts AS DATE) - DATE '1970-01-01') % 7 AS x1,
+         |    hour(ts) AS x2
+         |  FROM events WHERE event_type IN ('purchase', 'click')),
+         |w0t AS (SELECT CAST(0 AS BIGINT) AS w0, CAST(0 AS BIGINT) AS w1,
+         |    CAST(0 AS BIGINT) AS w2),
+         |${epoch("w0t", "e1")},
+         |${epoch("e1", "e2")},
+         |${epoch("e2", "e3")},
+         |a AS (SELECT count(*) AS n,
+         |    CAST(coalesce(sum(CASE WHEN $margin > 0 THEN 1 END), 0) AS BIGINT) AS ok
+         |  FROM s CROSS JOIN e3 w)
+         |SELECT w0 AS w_bias, w1 AS w_dow, w2 AS w_hour,
+         |  CAST((2000000 * ok + n) // (2 * n) AS BIGINT) / 1000000.0 AS acc_ppm
+         |FROM e3 CROSS JOIN a"""
+    }) { (s, dir) =>
+      val samples = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(
+          when(col("event_type") === "purchase", 1).otherwise(-1).as("y"),
+          lit(1).as("x0"),
+          (datediff(col("ts").cast(DateType),
+            lit("1970-01-01").cast(DateType)) % 7).as("x1"),
+          hour(col("ts")).as("x2"))
+        .localCheckpoint() // 4 consumers: 3 epochs + the accuracy pass
+      val m = col("y") *
+        (col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2"))
+      def epoch(w: DataFrame): DataFrame =
+        samples.crossJoin(broadcast(w))
+          .groupBy("w0", "w1", "w2")
+          .agg(
+            coalesce(sum(when(m <= 0, col("y") * col("x0"))), lit(0L))
+              .cast(LongType).as("d0"),
+            coalesce(sum(when(m <= 0, col("y") * col("x1"))), lit(0L))
+              .cast(LongType).as("d1"),
+            coalesce(sum(when(m <= 0, col("y") * col("x2"))), lit(0L))
+              .cast(LongType).as("d2"))
+          .select((col("w0") + col("d0")).as("w0"),
+            (col("w1") + col("d1")).as("w1"),
+            (col("w2") + col("d2")).as("w2"))
+      val w0 = samples.sparkSession.range(1)
+        .select(lit(0L).as("w0"), lit(0L).as("w1"), lit(0L).as("w2"))
+      val w = epoch(epoch(epoch(w0)))
+      val acc = samples.crossJoin(broadcast(w))
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum(when(m > 0, 1)), lit(0L)).cast(LongType).as("ok"))
+      w.crossJoin(broadcast(acc))
+        .select(col("w0").as("w_bias"), col("w1").as("w_dow"),
+          col("w2").as("w_hour"), T.r6("ok", "n").as("acc_ppm"))
     }
   )
 }
