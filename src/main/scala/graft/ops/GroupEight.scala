@@ -610,6 +610,58 @@ object GroupEight {
       w.crossJoin(broadcast(acc))
         .select(col("w0").as("w_bias"), col("w1").as("w_dow"),
           col("w2").as("w_hour"), T.r6("ok", "n").as("acc_ppm"))
+    },
+
+    // Training-mixture sampling — the source-reweighting step of corpus
+    // assembly: compute a per-source keep rate that BALANCES token mass
+    // across sources (rate_ppm = 10⁶·min_tokens div tokens_source, exact
+    // integer), then keep each doc by a DETERMINISTIC portable hash
+    // (poly_hash(doc_id) mod 10⁶ < rate) — reproducible on any engine,
+    // partitioning, or rerun, unlike rand()-based sampling. The smallest
+    // source keeps rate 10⁶ (everything) by construction. One scan + a
+    // broadcast rate table; at 100 TB the rate table is source-count
+    // sized and the sample is a stateless scan-level filter.
+    q("pipeline_mixture_sample",
+      """WITH d AS (SELECT doc_id, source,
+        |    len(string_split(text, ' ')) AS toks,
+        |    CAST(doc_id AS VARCHAR) AS ds
+        |  FROM documents),
+        |t AS (SELECT source, CAST(sum(toks) AS BIGINT) AS tt FROM d GROUP BY 1),
+        |m AS (SELECT min(tt) AS mt FROM t),
+        |r AS (SELECT source,
+        |    CAST(1000000 * CAST(mt AS HUGEINT) // tt AS BIGINT) AS rate_ppm
+        |  FROM t CROSS JOIN m),
+        |h AS (SELECT source, toks, (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(ds)),
+        |        i -> CAST(ascii(substr(ds, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+        |    (hh, c) -> (hh * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) % 1000000 AS bucket
+        |  FROM d)
+        |SELECT r.source, r.rate_ppm,
+        |  CAST(coalesce(sum(CASE WHEN bucket < rate_ppm THEN 1 END), 0) AS BIGINT) AS n_docs_kept,
+        |  CAST(coalesce(sum(CASE WHEN bucket < rate_ppm THEN toks END), 0) AS BIGINT) AS n_tokens_kept
+        |FROM h JOIN r ON h.source = r.source
+        |GROUP BY 1, 2 ORDER BY 1""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val d = T.t(s, dir, "documents").select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("toks"))
+      val t = d.groupBy("source").agg(sum("toks").as("tt"))
+      val r = t.crossJoin(broadcast(t.agg(min(col("tt")).as("mt"))))
+        .select(col("source"),
+          expr("cast(1000000 * cast(mt as decimal(38,0)) div tt as bigint)")
+            .as("rate_ppm"))
+      d.withColumn("bucket",
+          call_function("poly_hash", col("doc_id").cast(StringType)) % 1000000L)
+        .join(broadcast(r), "source")
+        .groupBy("source", "rate_ppm")
+        .agg(
+          coalesce(sum(when(col("bucket") < col("rate_ppm"), 1L)), lit(0L))
+            .cast(LongType).as("n_docs_kept"),
+          coalesce(sum(when(col("bucket") < col("rate_ppm"), col("toks"))), lit(0L))
+            .cast(LongType).as("n_tokens_kept"))
+        .orderBy("source")
     }
   )
 }

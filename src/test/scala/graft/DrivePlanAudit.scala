@@ -58,8 +58,9 @@ object DrivePlanAudit {
     // self-join of the Mann-Kendall day spine
     "vector_ivfpq_topk", "stat_ks_two_sample", "stat_mann_kendall",
     // 1-row scalar crossJoin of the ANOVA A/B terms; the perceptron's
-    // 1-row weight-vector broadcast per epoch (the Lloyd-centroid shape)
-    "stat_anova_oneway", "ml_perceptron_epochs")
+    // 1-row weight-vector broadcast per epoch (the Lloyd-centroid shape);
+    // the mixture sampler's 1-row min-token scalar
+    "stat_anova_oneway", "ml_perceptron_epochs", "pipeline_mixture_sample")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
