@@ -662,6 +662,75 @@ object GroupEight {
           coalesce(sum(when(col("bucket") < col("rate_ppm"), col("toks"))), lit(0L))
             .cast(LongType).as("n_tokens_kept"))
         .orderBy("source")
+    },
+
+    // EXISTS / NOT EXISTS correlated predicate subqueries through the SQL
+    // surface — the Catalyst decorrelation path the scalar-subquery key
+    // doesn't touch: RewritePredicateSubquery turns both predicates into
+    // LeftSemi/LeftAnti joins (PlanShapeSpec pins no per-row subplan
+    // survives). Orders that shipped a >45-quantity line but had NO
+    // returned line.
+    q("subquery_exists_rewrite",
+      """SELECT o.o_orderkey, o.o_orderstatus FROM orders o
+        |WHERE EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+        |  AND NOT EXISTS (SELECT 1 FROM lineitem l
+        |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+        |ORDER BY o.o_orderkey""") { (s, dir) =>
+      Seq("orders", "lineitem").foreach(t =>
+        T.t(s, dir, t).createOrReplaceTempView(s"${t}_ex8"))
+      s.sql(
+        """SELECT o.o_orderkey, o.o_orderstatus FROM orders_ex8 o
+          |WHERE EXISTS (SELECT 1 FROM lineitem_ex8 l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_quantity > 45)
+          |  AND NOT EXISTS (SELECT 1 FROM lineitem_ex8 l
+          |    WHERE l.l_orderkey = o.o_orderkey AND l.l_returnflag = 'R')
+          |ORDER BY o.o_orderkey""".stripMargin)
+    },
+
+    // FILTER (WHERE ...) aggregate clause — one scan computing disjoint
+    // conditional aggregates without self-joins or CASE pyramids; every
+    // result column explicitly cast so DuckDB's HUGEINT/float promotions
+    // can't reach the output.
+    q("agg_filter_clause",
+      """SELECT l_returnflag,
+        |  count(*) AS n_all,
+        |  CAST(count(*) FILTER (WHERE l_quantity > 25) AS BIGINT) AS n_bulk,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS BIGINT) AS qty_discounted,
+        |  CAST(count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS n_open_supp
+        |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "lineitem").createOrReplaceTempView("lineitem_fc8")
+      s.sql(
+        """SELECT l_returnflag,
+          |  count(*) AS n_all,
+          |  count(*) FILTER (WHERE l_quantity > 25) AS n_bulk,
+          |  sum(CAST(l_quantity AS BIGINT)) FILTER (WHERE l_discount > 0.05) AS qty_discounted,
+          |  count(DISTINCT l_suppkey) FILTER (WHERE l_linestatus = 'O') AS n_open_supp
+          |FROM lineitem_fc8 GROUP BY 1 ORDER BY 1""".stripMargin)
+    },
+
+    // Spark 4 COLLATION surface: UTF8_LCASE comparisons/grouping — the
+    // schema-level answer to lower()-wrapping every predicate. The oracle
+    // expresses the same semantics with lower() (DuckDB has no UTF8_LCASE
+    // collation), which is exactly the equivalence the feature claims.
+    q("scalar_collation_funcs",
+      """WITH p AS (SELECT p_partkey, p_type, p_brand FROM part)
+        |SELECT lower(p_brand) AS brand_ci,
+        |  count(*) AS n_parts,
+        |  CAST(count(DISTINCT lower(p_type)) AS BIGINT) AS n_types_ci
+        |FROM p GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "part")
+        .select(col("p_partkey"),
+          collate(col("p_type"), "UTF8_LCASE").as("t_ci"),
+          collate(col("p_brand"), "UTF8_LCASE").as("b_ci"))
+        .groupBy(col("b_ci"))
+        .agg(count(lit(1)).as("n_parts"),
+          countDistinct(col("t_ci")).as("n_types_ci"))
+        // the collated key compares case-insensitively but DISPLAYS its
+        // original bytes; normalize for the engine-portable output
+        .select(lower(col("b_ci")).cast("string").as("brand_ci"),
+          col("n_parts"), col("n_types_ci"))
+        .orderBy("brand_ci")
     }
   )
 }

@@ -150,6 +150,14 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("subquery_exists_rewrite decorrelates EXISTS/NOT EXISTS to semi/anti joins") {
+    val p = plan("subquery_exists_rewrite")
+    assert(p.contains("LeftSemi"), p.take(3000))
+    assert(p.contains("LeftAnti"), p.take(3000))
+    // RewritePredicateSubquery must leave no per-row subplan behind
+    assert(!p.contains("InSubquery") && !p.contains("exists#"), p.take(3000))
+  }
+
   test("join_bloom_prefilter injects Catalyst's runtime bloom filter (no eager job, no UDF)") {
     val p = plan("join_bloom_prefilter")
     assert(p.contains("bloom_filter_agg"), p.take(3000))
