@@ -441,11 +441,7 @@ object GroupEight {
          |    CAST((SELECT count(*) FROM l4) // 2 AS BIGINT)
          |) ORDER BY round"""
     }) { (s, dir) =>
-      val li = T.t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val e = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
-        .filter(col("pa") < col("pb"))
+      val e = GroupSeven.orderPairs(s, dir) // staged artifact, shared
         .select("pa", "pb").distinct()
       var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))

@@ -23,6 +23,24 @@ import org.apache.spark.sql.types._
   */
 object GroupSeven {
 
+  /** Staged per-order co-purchase pair table (l_orderkey as k, pa < pb,
+    * distinct per order) — the expensive lineitem self-join staged ONCE
+    * per dataset (the shingle-index pattern) and shared by triangle
+    * counting, frequent-pair mining, and k-core peeling. At 100 TB this
+    * pair table is the materialized artifact all basket/graph analytics
+    * read, not something each query recomputes. */
+  private[ops] def orderPairs(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val stage = T.staged("order_pairs", dir) { o =>
+      val li = T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+      li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+        .filter(col("pa") < col("pb"))
+        .write.mode("overwrite").parquet(o)
+    }
+    s.read.parquet(stage)
+  }
+
   /** The engine-portable polynomial string hash as a DuckDB fold — same
     * arithmetic as graft.functions.PolyTokenHash (h·257+c mod 2⁶¹−1, then a
     * multiplicative finalizer), HUGEINT intermediates. */
@@ -221,11 +239,10 @@ object GroupSeven {
         .select("l_orderkey", "l_partkey").distinct()
       // materialize the edge list ONCE (localCheckpoint, the pagerank
       // pattern): it feeds four consumers (degrees, orientation, the
-      // closing-edge join, the edge count) — without truncation the
-      // per-order self-join + distinct would re-run for each
-      val e0 = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
-        .filter(col("pa") < col("pb"))
+      // closing-edge join, the edge count). The per-order pair stream
+      // itself comes from the staged order_pairs artifact shared with
+      // frequent pairs and k-core.
+      val e0 = orderPairs(s, dir)
         .select("pa", "pb").distinct().localCheckpoint()
       // degree per node, then orient pa→pb iff (deg,id)(pa) < (deg,id)(pb)
       val deg = e0.select(col("pa").as("node"))
@@ -289,11 +306,7 @@ object GroupSeven {
         |  CAST((2000000 * c + n_orders) // (2 * n_orders) AS BIGINT) / 1000000.0
         |    AS support
         |FROM top CROSS JOIN n ORDER BY c DESC, pa, pb""") { (s, dir) =>
-      val li = T.t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      val pc = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
-        .filter(col("pa") < col("pb"))
+      val pc = orderPairs(s, dir) // staged artifact shared with the graph keys
         .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
       val n = T.t(s, dir, "orders").agg(count(lit(1)).as("n_orders"))
       pc.orderBy(col("c").desc, col("pa"), col("pb")).limit(20) // TakeOrdered
