@@ -705,6 +705,42 @@ object GroupEight {
           |FROM lineitem_fc8 GROUP BY 1 ORDER BY 1""".stripMargin)
     },
 
+    // End-to-end export-readiness audit — the full training-data export
+    // path in one declared plan: exact dedup (min-id survivor per text) →
+    // quality gate (≥ 30 tokens) → per-lang 2048-token context packing →
+    // per-lang manifest (contexts, docs, tokens). Each stage is a shape
+    // proven by its own key (dedup_exact, text_filter_pipeline,
+    // pipeline_context_pack); the composition is what an export job
+    // actually ships, and the manifest is what a training run consumes.
+    q("pipeline_export_ready",
+      """WITH surv AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+        |d AS (SELECT doc_id, lang, len(string_split(text, ' ')) AS toks
+        |  FROM documents WHERE doc_id IN (SELECT doc_id FROM surv)),
+        |q AS (SELECT * FROM d WHERE toks >= 30),
+        |w AS (SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS off
+        |  FROM q)
+        |SELECT lang, CAST(count(DISTINCT off // 2048) AS BIGINT) AS n_ctx,
+        |  count(*) AS n_docs, CAST(sum(toks) AS BIGINT) AS n_tokens
+        |FROM w GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val docs = T.t(s, dir, "documents")
+      val surv = docs.groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val d = docs.join(surv, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .filter(col("toks") >= 30)
+      d.withColumn("off",
+          sum(col("toks")).over(Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            - col("toks"))
+        .groupBy("lang")
+        .agg(countDistinct(expr("off div 2048L")).as("n_ctx"),
+          count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .orderBy("lang")
+    },
+
     // Spark 4 COLLATION surface: UTF8_LCASE comparisons/grouping — the
     // schema-level answer to lower()-wrapping every predicate. The oracle
     // expresses the same semantics with lower() (DuckDB has no UTF8_LCASE
