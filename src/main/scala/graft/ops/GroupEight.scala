@@ -741,6 +741,36 @@ object GroupEight {
         .orderBy("lang")
     },
 
+    // Calendar-dimension build — the warehouse date-dim every star schema
+    // joins: one generated row per day of the orders span with conformed
+    // date attributes. The span comes from a 1-row min/max agg; the rows
+    // come from Catalyst's `sequence` generator exploded — a GENERATED
+    // dimension never scans fact data beyond the 1-row span agg, and at
+    // 100 TB it broadcasts to every consumer. Day-of-week is the portable
+    // epoch-day mod 7 (0 = Thursday) — engine dow() numberings differ.
+    q("etl_calendar_dim",
+      """WITH span AS (SELECT min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders),
+        |d AS (SELECT unnest(generate_series(dmin, dmax, INTERVAL 1 DAY))::DATE AS d FROM span)
+        |SELECT d, CAST(year(d) AS INT) AS y, CAST(quarter(d) AS INT) AS q,
+        |  CAST(month(d) AS INT) AS m, CAST(day(d) AS INT) AS dom,
+        |  CAST((d - DATE '1970-01-01') % 7 AS INT) AS dow_epoch,
+        |  CAST(d = last_day(d) AS INT) AS is_month_end
+        |FROM d ORDER BY d""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .agg(min(col("o_orderdate")).as("dmin"), max(col("o_orderdate")).as("dmax"))
+        // a day-time interval step promotes sequence() to timestamps and a
+        // generator can't nest inside the cast — cast the ARRAY first
+        .select(explode(expr(
+          "cast(sequence(dmin, dmax, interval 1 day) as array<date>)")).as("d"))
+        .select(col("d"),
+          year(col("d")).as("y"), quarter(col("d")).as("q"),
+          month(col("d")).as("m"), dayofmonth(col("d")).as("dom"),
+          (datediff(col("d"), lit("1970-01-01").cast(DateType)) % 7)
+            .cast(IntegerType).as("dow_epoch"),
+          (col("d") === last_day(col("d"))).cast(IntegerType).as("is_month_end"))
+        .orderBy("d")
+    },
+
     // Spark 4 COLLATION surface: UTF8_LCASE comparisons/grouping — the
     // schema-level answer to lower()-wrapping every predicate. The oracle
     // expresses the same semantics with lower() (DuckDB has no UTF8_LCASE
