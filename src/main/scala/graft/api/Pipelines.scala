@@ -117,11 +117,72 @@ object Pipelines {
       .select("ia", "ib", "jac")
   }
 
-  /** Connected components over an (ia, ib) pair graph by iterative
-    * min-label propagation: every node converges to the smallest reachable
-    * id (the canonical representative a dedup pipeline keeps). Lineage is
-    * truncated per iteration; iteration count = component diameter. */
-  def clusterComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  /** Connected components over an (ia, ib) pair graph, diameter-INDEPENDENT:
+    * each round interleaves a min-label hop (adopt the smallest label in the
+    * closed neighborhood) with a pointer jump (label ← label-of-label), so
+    * the distance a label has travelled roughly doubles per round —
+    * convergence in O(log diameter) rounds instead of O(diameter). Every
+    * node converges to the smallest reachable id (the canonical
+    * representative a dedup pipeline keeps).
+    *
+    * Invariants that make the jump sound: labels are always node ids of the
+    * same component (hop takes a neighbor's label, jump takes a label's
+    * label — both reachable by transitivity) and monotonically
+    * non-increasing (lbl(u) ≤ u always, so lbl(lbl(u)) ≤ lbl(u)), bounded
+    * below by the component min; at the changed==0 fixpoint every edge has
+    * equal labels on both ends and the min node still holds its own id, so
+    * the common label IS the component min. A 100 TB near-dup chain (the
+    * worst-case shape scraped corpora actually produce) labels in ~log₂(d)
+    * rounds where min-label propagation alone needs d. */
+  def clusterComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val (lbl, rounds, converged) = ccPointerDoubling(pairs, maxRounds)
+    require(converged,
+      s"clusterComponents did not converge in $rounds pointer-doubling rounds")
+    lbl
+  }
+
+  /** Pointer-doubling CC core: returns (labels, roundsUsed, converged).
+    * Exposed for DedupSpec's round-count pin. */
+  private[graft] def ccPointerDoubling(pairs: DataFrame,
+                                       maxRounds: Int): (DataFrame, Int, Boolean) = {
+    val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
+      .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
+      .distinct().localCheckpoint()
+    var lbl = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < maxRounds) {
+      // hop: adopt the min label over the closed neighborhood
+      val neigh = edges.join(lbl.select(col("id").as("b"), col("lbl").as("nl")),
+          Seq("b"))
+        .groupBy(col("a").as("id")).agg(min(col("nl")).as("minNl"))
+      val hopped = lbl.join(neigh, Seq("id"), "left")
+        .select(col("id"),
+          least(col("lbl"), coalesce(col("minNl"), col("lbl"))).as("lbl"))
+      // jump: label ← label's label. Labels are node ids present in `hopped`,
+      // so this node-sized self-join resolves every row; coalesce only
+      // guards isolated self-labels.
+      val next = hopped.join(
+          hopped.select(col("id").as("lbl"), col("lbl").as("_ll")),
+          Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("_ll"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
+        .filter(col("lbl") =!= col("old")).count()
+      lbl = next
+      rounds += 1
+    }
+    (lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep")),
+      rounds, changed == 0)
+  }
+
+  /** LEGACY min-label propagation (O(diameter) rounds) — kept only so
+    * DedupSpec can demonstrate the failure mode pointer doubling fixes:
+    * a chain whose diameter exceeds the round budget never converges here.
+    * Returns (labels, converged). Not used by any query path. */
+  private[graft] def ccMinLabelLegacy(pairs: DataFrame,
+                                      maxIters: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
       .distinct().localCheckpoint()
@@ -142,7 +203,8 @@ object Pipelines {
       lbl = next
       iter += 1
     }
-    lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
+    (lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep")),
+      changed == 0)
   }
 
   /** Brute-force cosine top-k: for each query row, the k nearest candidate
@@ -655,9 +717,13 @@ object Pipelines {
     for (_ <- 1 to maxHops) {
       val relax = e.join(maybeB(dist), col("_s") === col("node"))
         .groupBy(col("_t")).agg(min(col("d") + col("_c")).as("rd"))
+      // localCheckpoint: dist is referenced twice per iteration (relax +
+      // carry), so without truncation the plan doubles per hop and a large
+      // maxHops hits exponential analysis blowup (kcorePeel does the same)
       dist = n.join(maybeB(dist), "node")
         .join(maybeB(relax.withColumnRenamed("_t", "node")), Seq("node"), "left")
         .select(col("node"), least(col("d"), coalesce(col("rd"), lit(inf))).as("d"))
+        .localCheckpoint()
     }
     dist.select(col("node"),
       when(col("d") >= inf, lit(null).cast(LongType)).otherwise(col("d")).as("dist"))

@@ -155,12 +155,13 @@ object GroupPipeline {
     },
 
     // Near-dup CLUSTERING: connected components over the exact-Jaccard pair
-    // graph via iterative min-label propagation (each doc converges to the
-    // smallest doc_id reachable from it — the canonical cluster
-    // representative a dedup pipeline keeps). Each iteration is one
-    // edges⋈labels shuffle join + a min-agg, lineage truncated per step;
-    // iteration count = graph diameter (dup clusters are tiny), and the
-    // driver only sees the changed-label count.
+    // graph via min-label propagation INTERLEAVED WITH POINTER JUMPING
+    // (label ← label-of-label), so label reach doubles per round —
+    // O(log diameter) rounds, diameter-INDEPENDENT. A 100 TB scraped corpus
+    // produces long near-dup chains; the former plain propagation needed
+    // O(diameter) rounds and refused past its cap. Each round is two
+    // node-sized shuffle joins + a min-agg, lineage truncated per step, and
+    // the driver only sees the changed-label count.
     q("dedup_cluster_components",
       """WITH RECURSIVE dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
         |sh AS (SELECT DISTINCT doc_id,
@@ -184,34 +185,10 @@ object GroupPipeline {
         |SELECT a AS doc_id, min(b) AS cluster_rep FROM reach
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val pairs = exactJaccardPairs(s, dir, 0.8).select("ia", "ib")
-      val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
-        .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
-        .distinct().localCheckpoint()
-      var lbl = edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")).localCheckpoint()
-      var changed = 1L
-      var iter = 0
-      while (changed > 0 && iter < 15) {
-        // each node adopts min(own label, labels of its neighbors)
-        val neigh = edges
-          .join(lbl.select(col("id").as("a"), col("lbl").as("nl")), Seq("a"))
-          .groupBy(col("b").as("id")).agg(min(col("nl")).as("minNl"))
-        val next = lbl.join(neigh, Seq("id"), "left")
-          .select(col("id"),
-            least(col("lbl"), coalesce(col("minNl"), col("lbl"))).as("lbl"),
-            (col("minNl") < col("lbl")).as("chg"))
-          .localCheckpoint()
-        changed = next.filter(col("chg")).count()
-        lbl = next.select("id", "lbl")
-        iter += 1
-      }
-      // fail loudly rather than return partially-propagated labels: a
-      // component with eccentricity > the cap would otherwise silently get
-      // wrong representatives (min-label propagation needs O(diameter) rounds)
-      require(changed == 0,
-        s"dedup_cluster_components did not converge in $iter iterations")
-      lbl.select(col("id").as("doc_id"), col("lbl").as("cluster_rep"))
-        .orderBy("doc_id")
+      // pointer-doubling CC (api.Pipelines): O(log diameter) rounds, fails
+      // loudly if the round budget is ever exceeded rather than returning
+      // partially-propagated labels
+      graft.api.Pipelines.clusterComponents(pairs).orderBy("doc_id")
     },
 
     // Quality-filter pipeline audit: per source, how many docs survive the

@@ -247,8 +247,17 @@ object Streams {
           override def handleInputRows(
               key: Long, rows: Iterator[(Long, Double, Long)],
               timerValues: TimerValues): Iterator[(Long, String)] = {
+            // Sort with Spark SQL's descending semantics, NOT Scala's
+            // Ordering[Double]: `sortBy(-v)` puts NaN last (excluded from
+            // the top-k) and flips -0.0/0.0 tie order, while the batch
+            // twin's ORDER BY value DESC treats NaN as the LARGEST value.
+            // java.lang.Double.compare is exactly Spark's total order
+            // (NaN greatest, -0.0 < 0.0); reverse it for DESC.
             val merged = (top.get().toSeq ++ rows.map(r => (r._2, r._3)))
-              .sortBy { case (v, id) => (-v, id) }.take(k)
+              .sortWith { case ((v1, id1), (v2, id2)) =>
+                val c = java.lang.Double.compare(v2, v1) // DESC, NaN first
+                if (c != 0) c < 0 else id1 < id2
+              }.take(k)
             top.put(merged.toArray)
             // one emission per batch: the whole current list in rank order.
             // The list is MONOTONE (merging only improves it pointwise),
@@ -335,11 +344,15 @@ object Streams {
       df.coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(f"$outDir/chunk_$i%03d.parquet"),
+      val dest = new java.io.File(f"$outDir/chunk_$i%03d.parquet")
+      java.nio.file.Files.move(part.toPath, dest.toPath,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      Thread.sleep(15)
+      // the file source orders same-batch discoveries by mtime; set it
+      // EXPLICITLY (strictly increasing, whole seconds) so chunk order is
+      // deterministic on coarse-mtime filesystems — a 15 ms sleep can
+      // leave two chunks sharing an mtime
+      dest.setLastModified(1700000000000L + i * 1000L)
     }
   }
 

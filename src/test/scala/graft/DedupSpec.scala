@@ -94,6 +94,28 @@ class DedupSpec extends AnyFunSuite {
     assert(run("vector_ivf_topk").collect().toSeq == r1.toSeq)
   }
 
+  test("clusterComponents is diameter-independent: a 64-node chain " +
+    "(diameter 63 > the old 15-round cap) labels in O(log d) rounds") {
+    import s.implicits._
+    // planted worst case: one long near-dup chain 0-1-2-...-63
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("ia", "ib")
+    // the legacy min-label loop moves labels ONE hop per round — at the old
+    // production cap of 15 rounds it provably cannot label this chain
+    val (oldLbl, oldConverged) = api.Pipelines.ccMinLabelLegacy(chain, 15)
+    assert(!oldConverged, "legacy propagation should NOT converge in 15 rounds")
+    val farEnd = oldLbl.filter(col("doc_id") === 63L).collect().head
+    assert(farEnd.getAs[Long]("cluster_rep") > 0L,
+      "legacy labels at the far end must still be wrong after 15 rounds")
+    // pointer doubling: reach doubles per round → ~log2(63) rounds
+    val (lbl, rounds, converged) = api.Pipelines.ccPointerDoubling(chain, 30)
+    assert(converged, s"pointer doubling did not converge ($rounds rounds)")
+    assert(rounds <= 10, s"expected O(log d) rounds, got $rounds")
+    val reps = lbl.collect().map(r =>
+      (r.getAs[Long]("doc_id"), r.getAs[Long]("cluster_rep")))
+    assert(reps.length == 64 && reps.forall(_._2 == 0L),
+      "every chain node must label to the component min (0)")
+  }
+
   test("vector_ivf_topk recall vs brute-force vector_cosine_topk >= 60%") {
     // nprobe=2 of 8 cells: recall is partial by design; assert it's useful
     val ivf = run("vector_ivf_topk").collect()
