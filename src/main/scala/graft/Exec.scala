@@ -131,4 +131,29 @@ object Exec {
     rows.toSeq.toDF("database", "table_name", "table_type",
       "column_name", "data_type", "nullable", "is_partition", "is_bucket")
   }
+
+  /** View→relation DIRECT dependency edges — the SYSCAT.VIEWDEP analogue of
+    * the reference's dependency-graph extraction: for each view name, walk
+    * its ANALYZED plan and collect the topmost `SubqueryAlias` nodes whose
+    * name is a known catalog relation, without descending into them (so a
+    * view-over-view reports the view it references, not the view's own
+    * expansion). Expression subqueries (IN/EXISTS/scalar) are walked too.
+    * Purely driver-side plan introspection — no data is read. */
+  def viewDependencies(s: SparkSession, viewNames: Seq[String],
+                       known: Set[String]): Seq[(String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    def direct(p: LogicalPlan): Seq[String] = p match {
+      case SubqueryAlias(id, _) if known(id.name) => Seq(id.name)
+      case other =>
+        other.children.flatMap(direct) ++ other.subqueries.flatMap(direct)
+    }
+    viewNames.flatMap { v =>
+      val analyzed = s.table(v).queryExecution.analyzed
+      val body = analyzed match {
+        case SubqueryAlias(id, c) if id.name == v => c
+        case o => o
+      }
+      direct(body).distinct.sorted.map(d => (v, d))
+    }
+  }
 }

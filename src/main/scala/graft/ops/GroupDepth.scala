@@ -390,6 +390,50 @@ object GroupDepth {
         .orderBy("tbl", "ord")
     },
 
+    // View→relation dependency extraction — the SYSCAT.VIEWDEP half of the
+    // reference's object model: register a 3-view hierarchy (view-over-view
+    // included), then derive DIRECT dependency edges from the ANALYZED plans
+    // via Exec.viewDependencies (topmost known SubqueryAlias, no descent).
+    // The oracle declares the edges the registered DDL implies; agreeing
+    // output proves the plan walk reads the catalog truthfully. Metadata-
+    // sized and driver-side by nature — no data scan.
+    q("catalog_view_dependencies",
+      """SELECT * FROM (VALUES
+        |  ('v_bigspenders','v_custorders','view'),
+        |  ('v_custorders','customer','table'),
+        |  ('v_custorders','orders','table'),
+        |  ('v_nationsales','nation','table'),
+        |  ('v_nationsales','v_custorders','view'))
+        |AS t(view_name, depends_on, dep_kind) ORDER BY view_name, depends_on""") { (s, dir) =>
+      val sfx = (dir.hashCode & Int.MaxValue).toString
+      def reg(tbl: String): String = {
+        val n = s"graft_cat_${tbl}_$sfx"
+        T.t(s, dir, tbl).createOrReplaceTempView(n)
+        n
+      }
+      val cust = reg("customer"); val ord = reg("orders"); val nat = reg("nation")
+      val vco = s"graft_v_custorders_$sfx"
+      val vns = s"graft_v_nationsales_$sfx"
+      val vbs = s"graft_v_bigspenders_$sfx"
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW $vco AS
+        SELECT c_custkey, c_nationkey, o_orderkey, o_totalprice
+        FROM $cust JOIN $ord ON c_custkey = o_custkey""")
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW $vns AS
+        SELECT n_name, count(*) AS cnt
+        FROM $vco JOIN $nat ON c_nationkey = n_nationkey GROUP BY n_name""")
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW $vbs AS
+        SELECT c_custkey FROM $vco WHERE o_totalprice > 100000""")
+      val known = Set(cust, ord, nat, vco)
+      def strip(n: String): String =
+        n.stripSuffix(s"_$sfx").stripPrefix("graft_cat_").stripPrefix("graft_")
+      import s.implicits._
+      graft.Exec.viewDependencies(s, Seq(vco, vns, vbs), known)
+        .map { case (v, d) =>
+          (strip(v), strip(d), if (d.startsWith("graft_v_")) "view" else "table")
+        }.toDF("view_name", "depends_on", "dep_kind")
+        .orderBy("view_name", "depends_on")
+    },
+
     // RAG retrieval prep — the end-to-end shape a training/serving pipeline
     // runs: join documents to their embeddings (doc_id ≡ vec_id), retrieve
     // top-3 similar docs per query doc with the codegen'd exact dot, and

@@ -23,6 +23,27 @@ object GroupStorage {
       s.read.orc(out).orderBy("c_custkey")
     },
 
+    // Avro interchange without the spark-avro connector (absent from this
+    // environment — see sources/AvroIO.scala): per-partition container-file
+    // writers + file-parallel streaming readers over the avro core jar.
+    q("source_avro_roundtrip",
+      """SELECT c_custkey, c_name, c_nationkey, c_mktsegment FROM customer
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val schema = StructType(Seq(
+        StructField("c_custkey", LongType),
+        StructField("c_name", StringType),
+        StructField("c_nationkey", IntegerType),
+        StructField("c_mktsegment", StringType)))
+      val out = T.staged("avro", dir) { o =>
+        val n = graft.sources.AvroIO.writeAvro(
+          T.t(s, dir, "customer")
+            .select("c_custkey", "c_name", "c_nationkey", "c_mktsegment"),
+          o, "c_custkey", 4)
+        require(n > 0, "avro write produced no rows")
+      }
+      graft.sources.AvroIO.readAvro(s, out, schema).orderBy("c_custkey")
+    },
+
     q("source_text_lines",
       """SELECT count(*) AS n_lines, CAST(SUM(length(text)) AS BIGINT) AS n_chars
         |FROM documents""") { (s, dir) =>

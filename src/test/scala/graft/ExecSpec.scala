@@ -96,4 +96,25 @@ class ExecSpec extends AnyFunSuite {
     val b = s.sql(tidy.stripSuffix(";")).collect().toSet
     assert(a == b)
   }
+
+  test("viewDependencies reports DIRECT deps only, including expression " +
+    "subqueries (VERDICT r8 #3)") {
+    T.t(s, sf, "nation").createOrReplaceTempView("vd_nation")
+    T.t(s, sf, "region").createOrReplaceTempView("vd_region")
+    s.sql("""CREATE OR REPLACE TEMP VIEW vd_base AS
+      SELECT n_nationkey, n_name, n_regionkey FROM vd_nation""")
+    // view-over-view with an EXISTS expression subquery on a third relation
+    s.sql("""CREATE OR REPLACE TEMP VIEW vd_top AS
+      SELECT n_name FROM vd_base b
+      WHERE EXISTS (SELECT 1 FROM vd_region r WHERE r.r_regionkey = b.n_regionkey)""")
+    val known = Set("vd_nation", "vd_region", "vd_base")
+    val deps = Exec.viewDependencies(s, Seq("vd_base", "vd_top"), known)
+    assert(deps.contains(("vd_base", "vd_nation")))
+    // direct only: vd_top depends on vd_base (not its expansion vd_nation)
+    // and, via the EXISTS subquery, on vd_region
+    assert(deps.filter(_._1 == "vd_top").map(_._2).sorted
+      == Seq("vd_base", "vd_region"))
+    assert(!deps.contains(("vd_top", "vd_nation")),
+      "must not descend into vd_base's expansion")
+  }
 }
