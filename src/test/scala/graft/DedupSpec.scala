@@ -116,6 +116,44 @@ class DedupSpec extends AnyFunSuite {
       "every chain node must label to the component min (0)")
   }
 
+  test("dfCap sensitivity: a planted viral shingle (df >> cap) has its " +
+    "pair blowup bounded, and the documented downward bias occurs") {
+    import s.implicits._
+    // 40 docs all containing the viral trigram "v1 v2 v3" (df = 40).
+    // A/B additionally share a short unique tail (true jac 2/3);
+    // C/D share a long unique tail (true jac 9/11); fillers are unique.
+    val docs = Seq(
+      (0L, "v1 v2 v3 a1 a2 a3 a4"),
+      (1L, "v1 v2 v3 a1 a2 a3 b1"),
+      (2L, "v1 v2 v3 c1 c2 c3 c4 c5 c6 c7 c8 c9"),
+      (3L, "v1 v2 v3 c1 c2 c3 c4 c5 c6 c7 c8 d1")) ++
+      (4L until 40L).map(i => (i, s"v1 v2 v3 f${i}a f${i}b f${i}c f${i}d"))
+    val corpus = docs.toDF("doc_id", "text")
+    def pairs(threshold: Double, cap: Int): Map[(Long, Long), Double] =
+      api.Pipelines.nearDupPairs(corpus, "doc_id", "text",
+          threshold = threshold, dfCap = cap)
+        .collect().map(r => (r.getAs[Long]("ia"), r.getAs[Long]("ib"))
+          -> r.getAs[Double]("jac")).toMap
+    // (a) BOUNDED candidates: uncapped, the viral shingle alone links every
+    // doc pair — C(40,2) = 780 candidates (at 100 TB, df=10⁶ → ~10¹²).
+    // With the cap binding (5 < 40) only genuinely-shared tails pair: 2.
+    assert(pairs(0.01, 10000).size == 780, "uncapped viral blowup expected")
+    assert(pairs(0.01, 5).size == 2, "cap must bound candidates to real pairs")
+    // (b) DOWNWARD bias, exactly as documented in docs/API.md: the capped
+    // common count shrinks while sizes don't. A/B true jac = 4/6 >= 0.5
+    // passes uncapped but reports 3/7 capped and drops below the cut;
+    // C/D stays above (8/12) but is still biased down from 9/11.
+    val un = pairs(0.5, 10000)
+    val capped = pairs(0.5, 5)
+    assert(un.keySet == Set((0L, 1L), (2L, 3L)))
+    assert(capped.keySet == Set((2L, 3L)),
+      "near-threshold pair touching the hot shingle must be lost under cap")
+    assert(math.abs(un((0L, 1L)) - 4.0 / 6) < 1e-9)
+    assert(math.abs(un((2L, 3L)) - 9.0 / 11) < 1e-9)
+    assert(math.abs(capped((2L, 3L)) - 8.0 / 12) < 1e-9,
+      "surviving pair's similarity must be biased downward under cap")
+  }
+
   test("vector_ivf_topk recall vs brute-force vector_cosine_topk >= 60%") {
     // nprobe=2 of 8 cells: recall is partial by design; assert it's useful
     val ivf = run("vector_ivf_topk").collect()
