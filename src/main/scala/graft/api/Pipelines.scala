@@ -224,6 +224,84 @@ object Pipelines {
       .select("q_id", "rnk", "c_id", "sim")
   }
 
+  /** Generic IVF-PQ top-k over arbitrary (id, vector) DataFrames — the
+    * library form of the graded `vector_ivfpq_topk` /
+    * `vector_ivfpq_residual_topk` serving plans. `centroids` is the
+    * broadcast-sized coarse quantizer (`cent_id`, `cent`); candidates
+    * assign to their max-dot cell, encode `numSub` subvectors against an
+    * 8-entry sub-codebook seeded from the first 8 candidates (residual
+    * mode adds the ZERO codeword — "quantize or abstain"), and queries
+    * probe `nprobe` cells with inner-product ADC:
+    * raw: sim ≈ Σ_m dot(q_m, ĉ_m); residual: sim ≈ dot(q, µ) + Σ_m
+    * dot(q_m, r̂_m). Residual encoding wins when the corpus is CLUSTERED
+    * (‖c − µ‖ ≪ ‖c‖ — the production case; pinned by EightSpec on a
+    * synthetic clustered corpus); on isotropic data neither dominates
+    * (measured, DriveResProbe). At scale the codes+cells table is the
+    * persisted index and everything joined to it is broadcast-sized. */
+  def ivfpqTopK(queries: DataFrame, candidates: DataFrame,
+                qIdCol: String, cIdCol: String, vecCol: String,
+                centroids: DataFrame, numSub: Int, subDim: Int,
+                residual: Boolean, nprobe: Int = 2, k: Int = 5): DataFrame = {
+    val s = queries.sparkSession
+    val qs = queries.select(col(qIdCol).as("q_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("qe"))
+    val cs = candidates.select(col(cIdCol).as("c_id"),
+      col(vecCol).cast(ArrayType(DoubleType)).as("ce"))
+    val cent = centroids.select(col("cent_id"),
+      col("cent").cast(ArrayType(DoubleType)).as("cent"))
+    def dot(a: Column, b: Column) = call_function("vec_dot", a, b)
+    def subsOf(vec: Column) = posexplode(array((0 until numSub).map(m =>
+      slice(vec, m * subDim + 1, subDim)): _*)).as(Seq("m", "sub"))
+    val assign = cs.crossJoin(broadcast(cent))
+      .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+      .filter(col("rn") === 1)
+      .select(col("c_id"), col("cent_id").as("cell"),
+        (if (residual) zip_with(col("ce"), col("cent"), (x, y) => x - y)
+         else col("ce")).as("enc"))
+      .localCheckpoint()
+    val seeds = assign.orderBy("c_id").limit(8)
+      .select(col("c_id"), col("cell"), subsOf(col("enc")))
+      .withColumn("cid", (row_number().over(
+        Window.partitionBy("m").orderBy("c_id")) - 1).cast(IntegerType))
+      .select(col("m"), col("cid"), col("sub").as("cvec"))
+    val codebook =
+      if (residual) seeds.unionByName(s.range(numSub)
+        .select(col("id").cast(IntegerType).as("m"), lit(8).as("cid"),
+          array_repeat(lit(0.0), subDim).as("cvec")))
+      else seeds
+    val codes = assign.select(col("c_id"), col("cell"), subsOf(col("enc")))
+      .join(broadcast(codebook), "m")
+      .withColumn("score", round(dot(col("sub"), col("cvec"))
+        - lit(0.5) * dot(col("cvec"), col("cvec")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("c_id", "m").orderBy(col("score").desc, col("cid"))))
+      .filter(col("rn") === 1)
+      .select("c_id", "cell", "m", "cid")
+    val probe = qs.crossJoin(broadcast(cent))
+      .withColumn("d", round(dot(col("qe"), col("cent")), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("d").desc, col("cent_id"))))
+      .filter(col("rn") <= nprobe)
+      .select(col("q_id"), col("cent_id").as("cell"),
+        (if (residual) col("d") else lit(0.0))
+          .cast(DecimalType(12, 6)).as("qbase"))
+    val qd = qs.select(col("q_id"), subsOf(col("qe")))
+      .join(broadcast(codebook), "m")
+      .select(col("q_id"), col("m"), col("cid"),
+        round(dot(col("sub"), col("cvec")), 6).cast(DecimalType(10, 6)).as("d"))
+    codes.join(broadcast(probe), "cell")
+      .join(broadcast(qd), Seq("q_id", "m", "cid"))
+      .groupBy("q_id", "c_id")
+      .agg((first(col("qbase")) + sum(col("d"))).cast(DoubleType).as("sim"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id")))
+        .cast(IntegerType))
+      .filter(col("rnk") <= k)
+      .select("q_id", "rnk", "c_id", "sim")
+  }
+
   /** Backward as-of enrichment: for each left row, the greatest right-side
     * timestamp strictly before the left timestamp within the same key —
     * one union + one window pass (running max of tagged timestamps), one

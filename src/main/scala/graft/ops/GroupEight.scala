@@ -137,6 +137,137 @@ object GroupEight {
         .orderBy("q_id", "rnk")
     },
 
+    // Residual-encoding IVF-PQ (production PQ, VERDICT r8 #6): identical
+    // serving shape to vector_ivfpq_topk, but codes quantize the RESIDUAL
+    // ce − µ(cell) against a residual sub-codebook (8 seed residuals + the
+    // ZERO codeword — "quantize or abstain"), and the inner-product ADC adds
+    // the coarse term back: sim ≈ dot(q, µ) + Σ_m dot(q_m, r̂_m). NOTE the
+    // ADC uses q itself, not q − µ: the query-residual form belongs to L2
+    // scoring and only injects a −dot(µ, r̂) bias here (measured — see
+    // DriveResProbe). Honest finding, same probe: the FIXTURE embeddings
+    // are isotropic (no cluster structure), so ‖r‖ ≈ ‖c‖ and neither
+    // encoding dominates on them; residual's recall advantage appears on
+    // clustered corpora, which EightSpec pins via Pipelines.ivfpqTopK on a
+    // synthetic clustered corpus. This key grades the END-TO-END SERVING
+    // PLAN (staged cell-partitioned index, DPP probe, broadcast ADC)
+    // bit-exactly against DuckDB. All arithmetic is DOUBLE end-to-end.
+    q("vector_ivfpq_residual_topk",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |cent AS (SELECT vec_id AS cent_id, e AS cent FROM v WHERE vec_id < 8),
+        |assign AS (SELECT c_id, cell, list_transform(range(len(ce)), i -> ce[i+1] - cent[i+1]) AS r
+        |  FROM (
+        |    SELECT c_id, ce, cent_id AS cell, cent, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY round(list_dot_product(ce, cent), 6) DESC, cent_id) AS rn
+        |    FROM (SELECT vec_id AS c_id, e AS ce FROM v WHERE vec_id >= 20)
+        |    CROSS JOIN cent) WHERE rn = 1),
+        |codebook AS (SELECT CAST(c_id - 20 AS INT) AS cid, t.m,
+        |    r[(t.m*16+1):(t.m*16+16)] AS rvec
+        |  FROM assign, generate_series(0, 3) t(m) WHERE c_id < 28
+        |  UNION ALL
+        |  SELECT CAST(8 AS INT) AS cid, t.m,
+        |    list_transform(range(16), i -> 0.0) AS rvec
+        |  FROM generate_series(0, 3) t(m)),
+        |code AS (SELECT c_id, cell, m, cid FROM (
+        |    SELECT rs.c_id, rs.cell, rs.m, cb.cid, row_number() OVER (
+        |      PARTITION BY rs.c_id, rs.m ORDER BY
+        |        round(list_dot_product(rs.sub, cb.rvec) - 0.5 * list_dot_product(cb.rvec, cb.rvec), 6) DESC,
+        |        cb.cid) AS rn
+        |    FROM (SELECT c_id, cell, t.m, r[(t.m*16+1):(t.m*16+16)] AS sub
+        |          FROM assign, generate_series(0, 3) t(m)) rs
+        |    JOIN codebook cb ON rs.m = cb.m) WHERE rn = 1),
+        |probe AS (SELECT q_id, cell, qbase FROM (
+        |    SELECT q_id, cent_id AS cell,
+        |      CAST(round(list_dot_product(qe, cent), 6) AS DECIMAL(12,6)) AS qbase,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY round(list_dot_product(qe, cent), 6) DESC, cent_id) AS rn
+        |    FROM (SELECT vec_id AS q_id, e AS qe FROM v WHERE vec_id < 20)
+        |    CROSS JOIN cent) WHERE rn <= 2),
+        |qd AS (SELECT q.q_id, t.m, cb.cid,
+        |    CAST(round(list_dot_product(q.e[(t.m*16+1):(t.m*16+16)], cb.rvec), 6) AS DECIMAL(10,6)) AS d
+        |  FROM (SELECT vec_id AS q_id, e FROM v WHERE vec_id < 20) q,
+        |    generate_series(0, 3) t(m), codebook cb WHERE cb.m = t.m),
+        |sim AS (SELECT probe.q_id, code.c_id,
+        |    CAST(any_value(probe.qbase) + SUM(qd.d) AS DOUBLE) AS sim
+        |  FROM probe JOIN code ON probe.cell = code.cell
+        |  JOIN qd ON qd.q_id = probe.q_id AND qd.m = code.m AND qd.cid = code.cid
+        |  GROUP BY 1, 2)
+        |SELECT q_id, rnk, c_id, sim FROM (
+        |  SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS INT) AS rnk FROM sim)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").cast(ArrayType(DoubleType)).as("e"))
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("e").as("cent"))
+      def subRows(df: DataFrame, id: String, vec: String) =
+        df.select(col(id), col("cell"), posexplode(array((0 until 4).map(m =>
+          slice(col(vec), m * 16 + 1, 16)): _*)).as(Seq("m", "sub")))
+      // ONE staged artifact: residual sub-codebook + cell-partitioned codes
+      val idx = T.staged("ivfpq_res_index", dir) { o =>
+        val assign = e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("e").as("ce"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("cent_id").as("cell"),
+            zip_with(col("ce"), col("cent"), (x, y) => x - y).as("r"))
+          .localCheckpoint()
+        val codebook = subRows(assign.filter(col("c_id") < 28), "c_id", "r")
+          .select((col("c_id") - 20).cast(IntegerType).as("cid"), col("m"),
+            col("sub").as("rvec"))
+          .unionByName(s.range(4)
+            .select(col("id").cast(IntegerType).as("m"))
+            .withColumn("cid", lit(8))
+            .select(col("cid"), col("m"), array_repeat(lit(0.0), 16).as("rvec")))
+        codebook.write.parquet(s"$o/cents")
+        subRows(assign, "c_id", "r")
+          .join(broadcast(codebook), "m")
+          .withColumn("score", round(dot(col("sub"), col("rvec"))
+            - lit(0.5) * dot(col("rvec"), col("rvec")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_id", "m").orderBy(col("score").desc, col("cid"))))
+          .filter(col("rn") === 1)
+          .select("c_id", "m", "cid", "cell")
+          .write.partitionBy("cell").parquet(s"$o/codes")
+      }
+      val codebook = s.read.parquet(s"$idx/cents")
+      val codes = s.read.parquet(s"$idx/codes")
+        .select(col("c_id"), col("m"), col("cid"),
+          col("cell").cast(LongType).as("cell"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("e").as("qe"))
+      // probe keeps the per-(q, cell) coarse term for the ADC sum
+      val probe = qs.crossJoin(broadcast(cent))
+        .withColumn("d", round(dot(col("qe"), col("cent")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("cent_id").as("cell"),
+          col("d").cast(DecimalType(12, 6)).as("qbase"))
+      // IP ADC table: d(q, m, cid) = dot(q_m, rvec) — cell-independent
+      val qd = qs
+        .select(col("q_id"), posexplode(array((0 until 4).map(m =>
+          slice(col("qe"), m * 16 + 1, 16)): _*)).as(Seq("m", "qsub")))
+        .join(broadcast(codebook), "m")
+        .select(col("q_id"), col("m"), col("cid"),
+          round(dot(col("qsub"), col("rvec")), 6).cast(DecimalType(10, 6)).as("d"))
+      // codes is the streamed side: broadcast probe triggers DPP on the
+      // cell directories exactly as the raw variant (PlanShapeSpec pattern)
+      codes.join(broadcast(probe), "cell")
+        .join(broadcast(qd), Seq("q_id", "m", "cid"))
+        .groupBy("q_id", "c_id")
+        .agg((first(col("qbase")) + sum(col("d"))).cast(DoubleType).as("sim"))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id")))
+          .cast(IntegerType))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "sim")
+        .orderBy("q_id", "rnk")
+    },
+
     // Weighted single-source shortest paths on the nation trade graph —
     // the third iterative-graph shape (after pagerank's fixed-power loop
     // and label propagation's min-fold): BELLMAN-FORD FRONTIER RELAXATION.
