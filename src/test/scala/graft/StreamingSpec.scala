@@ -164,6 +164,39 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("foreachBatch idempotent upsert sink: replay twice == replay once " +
+    "(VERDICT r8 #4)") {
+    val replayDir = chunks()
+    val target = T.tempDir("graft_upsert_tgt_")
+    // first drain: target holds the latest (max ts, then max event_id)
+    // event per user — the keyed-upsert contract
+    Streams.runUpsertSink(s, replayDir, target, T.tempDir("graft_upsert_ck1_"))
+    def snapshot(): Set[(Long, Long)] =
+      s.read.parquet(s"$target/data").collect()
+        .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    val once = snapshot()
+    val expected = T.t(s, sf, "events")
+      .select("user_id", "ts", "event_id", "value")
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .filter(col("_rn") === 1)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+    assert(once == expected, "upsert target must equal the batch latest-per-user")
+    // retry guard: re-delivering an already-committed (batchId, data) pair
+    // (foreachBatch is at-least-once on failure) is a no-op
+    val chunk0 = new java.io.File(replayDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).minBy(_.getName)
+    Streams.upsertBatch(target)(
+      s.read.schema(Streams.eventsSchema).parquet(chunk0.toString), 0L)
+    assert(snapshot() == once, "retried batch must not change the target")
+    // full reprocess from a FRESH checkpoint (offset log gone): the
+    // deterministic batch->chunk mapping + commit markers converge to the
+    // identical target state
+    Streams.runUpsertSink(s, replayDir, target, T.tempDir("graft_upsert_ck2_"))
+    assert(snapshot() == once, "fresh-checkpoint replay must be idempotent")
+  }
+
   test("parquet sink + checkpoint: restart resumes exactly-once (no reprocessing)") {
     // phase 1 processes 3 of 5 chunks into a parquet sink with a checkpoint;
     // phase 2 adds the remaining chunks and restarts with the SAME
