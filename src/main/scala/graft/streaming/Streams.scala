@@ -39,6 +39,9 @@ object Streams {
     * windows closed and emit their null-padded rows before the replay ends. */
   def writeChunks(s: SparkSession, sfDir: String, outDir: String, n: Int,
                   lateTail: Boolean = false, flushTail: Boolean = false): Unit = {
+    // TEST-HARNESS fixture staging, not a query path: the collect() is fine
+    // at fixture scale (and needed for the precise chunk/tail surgery); at
+    // real scale chunking would be a repartitionByRange(ts).write job.
     val ev = T.t(s, sfDir, "events").orderBy("ts", "event_id").collect()
     val per = math.ceil(ev.length.toDouble / n).toInt
     val chunks = ev.grouped(per).toSeq
@@ -387,6 +390,8 @@ object Streams {
     * `stream_dedup_neardup` form ("no earlier near neighbor") the exact
     * twin of the streaming state semantics. */
   def writeEmbChunks(s: SparkSession, sfDir: String, outDir: String, n: Int): Unit = {
+    // TEST-HARNESS fixture staging (see writeChunks): collect() is fixture-
+    // scale only; at real scale this is a repartitionByRange(vec_id) write.
     val rows = T.t(s, sfDir, "embeddings").orderBy("vec_id").collect()
     val per = math.ceil(rows.length.toDouble / n).toInt
     rows.grouped(per).toSeq.zipWithIndex.foreach { case (chunk, i) =>
