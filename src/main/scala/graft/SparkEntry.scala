@@ -32,7 +32,8 @@ object SparkEntry {
     ops.GroupScale.defs,      // §2-R pipeline-scale widening (round 6)
     ops.GroupDepth.defs,      // §2-S analytics depth (round 6)
     ops.GroupSeven.defs,      // §2-T statistics/mining/pipeline (round 7)
-    ops.GroupEight.defs       // §2-U compositions & graph depth (round 8)
+    ops.GroupEight.defs,      // §2-U compositions & graph depth (round 8)
+    ops.GroupNine.defs        // §2-V training-data pipeline depth (round 9)
   )
 
   private val all: Seq[T.Q] = groups.flatten
