@@ -133,6 +133,162 @@ object GroupNine {
         .groupBy("doc_id")
         .agg(countDistinct(col("eval_id")).as("n_eval_overlap"))
         .orderBy("doc_id")
+    },
+
+    // Exact INTERPOLATED percentiles (PERCENTILE_CONT semantics) per group —
+    // the relational-surface sibling of agg_approx_quantile (t-digest
+    // sketch), agg_median_disc and agg_quantiles_disc (discrete): index
+    // (n−1)·p, linear interpolation between the two straddling order
+    // statistics. Spark's `percentile` and DuckDB's `quantile_cont` use
+    // the same lower + (upper−lower)·frac formula over the same input
+    // doubles, so the boundary is bit-stable. Distributed agg (no global
+    // sort surfaces in the plan — Spark's Percentile is a partial-merge
+    // aggregate), grouped on a 3-value enum key.
+    q("agg_percentile_cont_interp",
+      """SELECT l_returnflag,
+        |  quantile_cont(l_extendedprice, 0.25) AS p25,
+        |  quantile_cont(l_extendedprice, 0.5)  AS p50,
+        |  quantile_cont(l_extendedprice, 0.75) AS p75
+        |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .select(col("l_returnflag"),
+          col("l_extendedprice").cast(DoubleType).as("p"))
+        .groupBy("l_returnflag")
+        .agg(percentile(col("p"), lit(0.25)).as("p25"),
+          percentile(col("p"), lit(0.5)).as("p50"),
+          percentile(col("p"), lit(0.75)).as("p75"))
+        .orderBy("l_returnflag")
+    },
+
+    // Theil–Sen robust trend slope of the daily purchase series — the
+    // median of all pairwise slopes, the outlier-resistant complement of
+    // stat_mann_kendall's S statistic (same bounded ≤31-day spine, same
+    // theta self-join shape). Each slope is ONE IEEE division of exact
+    // integers (Δcount / Δdays) — bit-identical in both engines — and the
+    // median is pure SELECTION of the two middle order statistics (by
+    // slope, then pair ids) averaged in one IEEE op: no
+    // engine-divergent interpolation path. The pair spine is ≤31² rows,
+    // so the global rank window is semantics-bounded (audit-allowlisted).
+    q("stat_theil_sen_slope",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, count(*) AS c
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |p AS (SELECT a.d AS d1, b.d AS d2,
+        |    CAST(b.c - a.c AS DOUBLE) / date_diff('day', a.d, b.d) AS slope
+        |  FROM daily a JOIN daily b ON a.d < b.d),
+        |r AS (SELECT slope, row_number() OVER (ORDER BY slope, d1, d2) AS rn,
+        |    count(*) OVER () AS n FROM p)
+        |SELECT CAST(max(n) AS BIGINT) AS n_pairs, avg(slope) AS slope
+        |FROM r WHERE rn = (n + 1) // 2 OR rn = n // 2 + 1""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .where(col("event_type") === "purchase")
+        .groupBy(to_date(col("ts")).as("d")).agg(count(lit(1)).as("c"))
+      val p = daily.as("a").join(daily.as("b"), col("a.d") < col("b.d"))
+        .select(col("a.d").as("d1"), col("b.d").as("d2"),
+          ((col("b.c") - col("a.c")).cast(DoubleType) /
+            datediff(col("b.d"), col("a.d"))).as("slope"))
+      p.withColumn("rn",
+          row_number().over(Window.orderBy("slope", "d1", "d2")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy()))
+        .where(col("rn") === expr("(n + 1L) div 2") ||
+          col("rn") === expr("n div 2 + 1L"))
+        .agg(max("n").as("n_pairs"), avg("slope").as("slope"))
+    },
+
+    // One-level decision tree (decision stump) trained by aggregation —
+    // the simplest train-by-agg classifier after the perceptron: is an
+    // order URGENT given its total price? 20 equal-width candidate
+    // thresholds from a 1-row min/max scalar, each row binned once by a
+    // single shared IEEE expression, per-bin (n, pos) counts, then the
+    // best cut chosen by exact-integer training ACCURACY (majority class
+    // each side — no float impurity, no tie ambiguity: ties break to the
+    // lower bin). One scan + a 20-row cumulative spine: the threshold
+    // search never rescans the data, which is what a 100 TB stump needs.
+    q("ml_decision_stump",
+      """WITH o AS (SELECT o_totalprice AS p,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |mm AS (SELECT min(p) AS mn, max(p) AS mx FROM o),
+        |b AS (SELECT least(19, CAST(floor((p - mn) / ((mx - mn) / 20.0))
+        |    AS BIGINT)) AS bin, y FROM o CROSS JOIN mm),
+        |bins AS (SELECT bin, count(*) AS n, sum(y) AS pos
+        |  FROM b GROUP BY 1),
+        |tot AS (SELECT sum(n) AS nt, sum(pos) AS pt FROM bins),
+        |cum AS (SELECT bin,
+        |    sum(n) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS nl,
+        |    sum(pos) OVER (ORDER BY bin ROWS UNBOUNDED PRECEDING) AS pl
+        |  FROM bins),
+        |sc AS (SELECT bin,
+        |    greatest(pl, nl - pl) + greatest(pt - pl, (nt - nl) - (pt - pl))
+        |      AS correct, nt
+        |  FROM cum CROSS JOIN tot WHERE nl < nt)
+        |SELECT CAST(bin AS BIGINT) AS cut_bin,
+        |  CAST(correct AS BIGINT) AS correct, CAST(nt AS BIGINT) AS total,
+        |  CAST((2000000 * correct + nt) // (2 * nt) AS BIGINT) / 1000000.0
+        |    AS accuracy
+        |FROM sc ORDER BY correct DESC, bin LIMIT 1""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+        .select(col("o_totalprice").cast(DoubleType).as("p"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y"))
+      val mm = o.agg(min("p").as("mn"), max("p").as("mx"))
+      val b = o.crossJoin(broadcast(mm))
+        .select(least(lit(19L),
+          floor((col("p") - col("mn")) / ((col("mx") - col("mn")) / 20.0))
+            .cast(LongType)).as("bin"), col("y"))
+      val bins = b.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("pos"))
+      val tot = bins.agg(sum("n").as("nt"), sum("pos").as("pt"))
+      val w = Window.orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bins.withColumn("nl", sum("n").over(w))
+        .withColumn("pl", sum("pos").over(w))
+        .crossJoin(broadcast(tot))
+        .where(col("nl") < col("nt"))
+        .select(col("bin").as("cut_bin"),
+          (greatest(col("pl"), col("nl") - col("pl")) +
+            greatest(col("pt") - col("pl"),
+              (col("nt") - col("nl")) - (col("pt") - col("pl"))))
+            .as("correct"),
+          col("nt").as("total"))
+        .withColumn("accuracy", T.r6("correct", "total"))
+        .orderBy(col("correct").desc, col("cut_bin")).limit(1)
+    },
+
+    // Peak-to-trough drawdown over the daily event-count series, per
+    // event type — the monitoring primitive "how far below the
+    // running peak did traffic fall, and when": running max over each
+    // type's day series, drawdown = peak − count, then the max drawdown
+    // with its earliest day. Every quantity is an exact integer on a
+    // ≤31-day-per-type spine, and every window is PARTITIONED by
+    // event_type — nothing global, nothing float.
+    q("window_drawdown_series",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    count(*) AS c FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, d, c,
+        |    max(c) OVER (PARTITION BY event_type ORDER BY d
+        |      ROWS UNBOUNDED PRECEDING) AS peak FROM daily),
+        |dd AS (SELECT event_type, d, c, peak, peak - c AS drawdown,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY peak - c DESC, d) AS rn FROM r)
+        |SELECT event_type, d AS dd_day,
+        |  CAST(drawdown AS BIGINT) AS max_drawdown,
+        |  CAST(peak AS BIGINT) AS peak_at, CAST(c AS BIGINT) AS count_at
+        |FROM dd WHERE rn = 1 ORDER BY event_type""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+        .agg(count(lit(1)).as("c"))
+      val wPeak = Window.partitionBy("event_type").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val r = daily.withColumn("peak", max("c").over(wPeak))
+        .withColumn("drawdown", col("peak") - col("c"))
+      r.withColumn("rn", row_number().over(
+          Window.partitionBy("event_type")
+            .orderBy(col("drawdown").desc, col("d"))))
+        .where(col("rn") === 1)
+        .select(col("event_type"), col("d").as("dd_day"),
+          col("drawdown").as("max_drawdown"), col("peak").as("peak_at"),
+          col("c").as("count_at"))
+        .orderBy("event_type")
     }
   )
 }

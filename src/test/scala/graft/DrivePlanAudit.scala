@@ -56,11 +56,16 @@ object DrivePlanAudit {
     // code scan itself is cell-pruned + hash-joined, PlanShapeSpec pin),
     // 1-row stat scalars of the KS test, and the ≤31²-pair bounded theta
     // self-join of the Mann-Kendall day spine
-    "vector_ivfpq_topk", "stat_ks_two_sample", "stat_mann_kendall",
+    "vector_ivfpq_topk", "vector_ivfpq_residual_topk",
+    "stat_ks_two_sample", "stat_mann_kendall",
     // 1-row scalar crossJoin of the ANOVA A/B terms; the perceptron's
     // 1-row weight-vector broadcast per epoch (the Lloyd-centroid shape);
     // the mixture sampler's 1-row min-token scalar
-    "stat_anova_oneway", "ml_perceptron_epochs", "pipeline_mixture_sample")
+    "stat_anova_oneway", "ml_perceptron_epochs", "pipeline_mixture_sample",
+    // round 9: the ≤31²-pair bounded theta self-join of the Theil-Sen day
+    // spine (mann_kendall's shape) and the stump's 1-row min/max + totals
+    // scalar broadcasts
+    "stat_theil_sen_slope", "ml_decision_stump")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -75,8 +80,11 @@ object DrivePlanAudit {
     "ml_ab_sequential_sprt", // day-offset table of the parallel prefix sum
                              // (≤31 rows; the event cumsum is day-keyed)
     "etl_partition_advisor", // median rank over the ≤31-day spine
-    "stat_ks_two_sample")    // ECDF range frame over the ≤62-row day-
+    "stat_ks_two_sample",    // ECDF range frame over the ≤62-row day-
                              // spine union (two event types × ≤31 days)
+    "stat_theil_sen_slope",  // median-selection rank over the ≤31²-pair
+                             // day-spine self-join
+    "ml_decision_stump")     // cumulative counts over the 20-bin grid
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
