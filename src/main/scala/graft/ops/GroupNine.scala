@@ -289,6 +289,125 @@ object GroupNine {
           col("drawdown").as("max_drawdown"), col("peak").as("peak_at"),
           col("c").as("count_at"))
         .orderBy("event_type")
+    },
+
+    // Header/detail reconciliation — the classic ETL audit: does each
+    // order's header total equal the sum of its lines' extended value
+    // (price × (1+tax) × (1−discount))? All arithmetic in EXACT integer
+    // micro-currency (cents × 1e4 from the 2dp fixture doubles), summed
+    // as DECIMAL(38,0) so a 100 TB fact table cannot overflow a BIGINT
+    // accumulator; the per-status report emits counts, both totals and
+    // the worst absolute discrepancy. (These fixtures are TPC-H-ISH:
+    // the invariant does NOT hold — the audit's job is to report that,
+    // deterministically.) One co-keyed join + two aggs.
+    q("dq_header_detail_reconcile",
+      """WITH l AS (SELECT l_orderkey, sum(
+        |    CAST(round(l_extendedprice * 100) AS BIGINT)
+        |    * (100 + CAST(round(l_tax * 100) AS BIGINT))
+        |    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS detail_e6
+        |  FROM lineitem GROUP BY 1),
+        |j AS (SELECT o_orderstatus,
+        |    CAST(round(o_totalprice * 100) AS BIGINT) * 10000 AS header_e6,
+        |    detail_e6 FROM orders JOIN l ON o_orderkey = l_orderkey)
+        |SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST(sum(CASE WHEN abs(header_e6 - detail_e6) <= 10000
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_within_1c,
+        |  CAST(sum(header_e6) AS DOUBLE) / 1000000.0 AS header_total,
+        |  CAST(sum(detail_e6) AS DOUBLE) / 1000000.0 AS detail_total,
+        |  CAST(max(abs(header_e6 - detail_e6)) AS DOUBLE) / 1000000.0
+        |    AS max_abs_diff
+        |FROM j GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val l = T.t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          (round(col("l_extendedprice") * 100).cast(LongType)
+            * (lit(100L) + round(col("l_tax") * 100).cast(LongType))
+            * (lit(100L) - round(col("l_discount") * 100).cast(LongType)))
+            .as("line_e6"))
+        .groupBy("l_orderkey")
+        .agg(sum(col("line_e6").cast(DecimalType(38, 0))).as("detail_e6"))
+      T.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          (round(col("o_totalprice") * 100).cast(LongType) * 10000L)
+            .cast(DecimalType(38, 0)).as("header_e6"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(abs(col("header_e6") - col("detail_e6")) <= 10000, 1L)
+            .otherwise(0L)).as("n_within_1c"),
+          (sum(col("header_e6")).cast(DoubleType) / 1000000.0d)
+            .as("header_total"),
+          (sum(col("detail_e6")).cast(DoubleType) / 1000000.0d)
+            .as("detail_total"),
+          (max(abs(col("header_e6") - col("detail_e6"))).cast(DoubleType)
+            / 1000000.0d).as("max_abs_diff"))
+        .orderBy("o_orderstatus")
+    },
+
+    // Month-over-month revenue growth per nation — the period-over-period
+    // BI primitive: monthly header revenue (exact cents) per nation,
+    // LAG one month within the nation partition, growth as the
+    // sign-aware exact-rational 6dp boundary (T.r6s) of Δ/prev. Dims
+    // broadcast, facts aggregate map-side first, and every window is
+    // partitioned by nation — the plan a 100 TB fact table wants.
+    q("window_mom_growth",
+      """WITH m AS (SELECT n_name, date_trunc('month', o_orderdate) AS mon,
+        |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rev_c
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+        |g AS (SELECT n_name, mon, rev_c,
+        |    lag(rev_c) OVER (PARTITION BY n_name ORDER BY mon) AS prev_c
+        |  FROM m)
+        |SELECT n_name, mon, CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+        |  CASE WHEN prev_c IS NULL THEN NULL ELSE
+        |    CASE WHEN rev_c >= prev_c THEN
+        |      CAST((2000000*(rev_c - prev_c) + prev_c) // (2*prev_c)
+        |        AS BIGINT) / 1000000.0
+        |    ELSE -(CAST((2000000*(prev_c - rev_c) + prev_c) // (2*prev_c)
+        |        AS BIGINT) / 1000000.0) END END AS growth
+        |FROM g ORDER BY n_name, mon""") { (s, dir) =>
+      val m = T.t(s, dir, "orders")
+        .join(broadcast(T.t(s, dir, "customer")
+          .select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.t(s, dir, "nation")
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), trunc(col("o_orderdate"), "month").as("mon"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+          .as("rev_c"))
+      m.withColumn("prev_c",
+          lag("rev_c", 1).over(Window.partitionBy("n_name").orderBy("mon")))
+        .select(col("n_name"), col("mon"),
+          (col("rev_c").cast(DoubleType) / 100.0d).as("revenue"),
+          when(col("prev_c").isNull, lit(null).cast(DoubleType))
+            .otherwise(T.r6s("rev_c - prev_c", "prev_c")).as("growth"))
+        .orderBy("n_name", "mon")
+    },
+
+    // Degree histogram of the part co-purchase graph — the first summary
+    // a graph pipeline prints (and the skew diagnostic every scale plan
+    // needs before choosing a join strategy): per-node neighbor count
+    // over the STAGED distinct-pair table (shared with triangle count /
+    // CC — the index is built once per fixture dir), folded into
+    // #nodes per degree. Exact integers end to end; output is bounded
+    // by the number of distinct degrees.
+    q("graph_degree_histogram",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |deg AS (SELECT node, count(*) AS degree FROM (
+        |    SELECT pa AS node FROM pr UNION ALL SELECT pb FROM pr)
+        |  GROUP BY 1)
+        |SELECT CAST(degree AS BIGINT) AS degree,
+        |  CAST(count(*) AS BIGINT) AS n_nodes
+        |FROM deg GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      pr.select(col("pa").as("node"))
+        .unionAll(pr.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("degree"))
+        .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
     }
   )
 }
