@@ -873,4 +873,61 @@ object Pipelines {
       .groupBy("day_end")
       .agg(countDistinct(col("_k")).as(s"distinct_${windowDays}d"))
   }
+
+  /** Sliding-window token chunking (RAG/embedding prep): each document's
+    * whitespace token stream cut into windows of `chunkSize` tokens
+    * advancing by `stride` (overlap = chunkSize − stride). Returns
+    * (idCol, chunk_idx, n_tok, toks) — `toks` is the chunk's token array,
+    * n_tok its length (= chunkSize except the tail). Pure per-row
+    * generator: one scan-shaped map stage, no shuffle, parallel with the
+    * input splits at any scale. */
+  def chunkSliding(df: DataFrame, idCol: String, textCol: String,
+                   chunkSize: Int = 64, stride: Int = 48): DataFrame =
+    df.select(col(idCol), split(col(textCol), " ").as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .select(col(idCol), col("_t"), col("_n"),
+        posexplode(sequence(lit(0), col("_n") - 1, lit(stride)))
+          .as(Seq("chunk_idx", "_st")))
+      .select(col(idCol), col("chunk_idx").cast(LongType).as("chunk_idx"),
+        least(col("_n") - col("_st"), lit(chunkSize)).cast(LongType)
+          .as("n_tok"),
+        slice(col("_t"), col("_st") + 1, lit(chunkSize)).as("toks"))
+
+  /** Deterministic train/valid/test assignment: the engine-portable
+    * polynomial hash of the id (NOT rand()) mod 100 gates each row, so the
+    * split is reproducible across engines, partitionings and reruns — the
+    * property that makes a dataset split auditable. Requires the graft
+    * `poly_hash` function in the session (GraftExtensions or
+    * GraftFunctions.register). Stateless scan-level expression. */
+  def datasetSplit(df: DataFrame, idCol: String,
+                   trainPct: Int = 80, validPct: Int = 10): DataFrame =
+    df.withColumn("_bucket",
+        call_function("poly_hash", col(idCol).cast(StringType)) % 100L)
+      .withColumn("split",
+        when(col("_bucket") < trainPct, "train")
+          .when(col("_bucket") < trainPct + validPct, "valid")
+          .otherwise("test"))
+      .drop("_bucket")
+
+  /** Benchmark decontamination: flag corpus docs sharing any n-token
+    * shingle with an eval/benchmark set; returns (doc_id,
+    * n_eval_overlap = distinct eval docs hit). The eval side is
+    * benchmark-sized by assumption and BROADCASTs, so the corpus side is
+    * one scan + generator — 100 TB of corpus streams past a few MB of
+    * eval shingles with no shuffle of the big side. */
+  def decontaminate(corpus: DataFrame, eval: DataFrame,
+                    idCol: String, textCol: String, n: Int = 5): DataFrame = {
+    def sh(df: DataFrame, outId: String): DataFrame = df
+      .select(col(idCol).as(outId), split(col(textCol), " ").as("_t"))
+      .withColumn("_n", size(col("_t")))
+      .where(col("_n") >= n)
+      .select(col(outId), explode(sequence(lit(0), col("_n") - n)).as("_i"),
+        col("_t"))
+      .select(col(outId),
+        concat_ws(" ", slice(col("_t"), col("_i") + 1, lit(n))).as("sh"))
+      .distinct()
+    sh(corpus, "doc_id").join(broadcast(sh(eval, "eval_id")), "sh")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("eval_id")).as("n_eval_overlap"))
+  }
 }

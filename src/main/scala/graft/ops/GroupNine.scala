@@ -41,17 +41,11 @@ object GroupNine {
         |  toks[CAST(st + 1 AS INT)] AS first_tok,
         |  toks[CAST(least(st + 64, n) AS INT)] AS last_tok
         |FROM c ORDER BY doc_id, chunk_idx""") { (s, dir) =>
-      val d = T.t(s, dir, "documents")
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .withColumn("n", size(col("toks")))
-      d.select(col("doc_id"), col("toks"), col("n"),
-          posexplode(sequence(lit(0), col("n") - 1, lit(48)))
-            .as(Seq("chunk_idx", "st")))
-        .select(col("doc_id"), col("chunk_idx").cast(LongType).as("chunk_idx"),
-          least(col("n") - col("st"), lit(64)).cast(LongType).as("n_tok"),
-          element_at(col("toks"), col("st") + 1).as("first_tok"),
-          element_at(col("toks"), least(col("st") + 64, col("n")))
-            .as("last_tok"))
+      graft.api.Pipelines
+        .chunkSliding(T.t(s, dir, "documents"), "doc_id", "text", 64, 48)
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+          expr("toks[0]").as("first_tok"),
+          expr("element_at(toks, cast(n_tok as int))").as("last_tok"))
         .orderBy("doc_id", "chunk_idx")
     },
 
@@ -80,14 +74,10 @@ object GroupNine {
         |  CAST(sum(toks) AS BIGINT) AS n_tokens
         |FROM h GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
       graft.functions.GraftFunctions.register(s)
-      T.t(s, dir, "documents")
-        .select(col("doc_id"), col("lang"),
+      graft.api.Pipelines
+        .datasetSplit(T.t(s, dir, "documents"), "doc_id", 80, 10)
+        .select(col("split"), col("lang"),
           size(split(col("text"), " ")).cast(LongType).as("toks"))
-        .withColumn("bucket",
-          call_function("poly_hash", col("doc_id").cast(StringType)) % 100L)
-        .withColumn("split",
-          when(col("bucket") < 80, "train")
-            .when(col("bucket") < 90, "valid").otherwise("test"))
         .groupBy("split", "lang")
         .agg(count(lit(1)).as("n_docs"), sum("toks").as("n_tokens"))
         .orderBy("split", "lang")
@@ -116,22 +106,10 @@ object GroupNine {
         |FROM sh c JOIN sh e ON c.sh = e.sh
         |WHERE e.doc_id % 97 = 0 AND c.doc_id % 97 <> 0
         |GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      def shingled(df: DataFrame): DataFrame = df
-        .select(col("doc_id"), split(col("text"), " ").as("arr"))
-        .withColumn("n", size(col("arr")))
-        .where(col("n") >= 5)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), col("n") - 5)).as("i"), col("arr"))
-        .select(col("doc_id"),
-          concat_ws(" ", slice(col("arr"), col("i") + 1, lit(5))).as("sh"))
-        .distinct()
       val docs = T.t(s, dir, "documents")
-      val corpus = shingled(docs.where(col("doc_id") % 97 =!= 0))
-      val eval = shingled(docs.where(col("doc_id") % 97 === 0))
-        .withColumnRenamed("doc_id", "eval_id")
-      corpus.join(broadcast(eval), "sh")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("eval_id")).as("n_eval_overlap"))
+      graft.api.Pipelines
+        .decontaminate(docs.where(col("doc_id") % 97 =!= 0),
+          docs.where(col("doc_id") % 97 === 0), "doc_id", "text", 5)
         .orderBy("doc_id")
     },
 

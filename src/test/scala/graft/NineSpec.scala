@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins for the §2-V (round 9) keys and their Pipelines library twins. */
+class NineSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+  import s.implicits._
+
+  test("chunkSliding covers every token with the declared overlap") {
+    // synthetic 100-token doc: windows (64, stride 48) must start at
+    // 0/48/96, cover [0,100) exactly once per window, and overlap 16
+    // tokens between consecutive full windows
+    val doc = (0 until 100).map(i => s"t$i").mkString(" ")
+    val df = Seq((1L, doc)).toDF("id", "text")
+    val got = api.Pipelines.chunkSliding(df, "id", "text", 64, 48)
+      .orderBy("chunk_idx")
+      .select("chunk_idx", "n_tok", "toks")
+      .collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L))
+    assert(got.map(_.getLong(1)).toSeq == Seq(64L, 52L, 4L))
+    val starts = Seq(0, 48, 96)
+    got.zip(starts).foreach { case (r, st) =>
+      val toks = r.getSeq[String](2)
+      assert(toks == (st until math.min(st + 64, 100)).map(i => s"t$i"))
+    }
+    // coverage: the union of chunk spans is exactly the token range
+    assert(starts.zip(got.map(_.getLong(1))).flatMap { case (st, n) =>
+      st until (st + n.toInt) }.toSet == (0 until 100).toSet)
+  }
+
+  test("datasetSplit partitions the corpus deterministically") {
+    val docs = T.t(s, sf, "documents")
+    val a = api.Pipelines.datasetSplit(docs, "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a.values.sum == docs.count())
+    assert(a.keySet.subsetOf(Set("train", "valid", "test")))
+    // hash-gated 80/10/10: train strictly dominates at any fixture size
+    assert(a("train") > a.getOrElse("valid", 0L))
+    assert(a("train") > a.getOrElse("test", 0L))
+    // rerun under a different partitioning: identical assignment
+    val b = api.Pipelines.datasetSplit(docs.repartition(7), "doc_id")
+      .groupBy("split").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("decontaminate flags a planted 5-gram overlap and nothing else") {
+    val corpus = Seq(
+      (10L, "a b C D E F G h i j"), // contains the planted 5-gram C D E F G
+      (11L, "p q r s t u v w x y")  // clean
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (1L, "x1 y1 C D E F G z1 z2"),
+      (2L, "totally unrelated eval doc here")
+    ).toDF("doc_id", "text")
+    val got = api.Pipelines.decontaminate(corpus, eval, "doc_id", "text", 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 1L))
+  }
+
+  test("decision stump accuracy is at least the majority-class baseline") {
+    val r = SparkEntry.queries("ml_decision_stump")(s, sf).collect()(0)
+    val correct = r.getAs[Long]("correct")
+    val total = r.getAs[Long]("total")
+    val pos = T.t(s, sf, "orders")
+      .where(col("o_orderpriority") === "1-URGENT").count()
+    val majority = math.max(pos, total - pos)
+    assert(correct >= majority && correct <= total)
+  }
+
+  test("theil-sen pairs count matches the day spine; positive slope implies MK increasing") {
+    val r = SparkEntry.queries("stat_theil_sen_slope")(s, sf).collect()(0)
+    val nPairs = r.getAs[Long]("n_pairs")
+    val d = T.t(s, sf, "events").where(col("event_type") === "purchase")
+      .select(to_date(col("ts"))).distinct().count()
+    assert(nPairs == d * (d - 1) / 2)
+    val slope = r.getAs[Double]("slope")
+    assert(!slope.isNaN && !slope.isInfinite)
+  }
+
+  test("drawdown series: one row per event type, peak >= trough") {
+    val rows = SparkEntry.queries("window_drawdown_series")(s, sf).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val dd = r.getAs[Long]("max_drawdown")
+      val peak = r.getAs[Long]("peak_at")
+      val cnt = r.getAs[Long]("count_at")
+      assert(dd >= 0 && peak - cnt == dd && peak >= cnt)
+    }
+  }
+
+  test("mom growth: null growth exactly on each nation's first month") {
+    val rows = SparkEntry.queries("window_mom_growth")(s, sf)
+      .select("n_name", "growth").collect()
+    val nations = rows.map(_.getString(0)).distinct.length
+    assert(rows.count(_.isNullAt(1)) == nations)
+  }
+
+  test("header/detail reconcile covers every order with lines") {
+    val rows = SparkEntry.queries("dq_header_detail_reconcile")(s, sf).collect()
+    val nOrders = rows.map(_.getAs[Long]("n_orders")).sum
+    val expected = T.t(s, sf, "orders")
+      .join(T.t(s, sf, "lineitem").select("l_orderkey").distinct(),
+        col("o_orderkey") === col("l_orderkey"), "left_semi").count()
+    assert(nOrders == expected)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_within_1c") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Double]("max_abs_diff") >= 0.0)
+    }
+  }
+
+  test("degree histogram mass equals twice the pair count") {
+    val hist = SparkEntry.queries("graph_degree_histogram")(s, sf).collect()
+    val mass = hist.map(r => r.getAs[Long]("degree") * r.getAs[Long]("n_nodes")).sum
+    val li = T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    val pairs = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") < col("pb"))
+      .select("pa", "pb").distinct().count()
+    assert(mass == 2 * pairs)
+  }
+}
