@@ -386,6 +386,144 @@ object GroupNine {
         .groupBy("node").agg(count(lit(1)).as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
+    },
+
+    // Within-document repetition profile — the Gopher/C4-style quality
+    // signal "how much of this doc is the same bigram over and over":
+    // per doc, duplicate-bigram count = total bigrams − distinct bigrams
+    // (all exact integers, computed INSIDE the row by array ops — no
+    // explode, no shuffle), rolled up per source with the exact-rational
+    // 6dp duplicate rate and the count of docs past the 30 % filter
+    // threshold. One scan-shaped map + one small agg: at 100 TB this is
+    // embarrassingly parallel with the input splits.
+    q("text_repetition_ratio",
+      """WITH d AS (SELECT source, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |b AS (SELECT source, len(arr) - 1 AS nb,
+        |    len(arr) - 1 - len(list_distinct(list_transform(
+        |      range(len(arr) - 1),
+        |      i -> arr[CAST(i+1 AS INT)] || ' ' || arr[CAST(i+2 AS INT)]
+        |    ))) AS ndup
+        |  FROM d WHERE len(arr) >= 2)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nb) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(ndup) AS BIGINT) AS n_dup,
+        |  CAST((2000000 * sum(ndup) + sum(nb)) // (2 * sum(nb)) AS BIGINT)
+        |    / 1000000.0 AS dup_rate,
+        |  CAST(sum(CASE WHEN 10 * ndup > 3 * nb THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_flagged
+        |FROM b GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .select(col("source"), split(col("text"), " ").as("arr"))
+        .where(size(col("arr")) >= 2)
+        .select(col("source"),
+          (size(col("arr")) - 1).cast(LongType).as("nb"),
+          (size(col("arr")) - 1 - expr(
+            "size(array_distinct(transform(sequence(0, size(arr)-2)," +
+              " i -> concat(arr[i], ' ', arr[i+1]))))"))
+            .cast(LongType).as("ndup"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("nb").as("n_bigrams"),
+          sum("ndup").as("n_dup"),
+          sum(when(col("ndup") * 10 > col("nb") * 3, 1L).otherwise(0L))
+            .as("n_flagged"))
+        .withColumn("dup_rate", T.r6("n_dup", "n_bigrams"))
+        .select("source", "n_docs", "n_bigrams", "n_dup", "dup_rate",
+          "n_flagged")
+        .orderBy("source")
+    },
+
+    // Spearman rank correlation between the daily purchase and click
+    // series — the robust monotone-association complement of
+    // agg_corr_covar's Pearson r: ranks are integer PERMUTATION ranks
+    // (row_number with the day as tie-break, so no float average-rank
+    // path), Σd² is an exact integer, and ρ = 1 − 6Σd²/(n³−n) is emitted
+    // through the sign-aware exact-rational 6dp boundary (T.r6s) — no
+    // engine-divergent arithmetic anywhere. The spine is the bounded
+    // ≤31-day calendar (theil_sen precedent), so the rank windows are
+    // semantics-bounded, and the heavy input pass is one distributed agg.
+    q("stat_spearman_rank",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS p,
+        |    sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |r AS (SELECT d, row_number() OVER (ORDER BY p, d) AS rx,
+        |    row_number() OVER (ORDER BY c, d) AS ry FROM daily),
+        |st AS (SELECT count(*) AS n, sum((rx-ry)*(rx-ry)) AS d2 FROM r)
+        |SELECT CAST(n AS BIGINT) AS n_days, CAST(d2 AS BIGINT) AS sum_d2,
+        |  (CASE WHEN (n*n*n - n) - 6*d2 < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000 * abs((n*n*n - n) - 6*d2) + (n*n*n - n))
+        |      // (2 * (n*n*n - n)) AS BIGINT) / 1000000.0 AS rho
+        |FROM st""") { (s, dir) =>
+      val daily = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("d"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("p"),
+          sum(when(col("event_type") === "click", 1L).otherwise(0L))
+            .as("c"))
+      daily
+        .withColumn("rx", row_number().over(Window.orderBy("p", "d")))
+        .withColumn("ry", row_number().over(Window.orderBy("c", "d")))
+        .agg(count(lit(1)).as("n"),
+          sum((col("rx") - col("ry")) * (col("rx") - col("ry"))).as("d2"))
+        .select(col("n").as("n_days"), col("d2").as("sum_d2"),
+          T.r6s("(n*n*n - n) - 6*d2", "n*n*n - n").as("rho"))
+    },
+
+    // Common-neighbor link prediction over the part co-purchase graph —
+    // the classic "people who bought X also bought Y" candidate scorer:
+    // for every non-adjacent pair reachable through a shared neighbor,
+    // the exact common-neighbor count plus the neighborhood Jaccard
+    // (|N(a)∩N(b)| / |N(a)∪N(b)|) as the exact-rational 6dp boundary,
+    // top-20 by (count, ids). The wedge join runs on the STAGED distinct
+    // pair table (shared with triangle count / CC / degree histogram),
+    // and middle nodes are capped at degree ≤ 1024 — mirrored in the
+    // oracle — so hub fan-out is bounded by construction at any scale
+    // (inert on the fixtures; load-bearing at 100 TB, the dfCap pattern).
+    q("graph_common_neighbors",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa AS src, pb AS dst FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |w AS (SELECT e1.src AS a, e2.dst AS c, count(*) AS cn
+        |  FROM e e1
+        |  JOIN deg m ON e1.dst = m.node AND m.d <= 1024
+        |  JOIN e e2 ON e1.dst = e2.src
+        |  WHERE e1.src < e2.dst GROUP BY 1, 2),
+        |nw AS (SELECT a, c, cn FROM w
+        |  WHERE NOT EXISTS (SELECT 1 FROM pr
+        |    WHERE pr.pa = w.a AND pr.pb = w.c))
+        |SELECT a AS pa, c AS pb, CAST(cn AS BIGINT) AS common_n,
+        |  CAST(da.d AS BIGINT) AS deg_a, CAST(dc.d AS BIGINT) AS deg_b,
+        |  CAST((2000000 * cn + (da.d + dc.d - cn))
+        |    // (2 * (da.d + dc.d - cn)) AS BIGINT) / 1000000.0 AS jaccard
+        |FROM nw JOIN deg da ON nw.a = da.node JOIN deg dc ON nw.c = dc.node
+        |ORDER BY common_n DESC, pa, pb LIMIT 20""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val w = e.as("e1")
+        .join(deg.where(col("d") <= 1024).as("m"),
+          col("e1.dst") === col("m.node"))
+        .join(e.as("e2"), col("e1.dst") === col("e2.src"))
+        .where(col("e1.src") < col("e2.dst"))
+        .groupBy(col("e1.src").as("a"), col("e2.dst").as("c"))
+        .agg(count(lit(1)).as("cn"))
+      w.join(pr, col("a") === col("pa") && col("c") === col("pb"),
+          "left_anti")
+        .join(deg.select(col("node").as("na"), col("d").as("deg_a")),
+          col("a") === col("na"))
+        .join(deg.select(col("node").as("nc"), col("d").as("deg_b")),
+          col("c") === col("nc"))
+        .select(col("a").as("pa"), col("c").as("pb"),
+          col("cn").as("common_n"), col("deg_a"), col("deg_b"),
+          T.r6("common_n", "deg_a + deg_b - common_n").as("jaccard"))
+        .orderBy(col("common_n").desc, col("pa"), col("pb"))
+        .limit(20)
     }
   )
 }

@@ -84,7 +84,9 @@ object DrivePlanAudit {
                              // spine union (two event types × ≤31 days)
     "stat_theil_sen_slope",  // median-selection rank over the ≤31²-pair
                              // day-spine self-join
-    "ml_decision_stump")     // cumulative counts over the 20-bin grid
+    "ml_decision_stump",     // cumulative counts over the 20-bin grid
+    "stat_spearman_rank")    // two permutation-rank windows over the
+                             // ≤31-day purchase/click spine
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

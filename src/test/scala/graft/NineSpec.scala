@@ -123,4 +123,63 @@ class NineSpec extends AnyFunSuite {
       .select("pa", "pb").distinct().count()
     assert(mass == 2 * pairs)
   }
+
+  test("repetition ratio: dup bigrams are exact and bounded") {
+    val rows = SparkEntry.queries("text_repetition_ratio")(s, sf).collect()
+    rows.foreach { r =>
+      val nb = r.getAs[Long]("n_bigrams"); val nd = r.getAs[Long]("n_dup")
+      assert(nd >= 0 && nd < nb)
+      assert(r.getAs[Long]("n_flagged") <= r.getAs[Long]("n_docs"))
+      val rate = r.getAs[Double]("dup_rate")
+      assert(rate >= 0.0 && rate <= 1.0)
+    }
+    // hand-check: "a b a b a" has bigrams (a b, b a, a b, b a) → 2 dups
+    import s.implicits._
+    val tiny = Seq(("s", "a b a b a")).toDF("source", "text")
+      .select(col("source"), split(col("text"), " ").as("arr"))
+      .select((size(col("arr")) - 1 - expr(
+        "size(array_distinct(transform(sequence(0, size(arr)-2)," +
+          " i -> concat(arr[i], ' ', arr[i+1]))))")).as("ndup"))
+      .collect()(0).getInt(0)
+    assert(tiny == 2)
+  }
+
+  test("spearman rho is the exact no-ties formula and lies in [-1, 1]") {
+    val r = SparkEntry.queries("stat_spearman_rank")(s, sf).collect()(0)
+    val n = r.getAs[Long]("n_days"); val d2 = r.getAs[Long]("sum_d2")
+    val rho = r.getAs[Double]("rho")
+    assert(n >= 2 && d2 >= 0)
+    assert(rho >= -1.0 && rho <= 1.0)
+    // the emitted rho is the 6dp HALF_UP rounding of 1 - 6*d2/(n^3 - n)
+    val num = (n * n * n - n) - 6 * d2
+    val den = n * n * n - n
+    val expect = (if (num < 0) -1 else 1) *
+      ((2000000L * math.abs(num) + den) / (2 * den)).toDouble / 1e6
+    assert(rho == expect)
+  }
+
+  test("common-neighbor candidates are non-adjacent with true counts") {
+    val rows = SparkEntry.queries("graph_common_neighbors")(s, sf).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val pr = T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey")
+      .distinct()
+    val adj = pr.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      .join(pr.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") < col("pb")).select("pa", "pb").distinct()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val nbrs = adj.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    rows.foreach { r =>
+      val a = r.getAs[Long]("pa"); val b = r.getAs[Long]("pb")
+      assert(a < b && !adj.contains((a, b))) // predicted, not existing
+      val cn = nbrs(a).intersect(nbrs(b)).size
+      assert(cn == r.getAs[Long]("common_n"))
+      assert(r.getAs[Long]("deg_a") == nbrs(a).size)
+      assert(r.getAs[Long]("deg_b") == nbrs(b).size)
+    }
+    // descending by common_n with id tie-break
+    val keys = rows.map(r => (-r.getAs[Long]("common_n"),
+      r.getAs[Long]("pa"), r.getAs[Long]("pb"))).toSeq
+    assert(keys == keys.sorted)
+  }
 }
