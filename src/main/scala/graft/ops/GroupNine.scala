@@ -524,6 +524,115 @@ object GroupNine {
           T.r6("common_n", "deg_a + deg_b - common_n").as("jaccard"))
         .orderBy(col("common_n").desc, col("pa"), col("pb"))
         .limit(20)
+    },
+
+    // 2-D skyline (Pareto front) of orders on (earlier date better,
+    // higher price better) — the classic dominance operator (Börzsönyi's
+    // SKYLINE OF): an order survives iff no other order has an
+    // earlier-or-equal date AND a higher-or-equal price with one strict.
+    // Planned the scale-safe way: the data-sized pass is one groupBy to
+    // a per-day max-price spine (one row per CALENDAR day — bounded by
+    // years, not data), the running-max scan over strictly-earlier days
+    // runs on that bounded spine, and survivors join back to the fact
+    // table on (date, exact cents). Same-day equal-price ties all
+    // survive, so the result is set-deterministic with no rank window
+    // over data-sized input.
+    q("window_skyline_2d",
+      """WITH daily AS (SELECT o_orderdate AS d,
+        |    max(CAST(round(o_totalprice * 100) AS BIGINT)) AS mx
+        |  FROM orders GROUP BY 1),
+        |r AS (SELECT d, mx, max(mx) OVER (ORDER BY d
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM daily),
+        |sky AS (SELECT d, mx FROM r WHERE pm IS NULL OR mx > pm)
+        |SELECT o_orderkey, o_orderdate,
+        |  CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS DOUBLE)
+        |    / 100.0 AS price
+        |FROM orders JOIN sky ON o_orderdate = sky.d
+        |  AND CAST(round(o_totalprice * 100) AS BIGINT) = sky.mx
+        |ORDER BY o_orderdate, o_orderkey""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast(LongType).as("cents"))
+      val daily = o.groupBy(col("o_orderdate").as("d"))
+        .agg(max("cents").as("mx"))
+      val sky = daily
+        .withColumn("pm", max("mx").over(Window.orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .where(col("pm").isNull || col("mx") > col("pm"))
+        .select("d", "mx")
+      o.join(sky, col("o_orderdate") === col("d")
+          && col("cents") === col("mx"))
+        .select(col("o_orderkey"), col("o_orderdate"),
+          (col("cents").cast(DoubleType) / 100.0d).as("price"))
+        .orderBy("o_orderdate", "o_orderkey")
+    },
+
+    // One BPE training round by aggregation — the tokenizer-training
+    // primitive: count every adjacent character pair across all token
+    // OCCURRENCES in the corpus (the statistic byte-pair encoding
+    // maximizes) and emit the top-10 merge candidates by (count, pair).
+    // Pure generator → hash agg → TakeOrdered: the pair extraction is
+    // per-row array code (no shuffle before the partial agg), so a
+    // 100 TB corpus streams through map-side combine into a pair-
+    // vocabulary-sized reduce. Exact integers end to end.
+    q("text_bpe_pair_merge",
+      """WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok
+        |  FROM documents),
+        |p AS (SELECT unnest(list_transform(range(length(tok) - 1),
+        |    i -> substr(tok, CAST(i+1 AS INT), 2))) AS pair
+        |  FROM t WHERE length(tok) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM p GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 10""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .where(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok)-1)," +
+            " i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(10)
+    },
+
+    // Filter-funnel attribution — the corpus-curation report every
+    // C4-style cleaning run prints: each document is attributed to its
+    // FIRST failing filter (priority: non-English → too short → high
+    // stopword ratio → kept), with doc/token counts and the exact-
+    // rational 6dp corpus share per stage. One scan computes every
+    // per-row predicate (no explode), the stage label is a single CASE,
+    // and the only non-scan work is an enum-sized agg plus a 1-row
+    // total broadcast — the same plan at any corpus size.
+    q("pipeline_filter_funnel",
+      """WITH m AS (SELECT lang, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |c AS (SELECT CASE WHEN lang <> 'en' THEN '1_non_en'
+        |    WHEN len(arr) < 30 THEN '2_too_short'
+        |    WHEN 5 * len(list_filter(arr, t -> t = 'a' OR t = 'the'))
+        |      > len(arr) THEN '3_high_stopword'
+        |    ELSE '4_kept' END AS stage, len(arr) AS nt FROM m),
+        |tot AS (SELECT count(*) AS n FROM c)
+        |SELECT stage, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS n_tokens,
+        |  CAST((2000000 * count(*) + max(n)) // (2 * max(n)) AS BIGINT)
+        |    / 1000000.0 AS share
+        |FROM c CROSS JOIN tot GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val m = T.t(s, dir, "documents")
+        .select(col("lang"), split(col("text"), " ").as("arr"))
+        .select(
+          when(col("lang") =!= "en", "1_non_en")
+            .when(size(col("arr")) < 30, "2_too_short")
+            .when(expr("5 * size(filter(arr, t -> t = 'a' OR t = 'the'))")
+              > size(col("arr")), "3_high_stopword")
+            .otherwise("4_kept").as("stage"),
+          size(col("arr")).cast(LongType).as("nt"))
+      val tot = m.agg(count(lit(1)).as("n"))
+      m.groupBy("stage")
+        .agg(count(lit(1)).as("n_docs"), sum("nt").as("n_tokens"))
+        .crossJoin(broadcast(tot))
+        .withColumn("share", T.r6("n_docs", "n"))
+        .select("stage", "n_docs", "n_tokens", "share")
+        .orderBy("stage")
     }
   )
 }

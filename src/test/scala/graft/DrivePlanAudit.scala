@@ -65,7 +65,9 @@ object DrivePlanAudit {
     // round 9: the ≤31²-pair bounded theta self-join of the Theil-Sen day
     // spine (mann_kendall's shape) and the stump's 1-row min/max + totals
     // scalar broadcasts
-    "stat_theil_sen_slope", "ml_decision_stump")
+    "stat_theil_sen_slope", "ml_decision_stump",
+    // round 9b: the funnel's 1-row corpus-total scalar broadcast
+    "pipeline_filter_funnel")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -85,8 +87,11 @@ object DrivePlanAudit {
     "stat_theil_sen_slope",  // median-selection rank over the ≤31²-pair
                              // day-spine self-join
     "ml_decision_stump",     // cumulative counts over the 20-bin grid
-    "stat_spearman_rank")    // two permutation-rank windows over the
+    "stat_spearman_rank",    // two permutation-rank windows over the
                              // ≤31-day purchase/click spine
+    "window_skyline_2d")     // running-max over the per-day max-price
+                             // spine: one row per CALENDAR day (bounded
+                             // by the date range, not the data)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -182,4 +182,66 @@ class NineSpec extends AnyFunSuite {
       r.getAs[Long]("pa"), r.getAs[Long]("pb"))).toSeq
     assert(keys == keys.sorted)
   }
+
+  test("skyline survivors are mutually non-dominated and complete") {
+    val sky = SparkEntry.queries("window_skyline_2d")(s, sf)
+      .select(col("o_orderdate").cast("string"), col("price")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    assert(sky.nonEmpty)
+    // along increasing date the front's price must STRICTLY increase
+    // (equal-price later days would be dominated)
+    val byDay = sky.distinct.sortBy(_._1)
+    byDay.sliding(2).foreach { case Array((d1, p1), (d2, p2)) =>
+      assert(d1 < d2 && p1 < p2)
+    }
+    // brute-force cross-check on the daily max spine
+    val daily = T.t(s, sf, "orders")
+      .groupBy(col("o_orderdate").cast("string").as("d"))
+      .agg(max(round(col("o_totalprice") * 100).cast("long")).as("mx"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val expect = daily.filter { case (d, p) =>
+      !daily.exists { case (d2, p2) =>
+        (d2 <= d && p2 >= p) && (d2 < d || p2 > p) }
+    }.map(_._1).sorted.toSeq
+    assert(byDay.map(_._1).toSeq == expect)
+  }
+
+  test("bpe pair counts match a hand-tallied micro corpus") {
+    import s.implicits._
+    // "abab ab" → abab: (ab, ba, ab), ab: (ab) → ab=4? no: abab has 3
+    // pairs ab,ba,ab; plus ab's single pair → ab=3, ba=1
+    val tiny = Seq("abab ab").toDF("text")
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .where(length(col("tok")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, length(tok)-1)," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(tiny == Map("ab" -> 3L, "ba" -> 1L))
+    val top = SparkEntry.queries("text_bpe_pair_merge")(s, sf).collect()
+    assert(top.length == 10)
+    val cnts = top.map(_.getAs[Long]("cnt")).toSeq
+    assert(cnts == cnts.sortBy(-_)) // descending support
+    top.foreach(r => assert(r.getAs[String]("pair").length == 2))
+  }
+
+  test("filter funnel partitions the corpus with exact shares") {
+    val rows = SparkEntry.queries("pipeline_filter_funnel")(s, sf).collect()
+    val total = T.t(s, sf, "documents").count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    val stages = rows.map(_.getAs[String]("stage")).toSet
+    assert(stages.subsetOf(
+      Set("1_non_en", "2_too_short", "3_high_stopword", "4_kept")))
+    // non-English attribution takes priority: stage-1 count equals the
+    // raw lang<>'en' count regardless of the other predicates
+    val nonEn = T.t(s, sf, "documents").where(col("lang") =!= "en").count()
+    assert(rows.find(_.getAs[String]("stage") == "1_non_en")
+      .map(_.getAs[Long]("n_docs")).getOrElse(0L) == nonEn)
+    rows.foreach { r =>
+      val sh = r.getAs[Double]("share")
+      assert(sh > 0.0 && sh <= 1.0)
+    }
+  }
 }
