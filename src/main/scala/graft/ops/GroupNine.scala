@@ -633,6 +633,115 @@ object GroupNine {
         .withColumn("share", T.r6("n_docs", "n"))
         .select("stage", "n_docs", "n_tokens", "share")
         .orderBy("stage")
+    },
+
+    // Inclusion-dependency (foreign-key) inference — the catalog-
+    // profiling query a schema-discovery tool runs (the dbsuite
+    // SYSCAT-analogue for REFERENTIAL constraints): for each declared
+    // candidate child→parent column pair, the fraction of distinct
+    // child values contained in the parent's distinct values. Five true
+    // FKs plus one deliberate negative control; containment is the
+    // exact-rational 6dp boundary and the verdict is containment = 1.
+    // Each probe is distinct → left join → count: the heavy side
+    // reduces to its distinct keys map-side before any shuffle.
+    q("catalog_fk_inference",
+      """WITH probes AS (
+        |  SELECT 'lineitem.l_orderkey' AS child_col,
+        |    'orders.o_orderkey' AS parent_col, count(*) AS n_child,
+        |    count(p.k) AS n_matched
+        |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+        |  LEFT JOIN (SELECT DISTINCT o_orderkey AS k FROM orders) p
+        |    ON c.k = p.k
+        |  UNION ALL SELECT 'lineitem.l_partkey', 'part.p_partkey',
+        |    count(*), count(p.k)
+        |  FROM (SELECT DISTINCT l_partkey AS k FROM lineitem) c
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.k = p.k
+        |  UNION ALL SELECT 'lineitem.l_suppkey', 'supplier.s_suppkey',
+        |    count(*), count(p.k)
+        |  FROM (SELECT DISTINCT l_suppkey AS k FROM lineitem) c
+        |  LEFT JOIN (SELECT DISTINCT s_suppkey AS k FROM supplier) p
+        |    ON c.k = p.k
+        |  UNION ALL SELECT 'orders.o_custkey', 'customer.c_custkey',
+        |    count(*), count(p.k)
+        |  FROM (SELECT DISTINCT o_custkey AS k FROM orders) c
+        |  LEFT JOIN (SELECT DISTINCT c_custkey AS k FROM customer) p
+        |    ON c.k = p.k
+        |  UNION ALL SELECT 'customer.c_nationkey', 'nation.n_nationkey',
+        |    count(*), count(p.k)
+        |  FROM (SELECT DISTINCT c_nationkey AS k FROM customer) c
+        |  LEFT JOIN (SELECT DISTINCT n_nationkey AS k FROM nation) p
+        |    ON c.k = p.k
+        |  UNION ALL SELECT 'lineitem.l_orderkey', 'part.p_partkey',
+        |    count(*), count(p.k)
+        |  FROM (SELECT DISTINCT l_orderkey AS k FROM lineitem) c
+        |  LEFT JOIN (SELECT DISTINCT p_partkey AS k FROM part) p
+        |    ON c.k = p.k)
+        |SELECT child_col, parent_col, CAST(n_child AS BIGINT) AS n_child,
+        |  CAST(n_matched AS BIGINT) AS n_matched,
+        |  CAST((2000000 * n_matched + n_child) // (2 * n_child) AS BIGINT)
+        |    / 1000000.0 AS containment,
+        |  CAST(CASE WHEN n_matched = n_child THEN 1 ELSE 0 END AS BIGINT)
+        |    AS is_fk
+        |FROM probes ORDER BY child_col, parent_col""") { (s, dir) =>
+      def probe(child: DataFrame, childCol: String, childLbl: String,
+          parent: DataFrame, parentCol: String, parentLbl: String) = {
+        val c = child.select(col(childCol).as("k")).distinct()
+        val p = parent.select(col(parentCol).as("pk")).distinct()
+        c.join(p, col("k") === col("pk"), "left_outer")
+          .agg(count(lit(1)).as("n_child"), count(col("pk")).as("n_matched"))
+          .select(lit(childLbl).as("child_col"), lit(parentLbl).as("parent_col"),
+            col("n_child"), col("n_matched"))
+      }
+      val li = T.t(s, dir, "lineitem"); val o = T.t(s, dir, "orders")
+      Seq(
+        probe(li, "l_orderkey", "lineitem.l_orderkey",
+          o, "o_orderkey", "orders.o_orderkey"),
+        probe(li, "l_partkey", "lineitem.l_partkey",
+          T.t(s, dir, "part"), "p_partkey", "part.p_partkey"),
+        probe(li, "l_suppkey", "lineitem.l_suppkey",
+          T.t(s, dir, "supplier"), "s_suppkey", "supplier.s_suppkey"),
+        probe(o, "o_custkey", "orders.o_custkey",
+          T.t(s, dir, "customer"), "c_custkey", "customer.c_custkey"),
+        probe(T.t(s, dir, "customer"), "c_nationkey", "customer.c_nationkey",
+          T.t(s, dir, "nation"), "n_nationkey", "nation.n_nationkey"),
+        probe(li, "l_orderkey", "lineitem.l_orderkey",
+          T.t(s, dir, "part"), "p_partkey", "part.p_partkey"))
+        .reduce(_ unionAll _)
+        .withColumn("containment", T.r6("n_matched", "n_child"))
+        .withColumn("is_fk",
+          when(col("n_matched") === col("n_child"), 1L).otherwise(0L))
+        .orderBy("child_col", "parent_col")
+    },
+
+    // Equi-depth (decile) histogram of extended price — the optimizer-
+    // statistics primitive every engine's ANALYZE builds: 9 interior
+    // decile boundaries from ONE distributed percentile aggregate
+    // (Spark's Percentile partial-merges; DuckDB's quantile_cont is the
+    // bit-identical interpolation, proved by agg_percentile_cont_interp),
+    // broadcast as a 1-row array, then a second scan bins each row by
+    // counting boundaries strictly below it — two scans total, no sort,
+    // no shuffle of the fact table beyond the enum-sized final agg.
+    q("agg_histogram_equidepth",
+      """WITH b AS (SELECT quantile_cont(l_extendedprice,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        |  FROM lineitem),
+        |a AS (SELECT len(list_filter(qs, q -> q < l_extendedprice))
+        |    AS bucket, l_extendedprice AS p FROM lineitem CROSS JOIN b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n, min(p) AS lo, max(p) AS hi
+        |FROM a GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val x = T.t(s, dir, "lineitem")
+        .select(col("l_extendedprice").cast(DoubleType).as("p"))
+      val b = x.agg(expr(
+        "percentile(p, array(0.1D, 0.2D, 0.3D, 0.4D, 0.5D, 0.6D, 0.7D," +
+          " 0.8D, 0.9D))").as("qs"))
+      x.crossJoin(broadcast(b))
+        .select(expr("size(filter(qs, q -> q < p))").cast(LongType)
+          .as("bucket"), col("p"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"))
+        .orderBy("bucket")
     }
   )
 }

@@ -131,6 +131,32 @@ object GroupScan {
         .agg(count(lit(1)).as("cnt"), T.dsum(col("l_quantity")).as("sum_qty"))
         .select(col("l_year").cast(IntegerType).as("l_year"), col("cnt"), col("sum_qty"))
         .orderBy("l_year")
+    },
+
+    // Custom DataSource V2 connector (graft.sources.SeqSource) — the
+    // extension point a production source plugs into: TableProvider →
+    // ScanBuilder with genuine column pruning and id-range filter
+    // PUSHDOWN (the `id >= 25000` below narrows the generated range at
+    // plan time; accepted filters are consumed, not re-applied), split
+    // into 8 InputPartitions so the scan parallelizes like a file
+    // source. The generated cell values are pure integer arithmetic,
+    // so DuckDB replays the identical table from range() — the source
+    // itself is what's under test.
+    q("source_custom_dsv2",
+      """WITH t AS (SELECT i AS id, (i * 2654435761) % 1000000007 % 1000
+        |    AS v, 'c' || CAST(i % 7 AS VARCHAR) AS cat
+        |  FROM range(0, 100000) r(i) WHERE i >= 25000)
+        |SELECT cat, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS sum_val,
+        |  CAST(min(id) AS BIGINT) AS min_id, CAST(max(id) AS BIGINT) AS max_id
+        |FROM t GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      s.read.format("graft.sources.SeqSource")
+        .option("rows", "100000").option("parts", "8").load()
+        .where(col("id") >= 25000L)
+        .groupBy("cat")
+        .agg(count(lit(1)).as("n"), sum("val").as("sum_val"),
+          min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("cat")
     }
   )
 }

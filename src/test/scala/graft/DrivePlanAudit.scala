@@ -66,8 +66,9 @@ object DrivePlanAudit {
     // spine (mann_kendall's shape) and the stump's 1-row min/max + totals
     // scalar broadcasts
     "stat_theil_sen_slope", "ml_decision_stump",
-    // round 9b: the funnel's 1-row corpus-total scalar broadcast
-    "pipeline_filter_funnel")
+    // round 9b: the funnel's 1-row corpus-total scalar broadcast and the
+    // equi-depth histogram's 1-row decile-boundary array broadcast
+    "pipeline_filter_funnel", "agg_histogram_equidepth")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

@@ -244,4 +244,51 @@ class NineSpec extends AnyFunSuite {
       assert(sh > 0.0 && sh <= 1.0)
     }
   }
+
+  test("SeqSource pushes id-range filters and prunes columns at the scan") {
+    val df = s.read.format("graft.sources.SeqSource")
+      .option("rows", "1000").option("parts", "4").load()
+      .where(col("id") >= 900L && col("cat") =!= "c0")
+      .select("id", "val")
+    df.collect() // finalize the plan
+    val plan = df.queryExecution.executedPlan.toString
+    // the id bound narrowed the generated range at plan time; cat stayed
+    // a post-scan filter; the unreferenced column set was pruned
+    assert(plan.contains("SeqScan[900,1000)"), plan)
+    assert(plan.contains("cols=id,val") || plan.contains("cols=id,val,cat"))
+    val rows = df.collect()
+    assert(rows.forall(_.getLong(0) >= 900L))
+    assert(rows.length == (900 until 1000).count(_ % 7 != 0))
+    rows.foreach(r =>
+      assert(r.getLong(1) == sources.SeqSource.valOf(r.getLong(0))))
+    // full-table read parallelizes into the declared split count
+    val full = s.read.format("graft.sources.SeqSource")
+      .option("rows", "1000").option("parts", "4").load()
+    assert(full.rdd.getNumPartitions == 4)
+    assert(full.count() == 1000)
+  }
+
+  test("fk inference: true keys contain, the negative control does not") {
+    val rows = SparkEntry.queries("catalog_fk_inference")(s, sf).collect()
+      .map(r => (r.getAs[String]("child_col"), r.getAs[String]("parent_col"))
+        -> r.getAs[Long]("is_fk")).toMap
+    assert(rows(("lineitem.l_orderkey", "orders.o_orderkey")) == 1L)
+    assert(rows(("orders.o_custkey", "customer.c_custkey")) == 1L)
+    assert(rows(("lineitem.l_orderkey", "part.p_partkey")) == 0L)
+  }
+
+  test("equi-depth histogram: deciles balance and buckets tile the range") {
+    val rows = SparkEntry.queries("agg_histogram_equidepth")(s, sf).collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == (0L to 9L))
+    val counts = rows.map(_.getAs[Long]("n"))
+    val total = counts.sum
+    assert(total == T.t(s, sf, "lineitem").count())
+    // equi-depth: every bucket within a factor of 2 of the ideal tenth
+    // (ties at boundaries shift mass, but not pathologically)
+    counts.foreach(c => assert(c * 10 >= total / 2 && c * 10 <= total * 2))
+    // buckets are ordered, non-overlapping intervals
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
+    }
+  }
 }
