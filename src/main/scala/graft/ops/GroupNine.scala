@@ -742,6 +742,210 @@ object GroupNine {
         .groupBy("bucket")
         .agg(count(lit(1)).as("n"), min("p").as("lo"), max("p").as("hi"))
         .orderBy("bucket")
+    },
+
+    // Binary-quantized ANN — the 1-bit scalar-quantization path every
+    // production vector store ships (32× memory cut, popcount distance):
+    // each 64-dim embedding packs to two sign-bit halves (two BIGINTs —
+    // bit 63 of a single word would collide with the sign), and top-5
+    // neighbors per query rank by exact integer Hamming distance
+    // bit_count(xor) with id tie-break. The packing is a scan-level
+    // expression (at 100 TB the packed index is 16 bytes/vector), the
+    // query side broadcasts, and every window is partitioned per query.
+    q("vector_binary_hamming_topk",
+      """WITH p AS (SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(32), i ->
+        |      CASE WHEN embedding[CAST(i+1 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i AS INT)) ELSE 0 END))
+        |      AS BIGINT) AS lo,
+        |    CAST(list_sum(list_transform(range(32, 64), i ->
+        |      CASE WHEN embedding[CAST(i+1 AS INT)] > 0
+        |        THEN (CAST(1 AS BIGINT) << CAST(i-32 AS INT)) ELSE 0 END))
+        |      AS BIGINT) AS hi
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, lo AS qlo, hi AS qhi FROM p
+        |  WHERE vec_id < 20),
+        |c AS (SELECT vec_id AS c_id, lo, hi FROM p WHERE vec_id >= 20),
+        |s AS (SELECT q_id, c_id,
+        |    bit_count(xor(lo, qlo)) + bit_count(xor(hi, qhi)) AS dist
+        |  FROM c CROSS JOIN q)
+        |SELECT q_id, rnk, c_id, CAST(dist AS BIGINT) AS dist FROM (
+        |  SELECT *, CAST(row_number() OVER (PARTITION BY q_id
+        |    ORDER BY dist, c_id) AS INT) AS rnk FROM s)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""") { (s, dir) =>
+      val p = T.t(s, dir, "embeddings").select(col("vec_id"),
+        expr("aggregate(sequence(0, 31), 0L, (acc, i) -> acc + " +
+          "IF(element_at(embedding, i+1) > 0, shiftleft(1L, i), 0L))")
+          .as("lo"),
+        expr("aggregate(sequence(32, 63), 0L, (acc, i) -> acc + " +
+          "IF(element_at(embedding, i+1) > 0, shiftleft(1L, i-32), 0L))")
+          .as("hi"))
+      val qs = p.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("lo").as("qlo"),
+          col("hi").as("qhi"))
+      val cs = p.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("c_id"), col("lo"), col("hi"))
+      cs.crossJoin(broadcast(qs))
+        .withColumn("dist",
+          (expr("bit_count(lo ^ qlo)") + expr("bit_count(hi ^ qhi)"))
+            .cast(LongType))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("dist"), col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select("q_id", "rnk", "c_id", "dist")
+        .orderBy("q_id", "rnk")
+    },
+
+    // Modularity of the brand partition of the co-purchase graph — the
+    // community-quality score (Newman Q): per brand c, contribution
+    // e_c/m − (d_c/2m)², i.e. intra-brand edge share minus the expected
+    // share under the degree-preserving null model. Everything is exact
+    // integers over the STAGED pair table (shared with triangle/CC/
+    // degree-histogram): Q's rational has denominator 4m², so the 6dp
+    // boundary runs in DECIMAL(38,0) (2·10⁶·num overflows a BIGINT at
+    // fixture-plus scale). Dims broadcast; the only data-sized work is
+    // the edge scan + degree agg.
+    q("graph_modularity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |mm AS (SELECT count(*) AS m FROM pr),
+        |bb AS (SELECT p_partkey, p_brand FROM part),
+        |e2 AS (SELECT a.p_brand AS ba, b.p_brand AS bbr FROM pr
+        |  JOIN bb a ON pr.pa = a.p_partkey
+        |  JOIN bb b ON pr.pb = b.p_partkey),
+        |intra AS (SELECT ba AS p_brand, count(*) AS ei FROM e2
+        |  WHERE ba = bbr GROUP BY 1),
+        |deg AS (SELECT node, count(*) AS d FROM (
+        |    SELECT pa AS node FROM pr UNION ALL SELECT pb FROM pr)
+        |  GROUP BY 1),
+        |bd AS (SELECT p_brand, sum(d) AS dc FROM deg
+        |  JOIN bb ON node = p_partkey GROUP BY 1),
+        |j AS (SELECT bd.p_brand, coalesce(ei, 0) AS ei, dc, m
+        |  FROM bd LEFT JOIN intra ON bd.p_brand = intra.p_brand
+        |  CROSS JOIN mm)
+        |SELECT p_brand, CAST(ei AS BIGINT) AS n_intra,
+        |  CAST(dc AS BIGINT) AS deg_sum,
+        |  (CASE WHEN 4*CAST(m AS HUGEINT)*ei - CAST(dc AS HUGEINT)*dc < 0
+        |    THEN -1 ELSE 1 END) *
+        |  CAST((2000000 * abs(4*CAST(m AS HUGEINT)*ei
+        |        - CAST(dc AS HUGEINT)*dc)
+        |      + 4*CAST(m AS HUGEINT)*m)
+        |    // (2 * (4*CAST(m AS HUGEINT)*m)) AS BIGINT) / 1000000.0
+        |    AS contrib
+        |FROM j ORDER BY p_brand""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val mm = pr.agg(count(lit(1)).as("m"))
+      val bb = broadcast(T.t(s, dir, "part").select("p_partkey", "p_brand"))
+      val e2 = pr
+        .join(bb.select(col("p_partkey").as("ka"), col("p_brand").as("ba")),
+          col("pa") === col("ka"))
+        .join(bb.select(col("p_partkey").as("kb"), col("p_brand").as("bbr")),
+          col("pb") === col("kb"))
+      val intra = e2.where(col("ba") === col("bbr"))
+        .groupBy(col("ba").as("p_brand")).agg(count(lit(1)).as("ei"))
+      val deg = pr.select(col("pa").as("node"))
+        .unionAll(pr.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val bd = deg
+        .join(bb.select(col("p_partkey").as("node"), col("p_brand")), "node")
+        .groupBy("p_brand").agg(sum("d").as("dc"))
+      bd.join(intra, Seq("p_brand"), "left_outer")
+        .withColumn("ei", coalesce(col("ei"), lit(0L)))
+        .crossJoin(broadcast(mm))
+        .select(col("p_brand"), col("ei").as("n_intra"),
+          col("dc").as("deg_sum"),
+          T.r6s(
+            "4L*cast(m as decimal(38,0))*ei - cast(dc as decimal(38,0))*dc",
+            "4L*cast(m as decimal(38,0))*m").as("contrib"))
+        .orderBy("p_brand")
+    },
+
+    // KMV sketch set operations — the mergeable-sketch algebra a
+    // 100 TB profiler runs instead of exact distincts: k-minimum-values
+    // sketches (k = 64, the engine-portable poly_hash) of the URGENT
+    // and 2-HIGH customer sets, merged by k-min union, with the
+    // intersection estimated from the union sketch's match fraction
+    // (est_i = matches·est_u div k). Every estimate is pure integer
+    // arithmetic — deterministic on any engine or partitioning — with
+    // the exact distinct counts alongside as the audit columns. Sketch
+    // construction is TakeOrdered(64) over a map-side-distinct scan.
+    q("agg_kmv_set_ops",
+      """WITH ha AS (SELECT DISTINCT (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(CAST(o_custkey AS VARCHAR))),
+        |        j -> CAST(ascii(substr(CAST(o_custkey AS VARCHAR),
+        |          CAST(j+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) AS hv
+        |  FROM orders WHERE o_orderpriority = '1-URGENT'),
+        |hb AS (SELECT DISTINCT (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(CAST(o_custkey AS VARCHAR))),
+        |        j -> CAST(ascii(substr(CAST(o_custkey AS VARCHAR),
+        |          CAST(j+1 AS INT), 1)) AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) AS hv
+        |  FROM orders WHERE o_orderpriority = '2-HIGH'),
+        |ka AS (SELECT max(hv) AS kth, count(*) AS k FROM
+        |  (SELECT hv FROM ha ORDER BY hv LIMIT 64)),
+        |kb AS (SELECT max(hv) AS kth, count(*) AS k FROM
+        |  (SELECT hv FROM hb ORDER BY hv LIMIT 64)),
+        |u AS (SELECT hv, max(ia) AS ia, max(ib) AS ib FROM (
+        |    SELECT hv, 1 AS ia, 0 AS ib FROM ha
+        |    UNION ALL SELECT hv, 0, 1 FROM hb) GROUP BY hv),
+        |su AS (SELECT * FROM u ORDER BY hv LIMIT 64),
+        |ku AS (SELECT max(hv) AS kth, count(*) AS k,
+        |    sum(ia * ib) AS matches FROM su),
+        |ex AS (SELECT
+        |    (SELECT count(*) FROM ha) AS exact_a,
+        |    (SELECT count(*) FROM hb) AS exact_b)
+        |SELECT CAST(exact_a AS BIGINT) AS exact_a,
+        |  CAST(exact_b AS BIGINT) AS exact_b,
+        |  CAST((CAST(ka.k - 1 AS HUGEINT) * 2305843009213693951) // ka.kth
+        |    AS BIGINT) AS est_a,
+        |  CAST((CAST(kb.k - 1 AS HUGEINT) * 2305843009213693951) // kb.kth
+        |    AS BIGINT) AS est_b,
+        |  CAST((CAST(ku.k - 1 AS HUGEINT) * 2305843009213693951) // ku.kth
+        |    AS BIGINT) AS est_union,
+        |  CAST((CAST(ku.matches AS HUGEINT) *
+        |      ((CAST(ku.k - 1 AS HUGEINT) * 2305843009213693951) // ku.kth))
+        |    // ku.k AS BIGINT) AS est_inter
+        |FROM ex CROSS JOIN ka CROSS JOIN kb CROSS JOIN ku""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val o = T.t(s, dir, "orders")
+      def hashes(prio: String) =
+        o.where(col("o_orderpriority") === prio)
+          .select(col("o_custkey")).distinct()
+          .select(call_function("poly_hash",
+            col("o_custkey").cast("string")).as("hv"))
+      val ha = hashes("1-URGENT"); val hb = hashes("2-HIGH")
+      val M = "2305843009213693951L"
+      def sketch(h: DataFrame, est: String) =
+        h.orderBy("hv").limit(64)
+          .agg(max("hv").as("kth"), count(lit(1)).as("k"))
+          .select(expr(s"(cast(k - 1 as decimal(38,0)) * $M) div kth")
+            .as(est))
+      val u = ha.select(col("hv"), lit(1L).as("ia"), lit(0L).as("ib"))
+        .unionAll(hb.select(col("hv"), lit(0L).as("ia"), lit(1L).as("ib")))
+        .groupBy("hv").agg(max("ia").as("ia"), max("ib").as("ib"))
+      val ku = u.orderBy("hv").limit(64)
+        .agg(max("hv").as("kth"), count(lit(1)).as("k"),
+          sum(col("ia") * col("ib")).as("matches"))
+        .select(expr(s"(cast(k - 1 as decimal(38,0)) * $M) div kth")
+          .as("est_union"), col("matches"), col("k"))
+      ha.agg(count(lit(1)).as("exact_a"))
+        .crossJoin(broadcast(hb.agg(count(lit(1)).as("exact_b"))))
+        .crossJoin(broadcast(sketch(ha, "est_a")))
+        .crossJoin(broadcast(sketch(hb, "est_b")))
+        .crossJoin(broadcast(ku))
+        .select(col("exact_a"), col("exact_b"), col("est_a"), col("est_b"),
+          col("est_union"),
+          expr("(cast(matches as decimal(38,0)) * est_union) div k")
+            .as("est_inter"))
     }
   )
 }

@@ -68,7 +68,11 @@ object DrivePlanAudit {
     "stat_theil_sen_slope", "ml_decision_stump",
     // round 9b: the funnel's 1-row corpus-total scalar broadcast and the
     // equi-depth histogram's 1-row decile-boundary array broadcast
-    "pipeline_filter_funnel", "agg_histogram_equidepth")
+    "pipeline_filter_funnel", "agg_histogram_equidepth",
+    // round 9c: the 20-query broadcast of the binary-quantized ANN
+    // (vector_cosine_topk's shape), the 1-row edge-count scalar of the
+    // modularity score, and the 1-row sketch scalars of the KMV algebra
+    "vector_binary_hamming_topk", "graph_modularity", "agg_kmv_set_ops")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

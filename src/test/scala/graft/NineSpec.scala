@@ -291,4 +291,59 @@ class NineSpec extends AnyFunSuite {
       assert(a.getAs[Double]("hi") <= b.getAs[Double]("lo"))
     }
   }
+
+  test("binary hamming: packing and distances match a driver recompute") {
+    val emb = T.t(s, sf, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def pack(v: Array[Float]): (Long, Long) = {
+      var lo = 0L; var hi = 0L
+      (0 until 32).foreach(i => if (v(i) > 0) lo |= (1L << i))
+      (32 until 64).foreach(i => if (v(i) > 0) hi |= (1L << (i - 32)))
+      (lo, hi)
+    }
+    val rows = SparkEntry.queries("vector_binary_hamming_topk")(s, sf)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (qlo, qhi) = pack(emb(r.getAs[Long]("q_id")))
+      val (clo, chi) = pack(emb(r.getAs[Long]("c_id")))
+      val d = java.lang.Long.bitCount(qlo ^ clo) +
+        java.lang.Long.bitCount(qhi ^ chi)
+      assert(r.getAs[Long]("dist") == d && d >= 0 && d <= 64)
+    }
+    // each query returns exactly 5 ranked neighbors
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      assert(g.map(_.getAs[Int]("rnk")).sorted.toSeq == (1 to 5))
+    }
+  }
+
+  test("modularity contributions sum to a Q in (-1, 1) with exact masses") {
+    val rows = SparkEntry.queries("graph_modularity")(s, sf).collect()
+    val li = T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey")
+      .distinct()
+    val m = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")),
+        "k")
+      .filter(col("pa") < col("pb")).select("pa", "pb").distinct().count()
+    assert(rows.map(_.getAs[Long]("n_intra")).sum <= m)
+    assert(rows.map(_.getAs[Long]("deg_sum")).sum == 2 * m)
+    val q = rows.map(_.getAs[Double]("contrib")).sum
+    assert(q > -1.0 && q < 1.0)
+    rows.foreach(r => assert(math.abs(r.getAs[Double]("contrib")) <= 1.0))
+  }
+
+  test("kmv set algebra: estimates bracket the exact counts") {
+    val r = SparkEntry.queries("agg_kmv_set_ops")(s, sf).collect()(0)
+    val ea = r.getAs[Long]("exact_a"); val eb = r.getAs[Long]("exact_b")
+    // KMV at k=64 has ~1/8 relative error; 2x is a deterministic-fixture
+    // sanity band, not a probabilistic claim
+    def near(e: Long, exact: Long) = e >= exact / 2 && e <= exact * 2
+    assert(near(r.getAs[Long]("est_a"), ea))
+    assert(near(r.getAs[Long]("est_b"), eb))
+    val eu = r.getAs[Long]("est_union")
+    val ei = r.getAs[Long]("est_inter")
+    assert(ei >= 0 && ei <= eu)
+    assert(eu <= (ea + eb) * 2)
+  }
 }
