@@ -946,6 +946,122 @@ object GroupNine {
           col("est_union"),
           expr("(cast(matches as decimal(38,0)) * est_union) div k")
             .as("est_inter"))
+    },
+
+    // OHLC bars — the canonical time-series downsample (open/high/low/
+    // close/volume per instrument per day): open/close are SELECTED by
+    // deterministic first/last rank (ts with event_id tie-break — no
+    // min_by/arg_min, whose tie behavior differs between engines),
+    // high/low/volume are plain per-group aggregates. Every window is
+    // PARTITIONED by (type, day); at 100 TB this is one shuffle on the
+    // bar key with per-partition sorts — the plan a market-data or
+    // metrics pipeline wants.
+    q("ts_ohlc_bars",
+      """WITH b AS (SELECT event_type, CAST(ts AS DATE) AS d, value,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts, event_id) AS rn_a,
+        |    row_number() OVER (PARTITION BY event_type, CAST(ts AS DATE)
+        |      ORDER BY ts DESC, event_id DESC) AS rn_d
+        |  FROM events)
+        |SELECT event_type, d, CAST(count(*) AS BIGINT) AS n_events,
+        |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  max(CASE WHEN rn_d = 1 THEN value END) AS close
+        |FROM b GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_type"), to_date(col("ts")).as("d"),
+          col("ts"), col("event_id"), col("value"))
+      val wA = Window.partitionBy("event_type", "d")
+        .orderBy(col("ts"), col("event_id"))
+      val wD = Window.partitionBy("event_type", "d")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      e.withColumn("rn_a", row_number().over(wA))
+        .withColumn("rn_d", row_number().over(wD))
+        .groupBy("event_type", "d")
+        .agg(count(lit(1)).as("n_events"),
+          max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"))
+        .orderBy("event_type", "d")
+    },
+
+    // Null-aware anti join — NOT IN's three-valued-logic contract, the
+    // semantic trap every engine must honor: with a NULL anywhere in the
+    // subquery list, `x NOT IN (list)` is never TRUE, so the result is
+    // EMPTY; without NULLs it is a plain anti join. Both variants in one
+    // key, counted, so the oracle pins the 3VL behavior itself. Spark
+    // plans the NULL variant as a null-aware broadcast anti join —
+    // exactly the special-cased operator this key exists to exercise.
+    q("join_anti_null_aware",
+      """SELECT 'no_null' AS variant, CAST(count(*) AS BIGINT) AS n_rows
+        |FROM customer WHERE c_nationkey NOT IN
+        |  (SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'with_null', CAST(count(*) AS BIGINT)
+        |FROM customer WHERE c_nationkey NOT IN
+        |  (SELECT s_nationkey FROM supplier UNION ALL SELECT NULL)
+        |ORDER BY variant""") { (s, dir) =>
+      T.t(s, dir, "customer").createOrReplaceTempView("customer_naaj")
+      T.t(s, dir, "supplier").createOrReplaceTempView("supplier_naaj")
+      s.sql(
+        """SELECT 'no_null' AS variant, count(*) AS n_rows
+          |FROM customer_naaj WHERE c_nationkey NOT IN
+          |  (SELECT s_nationkey FROM supplier_naaj)
+          |UNION ALL
+          |SELECT 'with_null', count(*)
+          |FROM customer_naaj WHERE c_nationkey NOT IN
+          |  (SELECT s_nationkey FROM supplier_naaj
+          |   UNION ALL SELECT CAST(NULL AS BIGINT))
+          |ORDER BY variant""".stripMargin)
+    },
+
+    // Degree assortativity of the co-purchase graph — Newman's r: the
+    // Pearson correlation of endpoint degrees over directed edges (both
+    // orientations, so the statistic is symmetric). All moments are
+    // EXACT integer sums in DECIMAL(38,0) (Σd, Σd², Σdₐ·d_b — BIGINT
+    // products wrap at 100 TB edge counts), and r divides two exact
+    // quantities cast to double with identical parenthesization, rounded
+    // 6dp (the chi2 contract: denominator astronomically large, ties
+    // structurally impossible). Answers "do popular parts co-sell with
+    // popular parts" — the first structural question after the degree
+    // histogram.
+    q("graph_assortativity",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pr AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |e AS (SELECT pa AS src, pb AS dst FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+        |ed AS (SELECT da.d AS dx, db.d AS dy FROM e
+        |  JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node),
+        |st AS (SELECT count(*) AS n, sum(CAST(dx AS HUGEINT)) AS sx,
+        |    sum(CAST(dx AS HUGEINT) * dy) AS sxy,
+        |    sum(CAST(dx AS HUGEINT) * dx) AS sxx FROM ed)
+        |SELECT CAST(n AS BIGINT) AS n_edges,
+        |  round(CAST(CAST(n AS HUGEINT) * sxy - sx * sx AS DOUBLE)
+        |    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
+        |    AS assortativity
+        |FROM st""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
+      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      val ed = e
+        .join(deg.select(col("node").as("na"), col("d").as("dx")),
+          col("src") === col("na"))
+        .join(deg.select(col("node").as("nb"), col("d").as("dy")),
+          col("dst") === col("nb"))
+      ed.agg(count(lit(1)).as("n"),
+          sum(col("dx").cast(DecimalType(38, 0))).as("sx"),
+          sum((col("dx").cast(DecimalType(38, 0)) * col("dy"))).as("sxy"),
+          sum((col("dx").cast(DecimalType(38, 0)) * col("dx"))).as("sxx"))
+        .select(col("n").cast(LongType).as("n_edges"),
+          round(
+            expr("cast(cast(n as decimal(38,0)) * sxy - sx * sx as double)")
+              / expr(
+                "cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)"),
+            6).as("assortativity"))
     }
   )
 }

@@ -346,4 +346,34 @@ class NineSpec extends AnyFunSuite {
     assert(ei >= 0 && ei <= eu)
     assert(eu <= (ea + eb) * 2)
   }
+
+  test("ohlc bars: bounds hold and volume reconciles") {
+    val rows = SparkEntry.queries("ts_ohlc_bars")(s, sf).collect()
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h && l <= c && c <= h && l <= h)
+      assert(r.getAs[Long]("n_events") >= 1)
+    }
+    assert(rows.map(_.getAs[Long]("n_events")).sum ==
+      T.t(s, sf, "events").count())
+  }
+
+  test("null-aware anti join honors NOT IN three-valued logic") {
+    val rows = SparkEntry.queries("join_anti_null_aware")(s, sf).collect()
+      .map(r => r.getAs[String]("variant") -> r.getAs[Long]("n_rows")).toMap
+    // a NULL in the list makes NOT IN never-true: empty, always
+    assert(rows("with_null") == 0L)
+    val expect = T.t(s, sf, "customer")
+      .join(T.t(s, sf, "supplier").select(col("s_nationkey").as("k"))
+        .distinct(), col("c_nationkey") === col("k"), "left_anti").count()
+    assert(rows("no_null") == expect)
+  }
+
+  test("assortativity is a correlation in [-1, 1] over symmetric edges") {
+    val r = SparkEntry.queries("graph_assortativity")(s, sf).collect()(0)
+    val a = r.getAs[Double]("assortativity")
+    assert(a >= -1.0 && a <= 1.0)
+    assert(r.getAs[Long]("n_edges") % 2 == 0) // both orientations present
+  }
 }
