@@ -470,28 +470,31 @@ object GroupNine {
           T.r6s("(n*n*n - n) - 6*d2", "n*n*n - n").as("rho"))
     },
 
-    // Common-neighbor link prediction over the part co-purchase graph —
+    // Common-neighbor link prediction over the STRONG co-purchase graph —
     // the classic "people who bought X also bought Y" candidate scorer:
     // for every non-adjacent pair reachable through a shared neighbor,
     // the exact common-neighbor count plus the neighborhood Jaccard
     // (|N(a)∩N(b)| / |N(a)∪N(b)|) as the exact-rational 6dp boundary,
-    // top-20 by (count, ids). The wedge join runs on the STAGED distinct
-    // pair table (shared with triangle count / CC / degree histogram),
-    // and middle nodes are capped at degree ≤ 1024 — mirrored in the
-    // oracle — so hub fan-out is bounded by construction at any scale
-    // (inert on the fixtures; load-bearing at 100 TB, the dfCap pattern).
+    // top-20 by (count, ids). Runs on the support-top-2000 edge set
+    // (deterministic TakeOrdered cut: support desc, then ids — the
+    // graph_cc_logrounds pattern): link prediction over EVERY noise
+    // basket pair is Σd² wedges — 3·10⁸ at sf0.1 already, quadratic
+    // doom at 100 TB — while the thresholded strong graph bounds the
+    // wedge join by construction at any scale and is what a
+    // recommender actually scores.
     q("graph_common_neighbors",
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |pr AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS sup
         |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
-        |    AND a.l_partkey < b.l_partkey),
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+        |  LIMIT 2000),
         |e AS (SELECT pa AS src, pb AS dst FROM pr
         |  UNION ALL SELECT pb, pa FROM pr),
         |deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
         |w AS (SELECT e1.src AS a, e2.dst AS c, count(*) AS cn
-        |  FROM e e1
-        |  JOIN deg m ON e1.dst = m.node AND m.d <= 1024
-        |  JOIN e e2 ON e1.dst = e2.src
+        |  FROM e e1 JOIN e e2 ON e1.dst = e2.src
         |  WHERE e1.src < e2.dst GROUP BY 1, 2),
         |nw AS (SELECT a, c, cn FROM w
         |  WHERE NOT EXISTS (SELECT 1 FROM pr
@@ -502,13 +505,14 @@ object GroupNine {
         |    // (2 * (da.d + dc.d - cn)) AS BIGINT) / 1000000.0 AS jaccard
         |FROM nw JOIN deg da ON nw.a = da.node JOIN deg dc ON nw.c = dc.node
         |ORDER BY common_n DESC, pa, pb LIMIT 20""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val pr = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+        .select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
       val w = e.as("e1")
-        .join(deg.where(col("d") <= 1024).as("m"),
-          col("e1.dst") === col("m.node"))
         .join(e.as("e2"), col("e1.dst") === col("e2.src"))
         .where(col("e1.src") < col("e2.dst"))
         .groupBy(col("e1.src").as("a"), col("e2.dst").as("c"))

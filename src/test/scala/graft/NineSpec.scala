@@ -161,11 +161,15 @@ class NineSpec extends AnyFunSuite {
   test("common-neighbor candidates are non-adjacent with true counts") {
     val rows = SparkEntry.queries("graph_common_neighbors")(s, sf).collect()
     assert(rows.nonEmpty && rows.length <= 20)
-    val pr = T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey")
+    // recompute the support-top-2000 strong edge set the key runs on
+    val li = T.t(s, sf, "lineitem").select("l_orderkey", "l_partkey")
       .distinct()
-    val adj = pr.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-      .join(pr.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
-      .filter(col("pa") < col("pb")).select("pa", "pb").distinct()
+    val adj = li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
+      .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+      .select("pa", "pb")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val nbrs = adj.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
       .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
