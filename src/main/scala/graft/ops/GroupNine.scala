@@ -1066,6 +1066,143 @@ object GroupNine {
               / expr(
                 "cast(cast(n as decimal(38,0)) * sxx - sx * sx as double)"),
             6).as("assortativity"))
+    },
+
+    // Deterministic epoch shuffle — the reproducible data-ordering step
+    // of a training run: epoch e's order is poly_hash("e:doc_id"), so
+    // every epoch is a different but REPLAYABLE permutation (same on any
+    // engine, partitioning or rerun — the property torn-down-and-resumed
+    // training jobs need). The key emits each epoch's first five docs;
+    // each epoch is its own TakeOrdered (orderBy + limit) — at 100 TB
+    // "the head of a shuffle order" never global-sorts the corpus.
+    q("pipeline_epoch_shuffle",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(1 AS BIGINT) + 0 AS _one FROM documents),
+        |hs AS (SELECT e, doc_id, (list_reduce(
+        |    list_concat([CAST(0 AS HUGEINT)],
+        |      list_transform(range(length(CAST(e AS VARCHAR) || ':' ||
+        |          CAST(doc_id AS VARCHAR))),
+        |        j -> CAST(ascii(substr(CAST(e AS VARCHAR) || ':' ||
+        |          CAST(doc_id AS VARCHAR), CAST(j+1 AS INT), 1))
+        |          AS HUGEINT))),
+        |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+        |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+        |    % CAST(2305843009213693951 AS HUGEINT) AS hv
+        |  FROM d CROSS JOIN (SELECT unnest([1, 2, 3]) AS e)),
+        |r AS (SELECT e, doc_id, hv,
+        |    row_number() OVER (PARTITION BY e ORDER BY hv, doc_id) AS rn
+        |  FROM hs)
+        |SELECT CAST(e AS BIGINT) AS epoch, CAST(rn AS BIGINT) AS pos,
+        |  doc_id, CAST(hv AS BIGINT) AS hv
+        |FROM r WHERE rn <= 5 ORDER BY epoch, pos""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val docs = T.t(s, dir, "documents").select("doc_id")
+      (1 to 3).map { e =>
+        docs.select(lit(e.toLong).as("epoch"), col("doc_id"),
+          call_function("poly_hash",
+            concat(lit(s"$e:"), col("doc_id").cast("string"))).as("hv"))
+          .orderBy("hv", "doc_id").limit(5)
+          .withColumn("pos", row_number().over(
+            Window.partitionBy("epoch").orderBy("hv", "doc_id"))
+            .cast(LongType))
+      }.reduce(_ unionAll _)
+        .select("epoch", "pos", "doc_id", "hv")
+        .orderBy("epoch", "pos")
+    },
+
+    // Join-cardinality estimation — the cost-based-optimizer diagnostic:
+    // the EXACT join size |lineitem ⋈ orders| computed WITHOUT
+    // materializing the join (Σ_k cntA(k)·cntB(k) over the key-count
+    // tables — the two-pass trick a 100 TB planner uses), next to the
+    // textbook independence estimate |A|·|B| / max(ndv_A, ndv_B), with
+    // the signed relative error at the exact-rational 6dp boundary.
+    // Everything is integer arithmetic in DECIMAL(38,0).
+    q("catalog_join_card_estimate",
+      """WITH ca AS (SELECT l_orderkey AS k, count(*) AS c
+        |  FROM lineitem GROUP BY 1),
+        |cb AS (SELECT o_orderkey AS k, count(*) AS c FROM orders GROUP BY 1),
+        |ex AS (SELECT sum(CAST(ca.c AS HUGEINT) * cb.c) AS exact_card
+        |  FROM ca JOIN cb ON ca.k = cb.k),
+        |sa AS (SELECT count(*) AS n_a, count(DISTINCT l_orderkey) AS ndv_a
+        |  FROM lineitem),
+        |sb AS (SELECT count(*) AS n_b, count(DISTINCT o_orderkey) AS ndv_b
+        |  FROM orders),
+        |est AS (SELECT n_a, ndv_a, n_b, ndv_b,
+        |    (CAST(n_a AS HUGEINT) * n_b) // greatest(ndv_a, ndv_b)
+        |      AS indep_est, exact_card
+        |  FROM sa CROSS JOIN sb CROSS JOIN ex)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(ndv_a AS BIGINT) AS ndv_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(ndv_b AS BIGINT) AS ndv_b,
+        |  CAST(exact_card AS BIGINT) AS exact_card,
+        |  CAST(indep_est AS BIGINT) AS indep_est,
+        |  (CASE WHEN indep_est - exact_card < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000 * abs(indep_est - exact_card) + exact_card)
+        |      // (2 * exact_card) AS BIGINT) / 1000000.0 AS rel_err
+        |FROM est""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem"); val o = T.t(s, dir, "orders")
+      val ca = li.groupBy(col("l_orderkey").as("k"))
+        .agg(count(lit(1)).as("c"))
+      val cb = o.groupBy(col("o_orderkey").as("k"))
+        .agg(count(lit(1)).as("cb"))
+      val ex = ca.join(cb, "k")
+        .agg(sum(col("c").cast(DecimalType(38, 0)) * col("cb"))
+          .as("exact_card"))
+      val sa = li.agg(count(lit(1)).as("n_a"),
+        countDistinct(col("l_orderkey")).as("ndv_a"))
+      val sb = o.agg(count(lit(1)).as("n_b"),
+        countDistinct(col("o_orderkey")).as("ndv_b"))
+      sa.crossJoin(broadcast(sb)).crossJoin(broadcast(ex))
+        .withColumn("indep_est", expr(
+          "(cast(n_a as decimal(38,0)) * n_b) div greatest(ndv_a, ndv_b)"))
+        .select(col("n_a"), col("ndv_a"), col("n_b"), col("ndv_b"),
+          col("exact_card").cast(LongType).as("exact_card"),
+          col("indep_est"),
+          T.r6s("cast(indep_est as decimal(38,0)) - exact_card",
+            "exact_card").as("rel_err"))
+    },
+
+    // Population Stability Index — the model-monitoring drift score
+    // between the first calendar week and the rest of the month, binned
+    // by a single shared IEEE expression (64-unit value buckets). Counts
+    // and totals are exact integers; each bin's PSI term
+    // (p−q)·ln(p/q) divides exact ints to doubles with identical
+    // parenthesization and rounds 6dp (the entropy-key ln contract) —
+    // emitted PER BIN, never float-summed, so the output is order- and
+    // partition-independent. One scan + enum-sized agg.
+    q("dq_population_stability",
+      """WITH b AS (SELECT least(9, CAST(floor(value / 64.0) AS BIGINT))
+        |    AS bin,
+        |    CASE WHEN CAST(date_part('day', ts) AS INT) <= 7
+        |      THEN 1 ELSE 0 END AS is_ref
+        |  FROM events),
+        |c AS (SELECT bin, sum(is_ref) AS nr, sum(1 - is_ref) AS nc
+        |  FROM b GROUP BY 1),
+        |t AS (SELECT sum(nr) AS tr, sum(nc) AS tc FROM c)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(nr AS BIGINT) AS n_ref,
+        |  CAST(nc AS BIGINT) AS n_cur,
+        |  CASE WHEN nr = 0 OR nc = 0 THEN NULL ELSE
+        |    round((CAST(nr AS DOUBLE) / tr - CAST(nc AS DOUBLE) / tc)
+        |      * ln((CAST(nr AS DOUBLE) / tr) / (CAST(nc AS DOUBLE) / tc)),
+        |      6) END AS psi_term
+        |FROM c CROSS JOIN t ORDER BY bin""") { (s, dir) =>
+      val b = T.t(s, dir, "events")
+        .select(least(lit(9L), floor(col("value") / 64.0d).cast(LongType))
+          .as("bin"),
+          when(dayofmonth(col("ts")) <= 7, 1L).otherwise(0L).as("is_ref"))
+      val c = b.groupBy("bin")
+        .agg(sum("is_ref").as("nr"), sum(lit(1L) - col("is_ref")).as("nc"))
+      val t = c.agg(sum("nr").as("tr"), sum("nc").as("tc"))
+      c.crossJoin(broadcast(t))
+        .select(col("bin"), col("nr").as("n_ref"), col("nc").as("n_cur"),
+          when(col("nr") === 0 || col("nc") === 0,
+            lit(null).cast(DoubleType))
+            .otherwise(round(
+              (col("nr").cast(DoubleType) / col("tr")
+                - col("nc").cast(DoubleType) / col("tc"))
+                * log((col("nr").cast(DoubleType) / col("tr"))
+                  / (col("nc").cast(DoubleType) / col("tc"))), 6))
+            .as("psi_term"))
+        .orderBy("bin")
     }
   )
 }

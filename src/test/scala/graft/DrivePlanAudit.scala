@@ -72,7 +72,10 @@ object DrivePlanAudit {
     // round 9c: the 20-query broadcast of the binary-quantized ANN
     // (vector_cosine_topk's shape), the 1-row edge-count scalar of the
     // modularity score, and the 1-row sketch scalars of the KMV algebra
-    "vector_binary_hamming_topk", "graph_modularity", "agg_kmv_set_ops")
+    "vector_binary_hamming_topk", "graph_modularity", "agg_kmv_set_ops",
+    // round 9d: 1-row scalar broadcasts of the CBO estimate and the PSI
+    // ref/cur totals
+    "catalog_join_card_estimate", "dq_population_stability")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

@@ -380,4 +380,46 @@ class NineSpec extends AnyFunSuite {
     assert(a >= -1.0 && a <= 1.0)
     assert(r.getAs[Long]("n_edges") % 2 == 0) // both orientations present
   }
+
+  test("epoch shuffle: permutations differ by epoch but replay exactly") {
+    val a = SparkEntry.queries("pipeline_epoch_shuffle")(s, sf).collect()
+      .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("pos"),
+        r.getAs[Long]("doc_id")))
+    assert(a.length == 15)
+    val byEpoch = a.groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3))
+    // different epochs yield different head orders (hash-keyed)
+    assert(byEpoch(1L) != byEpoch(2L) || byEpoch(2L) != byEpoch(3L))
+    // replay under a different shuffle partitioning: identical
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "7")
+    try {
+      val b = SparkEntry.queries("pipeline_epoch_shuffle")(s, sf).collect()
+        .map(r => (r.getAs[Long]("epoch"), r.getAs[Long]("pos"),
+          r.getAs[Long]("doc_id")))
+      assert(a.toSeq == b.toSeq)
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  test("join cardinality estimate: the exact count matches the real join") {
+    val r = SparkEntry.queries("catalog_join_card_estimate")(s, sf)
+      .collect()(0)
+    val real = T.t(s, sf, "lineitem")
+      .join(T.t(s, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey")).count()
+    assert(r.getAs[Long]("exact_card") == real)
+    assert(r.getAs[Long]("ndv_a") <= r.getAs[Long]("n_a"))
+  }
+
+  test("population stability: bins partition both periods") {
+    val rows = SparkEntry.queries("dq_population_stability")(s, sf).collect()
+    val total = T.t(s, sf, "events").count()
+    assert(rows.map(r => r.getAs[Long]("n_ref") + r.getAs[Long]("n_cur"))
+      .sum == total)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("psi_term"))) {
+        // each term is finite and small on a stable synthetic stream
+        assert(math.abs(r.getAs[Double]("psi_term")) < 10.0)
+      }
+    }
+  }
 }
