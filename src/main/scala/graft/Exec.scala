@@ -156,4 +156,45 @@ object Exec {
       direct(body).distinct.sorted.map(d => (v, d))
     }
   }
+
+  /** Column-level lineage of a view — the SYSCAT.COLDEP analogue: each
+    * output column traced through the ANALYZED plan's alias graph down to
+    * the base-relation attributes it derives from. Alias nodes map their
+    * exprId to their child's attribute references; pass-through attributes
+    * keep their exprId, so resolution terminates at the leaf
+    * `SubqueryAlias` outputs of the named base relations. Literal-only
+    * outputs (e.g. `count(*)`) have no lineage rows, by design. Purely
+    * driver-side plan introspection — no data is read. */
+  def columnLineage(s: SparkSession, viewName: String,
+                    baseNames: Set[String]): Seq[(String, String, String)] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, SubqueryAlias}
+    import org.apache.spark.sql.catalyst.expressions.Alias
+    val leafOwner = scala.collection.mutable.Map[Long, (String, String)]()
+    def collectLeaves(p: LogicalPlan): Unit = p match {
+      case sa @ SubqueryAlias(id, _) if baseNames(id.name) =>
+        sa.output.foreach(a => leafOwner(a.exprId.id) = (id.name, a.name))
+      case other =>
+        other.children.foreach(collectLeaves)
+        other.subqueries.foreach(collectLeaves)
+    }
+    val refs = scala.collection.mutable.Map[Long, Set[Long]]()
+    val analyzed = s.table(viewName).queryExecution.analyzed
+    collectLeaves(analyzed)
+    analyzed.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case al: Alias =>
+          refs(al.exprId.id) = al.child.references.map(_.exprId.id).toSet
+        case _ => ()
+      })
+    }
+    def resolve(id: Long, seen: Set[Long]): Set[Long] =
+      if (leafOwner.contains(id)) Set(id)
+      else refs.getOrElse(id, Set.empty).diff(seen)
+        .flatMap(r => resolve(r, seen + id))
+    analyzed.output.flatMap { a =>
+      resolve(a.exprId.id, Set.empty).toSeq.map(leafOwner).map {
+        case (t, c) => (a.name, t, c)
+      }
+    }.distinct.sorted
+  }
 }

@@ -1203,6 +1203,83 @@ object GroupNine {
                   / (col("nc").cast(DoubleType) / col("tc"))), 6))
             .as("psi_term"))
         .orderBy("bin")
+    },
+
+    // Column-level lineage — the SYSCAT.COLDEP analogue completing the
+    // catalog family (tables → profiles → view deps → COLUMN deps): a
+    // revenue-summary view's output columns traced through the ANALYZED
+    // plan's alias graph to the base-relation columns they derive from
+    // (`Exec.columnLineage`). Literal-only outputs (count(*)) have no
+    // lineage rows, by design; the oracle declares the expected edge
+    // set. Driver-side plan introspection — no data is read.
+    q("catalog_column_lineage",
+      """SELECT * FROM (VALUES
+        |  ('avg_line_qty', 'lineitem', 'l_quantity'),
+        |  ('revenue', 'orders', 'o_totalprice'),
+        |  ('status', 'orders', 'o_orderstatus'))
+        |AS t(out_col, src_table, src_col)
+        |ORDER BY out_col, src_table, src_col""") { (s, dir) =>
+      val sfx = (dir.hashCode & Int.MaxValue).toString
+      def reg(tbl: String): String = {
+        val n = s"graft_lin_${tbl}_$sfx"
+        T.t(s, dir, tbl).createOrReplaceTempView(n)
+        n
+      }
+      val ord = reg("orders"); val li = reg("lineitem")
+      val v = s"graft_v_revsum_$sfx"
+      s.sql(s"""CREATE OR REPLACE TEMP VIEW $v AS
+        SELECT o_orderstatus AS status,
+          sum(o_totalprice) AS revenue,
+          count(*) AS n_orders,
+          avg(l.l_quantity) AS avg_line_qty
+        FROM $ord o JOIN $li l ON o.o_orderkey = l.l_orderkey
+        GROUP BY o_orderstatus""")
+      import s.implicits._
+      graft.Exec.columnLineage(s, v, Set(ord, li))
+        .map { case (out, tbl, c) =>
+          (out, tbl.stripPrefix("graft_lin_").stripSuffix(s"_$sfx"), c)
+        }
+        .toDF("out_col", "src_table", "src_col")
+        .where(col("out_col") =!= "n_orders") // literal-only: no lineage
+        .orderBy("out_col", "src_table", "src_col")
+    },
+
+    // Calibration (reliability) bins — the model-evaluation primitive
+    // after the decision stump: 20 equal-width score bins of the order
+    // total (shared-IEEE binning from a 1-row min/max scalar, the stump's
+    // grid), each reporting count, positive fraction (exact-rational
+    // 6dp) and mean score (exact decimal sum ÷ count). A calibrated
+    // score's frac_pos should rise with the bin — the spec pins the
+    // bracket, the oracle pins the numbers. One scan + 20-row agg.
+    q("ml_calibration_bins",
+      """WITH o AS (SELECT o_totalprice AS p,
+        |    CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+        |  FROM orders),
+        |mm AS (SELECT min(p) AS mn, max(p) AS mx FROM o),
+        |b AS (SELECT least(19, CAST(floor((p - mn) / ((mx - mn) / 20.0))
+        |    AS BIGINT)) AS bin, p, y FROM o CROSS JOIN mm)
+        |SELECT CAST(bin AS BIGINT) AS bin, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST((2000000 * sum(y) + count(*)) // (2 * count(*)) AS BIGINT)
+        |    / 1000000.0 AS frac_pos,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |    AS avg_price
+        |FROM b GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+        .select(col("o_totalprice").cast(DoubleType).as("p"),
+          when(col("o_orderpriority") === "1-URGENT", 1L).otherwise(0L)
+            .as("y"))
+      val mm = o.agg(min("p").as("mn"), max("p").as("mx"))
+      o.crossJoin(broadcast(mm))
+        .select(least(lit(19L),
+          floor((col("p") - col("mn")) / ((col("mx") - col("mn")) / 20.0))
+            .cast(LongType)).as("bin"), col("p"), col("y"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("y").as("n_pos"),
+          T.davg(col("p")).as("avg_price"))
+        .withColumn("frac_pos", T.r6("n_pos", "n"))
+        .select("bin", "n", "n_pos", "frac_pos", "avg_price")
+        .orderBy("bin")
     }
   )
 }

@@ -75,7 +75,9 @@ object DrivePlanAudit {
     "vector_binary_hamming_topk", "graph_modularity", "agg_kmv_set_ops",
     // round 9d: 1-row scalar broadcasts of the CBO estimate and the PSI
     // ref/cur totals
-    "catalog_join_card_estimate", "dq_population_stability")
+    "catalog_join_card_estimate", "dq_population_stability",
+    // the calibration grid's 1-row min/max scalar (the stump's shape)
+    "ml_calibration_bins")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

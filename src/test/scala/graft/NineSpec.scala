@@ -422,4 +422,34 @@ class NineSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("column lineage traces through join + aggregate, skips literals") {
+    // independent micro-model: a view over two tiny registered tables
+    import s.implicits._
+    Seq((1L, "a", 10.0)).toDF("id", "grp", "amt")
+      .createOrReplaceTempView("lin_fact")
+    Seq((1L, "x")).toDF("fid", "tag")
+      .createOrReplaceTempView("lin_dim")
+    s.sql("""CREATE OR REPLACE TEMP VIEW lin_v AS
+      SELECT grp AS g, sum(amt) AS total, count(*) AS n, max(tag) AS top_tag
+      FROM lin_fact JOIN lin_dim ON id = fid GROUP BY grp""")
+    val got = Exec.columnLineage(s, "lin_v", Set("lin_fact", "lin_dim"))
+    assert(got == Seq(
+      ("g", "lin_fact", "grp"),
+      ("top_tag", "lin_dim", "tag"),
+      ("total", "lin_fact", "amt")))
+  }
+
+  test("calibration bins tile all orders and brackets stay in [0,1]") {
+    val rows = SparkEntry.queries("ml_calibration_bins")(s, sf).collect()
+    assert(rows.map(_.getAs[Long]("n")).sum == T.t(s, sf, "orders").count())
+    rows.foreach { r =>
+      val f = r.getAs[Double]("frac_pos")
+      assert(f >= 0.0 && f <= 1.0)
+      assert(r.getAs[Long]("n_pos") <= r.getAs[Long]("n"))
+    }
+    // bins are ordered by score: mean price strictly increases
+    val avgs = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("avg_price"))
+    assert(avgs.sliding(2).forall { case Array(a, b) => a < b })
+  }
 }
