@@ -183,5 +183,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenBigrams].getName, "bigrams"),
       (exprs: Seq[Expression]) => TokenBigrams(exprs.head)))
+    // whole-operator surface: the native per-group top-k strategy
+    // (graft.plans) rides the same cluster-wide injection point
+    e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
   }
 }

@@ -1280,6 +1280,32 @@ object GroupNine {
         .withColumn("frac_pos", T.r6("n_pos", "n"))
         .select("bin", "n", "n_pos", "frac_pos", "avg_price")
         .orderBy("bin")
+    },
+
+    // NATIVE per-group top-k — the whole-operator extension ladder
+    // (custom LogicalPlan → SparkStrategy → SparkPlan, graft.plans.TopK):
+    // top-3 orders per priority by (price, key), executed by bounded
+    // per-group heaps (O(n log k), O(groups·k) memory) instead of
+    // WindowExec's full partition sort. Ordering must be TOTAL
+    // ((price desc, key) here) for the result to be well-defined — same
+    // contract as the rank-window formulation the oracle uses. The
+    // exchange on the group key is still Catalyst's (the node declares
+    // ClusteredDistribution), so AQE plans it like any aggregate.
+    q("operator_topk_native",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, o_totalprice DESC,
+        |  o_orderkey""") { (s, dir) =>
+      graft.plans.TopK.topKPerGroup(
+        T.t(s, dir, "orders")
+          .select("o_orderpriority", "o_orderkey", "o_totalprice"),
+        Seq("o_orderpriority"),
+        Seq(("o_totalprice", false), ("o_orderkey", true)), 3)
+        .orderBy(col("o_orderpriority"), col("o_totalprice").desc,
+          col("o_orderkey"))
     }
   )
 }

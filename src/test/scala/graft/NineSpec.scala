@@ -452,4 +452,36 @@ class NineSpec extends AnyFunSuite {
     val avgs = rows.sortBy(_.getAs[Long]("bin")).map(_.getAs[Double]("avg_price"))
     assert(avgs.sliding(2).forall { case Array(a, b) => a < b })
   }
+
+  test("native top-k: bounded-heap exec replaces the window sort exactly") {
+    val src = T.t(s, sf, "lineitem")
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_extendedprice")
+    val native = plans.TopK.topKPerGroup(src, Seq("l_suppkey"),
+      Seq(("l_extendedprice", false), ("l_orderkey", true),
+        ("l_linenumber", true)), 4)
+    // the custom operator is actually in the plan, above an exchange
+    val p = native.queryExecution.executedPlan.toString
+    assert(p.contains("TopKPerGroup"), p)
+    assert(p.contains("Exchange") || p.contains("ShuffleQueryStage"), p)
+    // exact equivalence with the rank-window formulation
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey"),
+        col("l_linenumber"))
+    val expect = src.withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 4).drop("rn")
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    val got = native
+      .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(got == expect)
+    // rows within each group emit in rank order even without a final sort
+    val perGroup = native.collect().groupBy(_.getLong(0))
+    perGroup.values.foreach { g =>
+      val prices = g.map(_.getDouble(3)).toSeq
+      assert(prices == prices.sortBy(-_))
+      assert(g.length <= 4)
+    }
+  }
 }
