@@ -19,9 +19,18 @@ object Bench {
       li.groupBy("l_returnflag").count().count()
       li.limit(1000).orderBy("l_orderkey").count()
     } catch { case _: Throwable => }
+    // A failed query must be LOUD: r9's events-fixture drift broke 64 keys
+    // yet BENCH_r09 reported rc=0 because failures were swallowed as ~0 s
+    // timings (VERDICT r9 "What's wrong" #2). Record every failure by name,
+    // surface them in the JSON line, and exit non-zero.
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable =>
+        errors += name
+        System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     // The driver captures only the LAST 2000 chars of output (BENCH_r01/r02
@@ -44,7 +53,11 @@ object Bench {
     // so the context is part of the measurement
     val load = f3(java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage)
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_omitted":$rest,"other_sec":${f3(otherSec)},"load_avg":$load,"sf":"$sfDir"}""")
+    // errors stay inside the 2000-char tail budget: full count always, the
+    // first 10 names as a sample (64 names would evict the timing payload)
+    val errJson = errors.take(10).map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_omitted":$rest,"other_sec":${f3(otherSec)},"load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

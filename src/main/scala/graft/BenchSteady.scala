@@ -36,25 +36,39 @@ object BenchSteady {
       li.groupBy("l_returnflag").count().count()
     } catch { case _: Throwable => }
     val loadStart = load
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // same loud-failure rule as Bench (VERDICT r9): a key that throws must
+    // not be recorded as a ~0 s anchor — skip it and fail the run at the end
+    val errors = scala.collection.mutable.ArrayBuffer[String]()
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => }
+        try { fn(spark, sfDir).count() }
+        catch { case e: Throwable =>
+          failed = true
+          System.err.println(s"[steady] $name FAILED: ${String.valueOf(e.getMessage).take(200)}")
+        }
         (System.nanoTime() - t0) / 1e9
       }
-      println(s"STEADY $name reps=${times.map(f3).mkString(",")} min=${f3(times.min)}")
-      name -> times.min
+      if (failed) { errors += name; None }
+      else {
+        println(s"STEADY $name reps=${times.map(f3).mkString(",")} min=${f3(times.min)}")
+        Some(name -> times.min)
+      }
     }
     val keysJson = results
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
+    val errJson = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json =
       s"""{"sf":"$sfDir","cpus":$cpus,"reps":$reps,"date":"${java.time.LocalDate.now}",
          |"load_avg_start":${f3(loadStart)},"load_avg_end":${f3(load)},
          |"total_min_sec":${f3(results.map(_._2).sum)},"n_keys":${results.size},
+         |"n_errors":${errors.size},"errors":$errJson,
          |"keys":$keysJson}""".stripMargin.replace("\n", "")
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(s"WROTE $out (${results.size} keys)")
+    println(s"WROTE $out (${results.size} keys, ${errors.size} errors)")
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -15,15 +15,27 @@ import org.apache.spark.sql.types._
 object T {
   /** Read a fixture table: one parquet per table under the sf dir.
     *
-    * `events.parquet` stores `ts` as INT64 TIMESTAMP(NANOS), which Spark 4
-    * rejects outright (PARQUET_TYPE_ILLEGAL). We read it as raw nanos via
-    * the legacy flag and truncate to microseconds — exactly what DuckDB does
-    * when it reads the same file, so oracle values align bit-for-bit. */
+    * `events.parquet` has shipped with two physical encodings of `ts`
+    * across fixture generations: INT64 TIMESTAMP(NANOS) — which Spark 4
+    * rejects outright (PARQUET_TYPE_ILLEGAL) unless read as raw nanos via
+    * the legacy flag and truncated to microseconds — and, since the
+    * 2026-08-12 regen, plain TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ).
+    * Branch on the LOADED type, not an assumption about the file: LongType
+    * means the nanos encoding (apply the shim; the DIV-1000 truncation is
+    * exactly what DuckDB does reading the same file, so oracle values align
+    * bit-for-bit); any timestamp type is already micros (cast to
+    * TIMESTAMP_NTZ so downstream sees one stable type either way). The
+    * nanosAsLong flag stays set unconditionally — it is a no-op for
+    * micros files. */
   def t(s: SparkSession, dir: String, name: String): DataFrame = {
     if (name == "events") {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      s.read.parquet(s"$dir/events.parquet")
-        .withColumn("ts", expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)"))
+      val raw = s.read.parquet(s"$dir/events.parquet")
+      val ts = raw.schema("ts").dataType match {
+        case LongType => expr("cast(timestamp_micros(ts DIV 1000) as timestamp_ntz)")
+        case _        => expr("cast(ts as timestamp_ntz)")
+      }
+      raw.withColumn("ts", ts)
     } else s.read.parquet(s"$dir/$name.parquet")
   }
 

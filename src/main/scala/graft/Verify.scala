@@ -22,12 +22,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Failures must leave a visible artifact, not just a stderr line: in r9
+    // the events-fixture drift silently shrank CORRECTNESS_r09 from 272 to
+    // 208 entries with zero err records (VERDICT r9 "What's wrong" #3).
+    // Collect key -> message and write _errors.json next to the dumps so a
+    // breakage shows up as data the driver (and a human) can read.
+    val failed = scala.collection.mutable.LinkedHashMap[String, String]()
+    var dumped = 0
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      try {
+        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        dumped += 1
+      } catch { case e: Throwable =>
+        failed(name) = s"${e.getClass.getName}: ${String.valueOf(e.getMessage).take(500)}"
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
@@ -46,6 +56,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    // NOTE: exit code stays 0 even on per-key failures — the driver may
+    // treat a non-zero Verify as "no dump at all", which would zero the
+    // round's correctness instead of flagging the broken subset. The
+    // _errors.json artifact + this summary line are the loud signal.
+    println(s"[verify] dumped $dumped / failed ${failed.size}")
     spark.stop()
   }
 }
