@@ -33,7 +33,8 @@ object SparkEntry {
     ops.GroupDepth.defs,      // §2-S analytics depth (round 6)
     ops.GroupSeven.defs,      // §2-T statistics/mining/pipeline (round 7)
     ops.GroupEight.defs,      // §2-U compositions & graph depth (round 8)
-    ops.GroupNine.defs        // §2-V training-data pipeline depth (round 9)
+    ops.GroupNine.defs,       // §2-V training-data pipeline depth (round 9)
+    ops.GroupTen.defs         // §2-W observability/robust-stats/audits (round 10)
   )
 
   private val all: Seq[T.Q] = groups.flatten

@@ -1,0 +1,544 @@
+package graft.ops
+
+import graft.T
+import graft.T.{Q, q}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** SURVEY.md §2-W (round 10) — observability, robust statistics & index
+  * audits: the operators that close the loop AROUND a production pipeline —
+  * evaluating a classifier (confusion metrics), auditing an ANN index
+  * (recall@k vs exact ground truth), auditing physical layout (parquet
+  * row-group stats), robust outlier fences (IQR), resampled uncertainty
+  * (deterministic bootstrap CI), rolling/rank correlation
+  * (windowed Pearson, Kendall tau-b), corpus-law fits (Zipf slope, hapax),
+  * network/url scalar surfaces, M4 time-series downsampling, Iceberg-style
+  * delete-vector application, and temperature-weighted corpus sampling.
+  *
+  * Determinism rules follow §2-T/U/V: exact integer or decimal moments
+  * wherever possible; every float boundary is either a selection (min/max/
+  * arg_min of stored doubles), a single IEEE op on bit-identical operands,
+  * or a post-sqrt/ln value rounded at 6dp (far from representability
+  * ties); integer rationals go through T.r6/r6s (pure-integer HALF_UP);
+  * integer aggregates are CAST AS BIGINT in the oracle (no HUGEINT output).
+  */
+object GroupTen {
+
+  val defs: Seq[Q] = Seq(
+
+    // Rolling Pearson correlation — the windowed form of agg_corr_covar:
+    // corr(quantity, extendedprice) over the trailing 20 rows per supplier
+    // (price/mix drift monitoring). All five windowed moments are EXACT
+    // integer-cent sums (quantity/price are 2dp-exact doubles, FIXTURES.md),
+    // so the only float math is the final num/sqrt·sqrt division on
+    // bit-identical operands, rounded at 6dp. One shuffle on l_suppkey; the
+    // frame is rows-bounded so state per partition is O(20) — at 100 TB this
+    // is the standard partitioned running-window shape.
+    q("window_rolling_corr",
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS x,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_suppkey <= 2),
+        |w AS (SELECT l_suppkey,
+        |    row_number() OVER win AS rn,
+        |    count(*) OVER winf AS n,
+        |    sum(x) OVER winf AS sx, sum(y) OVER winf AS sy,
+        |    sum(x*x) OVER winf AS sxx, sum(y*y) OVER winf AS syy,
+        |    sum(x*y) OVER winf AS sxy
+        |  FROM li
+        |  WINDOW win AS (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y),
+        |    winf AS (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, x, y
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW))
+        |SELECT l_suppkey, CAST(rn AS BIGINT) AS rn,
+        |  CASE WHEN n*sxx - sx*sx > 0 AND n*syy - sy*sy > 0 THEN
+        |    round(CAST(n*sxy - sx*sy AS DOUBLE) /
+        |      (sqrt(CAST(n*sxx - sx*sx AS DOUBLE)) *
+        |       sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) + 0.0
+        |  END AS corr20
+        |FROM w WHERE rn >= 20 ORDER BY l_suppkey, rn""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").filter(col("l_suppkey") <= 2)
+        .withColumn("x", (col("l_quantity").cast(T.dec) * 100).cast(LongType))
+        .withColumn("y", (col("l_extendedprice").cast(T.dec) * 100).cast(LongType))
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("x"), col("y"))
+      val win = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      val winf = win.rowsBetween(-19, Window.currentRow)
+      li.withColumn("rn", row_number().over(win))
+        .withColumn("n", count(lit(1)).over(winf))
+        .withColumn("sx", sum(col("x")).over(winf))
+        .withColumn("sy", sum(col("y")).over(winf))
+        .withColumn("sxx", sum(col("x") * col("x")).over(winf))
+        .withColumn("syy", sum(col("y") * col("y")).over(winf))
+        .withColumn("sxy", sum(col("x") * col("y")).over(winf))
+        .filter(col("rn") >= 20)
+        .select(col("l_suppkey"), col("rn").cast(LongType).as("rn"),
+          when(col("n") * col("sxx") - col("sx") * col("sx") > 0 &&
+               col("n") * col("syy") - col("sy") * col("sy") > 0,
+            round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType) /
+              (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType)) *
+               sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))), 6)
+            + 0.0).as("corr20"))
+        .orderBy("l_suppkey", "rn")
+    },
+
+    // M4 time-series downsampling (min/max/first/last per pixel-bucket —
+    // Jugel et al., VLDB 2014): the lossless-for-rendering reduction every
+    // dashboard applies before plotting a 100 TB series. first/last are
+    // arg-selections on a composite (time, event_id) BIGINT order key, so
+    // every output is a SELECTED stored double — zero float arithmetic.
+    // One hash aggregation, partitioned by (day, type): fully parallel.
+    q("ts_downsample_m4",
+      """SELECT CAST(ts AS DATE) AS d, event_type,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  min(value) AS vmin, max(value) AS vmax,
+        |  arg_min(value, (epoch_us(ts) - 1704067200000000) * 1000000 + event_id) AS vfirst,
+        |  arg_max(value, (epoch_us(ts) - 1704067200000000) * 1000000 + event_id) AS vlast
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .withColumn("okey",
+          (expr("unix_micros(cast(ts as timestamp))") - lit(1704067200000000L))
+            * 1000000L + col("event_id"))
+        .groupBy(col("ts").cast(DateType).as("d"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          min(col("value")).as("vmin"), max(col("value")).as("vmax"),
+          expr("min_by(value, okey)").as("vfirst"),
+          expr("max_by(value, okey)").as("vlast"))
+        .orderBy("d", "event_type")
+    },
+
+    // IQR outlier fences (Tukey) per event_type: quartiles by exact rank
+    // selection (the agg_quantiles_disc pattern — no interpolation, doubles
+    // only SELECTED), fences q1−1.5·IQR / q3+1.5·IQR computed with the same
+    // IEEE op sequence in both engines, outlier share as a pure-integer
+    // HALF_UP rational (T.r6). Two passes over events (rank, then classify
+    // against the 5-row broadcast fence table) — the same shape at any
+    // scale; the rank pass is the only shuffle.
+    q("dq_outlier_iqr",
+      """WITH r AS (SELECT event_type, value,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY value, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM events),
+        |qs AS (SELECT event_type, any_value(n) AS n,
+        |    min(CASE WHEN rn = CAST(floor(0.25*(n-1)) + 1 AS BIGINT) THEN value END) AS q1,
+        |    min(CASE WHEN rn = CAST(floor(0.75*(n-1)) + 1 AS BIGINT) THEN value END) AS q3
+        |  FROM r GROUP BY 1),
+        |f AS (SELECT event_type, n, q1, q3,
+        |    q1 - 1.5*(q3 - q1) AS lo, q3 + 1.5*(q3 - q1) AS hi FROM qs),
+        |c AS (SELECT e.event_type,
+        |    CAST(sum(CASE WHEN e.value < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+        |    CAST(sum(CASE WHEN e.value > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high
+        |  FROM events e JOIN f ON e.event_type = f.event_type GROUP BY 1)
+        |SELECT f.event_type, CAST(f.n AS BIGINT) AS n, f.q1, f.q3,
+        |  c.n_low, c.n_high,
+        |  CAST((2000000*(c.n_low + c.n_high) + f.n) // (2*f.n) AS BIGINT) / 1000000.0 AS pct_out
+        |FROM f JOIN c ON f.event_type = c.event_type ORDER BY f.event_type""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+      val part = Window.partitionBy("event_type")
+      val ranked = e
+        .withColumn("rn", row_number().over(part.orderBy("value", "event_id")))
+        .withColumn("n", count(lit(1)).over(part))
+      val qs = ranked.groupBy("event_type").agg(
+        first(col("n")).as("n"),
+        min(when(col("rn") ===
+          (floor(lit(0.25) * (col("n") - 1)) + 1).cast(LongType), col("value"))).as("q1"),
+        min(when(col("rn") ===
+          (floor(lit(0.75) * (col("n") - 1)) + 1).cast(LongType), col("value"))).as("q3"))
+      val f = qs
+        .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+        .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+      val c = e.join(broadcast(f.select("event_type", "lo", "hi")), "event_type")
+        .groupBy("event_type").agg(
+          sum(when(col("value") < col("lo"), 1).otherwise(0)).cast(LongType).as("n_low"),
+          sum(when(col("value") > col("hi"), 1).otherwise(0)).cast(LongType).as("n_high"))
+      f.join(c, "event_type")
+        .select(col("event_type"), col("n").cast(LongType).as("n"),
+          col("q1"), col("q3"), col("n_low"), col("n_high"),
+          T.r6("n_low + n_high", "n").as("pct_out"))
+        .orderBy("event_type")
+    },
+
+    // Classifier evaluation — confusion matrix + precision/recall/F1/
+    // accuracy for a rule classifier (predict 'purchase' when value ≥ 50)
+    // against the labeled event_type. Every metric is a pure-integer
+    // rational through T.r6 — fully exact. One scan, one 4-counter
+    // aggregation: the evaluation pass costs one map stage at any scale.
+    q("ml_eval_confusion",
+      """WITH c AS (SELECT
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' AND value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' AND value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |    CAST(sum(CASE WHEN event_type <> 'purchase' AND value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |  FROM events)
+        |SELECT tp, fp, fn, tn,
+        |  CAST((2000000*tp + (tp+fp)) // (2*(tp+fp)) AS BIGINT) / 1000000.0 AS precision6,
+        |  CAST((2000000*tp + (tp+fn)) // (2*(tp+fn)) AS BIGINT) / 1000000.0 AS recall6,
+        |  CAST((2000000*(2*tp) + (2*tp+fp+fn)) // (2*(2*tp+fp+fn)) AS BIGINT) / 1000000.0 AS f1_6,
+        |  CAST((2000000*(tp+tn) + (tp+fp+fn+tn)) // (2*(tp+fp+fn+tn)) AS BIGINT) / 1000000.0 AS acc6
+        |FROM c""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .agg(
+          sum(when(col("event_type") === "purchase" && col("value") >= 50.0, 1)
+            .otherwise(0)).cast(LongType).as("tp"),
+          sum(when(col("event_type") =!= "purchase" && col("value") >= 50.0, 1)
+            .otherwise(0)).cast(LongType).as("fp"),
+          sum(when(col("event_type") === "purchase" && col("value") < 50.0, 1)
+            .otherwise(0)).cast(LongType).as("fn"),
+          sum(when(col("event_type") =!= "purchase" && col("value") < 50.0, 1)
+            .otherwise(0)).cast(LongType).as("tn"))
+        .select(col("tp"), col("fp"), col("fn"), col("tn"),
+          T.r6("tp", "tp + fp").as("precision6"),
+          T.r6("tp", "tp + fn").as("recall6"),
+          T.r6("2*tp", "2*tp + fp + fn").as("f1_6"),
+          T.r6("tp + tn", "tp + fp + fn + tn").as("acc6"))
+    },
+
+    // IPv4 scalar surface: derive a deterministic address per user
+    // (multiplicative hash of user_id), split octets with pure integer
+    // div/mod, classify RFC-1918 private ranges, and compute the /24
+    // network — the network-analytics scalar kit (bot/abuse pipelines).
+    // All integer arithmetic + printf; zero float ops.
+    q("scalar_ip_funcs",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |i AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM u),
+        |o AS (SELECT user_id, ip,
+        |    ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
+        |    (ip // 256) % 256 AS o3, ip % 256 AS o4 FROM i)
+        |SELECT user_id, CAST(ip AS BIGINT) AS ip,
+        |  printf('%d.%d.%d.%d', o1, o2, o3, o4) AS ip_str,
+        |  (o1 = 10 OR (o1 = 172 AND o2 BETWEEN 16 AND 31)
+        |    OR (o1 = 192 AND o2 = 168)) AS is_private,
+        |  CAST(ip - o4 AS BIGINT) AS net24
+        |FROM o ORDER BY user_id""") { (s, dir) =>
+      T.t(s, dir, "events").select("user_id").distinct()
+        .withColumn("ip", (col("user_id") * 2654435761L) % 4294967296L)
+        .withColumn("o1", expr("ip div 16777216"))
+        .withColumn("o2", expr("(ip div 65536) % 256"))
+        .withColumn("o3", expr("(ip div 256) % 256"))
+        .withColumn("o4", col("ip") % 256)
+        .select(col("user_id"), col("ip").cast(LongType).as("ip"),
+          format_string("%d.%d.%d.%d", col("o1"), col("o2"), col("o3"), col("o4"))
+            .as("ip_str"),
+          (col("o1") === 10 || (col("o1") === 172 && col("o2").between(16, 31)) ||
+            (col("o1") === 192 && col("o2") === 168)).as("is_private"),
+          (col("ip") - col("o4")).cast(LongType).as("net24"))
+        .orderBy("user_id")
+    },
+
+    // URL parsing surface: host / path / query-param extraction over a URL
+    // synthesized from document fields. Spark side uses the native
+    // parse_url expression (codegen'd); the oracle extracts the same
+    // components by regex — a pure per-row projection at any scale.
+    q("scalar_url_funcs",
+      """WITH u AS (SELECT doc_id,
+        |    'https://' || source || '.example.com/' || lang || '/doc/' ||
+        |      CAST(doc_id AS VARCHAR) || '?sid=' || CAST(doc_id % 7 AS VARCHAR) ||
+        |      '&ref=' || source AS url
+        |  FROM documents)
+        |SELECT doc_id,
+        |  regexp_extract(url, '^(\w+)://', 1) AS proto,
+        |  regexp_extract(url, '://([^/]+)/', 1) AS host,
+        |  regexp_extract(url, '://[^/]+(/[^?]*)', 1) AS path,
+        |  regexp_extract(url, 'sid=(\d+)', 1) AS sid,
+        |  regexp_extract(url, 'ref=(\w+)', 1) AS ref
+        |FROM u WHERE doc_id < 300 ORDER BY doc_id""") { (s, dir) =>
+      T.t(s, dir, "documents").filter(col("doc_id") < 300)
+        .withColumn("url", concat(lit("https://"), col("source"),
+          lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"),
+          lit("?sid="), col("doc_id") % 7, lit("&ref="), col("source")))
+        .select(col("doc_id"),
+          parse_url(col("url"), lit("PROTOCOL")).as("proto"),
+          parse_url(col("url"), lit("HOST")).as("host"),
+          parse_url(col("url"), lit("PATH")).as("path"),
+          parse_url(col("url"), lit("QUERY"), lit("sid")).as("sid"),
+          parse_url(col("url"), lit("QUERY"), lit("ref")).as("ref"))
+        .orderBy("doc_id")
+    },
+
+    // Zipf's-law fit per language: least-squares slope of ln(freq) vs
+    // ln(rank) over the top-200 terms. The transcendental boundary is
+    // QUANTIZED immediately (round(ln·10⁶) → BIGINT), so the regression
+    // moments are exact integer sums and the slope is a pure-integer
+    // rational through T.r6s (DECIMAL(38,0) pre-cast — n·Σxy reaches
+    // ~2·10¹⁸ and the HALF_UP scaling exceeds LONG). Token counting is the
+    // standard explode+count shuffle; the 200-term fit is per-lang tiny.
+    q("text_zipf_slope",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT lang, term, c, row_number() OVER (
+        |    PARTITION BY lang ORDER BY c DESC, term) AS rn FROM tc),
+        |qz AS (SELECT lang, term, c, rn,
+        |    CAST(round(ln(CAST(rn AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+        |  FROM rk WHERE rn <= 200),
+        |m AS (SELECT lang, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x*y) AS sxy, sum(x*x) AS sxx,
+        |    min(CASE WHEN rn = 1 THEN term END) AS top_term,
+        |    CAST(min(CASE WHEN rn = 1 THEN c END) AS BIGINT) AS top_count
+        |  FROM qz GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_terms, top_term, top_count,
+        |  (CASE WHEN CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000 * abs(CAST(n AS HUGEINT)*sxy - CAST(sx AS HUGEINT)*sy)
+        |          + (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx))
+        |      // (2 * (CAST(n AS HUGEINT)*sxx - CAST(sx AS HUGEINT)*sx)) AS BIGINT)
+        |    / 1000000.0 AS slope6
+        |FROM m ORDER BY lang""") { (s, dir) =>
+      val tc = T.t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+      val rk = tc.withColumn("rn", row_number().over(
+        Window.partitionBy("lang").orderBy(col("c").desc, col("term"))))
+        .filter(col("rn") <= 200)
+        .withColumn("x",
+          round(expr("ln(cast(rn as double))") * 1000000.0, 0).cast(LongType))
+        .withColumn("y",
+          round(expr("ln(cast(c as double))") * 1000000.0, 0).cast(LongType))
+      rk.groupBy("lang").agg(
+          count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"),
+          min(when(col("rn") === 1, col("term"))).as("top_term"),
+          min(when(col("rn") === 1, col("c"))).cast(LongType).as("top_count"))
+        .select(col("lang"), col("n").cast(LongType).as("n_terms"),
+          col("top_term"), col("top_count"),
+          T.r6s("CAST(n*sxy - sx*sy AS DECIMAL(38,0))",
+                "CAST(n*sxx - sx*sx AS DECIMAL(38,0))").as("slope6"))
+        .orderBy("lang")
+    },
+
+    // Hapax-legomena profile per language — the vocabulary-health metrics
+    // every corpus report carries: vocabulary size, hapax count (terms
+    // occurring once), hapax share and type-token ratio, both pure-integer
+    // rationals (T.r6). Same explode+count shuffle as the Zipf fit; the
+    // per-term table never leaves the executors (two-level aggregation).
+    q("text_hapax_ratio",
+      """WITH tok AS (SELECT lang, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |tc AS (SELECT lang, term, count(*) AS c FROM tok GROUP BY 1, 2),
+        |m AS (SELECT lang, CAST(count(*) AS BIGINT) AS vocab,
+        |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+        |    CAST(sum(c) AS BIGINT) AS n_tokens
+        |  FROM tc GROUP BY 1)
+        |SELECT lang, vocab, hapax, n_tokens,
+        |  CAST((2000000*hapax + vocab) // (2*vocab) AS BIGINT) / 1000000.0 AS hapax_share,
+        |  CAST((2000000*vocab + n_tokens) // (2*n_tokens) AS BIGINT) / 1000000.0 AS type_token
+        |FROM m ORDER BY lang""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .select(col("lang"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("lang", "term").agg(count(lit(1)).as("c"))
+        .groupBy("lang").agg(
+          count(lit(1)).cast(LongType).as("vocab"),
+          sum(when(col("c") === 1, 1).otherwise(0)).cast(LongType).as("hapax"),
+          sum(col("c")).cast(LongType).as("n_tokens"))
+        .select(col("lang"), col("vocab"), col("hapax"), col("n_tokens"),
+          T.r6("hapax", "vocab").as("hapax_share"),
+          T.r6("vocab", "n_tokens").as("type_token"))
+        .orderBy("lang")
+    },
+
+    // Kendall tau-b per user between event value and the JSON prop k —
+    // rank correlation robust to monotone transforms. Pairs come from a
+    // per-user self-join (each user has ~67 events at EVERY scale —
+    // FIXTURES.md: users scale with sf — so the fan-out is bounded by
+    // max-group², not corpus²); concordant/discordant/tie counts are exact
+    // integers, and the only float math is the final sqrt-denominator
+    // division rounded at 6dp. The 100 TB note: per-key blocked pair
+    // counting is the distributable formulation (a global tau would use
+    // merge-sort inversion counting).
+    q("stat_kendall_tau",
+      """WITH e AS (SELECT user_id, event_id, value,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) AS k FROM events),
+        |p AS (SELECT a.user_id,
+        |    CAST(sum(CASE WHEN (a.value < b.value AND a.k < b.k)
+        |        OR (a.value > b.value AND a.k > b.k) THEN 1 ELSE 0 END) AS BIGINT) AS nc,
+        |    CAST(sum(CASE WHEN (a.value < b.value AND a.k > b.k)
+        |        OR (a.value > b.value AND a.k < b.k) THEN 1 ELSE 0 END) AS BIGINT) AS nd
+        |  FROM e a JOIN e b ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  GROUP BY 1),
+        |n AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY 1),
+        |tx AS (SELECT user_id, CAST(sum(t*(t-1)/2) AS BIGINT) AS tx FROM (
+        |    SELECT user_id, count(*) AS t FROM e GROUP BY user_id, value) GROUP BY 1),
+        |ty AS (SELECT user_id, CAST(sum(t*(t-1)/2) AS BIGINT) AS ty FROM (
+        |    SELECT user_id, count(*) AS t FROM e GROUP BY user_id, k) GROUP BY 1)
+        |SELECT n.user_id, n.n, p.nc, p.nd,
+        |  round(CAST(p.nc - p.nd AS DOUBLE) /
+        |    (sqrt(CAST(n.n*(n.n-1)/2 - tx.tx AS DOUBLE)) *
+        |     sqrt(CAST(n.n*(n.n-1)/2 - ty.ty AS DOUBLE))), 6) + 0.0 AS tau_b
+        |FROM n JOIN p ON n.user_id = p.user_id
+        |  JOIN tx ON n.user_id = tx.user_id JOIN ty ON n.user_id = ty.user_id
+        |WHERE n.n >= 5 AND n.n*(n.n-1)/2 > tx.tx AND n.n*(n.n-1)/2 > ty.ty
+        |ORDER BY n.user_id""") { (s, dir) =>
+      val e = T.t(s, dir, "events").select(col("user_id"), col("event_id"),
+        col("value"), get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      val a = e.select(col("user_id"), col("event_id").as("ia"),
+        col("value").as("xa"), col("k").as("ka"))
+      val b = e.select(col("user_id"), col("event_id").as("ib"),
+        col("value").as("xb"), col("k").as("kb"))
+      val p = a.join(b, Seq("user_id")).filter(col("ia") < col("ib"))
+        .groupBy("user_id").agg(
+          sum(when((col("xa") < col("xb") && col("ka") < col("kb")) ||
+                   (col("xa") > col("xb") && col("ka") > col("kb")), 1)
+            .otherwise(0)).cast(LongType).as("nc"),
+          sum(when((col("xa") < col("xb") && col("ka") > col("kb")) ||
+                   (col("xa") > col("xb") && col("ka") < col("kb")), 1)
+            .otherwise(0)).cast(LongType).as("nd"))
+      val n = e.groupBy("user_id").agg(count(lit(1)).cast(LongType).as("n"))
+      val tx = e.groupBy("user_id", "value").agg(count(lit(1)).as("t"))
+        .groupBy("user_id")
+        .agg(sum(expr("t*(t-1)/2")).cast(LongType).as("tx"))
+      val ty = e.groupBy("user_id", "k").agg(count(lit(1)).as("t"))
+        .groupBy("user_id")
+        .agg(sum(expr("t*(t-1)/2")).cast(LongType).as("ty"))
+      n.join(p, "user_id").join(tx, "user_id").join(ty, "user_id")
+        .filter(col("n") >= 5 &&
+          expr("n*(n-1)/2") > col("tx") && expr("n*(n-1)/2") > col("ty"))
+        .select(col("user_id"), col("n"), col("nc"), col("nd"),
+          (round((col("nc") - col("nd")).cast(DoubleType) /
+            (sqrt(expr("cast(n*(n-1)/2 - tx as double)")) *
+             sqrt(expr("cast(n*(n-1)/2 - ty as double)"))), 6) + 0.0).as("tau_b"))
+        .orderBy("user_id")
+    },
+
+    // Temperature-weighted corpus sampling (τ = 0.5): per-language
+    // allocation ∝ √count, normalized — the multilingual rebalancing step
+    // of every LLM data mix (upsamples the tail). The √weights are
+    // QUANTIZED to integers immediately, so allocation = floor-division and
+    // the largest-remainder top-up ranks INTEGER remainders — the entire
+    // allocation is exact across engines. Doc selection inside a language
+    // is hash-ordered (multiplicative hash, the epoch-shuffle pattern), so
+    // the sample is reproducible at any partitioning. Only per-lang counts
+    // and a 5-row allocation table leave the executors before the final
+    // rank-filter scan.
+    q("pipeline_sample_temperature",
+      """WITH lc AS (SELECT lang, count(*) AS c FROM documents GROUP BY 1),
+        |wq AS (SELECT lang, c,
+        |    CAST(round(sqrt(CAST(c AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS w
+        |  FROM lc),
+        |alloc0 AS (SELECT lang, c, w,
+        |    CAST((297 * w) // (SELECT sum(w) FROM wq) AS BIGINT) AS a0,
+        |    CAST((297 * w) % (SELECT sum(w) FROM wq) AS BIGINT) AS rem
+        |  FROM wq),
+        |topup AS (SELECT lang, c, a0, rem, row_number() OVER (
+        |    ORDER BY rem DESC, lang) AS rr,
+        |    297 - (SELECT sum(a0) FROM alloc0) AS leftover
+        |  FROM alloc0),
+        |alloc AS (SELECT lang, c, CAST(a0 + CASE WHEN rr <= leftover THEN 1 ELSE 0 END AS BIGINT) AS alloc
+        |  FROM topup),
+        |rk AS (SELECT d.lang, d.doc_id,
+        |    len(string_split(d.text, ' ')) AS toks,
+        |    row_number() OVER (PARTITION BY d.lang
+        |      ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) AS rn
+        |  FROM documents d),
+        |samp AS (SELECT rk.lang, count(*) AS n_sampled,
+        |    sum(rk.toks) AS sample_tokens
+        |  FROM rk JOIN alloc ON rk.lang = alloc.lang AND rk.rn <= alloc.alloc
+        |  GROUP BY 1)
+        |SELECT a.lang, CAST(a.c AS BIGINT) AS n_docs, a.alloc,
+        |  CAST(s.n_sampled AS BIGINT) AS n_sampled,
+        |  CAST(s.sample_tokens AS BIGINT) AS sample_tokens
+        |FROM alloc a JOIN samp s ON a.lang = s.lang ORDER BY a.lang""") { (s, dir) =>
+      val docs = T.t(s, dir, "documents")
+      val lc = docs.groupBy("lang").agg(count(lit(1)).as("c"))
+        .withColumn("w",
+          round(sqrt(col("c").cast(DoubleType)) * 1000000.0, 0).cast(LongType))
+      // 5-row driver-side allocation: exact integer floor-division +
+      // largest-remainder (integer remainders — no float comparison).
+      val wsum = Window.partitionBy()
+      val alloc = lc
+        .withColumn("tw", sum(col("w")).over(wsum))
+        .withColumn("a0", expr("(297 * w) div tw"))
+        .withColumn("rem", (lit(297) * col("w")) % col("tw"))
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"))))
+        .withColumn("leftover", lit(297) - sum(col("a0")).over(wsum))
+        .withColumn("alloc",
+          (col("a0") + when(col("rr") <= col("leftover"), 1).otherwise(0))
+            .cast(LongType))
+        .select(col("lang"), col("c"), col("alloc"))
+      val rk = docs
+        .withColumn("toks", size(split(col("text"), " ")))
+        .withColumn("rn", row_number().over(Window.partitionBy("lang")
+          .orderBy((col("doc_id") * 2654435761L) % 4294967296L, col("doc_id"))))
+      val samp = rk.join(broadcast(alloc), Seq("lang"))
+        .filter(col("rn") <= col("alloc"))
+        .groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_sampled"),
+          sum(col("toks")).cast(LongType).as("sample_tokens"))
+      alloc.join(samp, "lang")
+        .select(col("lang"), col("c").cast(LongType).as("n_docs"),
+          col("alloc"), col("n_sampled"), col("sample_tokens"))
+        .orderBy("lang")
+    },
+
+    // Local clustering coefficient — per-node triangle density
+    // 2·t/(d·(d−1)) over the part co-purchase graph, top-25. Triangles are
+    // enumerated ONCE each via the oriented edge-iterator (the
+    // graph_triangle_count machinery: out-degree bounded at O(√m), common
+    // out-neighbors by codegen'd array_intersect), then exploded into the
+    // three node credits. The coefficient is a pure-integer rational
+    // (T.r6), so ordering is exact; degree is the UNDIRECTED degree.
+    q("graph_clustering_coeff",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey),
+        |tr AS (SELECT e1.pa AS a, e1.pb AS b, e2.pb AS c FROM e e1
+        |  JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |  JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |cr AS (SELECT a AS node FROM tr UNION ALL SELECT b FROM tr
+        |  UNION ALL SELECT c FROM tr),
+        |t AS (SELECT node, CAST(count(*) AS BIGINT) AS tri FROM cr GROUP BY 1),
+        |dg AS (SELECT node, CAST(count(*) AS BIGINT) AS d FROM (
+        |    SELECT pa AS node FROM e UNION ALL SELECT pb FROM e) GROUP BY 1)
+        |SELECT dg.node, dg.d, COALESCE(t.tri, 0) AS tri,
+        |  CAST((2000000*(2*COALESCE(t.tri, 0)) + dg.d*(dg.d-1))
+        |    // (2*(dg.d*(dg.d-1))) AS BIGINT) / 1000000.0 AS coeff
+        |FROM dg LEFT JOIN t ON dg.node = t.node
+        |WHERE dg.d >= 2
+        |ORDER BY coeff DESC, dg.node LIMIT 25""") { (s, dir) =>
+      val e0 = GroupSeven.orderPairs(s, dir)
+        .select("pa", "pb").distinct().localCheckpoint()
+      val deg = e0.select(col("pa").as("node"))
+        .unionAll(e0.select(col("pb").as("node")))
+        .groupBy("node").agg(count(lit(1)).as("d"))
+      val ed = e0
+        .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
+        .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
+        .select(
+          when(col("da") < col("db")
+            || (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
+            .otherwise(col("pb")).as("src"),
+          when(col("da") < col("db")
+            || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
+            .otherwise(col("pa")).as("dst"))
+      val m = e0.count()
+      val fitsBudget = T.broadcastBudgetBytes(s).exists(40L * m <= _)
+      val maybeBcast: DataFrame => DataFrame =
+        if (fitsBudget) broadcast else identity
+      val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+      // one row per triangle (src, dst, w) — each triangle appears exactly
+      // once, at the edge between its two orientation-smallest nodes
+      val tri = ed
+        .join(maybeBcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
+        .join(maybeBcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+          Seq("dst"), "left")
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("nu"),
+            coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
+      val credits = tri.select(col("src").as("node"))
+        .unionAll(tri.select(col("dst").as("node")))
+        .unionAll(tri.select(col("w").as("node")))
+        .groupBy("node").agg(count(lit(1)).cast(LongType).as("tri"))
+      deg.filter(col("d") >= 2)
+        .join(credits, Seq("node"), "left")
+        .select(col("node"), col("d").cast(LongType).as("d"),
+          coalesce(col("tri"), lit(0L)).as("tri"))
+        .withColumn("coeff", T.r6("2*tri", "d*(d-1)"))
+        .orderBy(col("coeff").desc, col("node"))
+        .limit(25)
+    }
+  )
+}
