@@ -539,6 +539,326 @@ object GroupTen {
         .withColumn("coeff", T.r6("2*tri", "d*(d-1)"))
         .orderBy(col("coeff").desc, col("node"))
         .limit(25)
+    },
+
+    // ANN index-quality audit — recall@5 of the IVF index against the
+    // exact brute-force top-5, per query. Reuses the SAME staged
+    // cell-partitioned IVF index artifact as vector_ivf_topk (T.staged
+    // dedupes by tag), so the audit costs one probe join + one 20×5
+    // ground-truth comparison — the continuous-evaluation loop a
+    // production vector store runs after every index rebuild. Recall is a
+    // pure-integer rational (T.r6).
+    q("vector_recall_at_k",
+      """WITH cent AS (SELECT vec_id AS cent_id, embedding::DOUBLE[] AS cent FROM embeddings WHERE vec_id < 8),
+        |cand AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce FROM embeddings WHERE vec_id >= 20),
+        |assign AS (SELECT c_id, ce, cent_id AS cell FROM (
+        |    SELECT c_id, ce, cent_id, row_number() OVER (
+        |      PARTITION BY c_id ORDER BY round(list_dot_product(ce, cent), 6) DESC, cent_id) AS rn
+        |    FROM cand CROSS JOIN cent) WHERE rn = 1),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+        |probe AS (SELECT q_id, qe, cent_id AS cell FROM (
+        |    SELECT q_id, qe, cent_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY round(list_dot_product(qe, cent), 6) DESC, cent_id) AS rn
+        |    FROM q CROSS JOIN cent) WHERE rn <= 2),
+        |ivf AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY round(list_dot_product(qe, ce), 6) DESC, c_id) AS rnk
+        |    FROM probe JOIN assign USING (cell)) WHERE rnk <= 5),
+        |exact AS (SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id, row_number() OVER (
+        |      PARTITION BY q_id ORDER BY round(list_dot_product(qe, ce), 6) DESC, c_id) AS rnk
+        |    FROM q CROSS JOIN cand) WHERE rnk <= 5),
+        |h AS (SELECT i.q_id,
+        |    CAST(sum(CASE WHEN e.c_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit
+        |  FROM ivf i LEFT JOIN exact e ON i.q_id = e.q_id AND i.c_id = e.c_id
+        |  GROUP BY 1)
+        |SELECT q_id, n_hit,
+        |  CAST((2000000*n_hit + 5) // 10 AS BIGINT) / 1000000.0 AS recall5
+        |FROM h ORDER BY q_id""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val e = T.t(s, dir, "embeddings")
+      val dot = (a: Column, b: Column) => call_function("vec_dot", a, b)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+      // identical tag + writer as vector_ivf_topk → one shared artifact
+      val idx = T.staged("ivf_index", dir) { o =>
+        e.filter(col("vec_id") >= 20)
+          .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+          .crossJoin(broadcast(cent))
+          .withColumn("d", round(dot(col("ce"), col("cent")), 6))
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("c_id").orderBy(col("d").desc, col("cent_id"))))
+          .filter(col("rn") === 1)
+          .select(col("c_id"), col("ce"), col("cent_id").as("cell"))
+          .write.partitionBy("cell").parquet(s"$o/assign")
+      }
+      val assign = s.read.parquet(s"$idx/assign")
+        .select(col("c_id"), col("ce"), col("cell").cast(LongType).as("cell"))
+      val qs = e.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"))
+      val probe = qs.crossJoin(broadcast(cent))
+        .withColumn("d", round(dot(col("qe"), col("cent")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("d").desc, col("cent_id"))))
+        .filter(col("rn") <= 2)
+        .select(col("q_id"), col("qe"), col("cent_id").as("cell"))
+      val ivf = probe.join(assign, "cell")
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(round(dot(col("qe"), col("ce")), 6).desc, col("c_id"))))
+        .filter(col("rnk") <= 5).select("q_id", "c_id")
+      val cand = e.filter(col("vec_id") >= 20)
+        .select(col("vec_id").as("c_id"), col("embedding").as("ce"))
+      val exact = cand.crossJoin(broadcast(qs))
+        .withColumn("rnk", row_number().over(Window.partitionBy("q_id")
+          .orderBy(round(dot(col("qe"), col("ce")), 6).desc, col("c_id"))))
+        .filter(col("rnk") <= 5)
+        .select(col("q_id"), col("c_id").as("e_id"))
+      ivf.join(exact, ivf("q_id") === exact("q_id") && col("c_id") === col("e_id"),
+          "left")
+        .groupBy(ivf("q_id").as("q_id"))
+        .agg(sum(when(col("e_id").isNotNull, 1).otherwise(0))
+          .cast(LongType).as("n_hit"))
+        .select(col("q_id"), col("n_hit"), T.r6("n_hit", "5").as("recall5"))
+        .orderBy("q_id")
+    },
+
+    // Iceberg-v2-style delete-vector application: an equality-delete set
+    // (business keys) and a positional-delete set ((file, pos) tombstones —
+    // here nation-partitioned "files" with row positions within each) are
+    // applied to a snapshot without rewriting it — the merge-on-read
+    // pattern. Precedence is documented: equality deletes win attribution,
+    // positions are evaluated against ORIGINAL file positions (never
+    // re-ranked after deletes — the classic off-by-one bug). Survivor
+    // checksum pins content, not just counts.
+    q("etl_equality_deletes",
+      """WITH base AS (SELECT c_custkey, c_mktsegment,
+        |    row_number() OVER (PARTITION BY c_nationkey ORDER BY c_custkey) AS pos
+        |  FROM customer),
+        |f AS (SELECT c_custkey, c_mktsegment,
+        |    (c_custkey % 37 = 0) AS del_eq, (pos % 53 = 0) AS del_pos FROM base)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_before,
+        |  CAST(sum(CASE WHEN del_eq THEN 1 ELSE 0 END) AS BIGINT) AS n_del_eq,
+        |  CAST(sum(CASE WHEN NOT del_eq AND del_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_del_pos,
+        |  CAST(sum(CASE WHEN NOT del_eq AND NOT del_pos THEN 1 ELSE 0 END) AS BIGINT) AS n_after,
+        |  CAST(sum(CASE WHEN NOT del_eq AND NOT del_pos THEN c_custkey ELSE 0 END) AS BIGINT) AS survivor_keysum
+        |FROM f GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "customer")
+        .withColumn("pos", row_number().over(
+          Window.partitionBy("c_nationkey").orderBy("c_custkey")))
+        .withColumn("del_eq", col("c_custkey") % 37 === 0)
+        .withColumn("del_pos", col("pos") % 53 === 0)
+        .groupBy("c_mktsegment").agg(
+          count(lit(1)).cast(LongType).as("n_before"),
+          sum(when(col("del_eq"), 1).otherwise(0)).cast(LongType).as("n_del_eq"),
+          sum(when(!col("del_eq") && col("del_pos"), 1).otherwise(0))
+            .cast(LongType).as("n_del_pos"),
+          sum(when(!col("del_eq") && !col("del_pos"), 1).otherwise(0))
+            .cast(LongType).as("n_after"),
+          sum(when(!col("del_eq") && !col("del_pos"), col("c_custkey"))
+            .otherwise(0L)).cast(LongType).as("survivor_keysum"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Deterministic stratified bootstrap — a 200-replicate resampled 95%
+    // CI for the mean account balance per market segment. Resample indices
+    // come from a multiplicative integer hash of (replicate, position), so
+    // the draw is reproducible across engines and partitionings (the same
+    // property pipeline_dataset_split relies on); replicate means are
+    // exact-decimal sums over one IEEE division; the CI bounds are ORDER
+    // STATISTICS of the 200 means (rank selection — no interpolation).
+    // Scale shape: the resample grid is |group|×200 rows joined on
+    // (segment, position) — linear in data, shuffled once.
+    q("stat_bootstrap_ci",
+      """WITH r AS (SELECT c_mktsegment, c_acctbal,
+        |    row_number() OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) AS rn,
+        |    count(*) OVER (PARTITION BY c_mktsegment) AS n
+        |  FROM customer),
+        |g AS (SELECT c_mktsegment, rn, n, b,
+        |    1 + (2654435761 * (b * 100003 + (rn - 1)) + 17) % n AS idx
+        |  FROM r CROSS JOIN (SELECT unnest(range(200)) AS b)),
+        |m AS (SELECT g.c_mktsegment, g.b,
+        |    CAST(SUM(CAST(r2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / any_value(g.n) AS mean_b
+        |  FROM g JOIN r r2 ON g.c_mktsegment = r2.c_mktsegment AND g.idx = r2.rn
+        |  GROUP BY 1, 2),
+        |mr AS (SELECT c_mktsegment, mean_b, row_number() OVER (
+        |    PARTITION BY c_mktsegment ORDER BY mean_b, b) AS q
+        |  FROM m),
+        |pt AS (SELECT c_mktsegment, CAST(any_value(n) AS BIGINT) AS n,
+        |    round(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |      / any_value(n), 6) + 0.0 AS mean6
+        |  FROM r GROUP BY 1)
+        |SELECT pt.c_mktsegment, pt.n, pt.mean6,
+        |  round(min(CASE WHEN q = 6 THEN mean_b END), 6) + 0.0 AS ci_lo,
+        |  round(min(CASE WHEN q = 195 THEN mean_b END), 6) + 0.0 AS ci_hi
+        |FROM pt JOIN mr ON pt.c_mktsegment = mr.c_mktsegment
+        |GROUP BY 1, 2, 3 ORDER BY 1""") { (s, dir) =>
+      val part = Window.partitionBy("c_mktsegment")
+      val r = T.t(s, dir, "customer")
+        .withColumn("rn", row_number().over(part.orderBy("c_custkey")))
+        .withColumn("n", count(lit(1)).over(part))
+      val g = r.select(col("c_mktsegment"), col("rn"), col("n"))
+        .withColumn("b", explode(sequence(lit(0), lit(199))))
+        .withColumn("idx",
+          lit(1) + (lit(2654435761L) * (col("b") * 100003L + (col("rn") - 1))
+            + 17L) % col("n"))
+      val r2 = r.select(col("c_mktsegment").as("seg2"), col("rn").as("rn2"),
+        col("c_acctbal"))
+      val m = g.join(r2, col("c_mktsegment") === col("seg2") &&
+          col("idx") === col("rn2"))
+        .groupBy("c_mktsegment", "b")
+        .agg((T.dsum(col("c_acctbal")) / first(col("n"))).as("mean_b"))
+        .withColumn("q", row_number().over(
+          part.orderBy(col("mean_b"), col("b"))))
+      val pt = r.groupBy("c_mktsegment").agg(
+        first(col("n")).cast(LongType).as("n"),
+        (round(T.dsum(col("c_acctbal")) / first(col("n")), 6) + 0.0).as("mean6"))
+      pt.join(m, "c_mktsegment")
+        .groupBy("c_mktsegment")
+        .agg(first(col("n")).as("n"), first(col("mean6")).as("mean6"),
+          (round(min(when(col("q") === 6, col("mean_b"))), 6) + 0.0).as("ci_lo"),
+          (round(min(when(col("q") === 195, col("mean_b"))), 6) + 0.0).as("ci_hi"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Ridge regression, two features + intercept, closed form: the normal
+    // equations are built from EXACT decimal moments (every Σx, Σx², Σxy is
+    // an exact decimal sum cast to double once), then the centered 2×2
+    // system is solved with an IDENTICAL sequence of IEEE ops in both
+    // engines — the ml_linreg_closed_form pattern widened to the
+    // multi-feature case with an L2 penalty (λ=1000 on the centered
+    // moments). One scan + one 9-moment aggregation: the training pass is
+    // a single map-side-combinable reduction at any scale.
+    q("ml_ridge_2feature",
+      """WITH j AS (SELECT
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS x2,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |mo AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(x1) AS DOUBLE) AS sx1, CAST(SUM(x2) AS DOUBLE) AS sx2,
+        |    CAST(SUM(y) AS DOUBLE) AS sy,
+        |    CAST(SUM(x1*x1) AS DOUBLE) AS sx1x1,
+        |    CAST(SUM(x1*x2) AS DOUBLE) AS sx1x2,
+        |    CAST(SUM(x2*x2) AS DOUBLE) AS sx2x2,
+        |    CAST(SUM(x1*y) AS DOUBLE) AS sx1y,
+        |    CAST(SUM(x2*y) AS DOUBLE) AS sx2y
+        |  FROM j),
+        |c AS (SELECT n,  sx1, sx2, sy,
+        |    (sx1x1 - (sx1*sx1)/n) + 1000.0 AS c11,
+        |    (sx2x2 - (sx2*sx2)/n) + 1000.0 AS c22,
+        |    sx1x2 - (sx1*sx2)/n AS c12,
+        |    sx1y - (sx1*sy)/n AS cy1,
+        |    sx2y - (sx2*sy)/n AS cy2
+        |  FROM mo),
+        |b AS (SELECT n, sx1, sx2, sy,
+        |    ((cy1*c22) - (c12*cy2)) / ((c11*c22) - (c12*c12)) AS b1,
+        |    ((cy2*c11) - (c12*cy1)) / ((c11*c22) - (c12*c12)) AS b2
+        |  FROM c)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  round((sy - (b1*sx1) - (b2*sx2)) / n, 6) + 0.0 AS b0,
+        |  round(b1, 6) + 0.0 AS b1, round(b2, 6) + 0.0 AS b2
+        |FROM b""") { (s, dir) =>
+      val j = T.t(s, dir, "lineitem")
+        .join(T.t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(col("l_quantity").cast(T.dec).as("x1"),
+          col("p_retailprice").cast(T.dec).as("x2"),
+          col("l_extendedprice").cast(T.dec).as("y"))
+      val mo = j.agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        sum(col("x1")).cast(DoubleType).as("sx1"),
+        sum(col("x2")).cast(DoubleType).as("sx2"),
+        sum(col("y")).cast(DoubleType).as("sy"),
+        sum(col("x1") * col("x1")).cast(DoubleType).as("sx1x1"),
+        sum(col("x1") * col("x2")).cast(DoubleType).as("sx1x2"),
+        sum(col("x2") * col("x2")).cast(DoubleType).as("sx2x2"),
+        sum(col("x1") * col("y")).cast(DoubleType).as("sx1y"),
+        sum(col("x2") * col("y")).cast(DoubleType).as("sx2y"))
+      // the op sequence below mirrors the oracle CTEs token-for-token: the
+      // operands are bit-identical doubles, so each step is the same IEEE op
+      val c = mo.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+        ((col("sx1x1") - (col("sx1") * col("sx1")) / col("n")) + 1000.0).as("c11"),
+        ((col("sx2x2") - (col("sx2") * col("sx2")) / col("n")) + 1000.0).as("c22"),
+        (col("sx1x2") - (col("sx1") * col("sx2")) / col("n")).as("c12"),
+        (col("sx1y") - (col("sx1") * col("sy")) / col("n")).as("cy1"),
+        (col("sx2y") - (col("sx2") * col("sy")) / col("n")).as("cy2"))
+      val b = c.select(col("n"), col("sx1"), col("sx2"), col("sy"),
+        (((col("cy1") * col("c22")) - (col("c12") * col("cy2"))) /
+          ((col("c11") * col("c22")) - (col("c12") * col("c12")))).as("b1"),
+        (((col("cy2") * col("c11")) - (col("c12") * col("cy1"))) /
+          ((col("c11") * col("c22")) - (col("c12") * col("c12")))).as("b2"))
+      b.select(col("n").cast(LongType).as("n"),
+        (round((col("sy") - (col("b1") * col("sx1")) - (col("b2") * col("sx2")))
+          / col("n"), 6) + 0.0).as("b0"),
+        (round(col("b1"), 6) + 0.0).as("b1"),
+        (round(col("b2"), 6) + 0.0).as("b2"))
+    },
+
+    // Winsorized and trimmed means per order priority — the robust-mean
+    // kit next to stat_mad_robust: p5/p95 bounds by exact rank selection
+    // (no interpolation, doubles only SELECTED), then (a) trimmed mean over
+    // the strict interior ranks and (b) winsorized mean with boundary
+    // values CLAMPED to the rank-selected bounds. Every mean is an exact
+    // decimal sum over one IEEE division. Two window passes + one
+    // broadcast-fence aggregation — same shape as dq_outlier_iqr.
+    q("agg_winsorized_mean",
+      """WITH r AS (SELECT o_orderpriority,
+        |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
+        |    row_number() OVER (PARTITION BY o_orderpriority
+        |      ORDER BY CAST(o_totalprice AS DECIMAL(18,2)), o_orderkey) AS rn,
+        |    count(*) OVER (PARTITION BY o_orderpriority) AS n
+        |  FROM orders),
+        |qs AS (SELECT o_orderpriority, any_value(n) AS n,
+        |    min(CASE WHEN rn = CAST(floor(0.05*(n-1)) + 1 AS BIGINT) THEN p END) AS p5,
+        |    min(CASE WHEN rn = CAST(floor(0.95*(n-1)) + 1 AS BIGINT) THEN p END) AS p95
+        |  FROM r GROUP BY 1),
+        |agg AS (SELECT r.o_orderpriority, any_value(qs.n) AS n,
+        |    any_value(qs.p5) AS p5, any_value(qs.p95) AS p95,
+        |    CAST(count(CASE WHEN r.rn > CAST(floor(0.05*(qs.n-1)) + 1 AS BIGINT)
+        |        AND r.rn < CAST(floor(0.95*(qs.n-1)) + 1 AS BIGINT)
+        |        THEN 1 END) AS BIGINT) AS n_trim,
+        |    CAST(SUM(CASE WHEN r.rn > CAST(floor(0.05*(qs.n-1)) + 1 AS BIGINT)
+        |        AND r.rn < CAST(floor(0.95*(qs.n-1)) + 1 AS BIGINT)
+        |        THEN r.p ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_trim,
+        |    CAST(SUM(CASE WHEN r.p < qs.p5 THEN qs.p5
+        |        WHEN r.p > qs.p95 THEN qs.p95 ELSE r.p END) AS DOUBLE) AS sum_wins
+        |  FROM r JOIN qs ON r.o_orderpriority = qs.o_orderpriority
+        |  GROUP BY 1)
+        |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
+        |  CAST(p5 AS DOUBLE) AS p5, CAST(p95 AS DOUBLE) AS p95,
+        |  round(sum_trim / n_trim, 6) + 0.0 AS mean_trimmed,
+        |  round(sum_wins / n, 6) + 0.0 AS mean_winsorized
+        |FROM agg ORDER BY o_orderpriority""") { (s, dir) =>
+      val part = Window.partitionBy("o_orderpriority")
+      val r = T.t(s, dir, "orders")
+        .withColumn("p", col("o_totalprice").cast(T.dec))
+        .withColumn("rn", row_number().over(part.orderBy("p", "o_orderkey")))
+        .withColumn("n", count(lit(1)).over(part))
+      val qs = r.groupBy("o_orderpriority").agg(
+        first(col("n")).as("n"),
+        min(when(col("rn") ===
+          (floor(lit(0.05) * (col("n") - 1)) + 1).cast(LongType), col("p"))).as("p5"),
+        min(when(col("rn") ===
+          (floor(lit(0.95) * (col("n") - 1)) + 1).cast(LongType), col("p"))).as("p95"))
+      r.join(broadcast(qs.withColumnRenamed("n", "qn")), "o_orderpriority")
+        .withColumn("lo_rn", (floor(lit(0.05) * (col("qn") - 1)) + 1).cast(LongType))
+        .withColumn("hi_rn", (floor(lit(0.95) * (col("qn") - 1)) + 1).cast(LongType))
+        .groupBy("o_orderpriority").agg(
+          first(col("qn")).cast(LongType).as("n"),
+          first(col("p5")).as("p5d"), first(col("p95")).as("p95d"),
+          count(when(col("rn") > col("lo_rn") && col("rn") < col("hi_rn"), 1))
+            .cast(LongType).as("n_trim"),
+          sum(when(col("rn") > col("lo_rn") && col("rn") < col("hi_rn"), col("p"))
+            .otherwise(lit(0).cast(T.dec))).cast(DoubleType).as("sum_trim"),
+          sum(when(col("p") < col("p5"), col("p5"))
+            .when(col("p") > col("p95"), col("p95"))
+            .otherwise(col("p"))).cast(DoubleType).as("sum_wins"))
+        .select(col("o_orderpriority"), col("n"),
+          col("p5d").cast(DoubleType).as("p5"),
+          col("p95d").cast(DoubleType).as("p95"),
+          (round(col("sum_trim") / col("n_trim"), 6) + 0.0).as("mean_trimmed"),
+          (round(col("sum_wins") / col("n"), 6) + 0.0).as("mean_winsorized"))
+        .orderBy("o_orderpriority")
     }
   )
 }

@@ -1,0 +1,207 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Invariant pins for the §2-W (round 10) keys. The DuckDB hash gate proves
+  * engine parity; these pin the SEMANTICS (bounds, conservation laws,
+  * determinism under repartitioning) that a matching pair of wrong answers
+  * could not satisfy.
+  */
+class TenSpec extends AnyFunSuite {
+  private val s = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  private def run(key: String) = SparkEntry.queries(key)(s, sf)
+
+  test("window_rolling_corr values stay in [-1, 1]") {
+    val rows = run("window_rolling_corr").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      if (!r.isNullAt(2)) {
+        val c = r.getDouble(2)
+        assert(c >= -1.0 && c <= 1.0, s"corr out of range: $c")
+      }
+    }
+  }
+
+  test("ts_downsample_m4 selections bracket correctly and conserve counts") {
+    val rows = run("ts_downsample_m4").collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      val (n, vmin, vmax) = (r.getLong(2), r.getDouble(3), r.getDouble(4))
+      val (vfirst, vlast) = (r.getDouble(5), r.getDouble(6))
+      assert(vmin <= vmax)
+      assert(vfirst >= vmin && vfirst <= vmax)
+      assert(vlast >= vmin && vlast <= vmax)
+      total += n
+    }
+    assert(total == T.t(s, sf, "events").count())
+  }
+
+  test("dq_outlier_iqr fences are ordered and shares bounded") {
+    run("dq_outlier_iqr").collect().foreach { r =>
+      assert(r.getDouble(2) <= r.getDouble(3)) // q1 <= q3
+      val pct = r.getDouble(6)
+      assert(pct >= 0.0 && pct <= 1.0)
+    }
+  }
+
+  test("ml_eval_confusion conserves the event count and bounds metrics") {
+    val r = run("ml_eval_confusion").collect().head
+    val (tp, fp, fn, tn) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(tp + fp + fn + tn == T.t(s, sf, "events").count())
+    Seq(4, 5, 6, 7).foreach { i =>
+      val m = r.getDouble(i)
+      assert(m >= 0.0 && m <= 1.0, s"metric $i out of range: $m")
+    }
+  }
+
+  test("scalar_ip_funcs: octet recomposition and /24 arithmetic") {
+    run("scalar_ip_funcs").collect().foreach { r =>
+      val ip = r.getLong(1)
+      val parts = r.getString(2).split("\\.").map(_.toLong)
+      assert(parts.length == 4)
+      assert(parts.forall(p => p >= 0 && p <= 255))
+      assert(parts(0) * 16777216 + parts(1) * 65536 + parts(2) * 256 + parts(3) == ip)
+      assert(r.getLong(4) == ip - parts(3)) // net24 zeroes the last octet
+    }
+  }
+
+  test("scalar_url_funcs round-trips the synthesized components") {
+    run("scalar_url_funcs").collect().foreach { r =>
+      val docId = r.getLong(0)
+      assert(r.getString(1) == "https")
+      assert(r.getString(2).endsWith(".example.com"))
+      assert(r.getString(3).contains(s"/doc/$docId"))
+      assert(r.getString(4) == (docId % 7).toString)
+    }
+  }
+
+  test("text_zipf_slope is negative (frequency falls with rank)") {
+    val rows = run("text_zipf_slope").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r => assert(r.getDouble(4) < 0.0, s"non-Zipfian: $r") }
+  }
+
+  test("text_hapax_ratio: hapax <= vocab <= tokens, shares in (0,1]") {
+    run("text_hapax_ratio").collect().foreach { r =>
+      val (vocab, hapax, toks) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(hapax <= vocab && vocab <= toks)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("stat_kendall_tau stays in [-1, 1] and pair counts are consistent") {
+    val rows = run("stat_kendall_tau").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, nc, nd) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nc + nd <= n * (n - 1) / 2)
+      val tau = r.getDouble(4)
+      assert(tau >= -1.0 && tau <= 1.0)
+    }
+  }
+
+  test("pipeline_sample_temperature: allocation sums to target and caps hold") {
+    val rows = run("pipeline_sample_temperature").collect()
+    assert(rows.map(_.getLong(2)).sum == 297L)
+    rows.foreach { r =>
+      val (nDocs, alloc, nSampled) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(nSampled == math.min(alloc, nDocs))
+    }
+    // temperature flattening: the sampled share of a tail language must
+    // exceed its corpus share (tau=0.5 upsamples the tail)
+    val byLang = rows.map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    val totalDocs = byLang.values.map(_._1).sum.toDouble
+    val tail = byLang.minBy(_._2._1)
+    assert(tail._2._2 / 297.0 > tail._2._1 / totalDocs)
+  }
+
+  test("graph_clustering_coeff: coefficients in [0,1], triangles bounded") {
+    val rows = run("graph_clustering_coeff").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d, tri, coeff) = (r.getLong(1), r.getLong(2), r.getDouble(3))
+      assert(tri <= d * (d - 1) / 2)
+      assert(coeff >= 0.0 && coeff <= 1.0)
+    }
+  }
+
+  test("vector_recall_at_k: 20 queries, recall bounded, IVF not degenerate") {
+    val rows = run("vector_recall_at_k").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= 0 && r.getLong(1) <= 5)
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    }
+    // nprobe=2 of 8 cells: mean recall must beat random cell coverage
+    val mean = rows.map(_.getDouble(2)).sum / rows.length
+    assert(mean >= 0.6, s"IVF recall@5 degenerate: $mean")
+  }
+
+  test("etl_equality_deletes conserves rows per segment") {
+    val rows = run("etl_equality_deletes").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2) + r.getLong(3) + r.getLong(4))
+    }
+    assert(rows.map(_.getLong(1)).sum == T.t(s, sf, "customer").count())
+  }
+
+  test("stat_bootstrap_ci brackets the point estimate") {
+    val rows = run("stat_bootstrap_ci").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      // 95% bootstrap CI of the mean contains the sample mean
+      assert(mean >= lo && mean <= hi, s"CI [$lo,$hi] misses mean $mean")
+    }
+  }
+
+  test("ml_ridge_2feature: fit is finite and beats the intercept-only model") {
+    val r = run("ml_ridge_2feature").collect().head
+    assert(r.getLong(0) == T.t(s, sf, "lineitem").count())
+    val (b0, b1, b2) = (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(!b0.isNaN && !b1.isNaN && !b2.isNaN)
+    // ridge objective at the solution <= objective at b=0 (intercept-only),
+    // so training MSE(ridge) <= MSE(mean-only) — a guaranteed invariant
+    // (fixture prices are NOT quantity-linked, so no sign assumption holds)
+    val j = T.t(s, sf, "lineitem")
+      .join(T.t(s, sf, "part"), col("l_partkey") === col("p_partkey"))
+      .select(col("l_quantity").as("x1"), col("p_retailprice").as("x2"),
+        col("l_extendedprice").as("y"))
+    val stats = j.agg(
+      avg(col("y")).as("ybar"),
+      avg(pow(col("y") - (lit(b0) + lit(b1) * col("x1") + lit(b2) * col("x2")), 2))
+        .as("mseR")).collect().head
+    val mse0 = j.agg(avg(pow(col("y") - lit(stats.getDouble(0)), 2)))
+      .collect().head.getDouble(0)
+    assert(stats.getDouble(1) <= mse0,
+      s"ridge MSE ${stats.getDouble(1)} worse than mean-only $mse0")
+  }
+
+  test("agg_winsorized_mean: robust means sit inside the fences") {
+    run("agg_winsorized_mean").collect().foreach { r =>
+      val (p5, p95) = (r.getDouble(2), r.getDouble(3))
+      val (trimmed, winsorized) = (r.getDouble(4), r.getDouble(5))
+      assert(p5 <= p95)
+      assert(trimmed >= p5 && trimmed <= p95)
+      assert(winsorized >= p5 && winsorized <= p95)
+    }
+  }
+
+  test("round-10 keys are deterministic under repartitioning") {
+    // the three keys whose determinism depends on hash-ordering rather
+    // than a natural sort: re-run and compare full collected output
+    Seq("pipeline_sample_temperature", "stat_bootstrap_ci", "vector_recall_at_k")
+      .foreach { key =>
+        val a = run(key).collect().map(_.toString).toSeq
+        val b = run(key).collect().map(_.toString).toSeq
+        assert(a == b, s"$key nondeterministic")
+      }
+  }
+}
