@@ -798,9 +798,13 @@ object GroupTen {
     // kit next to stat_mad_robust: p5/p95 bounds by exact rank selection
     // (no interpolation, doubles only SELECTED), then (a) trimmed mean over
     // the strict interior ranks and (b) winsorized mean with boundary
-    // values CLAMPED to the rank-selected bounds. Every mean is an exact
-    // decimal sum over one IEEE division. Two window passes + one
-    // broadcast-fence aggregation — same shape as dq_outlier_iqr.
+    // values CLAMPED to the rank-selected bounds. Both means are exact
+    // integer-CENT rationals through T.r6 (sum·100 / 100·n in
+    // DECIMAL(38,0) — 2·10⁶·cents wraps LONG at sf0.1): tiescan caught the
+    // sf0.001 winsorized mean landing on an exact .5 at the 6th decimal,
+    // the round(double,6) cross-build tie class r6 exists to retire. Two
+    // window passes + one broadcast-fence aggregation — dq_outlier_iqr's
+    // shape.
     q("agg_winsorized_mean",
       """WITH r AS (SELECT o_orderpriority,
         |    CAST(o_totalprice AS DECIMAL(18,2)) AS p,
@@ -819,15 +823,17 @@ object GroupTen {
         |        THEN 1 END) AS BIGINT) AS n_trim,
         |    CAST(SUM(CASE WHEN r.rn > CAST(floor(0.05*(qs.n-1)) + 1 AS BIGINT)
         |        AND r.rn < CAST(floor(0.95*(qs.n-1)) + 1 AS BIGINT)
-        |        THEN r.p ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS sum_trim,
+        |        THEN r.p ELSE CAST(0 AS DECIMAL(18,2)) END) * 100 AS HUGEINT) AS trim_cents,
         |    CAST(SUM(CASE WHEN r.p < qs.p5 THEN qs.p5
-        |        WHEN r.p > qs.p95 THEN qs.p95 ELSE r.p END) AS DOUBLE) AS sum_wins
+        |        WHEN r.p > qs.p95 THEN qs.p95 ELSE r.p END) * 100 AS HUGEINT) AS wins_cents
         |  FROM r JOIN qs ON r.o_orderpriority = qs.o_orderpriority
         |  GROUP BY 1)
         |SELECT o_orderpriority, CAST(n AS BIGINT) AS n,
         |  CAST(p5 AS DOUBLE) AS p5, CAST(p95 AS DOUBLE) AS p95,
-        |  round(sum_trim / n_trim, 6) + 0.0 AS mean_trimmed,
-        |  round(sum_wins / n, 6) + 0.0 AS mean_winsorized
+        |  CAST((2000000*trim_cents + 100*n_trim) // (2*(100*n_trim)) AS BIGINT)
+        |    / 1000000.0 AS mean_trimmed,
+        |  CAST((2000000*wins_cents + 100*n) // (2*(100*n)) AS BIGINT)
+        |    / 1000000.0 AS mean_winsorized
         |FROM agg ORDER BY o_orderpriority""") { (s, dir) =>
       val part = Window.partitionBy("o_orderpriority")
       val r = T.t(s, dir, "orders")
@@ -848,16 +854,18 @@ object GroupTen {
           first(col("p5")).as("p5d"), first(col("p95")).as("p95d"),
           count(when(col("rn") > col("lo_rn") && col("rn") < col("hi_rn"), 1))
             .cast(LongType).as("n_trim"),
-          sum(when(col("rn") > col("lo_rn") && col("rn") < col("hi_rn"), col("p"))
-            .otherwise(lit(0).cast(T.dec))).cast(DoubleType).as("sum_trim"),
-          sum(when(col("p") < col("p5"), col("p5"))
+          (sum(when(col("rn") > col("lo_rn") && col("rn") < col("hi_rn"), col("p"))
+            .otherwise(lit(0).cast(T.dec))) * 100)
+            .cast(DecimalType(38, 0)).as("trim_cents"),
+          (sum(when(col("p") < col("p5"), col("p5"))
             .when(col("p") > col("p95"), col("p95"))
-            .otherwise(col("p"))).cast(DoubleType).as("sum_wins"))
+            .otherwise(col("p"))) * 100)
+            .cast(DecimalType(38, 0)).as("wins_cents"))
         .select(col("o_orderpriority"), col("n"),
           col("p5d").cast(DoubleType).as("p5"),
           col("p95d").cast(DoubleType).as("p95"),
-          (round(col("sum_trim") / col("n_trim"), 6) + 0.0).as("mean_trimmed"),
-          (round(col("sum_wins") / col("n"), 6) + 0.0).as("mean_winsorized"))
+          T.r6("trim_cents", "100 * n_trim").as("mean_trimmed"),
+          T.r6("wins_cents", "100 * n").as("mean_winsorized"))
         .orderBy("o_orderpriority")
     }
   )

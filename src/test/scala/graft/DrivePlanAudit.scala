@@ -77,7 +77,11 @@ object DrivePlanAudit {
     // ref/cur totals
     "catalog_join_card_estimate", "dq_population_stability",
     // the calibration grid's 1-row min/max scalar (the stump's shape)
-    "ml_calibration_bins")
+    "ml_calibration_bins",
+    // round 10: the recall audit's brute-force ground-truth side is the
+    // 20-query broadcast BY CONTRACT (vector_cosine_topk's shape) plus the
+    // 8-row coarse-centroid fan-out of its IVF probe
+    "vector_recall_at_k")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -99,9 +103,12 @@ object DrivePlanAudit {
     "ml_decision_stump",     // cumulative counts over the 20-bin grid
     "stat_spearman_rank",    // two permutation-rank windows over the
                              // ≤31-day purchase/click spine
-    "window_skyline_2d")     // running-max over the per-day max-price
+    "window_skyline_2d",     // running-max over the per-day max-price
                              // spine: one row per CALENDAR day (bounded
                              // by the date range, not the data)
+    "pipeline_sample_temperature") // largest-remainder rank over the
+                             // 5-row LANG-ENUM allocation table (the
+                             // per-doc rank window is lang-partitioned)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
