@@ -867,6 +867,375 @@ object GroupTen {
           T.r6("trim_cents", "100 * n_trim").as("mean_trimmed"),
           T.r6("wins_cents", "100 * n").as("mean_winsorized"))
         .orderBy("o_orderpriority")
+    },
+
+    // Mann–Whitney U (Wilcoxon rank-sum) with tie correction: purchase vs
+    // view values. NO global rank window over the data: the rank sums
+    // collapse to the DISTINCT-VALUE spine (values are 2dp in [0.01, 490] —
+    // a DOMAIN-bounded ≤49k-row table), where 2·U = Σ nₐ·(2·cum_b + n_b) is
+    // exact integer arithmetic; the tie-corrected variance is an exact
+    // integer rational in DECIMAL(38,0) (nₐn_b(N³−N−T) wraps LONG), and z
+    // is one identical IEEE division/sqrt chain rounded at 6dp. At 100 TB
+    // the distinct-value spine is the shuffle, not the event stream.
+    q("stat_wilcoxon_rank_sum",
+      """WITH e AS (SELECT value, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'view')),
+        |vc AS (SELECT value,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM e GROUP BY 1),
+        |cb AS (SELECT value, na, nb,
+        |    COALESCE(sum(nb) OVER (ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+        |  FROM vc),
+        |m AS (SELECT CAST(sum(na) AS HUGEINT) AS nat, CAST(sum(nb) AS HUGEINT) AS nbt,
+        |    CAST(sum(na*(2*cum_b + nb)) AS HUGEINT) AS u2a,
+        |    CAST(sum((na+nb)*(na+nb)*(na+nb) - (na+nb)) AS HUGEINT) AS tsum
+        |  FROM cb)
+        |SELECT CAST(nat AS BIGINT) AS n_a, CAST(nbt AS BIGINT) AS n_b,
+        |  CAST(u2a AS BIGINT) AS u2_a,
+        |  round(CAST(u2a - nat*nbt AS DOUBLE) /
+        |    (2.0 * sqrt(CAST(nat*nbt*((nat+nbt+1)*(nat+nbt)*(nat+nbt-1) - tsum) AS DOUBLE)
+        |      / CAST(12*(nat+nbt)*(nat+nbt-1) AS DOUBLE))), 6) + 0.0 AS z6
+        |FROM m""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+      val vc = e.groupBy("value").agg(
+        sum(when(col("event_type") === "purchase", 1).otherwise(0))
+          .cast(LongType).as("na"),
+        sum(when(col("event_type") === "view", 1).otherwise(0))
+          .cast(LongType).as("nb"))
+      val wcum = Window.orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = vc.withColumn("cum_b",
+        coalesce(sum(col("nb")).over(wcum), lit(0L)))
+      val d38 = DecimalType(38, 0)
+      val m = cb.agg(
+        sum(col("na")).cast(d38).as("nat"),
+        sum(col("nb")).cast(d38).as("nbt"),
+        sum(col("na") * (lit(2) * col("cum_b") + col("nb"))).cast(d38).as("u2a"),
+        sum((col("na") + col("nb")) * (col("na") + col("nb"))
+          * (col("na") + col("nb")) - (col("na") + col("nb"))).cast(d38).as("tsum"))
+      m.select(col("nat").cast(LongType).as("n_a"),
+          col("nbt").cast(LongType).as("n_b"),
+          col("u2a").cast(LongType).as("u2_a"),
+          (round((col("u2a") - col("nat") * col("nbt")).cast(DoubleType) /
+            (lit(2.0) * sqrt(
+              (col("nat") * col("nbt") *
+                ((col("nat") + col("nbt") + 1) * (col("nat") + col("nbt"))
+                  * (col("nat") + col("nbt") - 1) - col("tsum"))).cast(DoubleType) /
+              (lit(12) * (col("nat") + col("nbt"))
+                * (col("nat") + col("nbt") - 1)).cast(DoubleType))), 6) + 0.0)
+            .as("z6"))
+    },
+
+    // Heaps'-law fit: vocabulary growth V = K·n^β across the 20 sources
+    // (each source a corpus sample point: total tokens vs distinct terms).
+    // Same quantized-ln machinery as text_zipf_slope — β and ln K are
+    // pure-integer rationals over exact quantized moments (DECIMAL(38,0):
+    // the intercept numerator Sy·den reaches ~10²⁵). The per-source vocab
+    // counts are one distinct-aggregate shuffle; the 20-point fit is a
+    // 1-row reduction.
+    q("text_heaps_law_fit",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(count(DISTINCT term) AS BIGINT) AS vocab
+        |  FROM tok GROUP BY 1),
+        |qz AS (SELECT source,
+        |    CAST(round(ln(CAST(n_tok AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+        |    CAST(round(ln(CAST(vocab AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+        |  FROM ps),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x) AS HUGEINT) AS sx, CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x*y) AS HUGEINT) AS sxy, CAST(sum(x*x) AS HUGEINT) AS sxx
+        |  FROM qz)
+        |SELECT CAST(n AS BIGINT) AS n_points,
+        |  (CASE WHEN n*sxy - sx*sy < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(n*sxy - sx*sy) + (n*sxx - sx*sx))
+        |      // (2*(n*sxx - sx*sx)) AS BIGINT) / 1000000.0 AS beta6,
+        |  (CASE WHEN sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(sy*(n*sxx - sx*sx) - (n*sxy - sx*sy)*sx)
+        |        + n*(n*sxx - sx*sx)*1000000)
+        |      // (2*(n*(n*sxx - sx*sx)*1000000)) AS BIGINT) / 1000000.0 AS lnk6
+        |FROM m""") { (s, dir) =>
+      val ps = T.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source").agg(
+          count(lit(1)).cast(LongType).as("n_tok"),
+          countDistinct(col("term")).cast(LongType).as("vocab"))
+      val qz = ps.select(col("source"),
+        round(expr("ln(cast(n_tok as double))") * 1000000.0, 0)
+          .cast(LongType).as("x"),
+        round(expr("ln(cast(vocab as double))") * 1000000.0, 0)
+          .cast(LongType).as("y"))
+      qz.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(col("n").cast(LongType).as("n_points"),
+          T.r6s("CAST(n*sxy - sx*sy AS DECIMAL(38,0))",
+                "CAST(n*sxx - sx*sx AS DECIMAL(38,0))").as("beta6"),
+          T.r6s(
+            "CAST(sy AS DECIMAL(38,0))*(n*sxx - sx*sx) - CAST(n*sxy - sx*sy AS DECIMAL(38,0))*sx",
+            "CAST(n AS DECIMAL(38,0))*(n*sxx - sx*sx)*1000000").as("lnk6"))
+    },
+
+    // Brown–Forsythe (median-based Levene) homogeneity-of-variance test
+    // across event types: Z = |value − group median| in EXACT integer
+    // cents (medians are rank selections), and the between/within sums of
+    // squares use stat_anova_oneway's fixed-point trick — each group term
+    // S_g²·100 div n_g is ONE exact integer division (centi-units keep
+    // every term under LONG; the final products go through DECIMAL(38,0))
+    // — so W ends in a single IEEE division of exact integers. No float
+    // sum ever crosses a group boundary.
+    q("stat_levene_brown_forsythe",
+      """WITH x AS (SELECT event_type,
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+        |    event_id FROM events),
+        |r AS (SELECT event_type, c,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM x),
+        |med AS (SELECT event_type,
+        |    min(CASE WHEN rn = CAST(floor(0.5*(n-1)) + 1 AS BIGINT) THEN c END) AS med
+        |  FROM r GROUP BY 1),
+        |z AS (SELECT x.event_type, abs(x.c - med.med) AS z
+        |  FROM x JOIN med ON x.event_type = med.event_type),
+        |g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_g,
+        |    CAST(sum(z) AS HUGEINT) AS s_g, CAST(sum(z*z) AS HUGEINT) AS ss_g
+        |  FROM z GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS HUGEINT) AS k, CAST(sum(n_g) AS HUGEINT) AS n,
+        |    CAST(sum(s_g) AS HUGEINT) AS s, CAST(sum(ss_g) AS HUGEINT) AS ss,
+        |    CAST(sum((s_g*s_g*100) // n_g) AS HUGEINT) AS a100
+        |  FROM g)
+        |SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+        |  CAST(k - 1 AS BIGINT) AS df1, CAST(n - k AS BIGINT) AS df2,
+        |  round(CAST((a100 - (s*s*100) // n) * (n - k) AS DOUBLE) /
+        |        CAST((ss*100 - a100) * (k - 1) AS DOUBLE), 6) + 0.0 AS w6
+        |FROM t""") { (s, dir) =>
+      val x = T.t(s, dir, "events").select(col("event_type"),
+        (col("value").cast(T.dec) * 100).cast(LongType).as("c"), col("event_id"))
+      val part = Window.partitionBy("event_type")
+      val r = x
+        .withColumn("rn", row_number().over(part.orderBy("c", "event_id")))
+        .withColumn("n", count(lit(1)).over(part))
+      val med = r.groupBy("event_type").agg(
+        min(when(col("rn") ===
+          (floor(lit(0.5) * (col("n") - 1)) + 1).cast(LongType), col("c"))).as("med"))
+      val z = x.join(broadcast(med), "event_type")
+        .select(col("event_type"), abs(col("c") - col("med")).as("z"))
+      val d38 = DecimalType(38, 0)
+      val g = z.groupBy("event_type").agg(
+        count(lit(1)).cast(LongType).as("n_g"),
+        sum(col("z")).cast(LongType).as("s_g"),
+        sum(col("z") * col("z")).cast(d38).as("ss_g"))
+      val t = g.agg(
+        count(lit(1)).cast(d38).as("k"),
+        sum(col("n_g")).cast(d38).as("n"),
+        sum(col("s_g")).cast(d38).as("s"),
+        sum(col("ss_g")).cast(d38).as("ss"),
+        sum(expr("(s_g * s_g * 100L) div n_g")).cast(d38).as("a100"))
+      t.select(col("k").cast(LongType).as("k"), col("n").cast(LongType).as("n"),
+        (col("k") - 1).cast(LongType).as("df1"),
+        (col("n") - col("k")).cast(LongType).as("df2"),
+        (round(((col("a100") - expr("(s*s*100) div n")) * (col("n") - col("k")))
+            .cast(DoubleType) /
+          ((col("ss") * 100 - col("a100")) * (col("k") - 1)).cast(DoubleType), 6)
+          + 0.0).as("w6"))
+    },
+
+    // Grid-bucketed spatial join: customers and suppliers get deterministic
+    // 2-D coordinates (two multiplicative hashes), and "pairs within
+    // distance 500" resolves by an EQUI-join on 500-unit grid cells (each
+    // supplier probes its 3×3 cell neighborhood) followed by the exact
+    // integer distance check — the textbook re-plan of an O(n·m) theta
+    // join into a hash join whose fan-out is neighborhood density, the
+    // same bucketing idea as join_interval_bucketed but in 2-D. Nearest
+    // neighbor per supplier is an arg-min on a composite (d², id) key.
+    q("join_spatial_grid",
+      """WITH c AS (SELECT c_custkey,
+        |    (c_custkey * 2654435761) % 4294967296 % 10000 AS cx,
+        |    (c_custkey * 2246822519) % 4294967296 % 10000 AS cy
+        |  FROM customer),
+        |sp AS (SELECT s_suppkey,
+        |    (s_suppkey * 2654435761 + 1013904223) % 4294967296 % 10000 AS sx,
+        |    (s_suppkey * 2246822519 + 374761393) % 4294967296 % 10000 AS sy
+        |  FROM supplier),
+        |probe AS (SELECT s_suppkey, sx, sy,
+        |    sx // 500 + dx.dx AS gx, sy // 500 + dy.dy AS gy
+        |  FROM sp
+        |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dx) dx
+        |  CROSS JOIN (SELECT unnest(range(-1, 2)) AS dy) dy),
+        |hit AS (SELECT p.s_suppkey, c.c_custkey,
+        |    (c.cx - p.sx)*(c.cx - p.sx) + (c.cy - p.sy)*(c.cy - p.sy) AS d2
+        |  FROM probe p JOIN c ON c.cx // 500 = p.gx AND c.cy // 500 = p.gy
+        |  WHERE (c.cx - p.sx)*(c.cx - p.sx) + (c.cy - p.sy)*(c.cy - p.sy) <= 250000)
+        |SELECT s_suppkey, CAST(count(*) AS BIGINT) AS n_within,
+        |  CAST(min(d2) AS BIGINT) AS min_d2,
+        |  arg_min(c_custkey, d2 * 100000 + c_custkey) AS nearest_cust
+        |FROM hit GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val c = T.t(s, dir, "customer").select(col("c_custkey"),
+        (col("c_custkey") * 2654435761L % 4294967296L % 10000).as("cx"),
+        (col("c_custkey") * 2246822519L % 4294967296L % 10000).as("cy"))
+      val sp = T.t(s, dir, "supplier").select(col("s_suppkey"),
+        ((col("s_suppkey") * 2654435761L + 1013904223L) % 4294967296L % 10000).as("sx"),
+        ((col("s_suppkey") * 2246822519L + 374761393L) % 4294967296L % 10000).as("sy"))
+      val probe = sp
+        .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
+        .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
+        .select(col("s_suppkey"), col("sx"), col("sy"),
+          (expr("sx div 500") + col("dx")).as("gx"),
+          (expr("sy div 500") + col("dy")).as("gy"))
+      val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+        (col("cy") - col("sy")) * (col("cy") - col("sy"))
+      probe.join(c, expr("cx div 500") === col("gx") &&
+          expr("cy div 500") === col("gy"))
+        .filter(d2 <= 250000)
+        .withColumn("d2", d2)
+        .groupBy("s_suppkey").agg(
+          count(lit(1)).cast(LongType).as("n_within"),
+          min(col("d2")).cast(LongType).as("min_d2"),
+          expr("min_by(c_custkey, d2 * 100000L + c_custkey)").as("nearest_cust"))
+        .orderBy("s_suppkey")
+    },
+
+    // 5-fold cross-validation of the 2-feature ridge — BY MOMENT ALGEBRA:
+    // per-fold exact decimal moments (one grouped pass), train-side moments
+    // = total − fold (exact decimal subtraction — no second scan), per-fold
+    // coefficients by the ml_ridge_2feature closed form, and the held-out
+    // SSE from the EXPANDED quadratic Σ(y−ŷ)² = Σy² + n·b0² + ... (pure
+    // moment combination — the evaluation pass never touches a row). Two
+    // scans total for a full 5-fold CV at any scale; every float boundary
+    // is the same IEEE sequence on bit-identical operands in both engines.
+    q("ml_ridge_kfold_cv",
+      """WITH j AS (SELECT
+        |    CAST(l_orderkey * 2654435761 % 4294967296 % 5 AS BIGINT) AS fold,
+        |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
+        |    CAST(p_retailprice AS DECIMAL(18,2)) AS x2,
+        |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |fm AS (SELECT fold, count(*) AS cnt,
+        |    SUM(x1) AS s1, SUM(x2) AS s2, SUM(y) AS sy0,
+        |    SUM(x1*x1) AS s11, SUM(x1*x2) AS s12, SUM(x2*x2) AS s22,
+        |    SUM(x1*y) AS s1y, SUM(x2*y) AS s2y, SUM(y*y) AS syy
+        |  FROM j GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS cntT,
+        |    SUM(s1) AS s1T, SUM(s2) AS s2T, SUM(sy0) AS syT,
+        |    SUM(s11) AS s11T, SUM(s12) AS s12T, SUM(s22) AS s22T,
+        |    SUM(s1y) AS s1yT, SUM(s2y) AS s2yT
+        |  FROM fm),
+        |tr AS (SELECT fold, CAST(cnt AS BIGINT) AS n_test,
+        |    CAST(cntT - cnt AS DOUBLE) AS n,
+        |    CAST(s1T - s1 AS DOUBLE) AS sx1, CAST(s2T - s2 AS DOUBLE) AS sx2,
+        |    CAST(syT - sy0 AS DOUBLE) AS sy,
+        |    CAST(s11T - s11 AS DOUBLE) AS sx1x1, CAST(s12T - s12 AS DOUBLE) AS sx1x2,
+        |    CAST(s22T - s22 AS DOUBLE) AS sx2x2,
+        |    CAST(s1yT - s1y AS DOUBLE) AS sx1y, CAST(s2yT - s2y AS DOUBLE) AS sx2y,
+        |    CAST(cnt AS DOUBLE) AS nf,
+        |    CAST(s1 AS DOUBLE) AS f1, CAST(s2 AS DOUBLE) AS f2,
+        |    CAST(sy0 AS DOUBLE) AS fy,
+        |    CAST(s11 AS DOUBLE) AS f11, CAST(s12 AS DOUBLE) AS f12,
+        |    CAST(s22 AS DOUBLE) AS f22,
+        |    CAST(s1y AS DOUBLE) AS f1y, CAST(s2y AS DOUBLE) AS f2y,
+        |    CAST(syy AS DOUBLE) AS fyy
+        |  FROM fm CROSS JOIN tot),
+        |co AS (SELECT fold, n_test, n, sx1, sx2, sy, nf, f1, f2, fy,
+        |    f11, f12, f22, f1y, f2y, fyy,
+        |    (sx1x1 - (sx1*sx1)/n) + 1000.0 AS c11,
+        |    (sx2x2 - (sx2*sx2)/n) + 1000.0 AS c22,
+        |    sx1x2 - (sx1*sx2)/n AS c12,
+        |    sx1y - (sx1*sy)/n AS cy1,
+        |    sx2y - (sx2*sy)/n AS cy2
+        |  FROM tr),
+        |bb AS (SELECT fold, n_test, nf, f1, f2, fy, f11, f12, f22, f1y, f2y, fyy,
+        |    CAST(n AS BIGINT) AS n_train,
+        |    ((cy1*c22) - (c12*cy2)) / ((c11*c22) - (c12*c12)) AS b1,
+        |    ((cy2*c11) - (c12*cy1)) / ((c11*c22) - (c12*c12)) AS b2,
+        |    sy, sx1, sx2, n
+        |  FROM co),
+        |ev AS (SELECT fold, n_train, n_test, b1, b2,
+        |    (sy - (b1*sx1) - (b2*sx2)) / n AS b0,
+        |    nf, f1, f2, fy, f11, f12, f22, f1y, f2y, fyy
+        |  FROM bb)
+        |SELECT fold, n_train, n_test,
+        |  round(b0, 6) + 0.0 AS b0, round(b1, 6) + 0.0 AS b1,
+        |  round(b2, 6) + 0.0 AS b2,
+        |  round(sqrt(greatest(
+        |    fyy + (nf*(b0*b0)) + ((b1*b1)*f11) + ((b2*b2)*f22)
+        |      - (2.0*((b0*fy) + (b1*f1y) + (b2*f2y)))
+        |      + (2.0*((b0*(b1*f1)) + (b0*(b2*f2)) + (b1*(b2*f12)))),
+        |    0.0) / nf), 6) + 0.0 AS rmse6
+        |FROM ev ORDER BY fold""") { (s, dir) =>
+      val j = T.t(s, dir, "lineitem")
+        .join(T.t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
+        .select(
+          (col("l_orderkey") * 2654435761L % 4294967296L % 5).as("fold"),
+          col("l_quantity").cast(T.dec).as("x1"),
+          col("p_retailprice").cast(T.dec).as("x2"),
+          col("l_extendedprice").cast(T.dec).as("y"))
+      val fm = j.groupBy("fold").agg(
+        count(lit(1)).as("cnt"),
+        sum(col("x1")).as("s1"), sum(col("x2")).as("s2"), sum(col("y")).as("sy0"),
+        sum(col("x1") * col("x1")).as("s11"), sum(col("x1") * col("x2")).as("s12"),
+        sum(col("x2") * col("x2")).as("s22"),
+        sum(col("x1") * col("y")).as("s1y"), sum(col("x2") * col("y")).as("s2y"),
+        sum(col("y") * col("y")).as("syy"))
+      val tot = fm.agg(
+        sum(col("cnt")).cast(LongType).as("cntT"),
+        sum(col("s1")).as("s1T"), sum(col("s2")).as("s2T"),
+        sum(col("sy0")).as("syT"),
+        sum(col("s11")).as("s11T"), sum(col("s12")).as("s12T"),
+        sum(col("s22")).as("s22T"),
+        sum(col("s1y")).as("s1yT"), sum(col("s2y")).as("s2yT"))
+      // decimal subtraction (total − fold) is exact; ONE double cast after
+      val tr = fm.crossJoin(broadcast(tot)).select(col("fold"),
+        col("cnt").cast(LongType).as("n_test"),
+        (col("cntT") - col("cnt")).cast(DoubleType).as("n"),
+        (col("s1T") - col("s1")).cast(DoubleType).as("sx1"),
+        (col("s2T") - col("s2")).cast(DoubleType).as("sx2"),
+        (col("syT") - col("sy0")).cast(DoubleType).as("sy"),
+        (col("s11T") - col("s11")).cast(DoubleType).as("sx1x1"),
+        (col("s12T") - col("s12")).cast(DoubleType).as("sx1x2"),
+        (col("s22T") - col("s22")).cast(DoubleType).as("sx2x2"),
+        (col("s1yT") - col("s1y")).cast(DoubleType).as("sx1y"),
+        (col("s2yT") - col("s2y")).cast(DoubleType).as("sx2y"),
+        col("cnt").cast(DoubleType).as("nf"),
+        col("s1").cast(DoubleType).as("f1"), col("s2").cast(DoubleType).as("f2"),
+        col("sy0").cast(DoubleType).as("fy"),
+        col("s11").cast(DoubleType).as("f11"),
+        col("s12").cast(DoubleType).as("f12"),
+        col("s22").cast(DoubleType).as("f22"),
+        col("s1y").cast(DoubleType).as("f1y"),
+        col("s2y").cast(DoubleType).as("f2y"),
+        col("syy").cast(DoubleType).as("fyy"))
+      val co = tr
+        .withColumn("c11", (col("sx1x1") - (col("sx1") * col("sx1")) / col("n")) + 1000.0)
+        .withColumn("c22", (col("sx2x2") - (col("sx2") * col("sx2")) / col("n")) + 1000.0)
+        .withColumn("c12", col("sx1x2") - (col("sx1") * col("sx2")) / col("n"))
+        .withColumn("cy1", col("sx1y") - (col("sx1") * col("sy")) / col("n"))
+        .withColumn("cy2", col("sx2y") - (col("sx2") * col("sy")) / col("n"))
+      val bb = co
+        .withColumn("n_train", col("n").cast(LongType))
+        .withColumn("b1", ((col("cy1") * col("c22")) - (col("c12") * col("cy2"))) /
+          ((col("c11") * col("c22")) - (col("c12") * col("c12"))))
+        .withColumn("b2", ((col("cy2") * col("c11")) - (col("c12") * col("cy1"))) /
+          ((col("c11") * col("c22")) - (col("c12") * col("c12"))))
+      val ev = bb.withColumn("b0",
+        (col("sy") - (col("b1") * col("sx1")) - (col("b2") * col("sx2"))) / col("n"))
+      ev.select(col("fold"), col("n_train"), col("n_test"),
+          (round(col("b0"), 6) + 0.0).as("b0"),
+          (round(col("b1"), 6) + 0.0).as("b1"),
+          (round(col("b2"), 6) + 0.0).as("b2"),
+          (round(sqrt(greatest(
+            col("fyy") + (col("nf") * (col("b0") * col("b0")))
+              + ((col("b1") * col("b1")) * col("f11"))
+              + ((col("b2") * col("b2")) * col("f22"))
+              - (lit(2.0) * ((col("b0") * col("fy")) + (col("b1") * col("f1y"))
+                + (col("b2") * col("f2y"))))
+              + (lit(2.0) * ((col("b0") * (col("b1") * col("f1")))
+                + (col("b0") * (col("b2") * col("f2")))
+                + (col("b1") * (col("b2") * col("f12"))))),
+            lit(0.0)) / col("nf")), 6) + 0.0).as("rmse6"))
+        .orderBy("fold")
     }
   )
 }

@@ -81,7 +81,10 @@ object DrivePlanAudit {
     // round 10: the recall audit's brute-force ground-truth side is the
     // 20-query broadcast BY CONTRACT (vector_cosine_topk's shape) plus the
     // 8-row coarse-centroid fan-out of its IVF probe
-    "vector_recall_at_k")
+    "vector_recall_at_k",
+    // round 10b: the k-fold CV's 1-row total-moments broadcast (the
+    // train = total − fold algebra needs every fold × the one total row)
+    "ml_ridge_kfold_cv")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -106,9 +109,12 @@ object DrivePlanAudit {
     "window_skyline_2d",     // running-max over the per-day max-price
                              // spine: one row per CALENDAR day (bounded
                              // by the date range, not the data)
-    "pipeline_sample_temperature") // largest-remainder rank over the
+    "pipeline_sample_temperature", // largest-remainder rank over the
                              // 5-row LANG-ENUM allocation table (the
                              // per-doc rank window is lang-partitioned)
+    "stat_wilcoxon_rank_sum") // cumulative counts over the DISTINCT-VALUE
+                             // spine: ≤49k rows bounded by the 2dp value
+                             // DOMAIN [0.01, 490], not by the data
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

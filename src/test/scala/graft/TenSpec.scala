@@ -194,6 +194,58 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("stat_wilcoxon_rank_sum: U bounds and z consistency") {
+    val r = run("stat_wilcoxon_rank_sum").collect().head
+    val (na, nb, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(u2 >= 0 && u2 <= 2 * na * nb, s"2U=$u2 outside [0, ${2 * na * nb}]")
+    assert(math.abs(r.getDouble(3)) < 50.0) // z is a standardized statistic
+  }
+
+  test("text_heaps_law_fit: sublinear vocabulary growth (0 < beta < 1)") {
+    val r = run("text_heaps_law_fit").collect().head
+    assert(r.getLong(0) == 20) // one point per source
+    val beta = r.getDouble(1)
+    assert(beta > 0.0 && beta < 1.0, s"non-Heapsian beta: $beta")
+  }
+
+  test("stat_levene_brown_forsythe: W >= 0 and dfs add up") {
+    val r = run("stat_levene_brown_forsythe").collect().head
+    val (k, n, df1, df2) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(df1 == k - 1 && df2 == n - k)
+    assert(n == T.t(s, sf, "events").count())
+    assert(r.getDouble(4) >= 0.0)
+  }
+
+  test("join_spatial_grid agrees with the brute-force theta join") {
+    // the grid re-plan must return EXACTLY the brute-force pairs
+    val c = T.t(s, sf, "customer").select(col("c_custkey"),
+      (col("c_custkey") * 2654435761L % 4294967296L % 10000).as("cx"),
+      (col("c_custkey") * 2246822519L % 4294967296L % 10000).as("cy"))
+    val sp = T.t(s, sf, "supplier").select(col("s_suppkey"),
+      ((col("s_suppkey") * 2654435761L + 1013904223L) % 4294967296L % 10000).as("sx"),
+      ((col("s_suppkey") * 2246822519L + 374761393L) % 4294967296L % 10000).as("sy"))
+    val d2 = (col("cx") - col("sx")) * (col("cx") - col("sx")) +
+      (col("cy") - col("sy")) * (col("cy") - col("sy"))
+    val brute = sp.crossJoin(c).filter(d2 <= 250000)
+      .groupBy("s_suppkey").agg(count(lit(1)).as("n"), min(d2).as("m"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val grid = run("join_spatial_grid").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(grid == brute, s"grid join != brute force")
+  }
+
+  test("ml_ridge_kfold_cv: folds partition the data and fits are finite") {
+    val rows = run("ml_ridge_kfold_cv").collect()
+    assert(rows.length == 5)
+    val total = T.t(s, sf, "lineitem").count()
+    rows.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == total) // n_train + n_test = N
+      Seq(3, 4, 5, 6).foreach(i => assert(!r.getDouble(i).isNaN))
+      assert(r.getDouble(6) >= 0.0) // rmse
+    }
+    assert(rows.map(_.getLong(2)).sum == total) // test folds partition N
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
