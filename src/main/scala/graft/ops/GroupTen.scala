@@ -1236,6 +1236,173 @@ object GroupTen {
                 + (col("b1") * (col("b2") * col("f12"))))),
             lit(0.0)) / col("nf")), 6) + 0.0).as("rmse6"))
         .orderBy("fold")
+    },
+
+    // Cross-correlation at lags 0..7 between the daily purchase and click
+    // series — the lead/lag-identification primitive next to
+    // ts_autocorr_lag (which correlates a series with itself): purchase
+    // day d vs click day d+L, exact integer count moments per lag, corr
+    // as one identical IEEE chain at 6dp. The pair build is an equi-join
+    // on the shifted ≤31-day spine fanned out ×8 lags — bounded by the
+    // calendar, not the data.
+    q("ts_cross_correlation_lag",
+      """WITH p AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS y
+        |  FROM events WHERE event_type = 'click' GROUP BY 1),
+        |pr AS (SELECT l.lag, p.x, c.y
+        |  FROM p CROSS JOIN (SELECT unnest(range(8)) AS lag) l
+        |  JOIN c ON c.d = p.d + CAST(l.lag AS INT)),
+        |g AS (SELECT lag, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x*y) AS BIGINT) AS sxy,
+        |    CAST(sum(x*x) AS BIGINT) AS sxx, CAST(sum(y*y) AS BIGINT) AS syy
+        |  FROM pr GROUP BY 1)
+        |SELECT CAST(lag AS BIGINT) AS lag, n AS n_pairs,
+        |  round(CAST(n*sxy - sx*sy AS DOUBLE)
+        |    / (sqrt(CAST(n*sxx - sx*sx AS DOUBLE))
+        |      * sqrt(CAST(n*syy - sy*sy AS DOUBLE))), 6) + 0.0 AS xcorr6
+        |FROM g ORDER BY lag""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val p = ev.filter(col("event_type") === "purchase")
+        .groupBy(col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val c = ev.filter(col("event_type") === "click")
+        .groupBy(col("ts").cast(DateType).as("dc"))
+        .agg(count(lit(1)).cast(LongType).as("y"))
+      val pr = p.withColumn("lag", explode(sequence(lit(0L), lit(7L))))
+        .join(c, col("dc") === date_add(col("d"), col("lag").cast(IntegerType)))
+      pr.groupBy("lag").agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum("x").cast(LongType).as("sx"), sum("y").cast(LongType).as("sy"),
+          sum(col("x") * col("y")).cast(LongType).as("sxy"),
+          sum(col("x") * col("x")).cast(LongType).as("sxx"),
+          sum(col("y") * col("y")).cast(LongType).as("syy"))
+        .select(col("lag").cast(LongType).as("lag"), col("n").as("n_pairs"),
+          (round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
+            / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
+              * sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))),
+            6) + 0.0).as("xcorr6"))
+        .orderBy("lag")
+    },
+
+    // Survivorship (golden-record construction, the MDM merge step): one
+    // record per user assembled by per-FIELD rules — most RECENT non-null
+    // email (FILTER'd arg-max on the composite (time, id) key), most
+    // FREQUENT event type (count desc, name asc), max value, first-seen
+    // timestamp, event count. A nullable email is synthesized
+    // deterministically (every 7th event NULL) so the recency rule is
+    // actually exercised. One grouped pass + one mode rank — two shuffles
+    // on user_id at any scale.
+    q("pipeline_dedup_survivorship",
+      """WITH e AS (SELECT user_id, event_id, event_type, value, ts,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS okey,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL
+        |         ELSE printf('u%d_%d@ex.com', user_id, event_id % 5) END AS email
+        |  FROM events),
+        |base AS (SELECT user_id,
+        |    arg_max(email, okey) FILTER (WHERE email IS NOT NULL) AS email_latest,
+        |    max(value) AS value_max, min(ts) AS first_seen,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM e GROUP BY 1),
+        |tc AS (SELECT user_id, event_type, count(*) AS cnt FROM e GROUP BY 1, 2),
+        |md AS (SELECT user_id, event_type AS type_mode FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY cnt DESC, event_type) AS rn FROM tc) WHERE rn = 1)
+        |SELECT b.user_id, b.email_latest, md.type_mode, b.value_max,
+        |  b.first_seen, b.n_events
+        |FROM base b JOIN md ON b.user_id = md.user_id
+        |ORDER BY b.user_id""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .withColumn("okey",
+          (expr("unix_micros(cast(ts as timestamp))") - lit(1704067200000000L))
+            * 1000000L + col("event_id"))
+        .withColumn("email",
+          when(col("event_id") % 7 === 0, lit(null).cast(StringType))
+            .otherwise(format_string("u%d_%d@ex.com", col("user_id"),
+              col("event_id") % 5)))
+      val base = e.groupBy("user_id").agg(
+        expr("max_by(email, okey) FILTER (WHERE email IS NOT NULL)")
+          .as("email_latest"),
+        max(col("value")).as("value_max"),
+        min(col("ts")).as("first_seen"),
+        count(lit(1)).cast(LongType).as("n_events"))
+      val md = e.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("rn", row_number().over(Window.partitionBy("user_id")
+          .orderBy(col("cnt").desc, col("event_type"))))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_type").as("type_mode"))
+      base.join(md, "user_id")
+        .select(col("user_id"), col("email_latest"), col("type_mode"),
+          col("value_max"), col("first_seen"), col("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Farthest-point sampling (maxmin diversity / k-means++-style
+    // initialization): greedily pick 5 vectors, each the one with the
+    // SMALLEST maximum similarity to everything already chosen — coreset
+    // construction for clustering seeds and diverse eval sets. Unit-norm
+    // embeddings make max-cosine the coverage radius. k is a small
+    // constant, so the k−1 sequential refinement layers are each ONE
+    // scan + 1-row TakeOrdered — the inherently-greedy part stays k-bounded
+    // while every scan parallelizes; similarities go through the codegen'd
+    // vec_dot at 6dp so the argmin ordering is engine-exact.
+    q("vector_maxmin_diversity",
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |c1 AS (SELECT vec_id, e FROM v WHERE vec_id = 0),
+        |m1 AS (SELECT v.vec_id, v.e,
+        |    round(list_dot_product(v.e, c1.e), 6) AS ms FROM v CROSS JOIN c1),
+        |p2 AS (SELECT vec_id, e, ms FROM m1 ORDER BY ms, vec_id LIMIT 1),
+        |m2 AS (SELECT m1.vec_id, m1.e,
+        |    greatest(m1.ms, round(list_dot_product(m1.e, p2.e), 6)) AS ms
+        |  FROM m1 CROSS JOIN p2),
+        |p3 AS (SELECT vec_id, e, ms FROM m2 ORDER BY ms, vec_id LIMIT 1),
+        |m3 AS (SELECT m2.vec_id, m2.e,
+        |    greatest(m2.ms, round(list_dot_product(m2.e, p3.e), 6)) AS ms
+        |  FROM m2 CROSS JOIN p3),
+        |p4 AS (SELECT vec_id, e, ms FROM m3 ORDER BY ms, vec_id LIMIT 1),
+        |m4 AS (SELECT m3.vec_id, m3.e,
+        |    greatest(m3.ms, round(list_dot_product(m3.e, p4.e), 6)) AS ms
+        |  FROM m3 CROSS JOIN p4),
+        |p5 AS (SELECT vec_id, e, ms FROM m4 ORDER BY ms, vec_id LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS r, CAST(vec_id AS BIGINT) AS vec_id,
+        |    CAST(NULL AS DOUBLE) AS cover_sim FROM c1
+        |  UNION ALL SELECT 2, vec_id, ms FROM p2
+        |  UNION ALL SELECT 3, vec_id, ms FROM p3
+        |  UNION ALL SELECT 4, vec_id, ms FROM p4
+        |  UNION ALL SELECT 5, vec_id, ms FROM p5) ORDER BY r""") { (s, dir) =>
+      graft.functions.GraftFunctions.register(s)
+      val dot = (a: Column, b: Column) => call_function("vec_dot", a, b)
+      val v = T.t(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding").as("e"))
+      val c1 = v.filter(col("vec_id") === 0)
+        .select(col("vec_id").as("cid"), col("e").as("ce"))
+      // layer k: ms_k = max(ms_{k-1}, sim to the newly chosen point);
+      // the next pick is a 1-row TakeOrdered on (ms, vec_id)
+      def refine(m: DataFrame, pick: DataFrame): DataFrame =
+        m.crossJoin(broadcast(pick.select(col("e").as("pe"))))
+          .withColumn("ms", greatest(col("ms"), round(dot(col("e"), col("pe")), 6)))
+          .drop("pe")
+      val m1 = v.crossJoin(broadcast(c1))
+        .withColumn("ms", round(dot(col("e"), col("ce")), 6))
+        .select("vec_id", "e", "ms")
+      val p2 = m1.orderBy(col("ms"), col("vec_id")).limit(1)
+      val m2 = refine(m1, p2)
+      val p3 = m2.orderBy(col("ms"), col("vec_id")).limit(1)
+      val m3 = refine(m2, p3)
+      val p4 = m3.orderBy(col("ms"), col("vec_id")).limit(1)
+      val m4 = refine(m3, p4)
+      val p5 = m4.orderBy(col("ms"), col("vec_id")).limit(1)
+      def row(r: Int, p: DataFrame): DataFrame =
+        p.select(lit(r).as("r"), col("vec_id").cast(LongType).as("vec_id"),
+          col("ms").cast(DoubleType).as("cover_sim"))
+      c1.select(lit(1).as("r"), col("cid").cast(LongType).as("vec_id"),
+          lit(null).cast(DoubleType).as("cover_sim"))
+        .unionAll(row(2, p2)).unionAll(row(3, p3))
+        .unionAll(row(4, p4)).unionAll(row(5, p5))
+        .orderBy("r")
     }
   )
 }

@@ -84,7 +84,11 @@ object DrivePlanAudit {
     "vector_recall_at_k",
     // round 10b: the k-fold CV's 1-row total-moments broadcast (the
     // train = total − fold algebra needs every fold × the one total row)
-    "ml_ridge_kfold_cv")
+    "ml_ridge_kfold_cv",
+    // round 10c: farthest-point sampling's k−1 one-row chosen-point
+    // broadcasts (the Lloyd-centroid shape — each refinement layer is
+    // corpus × one picked row)
+    "vector_maxmin_diversity")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

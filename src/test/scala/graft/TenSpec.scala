@@ -246,6 +246,39 @@ class TenSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(2)).sum == total) // test folds partition N
   }
 
+  test("ts_cross_correlation_lag: 8 lags, corr bounded, lag-0 pairs maximal") {
+    val rows = run("ts_cross_correlation_lag").collect()
+    assert(rows.map(_.getLong(0)).toSeq == (0L to 7L))
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 && c <= 1.0)
+    }
+    // shifting can only shrink the overlap of the two day spines
+    assert(rows.head.getLong(1) == rows.map(_.getLong(1)).max)
+  }
+
+  test("pipeline_dedup_survivorship: one golden record per user, rules hold") {
+    val rows = run("pipeline_dedup_survivorship").collect()
+    val users = T.t(s, sf, "events").select("user_id").distinct().count()
+    assert(rows.length == users)
+    rows.foreach { r =>
+      assert(r.getString(1) != null && r.getString(1).endsWith("@ex.com"))
+      assert(Set("click", "error", "purchase", "signup", "view")(r.getString(2)))
+      assert(r.getLong(5) >= 1)
+    }
+  }
+
+  test("vector_maxmin_diversity: 5 distinct picks with non-decreasing cover") {
+    val rows = run("vector_maxmin_diversity").collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(1)).distinct.length == 5) // no repicks
+    // coverage radius (max-sim of the chosen point) is non-decreasing in
+    // the greedy order: each later pick is at most as isolated
+    val sims = rows.drop(1).map(_.getDouble(2))
+    assert(sims.zip(sims.tail).forall { case (a, b) => a <= b },
+      s"cover_sim not monotone: ${sims.mkString(",")}")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
