@@ -1403,6 +1403,130 @@ object GroupTen {
         .unionAll(row(2, p2)).unionAll(row(3, p3))
         .unionAll(row(4, p4)).unionAll(row(5, p5))
         .orderBy("r")
+    },
+
+    // ViT-style tile manifest from image metadata — the preprocessing PLAN
+    // every vision pipeline computes before patching: 32×32 tile grid per
+    // frame, padding to the tile boundary, 16-tile batch count. The
+    // (stubbed) decode runs in mapPartitions exactly like multimodal_meta
+    // (image libs absent in this container — mandate), and everything
+    // after the decode is scan-level integer arithmetic: at 100 TB the
+    // manifest job is one map stage that never shuffles before its
+    // presentation sort.
+    q("multimodal_tile_manifest",
+      """WITH m AS (SELECT doc_id,
+        |    CAST(64 + (n_chars % 64) AS BIGINT) AS w,
+        |    CAST(64 + ((n_chars * 7) % 64) AS BIGINT) AS h,
+        |    CAST(1 + (n_chars % 5) AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, w, h,
+        |  (w + 31) // 32 AS tiles_x, (h + 31) // 32 AS tiles_y,
+        |  ((w + 31) // 32) * 32 - w AS pad_w,
+        |  ((h + 31) // 32) * 32 - h AS pad_h,
+        |  ((w + 31) // 32) * ((h + 31) // 32) * n_frames AS n_tiles,
+        |  (((w + 31) // 32) * ((h + 31) // 32) * n_frames + 15) // 16 AS n_batches
+        |FROM m ORDER BY doc_id""") { (s, dir) =>
+      import s.implicits._
+      T.t(s, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { it =>
+          it.map { case (id, payload) =>
+            // stubbed decode (multimodal_meta's contract): deterministic
+            // pseudo-dimensions from the payload
+            val n = payload.length
+            (id, (64 + (n % 64)).toLong, (64 + ((n * 7) % 64)).toLong,
+              (1 + (n % 5)).toLong)
+          }
+        }
+        .toDF("doc_id", "w", "h", "n_frames")
+        .select(col("doc_id"), col("w"), col("h"),
+          expr("(w + 31) div 32").as("tiles_x"),
+          expr("(h + 31) div 32").as("tiles_y"),
+          expr("((w + 31) div 32) * 32 - w").as("pad_w"),
+          expr("((h + 31) div 32) * 32 - h").as("pad_h"),
+          expr("((w + 31) div 32) * ((h + 31) div 32) * n_frames").as("n_tiles"),
+          expr("(((w + 31) div 32) * ((h + 31) div 32) * n_frames + 15) div 16")
+            .as("n_batches"))
+        .orderBy("doc_id")
+    },
+
+    // URL canonicalization + dedup — the CommonCrawl-style "same page,
+    // different URL dressing" collapse: messy URLs (mixed-case host,
+    // trailing slash, utm_* tracking params — synthesized
+    // deterministically so every dressing variant occurs) are canonicalized
+    // by regex (lower host, strip tracking query, trim trailing slash) and
+    // deduped on the canonical form with a min-id survivor. One scan of
+    // regex projections + one canonical-key shuffle at any scale.
+    q("text_dedup_url_canonical",
+      """WITH u AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0
+        |      THEN 'https://CDN.Example.COM/page/' || CAST(doc_id % 250 AS VARCHAR)
+        |      WHEN doc_id % 3 = 1
+        |      THEN 'https://cdn.example.com/page/' || CAST(doc_id % 250 AS VARCHAR) || '/'
+        |      ELSE 'https://cdn.example.com/page/' || CAST(doc_id % 250 AS VARCHAR)
+        |        || '?utm_source=feed&utm_campaign=x' END AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    'https://' || lower(regexp_extract(url, '://([^/]+)/', 1)) ||
+        |      rtrim(regexp_extract(url, '://[^/]+(/[^?]*)', 1), '/') AS canonical
+        |  FROM u)
+        |SELECT canonical, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS survivor_id
+        |FROM c GROUP BY 1 HAVING count(*) >= 2 ORDER BY 1""") { (s, dir) =>
+      val u = T.t(s, dir, "documents").select(col("doc_id"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit("https://CDN.Example.COM/page/"), col("doc_id") % 250))
+          .when(col("doc_id") % 3 === 1,
+            concat(lit("https://cdn.example.com/page/"), col("doc_id") % 250,
+              lit("/")))
+          .otherwise(concat(lit("https://cdn.example.com/page/"),
+            col("doc_id") % 250, lit("?utm_source=feed&utm_campaign=x")))
+          .as("url"))
+      u.select(col("doc_id"),
+          concat(lit("https://"),
+            lower(regexp_extract(col("url"), "://([^/]+)/", 1)),
+            rtrim(regexp_extract(col("url"), "://[^/]+(/[^?]*)", 1), "/"))
+            .as("canonical"))
+        .groupBy("canonical")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          min(col("doc_id")).cast(LongType).as("survivor_id"))
+        .filter(col("n_docs") >= 2)
+        .orderBy("canonical")
+    },
+
+    // Tokenizer-vocabulary coverage: OOV rate per source against the
+    // corpus top-1000 vocabulary — the "will my tokenizer fragment this
+    // shard" report run before committing a vocab. The vocab is a
+    // TakeOrdered-style rank cut broadcast to the token stream; counts and
+    // the OOV share are exact integers (T.r6). Two explode+count shuffles
+    // (vocab build, per-source classify) — both map-side combinable.
+    q("text_oov_rate",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |vocab AS (SELECT term FROM (
+        |    SELECT term, row_number() OVER (
+        |      ORDER BY count(*) DESC, term) AS rn
+        |    FROM tok GROUP BY term) WHERE rn <= 1000),
+        |cl AS (SELECT t.source,
+        |    CAST(count(*) AS BIGINT) AS n_tok,
+        |    CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM tok t LEFT JOIN vocab v ON t.term = v.term GROUP BY 1)
+        |SELECT source, n_tok, n_oov,
+        |  CAST((2000000*n_oov + n_tok) // (2*n_tok) AS BIGINT) / 1000000.0 AS oov_rate
+        |FROM cl ORDER BY source""") { (s, dir) =>
+      val tok = T.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+      val vocab = tok.groupBy("term").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("term")).limit(1000)
+        .select(col("term").as("vterm"))
+      tok.join(broadcast(vocab), col("term") === col("vterm"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).cast(LongType).as("n_tok"),
+          sum(when(col("vterm").isNull, 1).otherwise(0)).cast(LongType).as("n_oov"))
+        .select(col("source"), col("n_tok"), col("n_oov"),
+          T.r6("n_oov", "n_tok").as("oov_rate"))
+        .orderBy("source")
     }
   )
 }

@@ -279,6 +279,40 @@ class TenSpec extends AnyFunSuite {
       s"cover_sim not monotone: ${sims.mkString(",")}")
   }
 
+  test("multimodal_tile_manifest: tiling covers the padded frame exactly") {
+    run("multimodal_tile_manifest").collect().foreach { r =>
+      val (w, h) = (r.getLong(1), r.getLong(2))
+      val (tx, ty, padW, padH) = (r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))
+      assert(tx * 32 == w + padW && ty * 32 == h + padH)
+      assert(padW >= 0 && padW < 32 && padH >= 0 && padH < 32)
+      assert(r.getLong(8) * 16 >= r.getLong(7)) // batches cover all tiles
+    }
+  }
+
+  test("text_dedup_url_canonical collapses every dressing variant") {
+    val rows = run("text_dedup_url_canonical").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val c = r.getString(0)
+      assert(c == c.toLowerCase)           // host lowered
+      assert(!c.contains("?") && !c.endsWith("/")) // query + slash stripped
+      assert(r.getLong(1) >= 2)
+    }
+    // every group of doc_ids sharing (doc_id % 250) canonicalizes together:
+    // at sf0.001 (500 docs) each base has exactly 2 members
+    val docs = T.t(s, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == docs)
+  }
+
+  test("text_oov_rate: counts conserve and rates are bounded") {
+    val rows = run("text_oov_rate").collect()
+    assert(rows.length == 20) // one row per source
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
