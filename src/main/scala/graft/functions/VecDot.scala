@@ -183,8 +183,9 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenBigrams].getName, "bigrams"),
       (exprs: Seq[Expression]) => TokenBigrams(exprs.head)))
-    // whole-operator surface: the native per-group top-k strategy
-    // (graft.plans) rides the same cluster-wide injection point
+    // whole-operator surface: the native per-group top-k and as-of join
+    // strategies (graft.plans) ride the same cluster-wide injection point
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }

@@ -1527,6 +1527,46 @@ object GroupTen {
         .select(col("source"), col("n_tok"), col("n_oov"),
           T.r6("n_oov", "n_tok").as("oov_rate"))
         .orderBy("source")
+    },
+
+    // NATIVE as-of join (graft.plans.AsOfJoin — the second whole-operator
+    // extension beside operator_topk_native): each purchase matched to the
+    // LAST click of the same user at-or-before its timestamp through a
+    // custom LogicalPlan → SparkStrategy → BinaryExecNode that declares
+    // ClusteredDistribution per side and per-side (key, ts) orderings —
+    // two independent exchanges/sorts + one O(1)-state forward merge,
+    // instead of the declarative union + mixed-stream window sort. The
+    // oracle is the declarative running-max-window twin; TenSpec
+    // additionally pins native ≡ declarative inside Spark and the exec's
+    // presence in the plan.
+    q("operator_asof_native",
+      """WITH base AS (SELECT event_id, user_id, ts,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
+        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS okey
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |w AS (SELECT event_id, user_id, ts, is_p,
+        |    max(CASE WHEN is_p = 0 THEN okey END) OVER (
+        |      PARTITION BY user_id ORDER BY ts, is_p, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cok
+        |  FROM base)
+        |SELECT event_id, user_id, ts,
+        |  CAST(cok % 1000000 AS BIGINT) AS c_id,
+        |  CAST(((epoch_us(ts) - 1704067200000000) - (cok // 1000000))
+        |    // 1000000 AS BIGINT) AS gap_s
+        |FROM w WHERE is_p = 1 ORDER BY event_id""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+          col("ts").as("c_ts"))
+      graft.plans.AsOf.asofJoin(purchases, clicks,
+          Seq("user_id"), Seq("c_user"), "ts", "c_ts", Seq("c_id"))
+        .select(col("event_id"), col("user_id"), col("ts"),
+          col("c_id"),
+          expr("(unix_micros(cast(ts as timestamp)) - " +
+            "unix_micros(cast(c_ts as timestamp))) DIV 1000000").as("gap_s"))
+        .orderBy("event_id")
     }
   )
 }

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -311,6 +312,42 @@ class TenSpec extends AnyFunSuite {
       assert(r.getLong(2) <= r.getLong(1))
       assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
     }
+  }
+
+  test("operator_asof_native ≡ the declarative window twin, via the native exec") {
+    val ev = T.t(s, sf, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("c_id"), col("user_id").as("c_user"),
+        col("ts").as("c_ts"))
+    val native = plans.AsOf.asofJoin(purchases, clicks,
+        Seq("user_id"), Seq("c_user"), "ts", "c_ts", Seq("c_id"))
+      .select("event_id", "c_id", "c_ts")
+    // plan shape: the custom exec is present (injected via GraftExtensions
+    // config in TestSpark — the cluster-wide path, no ensureRegistered call)
+    // (SparkPlan node names strip the Exec suffix: the node prints "AsOfJoin")
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      "native as-of exec missing from the physical plan")
+    // declarative twin: union + running-max window over the mixed stream
+    val okey = (expr("unix_micros(cast(ts as timestamp))")
+      - lit(1704067200000000L)) * 1000000L + col("event_id")
+    val base = ev.filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        when(col("event_type") === "purchase", 1).otherwise(0).as("is_p"),
+        okey.as("okey"))
+    val w = Window.partitionBy("user_id").orderBy("ts", "is_p", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val twin = base
+      .withColumn("cok", max(when(col("is_p") === 0, col("okey"))).over(w))
+      .filter(col("is_p") === 1)
+      .select(col("event_id"), (col("cok") % 1000000L).as("c_id"))
+    val n = native.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    val t = twin.collect().map(r =>
+      r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    assert(n == t, "native as-of != declarative window twin")
+    assert(n.nonEmpty)
   }
 
   test("round-10 keys are deterministic under repartitioning") {
