@@ -1567,6 +1567,63 @@ object GroupTen {
           expr("(unix_micros(cast(ts as timestamp)) - " +
             "unix_micros(cast(c_ts as timestamp))) DIV 1000000").as("gap_s"))
         .orderBy("event_id")
+    },
+
+    // Schema contract check — data-contract testing (the CI gate every
+    // producer/consumer handshake runs): a DECLARED column/type contract is
+    // diffed against the table's actual schema, emitting one row per
+    // violation (missing column, unexpected column, type mismatch). The
+    // contract deliberately mis-declares l_linenumber as int64, declares a
+    // nonexistent l_comment, and omits l_tax — exercising all three
+    // violation classes. Types normalize to an engine-neutral vocabulary
+    // (Spark simpleString / DuckDB DESCRIBE both map into it). Metadata
+    // only — no data is read at any scale.
+    q("dq_schema_contract_check",
+      """WITH actual AS (SELECT column_name AS col,
+        |    CASE column_type WHEN 'BIGINT' THEN 'int64'
+        |      WHEN 'INTEGER' THEN 'int32' WHEN 'DOUBLE' THEN 'float64'
+        |      WHEN 'VARCHAR' THEN 'string' WHEN 'TIMESTAMP' THEN 'timestamp'
+        |      ELSE lower(column_type) END AS atype
+        |  FROM (DESCRIBE lineitem)),
+        |contract(col, etype) AS (VALUES
+        |  ('l_orderkey', 'int64'), ('l_partkey', 'int64'),
+        |  ('l_suppkey', 'int64'), ('l_linenumber', 'int64'),
+        |  ('l_quantity', 'float64'), ('l_extendedprice', 'float64'),
+        |  ('l_discount', 'float64'), ('l_returnflag', 'string'),
+        |  ('l_linestatus', 'string'), ('l_shipdate', 'timestamp'),
+        |  ('l_comment', 'string'))
+        |SELECT COALESCE(c.col, a.col) AS col, c.etype AS expected_type,
+        |  a.atype AS actual_type,
+        |  CASE WHEN a.col IS NULL THEN 'missing_column'
+        |       WHEN c.col IS NULL THEN 'unexpected_column'
+        |       ELSE 'type_mismatch' END AS violation
+        |FROM contract c FULL JOIN actual a ON c.col = a.col
+        |WHERE a.col IS NULL OR c.col IS NULL OR c.etype <> a.atype
+        |ORDER BY 1""") { (s, dir) =>
+      import s.implicits._
+      val norm = Map("bigint" -> "int64", "int" -> "int32",
+        "double" -> "float64", "string" -> "string",
+        "timestamp_ntz" -> "timestamp", "timestamp" -> "timestamp")
+      val actual = T.t(s, dir, "lineitem").schema.fields.toSeq
+        .map(f => (f.name,
+          norm.getOrElse(f.dataType.simpleString, f.dataType.simpleString)))
+        .toDF("acol", "atype")
+      val contract = Seq(
+        ("l_orderkey", "int64"), ("l_partkey", "int64"),
+        ("l_suppkey", "int64"), ("l_linenumber", "int64"),
+        ("l_quantity", "float64"), ("l_extendedprice", "float64"),
+        ("l_discount", "float64"), ("l_returnflag", "string"),
+        ("l_linestatus", "string"), ("l_shipdate", "timestamp"),
+        ("l_comment", "string")).toDF("ccol", "etype")
+      contract.join(actual, col("ccol") === col("acol"), "full_outer")
+        .filter(col("acol").isNull || col("ccol").isNull ||
+          col("etype") =!= col("atype"))
+        .select(coalesce(col("ccol"), col("acol")).as("col"),
+          col("etype").as("expected_type"), col("atype").as("actual_type"),
+          when(col("acol").isNull, "missing_column")
+            .when(col("ccol").isNull, "unexpected_column")
+            .otherwise("type_mismatch").as("violation"))
+        .orderBy("col")
     }
   )
 }

@@ -350,6 +350,15 @@ class TenSpec extends AnyFunSuite {
     assert(n.nonEmpty)
   }
 
+  test("dq_schema_contract_check finds exactly the three planted violations") {
+    val rows = run("dq_schema_contract_check").collect()
+      .map(r => r.getString(0) -> r.getString(3)).toMap
+    assert(rows == Map(
+      "l_comment" -> "missing_column",
+      "l_linenumber" -> "type_mismatch",
+      "l_tax" -> "unexpected_column"))
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
