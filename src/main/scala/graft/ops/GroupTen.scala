@@ -519,19 +519,33 @@ object GroupTen {
       val maybeBcast: DataFrame => DataFrame =
         if (fitsBudget) broadcast else identity
       val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
-      // one row per triangle (src, dst, w) — each triangle appears exactly
-      // once, at the edge between its two orientation-smallest nodes
-      val tri = ed
+      // per oriented edge (src, dst): common = out-neighbors closing a
+      // triangle at this edge — each triangle surfaces exactly once, at the
+      // edge between its two orientation-smallest nodes. src and dst are
+      // credited IN BULK with size(common) (no explode); only the third
+      // vertex w needs a generator row — 1/3 the exploded volume of the
+      // naive (src, dst, w)×3 credit stream.
+      val tri0 = ed
         .join(maybeBcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
         .join(maybeBcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
           Seq("dst"), "left")
         .select(col("src"), col("dst"),
-          explode(array_intersect(col("nu"),
-            coalesce(col("nv"), array().cast("array<bigint>")))).as("w"))
-      val credits = tri.select(col("src").as("node"))
-        .unionAll(tri.select(col("dst").as("node")))
-        .unionAll(tri.select(col("w").as("node")))
-        .groupBy("node").agg(count(lit(1)).cast(LongType).as("tri"))
+          array_intersect(col("nu"),
+            coalesce(col("nv"), array().cast("array<bigint>"))).as("common"))
+        .filter(size(col("common")) > 0)
+      // ONE pass over the join output: src/dst take size(common) in bulk, w
+      // takes 1 per closing vertex — a single generator emitting 2+|common|
+      // credit structs per edge (the naive form re-ran the join once per
+      // union branch and exploded 3 rows per triangle)
+      val credits = tri0
+        .select(explode(expr(
+          """concat(
+            |  array(struct(src as node, cast(size(common) as bigint) as c),
+            |        struct(dst as node, cast(size(common) as bigint) as c)),
+            |  transform(common, w -> struct(w as node, 1L as c)))""".stripMargin))
+          .as("cr"))
+        .groupBy(col("cr.node").as("node"))
+        .agg(sum(col("cr.c")).cast(LongType).as("tri"))
       deg.filter(col("d") >= 2)
         .join(credits, Seq("node"), "left")
         .select(col("node"), col("d").cast(LongType).as("d"),
