@@ -1638,6 +1638,146 @@ object GroupTen {
             .when(col("ccol").isNull, "unexpected_column")
             .otherwise("type_mismatch").as("violation"))
         .orderBy("col")
+    },
+
+    // Cramér's V — the normalized effect size on top of the chi² machinery
+    // (stat_chi2_independence emits per-cell contributions; V needs the
+    // SUM, which must never be a float sum across cells): each cell's
+    // (n·o − rt·ct)²·10⁶ div (n·rt·ct) is ONE exact integer division in
+    // DECIMAL(38,0) micro-units (the anova fixed-point trick), the
+    // micro-contributions SUM exactly, and V = √(χ²/(n·min(r−1,c−1)))
+    // ends in a single IEEE chain at 6dp.
+    q("stat_cramers_v",
+      """WITH base AS (SELECT event_type AS et,
+        |    CAST(date_part('dow', ts) AS INT) AS dow FROM events),
+        |o AS (SELECT et, dow, CAST(count(*) AS HUGEINT) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT et, CAST(count(*) AS HUGEINT) AS rt FROM base GROUP BY 1),
+        |ct AS (SELECT dow, CAST(count(*) AS HUGEINT) AS ct FROM base GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM base),
+        |cells AS (SELECT ((n*o - rt*ct)*(n*o - rt*ct)*1000000) // (n*rt*ct) AS cm
+        |  FROM o JOIN rt USING (et) JOIN ct USING (dow) CROSS JOIN n),
+        |agg AS (SELECT CAST(sum(cm) AS HUGEINT) AS chi2_micro,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM rt) AS r,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM ct) AS c,
+        |    (SELECT CAST(n AS BIGINT) FROM n) AS n
+        |  FROM cells)
+        |SELECT r, c, n, CAST(chi2_micro AS BIGINT) AS chi2_micro,
+        |  round(sqrt(CAST(chi2_micro AS DOUBLE) /
+        |    (1000000.0 * CAST(n AS DOUBLE) *
+        |     CAST(least(r - 1, c - 1) AS DOUBLE))), 6) + 0.0 AS cramers_v
+        |FROM agg""") { (s, dir) =>
+      val base = T.t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          (dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"))
+      val o = base.groupBy("et", "dow").agg(count(lit(1)).as("o"))
+      val rt = base.groupBy("et").agg(count(lit(1)).as("rt"))
+      val ct = base.groupBy("dow").agg(count(lit(1)).as("ct"))
+      val n = base.agg(count(lit(1)).as("n"))
+      val d38 = DecimalType(38, 0)
+      val cells = o.join(broadcast(rt), "et").join(broadcast(ct), "dow")
+        .crossJoin(broadcast(n))
+        .select(expr(
+          """((cast(n as decimal(38,0))*o - cast(rt as decimal(38,0))*ct) *
+            |  (cast(n as decimal(38,0))*o - cast(rt as decimal(38,0))*ct) *
+            |  1000000L)
+            |div (cast(n as decimal(38,0)) * rt * ct)""".stripMargin).as("cm"))
+      val rc = rt.agg(count(lit(1)).cast(LongType).as("r"))
+        .crossJoin(ct.agg(count(lit(1)).cast(LongType).as("c")))
+        .crossJoin(n.select(col("n").cast(LongType).as("n")))
+      cells.agg(sum(col("cm")).cast(d38).as("chi2_micro"))
+        .crossJoin(broadcast(rc))
+        .select(col("r"), col("c"), col("n"),
+          col("chi2_micro").cast(LongType).as("chi2_micro"),
+          (round(sqrt(col("chi2_micro").cast(DoubleType) /
+            (lit(1000000.0) * col("n").cast(DoubleType) *
+              least(col("r") - 1, col("c") - 1).cast(DoubleType))), 6) + 0.0)
+            .as("cramers_v"))
+    },
+
+    // Mutual information of the (event type × JSON-prop decile) contingency
+    // table, emitted PER CELL (the dq_population_stability contract: each
+    // cell's p·ln(p_ij·n/(p_i·p_j·…)) term comes from exact integer counts
+    // through one identically-parenthesized ln chain at 6dp — a float sum
+    // across cells never happens in-engine). The association screen for
+    // feature selection over categorical pairs.
+    q("stat_mutual_information",
+      """WITH base AS (SELECT event_type AS et,
+        |    CAST(regexp_extract(props, '"k": (\d+)', 1) AS INT) % 10 AS kb
+        |  FROM events),
+        |o AS (SELECT et, kb, CAST(count(*) AS BIGINT) AS o FROM base GROUP BY 1, 2),
+        |rt AS (SELECT et, CAST(count(*) AS BIGINT) AS rt FROM base GROUP BY 1),
+        |ct AS (SELECT kb, CAST(count(*) AS BIGINT) AS ct FROM base GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM base)
+        |SELECT et, kb, o,
+        |  round((CAST(o AS DOUBLE) / CAST(n AS DOUBLE)) *
+        |    ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |       (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE))), 6) + 0.0 AS mi_contrib
+        |FROM o JOIN rt USING (et) JOIN ct USING (kb) CROSS JOIN n
+        |ORDER BY et, kb""") { (s, dir) =>
+      val base = T.t(s, dir, "events")
+        .select(col("event_type").as("et"),
+          (get_json_object(col("props"), "$.k").cast(IntegerType) % 10).as("kb"))
+      val o = base.groupBy("et", "kb").agg(count(lit(1)).cast(LongType).as("o"))
+      val rt = base.groupBy("et").agg(count(lit(1)).cast(LongType).as("rt"))
+      val ct = base.groupBy("kb").agg(count(lit(1)).cast(LongType).as("ct"))
+      val n = base.agg(count(lit(1)).cast(LongType).as("n"))
+      o.join(broadcast(rt), "et").join(broadcast(ct), "kb")
+        .crossJoin(broadcast(n))
+        .select(col("et"), col("kb"), col("o"),
+          (round((col("o").cast(DoubleType) / col("n").cast(DoubleType)) *
+            expr("ln((CAST(o AS DOUBLE) * CAST(n AS DOUBLE)) /" +
+              " (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)))"), 6) + 0.0)
+            .as("mi_contrib"))
+        .orderBy("et", "kb")
+    },
+
+    // Holt's linear-trend double exponential smoothing (α = β = ½) over the
+    // daily view-count series — the forecasting sibling of the truncated
+    // window_ewma_kernel. With dyadic smoothing weights every level/trend
+    // value is an EXACT binary rational (≤43 significant bits over the
+    // ≤31-day spine — halving is lossless in IEEE doubles), so both engines
+    // produce bit-identical UNROUNDED doubles: the recursion is emitted
+    // raw, no 6dp boundary at all. The sequential recursion runs inside
+    // one task over the calendar-bounded spine (≤31 rows after the
+    // distributed day aggregation) — the same bounded-spine argument as
+    // the CUSUM/SPRT keys; everything data-sized stays distributed.
+    q("ts_holt_linear",
+      """WITH RECURSIVE daily AS (SELECT CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS DOUBLE) AS y
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |idx AS (SELECT d, y, row_number() OVER (ORDER BY d) AS rn FROM daily),
+        |rec AS (
+        |  SELECT rn, d, y, y AS l, CAST(0 AS DOUBLE) AS b
+        |  FROM idx WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.rn, i.d, i.y,
+        |    (i.y + (r.l + r.b)) / 2,
+        |    (((i.y + (r.l + r.b)) / 2 - r.l) + r.b) / 2
+        |  FROM idx i JOIN rec r ON i.rn = r.rn + 1)
+        |SELECT d, y, l AS level, b AS trend, l + b AS forecast_next
+        |FROM rec ORDER BY d""") { (s, dir) =>
+      import s.implicits._
+      T.t(s, dir, "events").filter(col("event_type") === "view")
+        .groupBy(col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).cast(DoubleType).as("y"))
+        .orderBy("d").coalesce(1)
+        .as[(java.sql.Date, Double)]
+        .mapPartitions { it =>
+          // sequential Holt recursion over the ≤31-row sorted spine; the
+          // formulas mirror the oracle's recursive CTE token-for-token
+          var l = 0.0; var b = 0.0; var first = true
+          it.map { case (d, y) =>
+            if (first) { l = y; b = 0.0; first = false }
+            else {
+              val lN = (y + (l + b)) / 2
+              val bN = ((lN - l) + b) / 2
+              l = lN; b = bN
+            }
+            (d, y, l, b, l + b)
+          }
+        }
+        .toDF("d", "y", "level", "trend", "forecast_next")
+        .orderBy("d")
     }
   )
 }

@@ -88,7 +88,11 @@ object DrivePlanAudit {
     // round 10c: farthest-point sampling's k−1 one-row chosen-point
     // broadcasts (the Lloyd-centroid shape — each refinement layer is
     // corpus × one picked row)
-    "vector_maxmin_diversity")
+    "vector_maxmin_diversity",
+    // round 10d: the 1-row grand-total scalar crossJoins of the Cramér's V
+    // and mutual-information contingency tables (stat_chi2_independence's
+    // exact shape)
+    "stat_cramers_v", "stat_mutual_information")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

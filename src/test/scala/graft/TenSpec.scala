@@ -359,6 +359,38 @@ class TenSpec extends AnyFunSuite {
       "l_tax" -> "unexpected_column"))
   }
 
+  test("stat_cramers_v is a bounded effect size over the right grid") {
+    val r = run("stat_cramers_v").collect().head
+    assert(r.getLong(0) == 5)                       // 5 event types
+    assert(r.getLong(1) == 7)                       // 7 weekdays
+    assert(r.getLong(2) == T.t(s, sf, "events").count())
+    val v = r.getDouble(4)
+    assert(v >= 0.0 && v <= 1.0, s"V out of [0,1]: $v")
+  }
+
+  test("stat_mutual_information cells conserve the event count") {
+    val rows = run("stat_mutual_information").collect()
+    assert(rows.map(_.getLong(2)).sum == T.t(s, sf, "events").count())
+    // MI total is non-negative even though single cells may dip negative
+    assert(rows.map(_.getDouble(3)).sum >= -1e-4)
+  }
+
+  test("ts_holt_linear: level tracks the series and the recursion is exact") {
+    val rows = run("ts_holt_linear").collect()
+    assert(rows.length >= 28) // ~30-day spine
+    // replay the recursion on the collected series: values must be
+    // BIT-identical (dyadic alpha=beta=1/2 — no rounding anywhere)
+    var l = 0.0; var b = 0.0; var first = true
+    rows.foreach { r =>
+      val y = r.getDouble(1)
+      if (first) { l = y; b = 0.0; first = false }
+      else { val lN = (y + (l + b)) / 2; b = ((lN - l) + b) / 2; l = lN }
+      assert(r.getDouble(2) == l && r.getDouble(3) == b,
+        s"recursion mismatch at ${r.get(0)}")
+      assert(r.getDouble(4) == l + b)
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
