@@ -1778,6 +1778,161 @@ object GroupTen {
         }
         .toDF("d", "y", "level", "trend", "forecast_next")
         .orderBy("d")
+    },
+
+    // Bollinger bands over the trailing 20-row price window per supplier —
+    // the control-band monitor beside window_rolling_corr (same exact
+    // integer-cent windowed moments): mid = exact cent rational (T.r6),
+    // σ = √(n·Σy²−(Σy)²)/(100n) one IEEE chain, bands mid±2σ, and the
+    // breakout flag compares bit-identical doubles so it is engine-exact.
+    q("window_bollinger_bands",
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y,
+        |    l_shipdate, l_orderkey, l_linenumber
+        |  FROM lineitem WHERE l_suppkey <= 2),
+        |w AS (SELECT l_suppkey,
+        |    row_number() OVER win AS rn, y,
+        |    count(*) OVER winf AS n,
+        |    sum(y) OVER winf AS sy, sum(y*y) OVER winf AS syy
+        |  FROM li
+        |  WINDOW win AS (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, y),
+        |    winf AS (PARTITION BY l_suppkey
+        |      ORDER BY l_shipdate, l_orderkey, l_linenumber, y
+        |      ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)),
+        |b AS (SELECT l_suppkey, CAST(rn AS BIGINT) AS rn,
+        |    CAST(y AS DOUBLE) / 100.0 AS price,
+        |    CAST((2000000*sy + 100*n) // (2*(100*n)) AS BIGINT) / 1000000.0 AS mid,
+        |    sqrt(CAST(n*syy - sy*sy AS DOUBLE)) / (100.0 * CAST(n AS DOUBLE)) AS sd
+        |  FROM w WHERE rn >= 20)
+        |SELECT l_suppkey, rn, price, mid,
+        |  round(mid + (2.0 * sd), 6) + 0.0 AS upper_band,
+        |  round(mid - (2.0 * sd), 6) + 0.0 AS lower_band,
+        |  (price > mid + (2.0 * sd) OR price < mid - (2.0 * sd)) AS is_breakout
+        |FROM b ORDER BY l_suppkey, rn""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").filter(col("l_suppkey") <= 2)
+        .withColumn("y", (col("l_extendedprice").cast(T.dec) * 100).cast(LongType))
+      val ord = Seq(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("y"))
+      val win = Window.partitionBy("l_suppkey").orderBy(ord: _*)
+      val winf = win.rowsBetween(-19, Window.currentRow)
+      val b = li.withColumn("rn", row_number().over(win))
+        .withColumn("n", count(lit(1)).over(winf))
+        .withColumn("sy", sum(col("y")).over(winf))
+        .withColumn("syy", sum(col("y") * col("y")).over(winf))
+        .filter(col("rn") >= 20)
+        .select(col("l_suppkey"), col("rn").cast(LongType).as("rn"),
+          (col("y").cast(DoubleType) / 100.0).as("price"),
+          T.r6("sy", "100 * n").as("mid"),
+          (sqrt((col("n") * col("syy") - col("sy") * col("sy")).cast(DoubleType))
+            / (lit(100.0) * col("n").cast(DoubleType))).as("sd"))
+      b.select(col("l_suppkey"), col("rn"), col("price"), col("mid"),
+          (round(col("mid") + (lit(2.0) * col("sd")), 6) + 0.0).as("upper_band"),
+          (round(col("mid") - (lit(2.0) * col("sd")), 6) + 0.0).as("lower_band"),
+          (col("price") > col("mid") + (lit(2.0) * col("sd")) ||
+           col("price") < col("mid") - (lit(2.0) * col("sd"))).as("is_breakout"))
+        .orderBy("l_suppkey", "rn")
+    },
+
+    // Length-bucket batching report — the padding-efficiency planning step
+    // of training-batch construction (bucketing by length minimizes pad
+    // waste): docs binned into 16-token buckets, per bucket the used vs
+    // padded token counts (pad to the bucket ceiling) and the exact pad
+    // share (T.r6). One scan + one enum-sized agg.
+    q("pipeline_length_buckets",
+      """WITH d AS (SELECT len(string_split(text, ' ')) AS toks FROM documents),
+        |b AS (SELECT (toks // 16) * 16 AS bucket, toks FROM d)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS tokens_used,
+        |  CAST(count(*) * (bucket + 16) - sum(toks) AS BIGINT) AS tokens_padded,
+        |  CAST((2000000*(count(*) * (bucket + 16) - sum(toks))
+        |      + count(*) * (bucket + 16))
+        |    // (2*(count(*) * (bucket + 16))) AS BIGINT) / 1000000.0 AS pad_share
+        |FROM b GROUP BY bucket ORDER BY bucket""") { (s, dir) =>
+      T.t(s, dir, "documents")
+        .select(size(split(col("text"), " ")).cast(LongType).as("toks"))
+        .withColumn("bucket", expr("(toks div 16) * 16"))
+        .groupBy("bucket").agg(
+          count(lit(1)).cast(LongType).as("n_docs"),
+          sum(col("toks")).cast(LongType).as("tokens_used"))
+        .withColumn("tokens_padded",
+          (col("n_docs") * (col("bucket") + 16) - col("tokens_used"))
+            .cast(LongType))
+        .select(col("bucket").cast(LongType).as("bucket"), col("n_docs"),
+          col("tokens_used"), col("tokens_padded"),
+          T.r6("tokens_padded", "n_docs * (bucket + 16)").as("pad_share"))
+        .orderBy("bucket")
+    },
+
+    // Share-of-parent down a dimension hierarchy — the BI ratio every
+    // drill-down report carries (nation share of its region, region share
+    // of the total): all revenue in exact integer cents, every share a
+    // pure-integer rational (T.r6). Two broadcast dim joins + one fact
+    // agg + two tiny re-aggregations — the fact table shuffles once.
+    q("agg_share_of_parent",
+      """WITH rev AS (SELECT n.n_name AS nation, r.r_name AS region,
+        |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)) * 100) AS HUGEINT) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  JOIN region r ON n.n_regionkey = r.r_regionkey
+        |  GROUP BY 1, 2),
+        |reg AS (SELECT region, CAST(sum(cents) AS HUGEINT) AS rcents FROM rev GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cents) AS HUGEINT) AS tcents FROM rev)
+        |SELECT rev.region, rev.nation,
+        |  CAST((2000000*rev.cents + reg.rcents) // (2*reg.rcents) AS BIGINT)
+        |    / 1000000.0 AS nation_share_of_region,
+        |  CAST((2000000*reg.rcents + tot.tcents) // (2*tot.tcents) AS BIGINT)
+        |    / 1000000.0 AS region_share_of_total
+        |FROM rev JOIN reg USING (region) CROSS JOIN tot
+        |ORDER BY rev.region, rev.nation""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val rev = T.t(s, dir, "orders")
+        .join(T.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(T.t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(T.t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name").as("nation"), col("r_name").as("region"))
+        .agg(sum(col("o_totalprice").cast(T.dec) * 100).cast(d38).as("cents"))
+      val reg = rev.groupBy("region").agg(sum(col("cents")).cast(d38).as("rcents"))
+      val tot = rev.agg(sum(col("cents")).cast(d38).as("tcents"))
+      rev.join(broadcast(reg), "region").crossJoin(broadcast(tot))
+        .select(col("region"), col("nation"),
+          T.r6("cents", "rcents").as("nation_share_of_region"),
+          T.r6("rcents", "tcents").as("region_share_of_total"))
+        .orderBy("region", "nation")
+    },
+
+    // Freshness SLA audit — the data-observability staleness monitor: per
+    // event type, lag of its latest event behind the stream head (the
+    // global max timestamp — the pipeline's "now"), classified against
+    // 1 h / 24 h SLA tiers. All exact integer micro/second arithmetic; one
+    // scan + enum agg + 1-row head broadcast.
+    q("dq_freshness_sla",
+      """WITH m AS (SELECT event_type, max(ts) AS last_ts FROM events GROUP BY 1),
+        |h AS (SELECT max(ts) AS head_ts FROM events)
+        |SELECT event_type, last_ts,
+        |  CAST((epoch_us(head_ts) - epoch_us(last_ts)) // 1000000 AS BIGINT)
+        |    AS staleness_s,
+        |  CASE WHEN epoch_us(head_ts) - epoch_us(last_ts) <= 3600000000
+        |         THEN 'fresh'
+        |       WHEN epoch_us(head_ts) - epoch_us(last_ts) <= 86400000000
+        |         THEN 'stale' ELSE 'critical' END AS status
+        |FROM m CROSS JOIN h ORDER BY event_type""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+      val m = e.groupBy("event_type").agg(max(col("ts")).as("last_ts"))
+      val h = e.agg(max(col("ts")).as("head_ts"))
+      m.crossJoin(broadcast(h))
+        .withColumn("lag_us",
+          expr("unix_micros(cast(head_ts as timestamp))") -
+            expr("unix_micros(cast(last_ts as timestamp))"))
+        .select(col("event_type"), col("last_ts"),
+          expr("lag_us div 1000000").cast(LongType).as("staleness_s"),
+          when(col("lag_us") <= 3600000000L, "fresh")
+            .when(col("lag_us") <= 86400000000L, "stale")
+            .otherwise("critical").as("status"))
+        .orderBy("event_type")
     }
   )
 }

@@ -391,6 +391,46 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("window_bollinger_bands: bands bracket the mid, breakouts exact") {
+    run("window_bollinger_bands").collect().foreach { r =>
+      val (price, mid) = (r.getDouble(2), r.getDouble(3))
+      val (up, lo) = (r.getDouble(4), r.getDouble(5))
+      assert(lo <= mid && mid <= up)
+      if (r.getBoolean(6)) assert(price > up - 1e-6 || price < lo + 1e-6)
+    }
+  }
+
+  test("pipeline_length_buckets conserves docs and tokens") {
+    val rows = run("pipeline_length_buckets").collect()
+    val docs = T.t(s, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    val totalToks = docs.select(sum(size(split(col("text"), " "))))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == totalToks)
+    rows.foreach { r =>
+      assert(r.getLong(3) >= 0)
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) < 1.0)
+    }
+  }
+
+  test("agg_share_of_parent: shares sum to ~1 within each level") {
+    val rows = run("agg_share_of_parent").collect()
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val s = rs.map(_.getDouble(2)).sum
+      assert(math.abs(s - 1.0) < 1e-4, s"nation shares sum $s")
+    }
+    val regionShares = rows.groupBy(_.getString(0))
+      .map(_._2.head.getDouble(3)).sum
+    assert(math.abs(regionShares - 1.0) < 1e-4)
+  }
+
+  test("dq_freshness_sla: head type is fresh with zero staleness") {
+    val rows = run("dq_freshness_sla").collect()
+    assert(rows.length == 5)
+    assert(rows.exists(r => r.getLong(2) == 0L && r.getString(3) == "fresh"))
+    rows.foreach(r => assert(r.getLong(2) >= 0))
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
