@@ -62,6 +62,78 @@ object GroupPipeline {
       .filter(col("jac") >= threshold)
   }
 
+  /** SimHash near-dup pairs (ia, ib, hamming): 60-bit portable-poly_hash
+    * SimHash, banded 4×15 for candidates, verified at Hamming ≤ 8. Shared
+    * between `dedup_simhash` (which reports the pairs) and
+    * `dedup_simhash_recall_audit` (GroupTen — which grades them against the
+    * exact-Jaccard ground truth). */
+  private[ops] def simhashNearPairs(s: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    val toks = T.t(s, dir, "documents")
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("h", call_function("poly_hash", col("tok")))
+    val bitSums = (0 until 60).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
+    }
+    val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _))
+      .select("doc_id", "simhash")
+    val banded = sim.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(i =>
+        shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band_pos", "band_val")))
+    val a = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"),
+      col("band_pos"), col("band_val"))
+    val b = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"),
+      col("band_pos").as("bp2"), col("band_val").as("bv2"))
+    a.join(b, col("band_pos") === col("bp2") && col("band_val") === col("bv2")
+        && col("ia") < col("ib"))
+      .dropDuplicates("ia", "ib")
+      .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
+      .filter(col("hamming") <= 8)
+      .select("ia", "ib", "hamming")
+  }
+
+  /** The DuckDB CTE stack producing the same simhash pair set — shared text
+    * between the two oracles (keeps the audit oracle in lockstep with the
+    * graded key's). Yields relation `scand(ia, ib, hamming)`. */
+  private[ops] val simhashOracleCtes: String =
+    """toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |th AS (
+      |  SELECT doc_id, (list_reduce(
+      |    list_concat([CAST(0 AS HUGEINT)],
+      |      list_transform(range(length(tok)),
+      |        i -> CAST(ascii(substr(tok, CAST(i+1 AS INT), 1)) AS HUGEINT))),
+      |    (h, c) -> (h * 257 + c) % CAST(2305843009213693951 AS HUGEINT)
+      |  ) * CAST(1181783497276652981 AS HUGEINT) + 1)
+      |    % CAST(2305843009213693951 AS HUGEINT) AS hv
+      |  FROM toks),
+      |votes AS (
+      |  SELECT doc_id, b,
+      |    sum(CASE WHEN (hv >> CAST(b AS INT)) % 2 = 1 THEN 1 ELSE -1 END) AS v
+      |  FROM th, range(60) t(b) GROUP BY 1, 2),
+      |sim AS (
+      |  SELECT doc_id, CAST(sum(CASE WHEN v > 0
+      |      THEN (CAST(1 AS HUGEINT) << CAST(b AS INT))
+      |      ELSE CAST(0 AS HUGEINT) END) AS BIGINT) AS simhash
+      |  FROM votes GROUP BY 1),
+      |banded AS (
+      |  SELECT doc_id, simhash, p,
+      |    CAST((simhash >> CAST(p*15 AS INT)) % 32768 AS INT) AS bv
+      |  FROM sim, range(4) t(p)),
+      |scandp AS (
+      |  SELECT DISTINCT a.doc_id AS ia, b.doc_id AS ib,
+      |    a.simhash AS sa, b.simhash AS sb
+      |  FROM banded a JOIN banded b
+      |    ON a.p = b.p AND a.bv = b.bv AND a.doc_id < b.doc_id),
+      |scand AS (
+      |  SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
+      |  FROM scandp WHERE bit_count(xor(sa, sb)) <= 8)""".stripMargin
+
   val defs: Seq[Q] = Seq(
     // 60-bit SimHash over the token multiset (engine-portable poly_hash per
     // token — Rabin-Karp fold + multiplicative finalizer, graft.functions
@@ -101,34 +173,7 @@ object GroupPipeline {
         |    ON a.p = b.p AND a.bv = b.bv AND a.doc_id < b.doc_id)
         |SELECT ia, ib, CAST(bit_count(xor(sa, sb)) AS INT) AS hamming
         |FROM cand WHERE bit_count(xor(sa, sb)) <= 8 ORDER BY ia, ib""") { (s, dir) =>
-      graft.functions.GraftFunctions.register(s)
-      val toks = T.t(s, dir, "documents")
-        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-        .withColumn("h", call_function("poly_hash", col("tok")))
-      val bitSums = (0 until 60).map { b =>
-        sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$b")
-      }
-      val sim = toks.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-        .withColumn("simhash",
-          (0 until 60).map(b => when(col(s"b$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-            .reduce(_ + _))
-        .select("doc_id", "simhash")
-      val banded = sim.select(
-        col("doc_id"), col("simhash"),
-        posexplode(array((0 until 4).map(i =>
-          shiftrightunsigned(col("simhash"), i * 15).bitwiseAND(lit(0x7FFFL))): _*))
-          .as(Seq("band_pos", "band_val")))
-      val a = banded.select(col("doc_id").as("ia"), col("simhash").as("sa"),
-        col("band_pos"), col("band_val"))
-      val b = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"),
-        col("band_pos").as("bp2"), col("band_val").as("bv2"))
-      a.join(b, col("band_pos") === col("bp2") && col("band_val") === col("bv2")
-          && col("ia") < col("ib"))
-        .dropDuplicates("ia", "ib")
-        .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
-        .filter(col("hamming") <= 8)
-        .select("ia", "ib", "hamming")
-        .orderBy("ia", "ib")
+      simhashNearPairs(s, dir).orderBy("ia", "ib")
     },
 
     // Exact n-gram (3-token shingle) Jaccard near-dup pairs via inverted-

@@ -1933,6 +1933,588 @@ object GroupTen {
             .when(col("lag_us") <= 86400000000L, "stale")
             .otherwise("critical").as("status"))
         .orderBy("event_type")
+    },
+
+    // ROC AUC by rank statistic — the scale path for classifier evaluation:
+    // AUC = U/(n₁n₀) via the Mann–Whitney identity, so it needs NO sorted
+    // sweep over raw rows, only the DISTINCT-VALUE spine (the
+    // stat_wilcoxon_rank_sum machinery, domain-bounded) with positive/
+    // negative counts and one bounded cumulative window per weekday.
+    // 2U = Σ na·(2·cum_nb + nb) is an exact integer (ties get half credit
+    // by construction), so AUC and Gini = 2·AUC−1 are pure-integer
+    // rationals through T.r6/r6s — no float ever sums across rows. Scoring
+    // rule audited: does `value` rank purchases above other events?
+    q("ml_auc_roc",
+      """WITH e AS (SELECT CAST(date_part('dow', ts) AS INT) AS dow, value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |vc AS (SELECT dow, value,
+        |    CAST(sum(pos) AS BIGINT) AS na,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nb
+        |  FROM e GROUP BY 1, 2),
+        |cb AS (SELECT dow, na, nb,
+        |    COALESCE(sum(nb) OVER (PARTITION BY dow ORDER BY value
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_b
+        |  FROM vc),
+        |m AS (SELECT dow,
+        |    CAST(sum(na) AS HUGEINT) AS nat, CAST(sum(nb) AS HUGEINT) AS nbt,
+        |    CAST(sum(na*(2*cum_b + nb)) AS HUGEINT) AS u2
+        |  FROM cb GROUP BY 1)
+        |SELECT dow, CAST(nat AS BIGINT) AS n_pos, CAST(nbt AS BIGINT) AS n_neg,
+        |  CASE WHEN nat*nbt > 0 THEN
+        |    CAST((2000000*u2 + 2*nat*nbt) // (4*nat*nbt) AS BIGINT) / 1000000.0
+        |  END AS auc6,
+        |  CASE WHEN nat*nbt > 0 THEN
+        |    (CASE WHEN u2 - nat*nbt < 0 THEN -1 ELSE 1 END) *
+        |      CAST((2000000*abs(u2 - nat*nbt) + nat*nbt)
+        |        // (2*nat*nbt) AS BIGINT) / 1000000.0
+        |  END AS gini6
+        |FROM m ORDER BY dow""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select((dayofweek(col("ts")) - 1).cast(IntegerType).as("dow"),
+          col("value"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
+      val vc = e.groupBy("dow", "value").agg(
+        sum(col("pos")).cast(LongType).as("na"),
+        sum(lit(1) - col("pos")).cast(LongType).as("nb"))
+      val wcum = Window.partitionBy("dow").orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cb = vc.withColumn("cum_b",
+        coalesce(sum(col("nb")).over(wcum), lit(0L)))
+      val d38 = DecimalType(38, 0)
+      cb.groupBy("dow").agg(
+          sum(col("na")).cast(d38).as("nat"),
+          sum(col("nb")).cast(d38).as("nbt"),
+          sum(col("na") * (lit(2) * col("cum_b") + col("nb"))).cast(d38).as("u2"))
+        .select(col("dow"),
+          col("nat").cast(LongType).as("n_pos"),
+          col("nbt").cast(LongType).as("n_neg"),
+          when(col("nat") * col("nbt") > 0,
+            T.r6("u2", "2*nat*nbt")).as("auc6"),
+          when(col("nat") * col("nbt") > 0,
+            T.r6s("u2 - nat*nbt", "nat*nbt")).as("gini6"))
+        .orderBy("dow")
+    },
+
+    // Longest-prefix-match lookup join — the routing-table / geo-IP
+    // enrichment shape (CIDR rules at /8, /16, /24). Re-planned from the
+    // naive "most specific rule wins" theta join to an EQUI-join on the
+    // first octet (every rule carries its /8 bucket; the probe side
+    // shuffles nothing extra since the rule table broadcasts), with the
+    // /16 and /24 octet matches as residual predicates and the LPM winner
+    // chosen by a per-user rank on (prefix_len DESC, rule). Rule table is
+    // synthesized deterministically from odd-multiplier sequences (each
+    // rule set injective in k, so no duplicate prefixes); unmatched users
+    // fall to the 'default' route via left join. Pure integer arithmetic.
+    q("join_ip_prefix_lookup",
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |p AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM u),
+        |po AS (SELECT user_id, ip, ip // 16777216 AS o1,
+        |    (ip // 65536) % 256 AS o2, (ip // 256) % 256 AS o3 FROM p),
+        |r8 AS (SELECT k*2 AS o1, CAST(NULL AS BIGINT) AS o2,
+        |    CAST(NULL AS BIGINT) AS o3, 8 AS plen,
+        |    'r8-' || CAST(k*2 AS VARCHAR) AS rule FROM range(128) t(k)),
+        |r16 AS (SELECT (k*37) % 256, (k*101) % 256, CAST(NULL AS BIGINT),
+        |    16, 'r16-' || CAST(k AS VARCHAR) FROM range(128) t(k)),
+        |r24 AS (SELECT (k*53) % 256, (k*29) % 256, (k*11) % 256,
+        |    24, 'r24-' || CAST(k AS VARCHAR) FROM range(64) t(k)),
+        |rules AS (SELECT * FROM r8 UNION ALL SELECT * FROM r16
+        |  UNION ALL SELECT * FROM r24),
+        |m AS (SELECT po.user_id, r.plen, r.rule
+        |  FROM po JOIN rules r ON po.o1 = r.o1
+        |    AND (r.plen = 8 OR (r.plen = 16 AND r.o2 = po.o2)
+        |      OR (r.plen = 24 AND r.o2 = po.o2 AND r.o3 = po.o3))),
+        |best AS (SELECT user_id, plen, rule, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY plen DESC, rule) AS rn FROM m)
+        |SELECT po.user_id, CAST(po.ip AS BIGINT) AS ip,
+        |  CAST(COALESCE(b.plen, 0) AS INT) AS plen,
+        |  COALESCE(b.rule, 'default') AS rule
+        |FROM po LEFT JOIN best b ON b.user_id = po.user_id AND b.rn = 1
+        |ORDER BY po.user_id""") { (s, dir) =>
+      val po = T.t(s, dir, "events").select("user_id").distinct()
+        .withColumn("ip", (col("user_id") * 2654435761L) % 4294967296L)
+        .withColumn("o1", expr("ip div 16777216"))
+        .withColumn("o2", expr("(ip div 65536) % 256"))
+        .withColumn("o3", expr("(ip div 256) % 256"))
+      val r8 = s.range(128).select((col("id") * 2).as("o1"),
+        lit(null).cast(LongType).as("o2"), lit(null).cast(LongType).as("o3"),
+        lit(8).as("plen"), concat(lit("r8-"), col("id") * 2).as("rule"))
+      val r16 = s.range(128).select(((col("id") * 37) % 256).as("o1"),
+        ((col("id") * 101) % 256).as("o2"), lit(null).cast(LongType).as("o3"),
+        lit(16).as("plen"), concat(lit("r16-"), col("id")).as("rule"))
+      val r24 = s.range(64).select(((col("id") * 53) % 256).as("o1"),
+        ((col("id") * 29) % 256).as("o2"), ((col("id") * 11) % 256).as("o3"),
+        lit(24).as("plen"), concat(lit("r24-"), col("id")).as("rule"))
+      val rules = r8.unionAll(r16).unionAll(r24)
+      val m = po.join(broadcast(rules),
+        po("o1") === rules("o1") &&
+          (rules("plen") === 8 ||
+            (rules("plen") === 16 && rules("o2") === po("o2")) ||
+            (rules("plen") === 24 && rules("o2") === po("o2") &&
+              rules("o3") === po("o3"))))
+        .select(po("user_id"), rules("plen"), rules("rule"))
+      val wbest = Window.partitionBy("user_id")
+        .orderBy(col("plen").desc, col("rule"))
+      val best = m.withColumn("rn", row_number().over(wbest))
+        .filter(col("rn") === 1).select(col("user_id").as("bu"),
+          col("plen"), col("rule"))
+      po.join(best, po("user_id") === best("bu"), "left")
+        .select(po("user_id"), col("ip").cast(LongType).as("ip"),
+          coalesce(col("plen"), lit(0)).cast(IntegerType).as("plen"),
+          coalesce(col("rule"), lit("default")).as("rule"))
+        .orderBy("user_id")
+    },
+
+    // Per-term KL-divergence contributions of each source's unigram
+    // distribution against the corpus (the "which shard drifted, and on
+    // what vocabulary" curation screen) — top-10 terms by contribution per
+    // source. The PSI/mutual-information emission contract: the single
+    // transcendental ln(c_st·n / (n_s·c_t)) is QUANTIZED immediately
+    // (round(ln·10⁶) → BIGINT, both ln operands exact-integer products
+    // cast to double once), after which the contribution c_st·lnq/(n_s·10⁶)
+    // is a pure-integer rational (T.r6s) and the top-10 rank orders by the
+    // exact integer c_st·lnq — no float ever decides a rank or sums across
+    // terms. Two map-side-combinable shuffles (term counts, corpus re-agg).
+    q("text_kl_divergence",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |st AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM st GROUP BY 1),
+        |ct AS (SELECT term, CAST(sum(c) AS BIGINT) AS c_t FROM st GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM st),
+        |qz AS (SELECT st.source, st.term, st.c, ns.n_s,
+        |    CAST(round(ln(CAST(st.c * tot.n AS DOUBLE)
+        |      / CAST(ns.n_s * ct.c_t AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lnq
+        |  FROM st JOIN ns USING (source) JOIN ct USING (term) CROSS JOIN tot),
+        |rk AS (SELECT source, term, c, n_s, lnq, row_number() OVER (
+        |    PARTITION BY source ORDER BY c * lnq DESC, term) AS rn FROM qz)
+        |SELECT source, term, c AS cnt, CAST(rn AS BIGINT) AS rn,
+        |  (CASE WHEN c*lnq < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(c*lnq) + n_s*1000000)
+        |      // (2*n_s*1000000) AS BIGINT) / 1000000.0 AS contrib6
+        |FROM rk WHERE rn <= 10 ORDER BY source, rn""") { (s, dir) =>
+      val st = T.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).cast(LongType).as("c"))
+      val ns = st.groupBy("source").agg(sum("c").cast(LongType).as("n_s"))
+      val ct = st.groupBy("term").agg(sum("c").cast(LongType).as("c_t"))
+      val tot = st.agg(sum("c").cast(LongType).as("n"))
+      val qz = st.join(ns, "source").join(ct, "term").crossJoin(broadcast(tot))
+        .withColumn("lnq",
+          round(log((col("c") * col("n")).cast(DoubleType) /
+            (col("n_s") * col("c_t")).cast(DoubleType)) * 1000000.0, 0)
+            .cast(LongType))
+      val wrk = Window.partitionBy("source")
+        .orderBy((col("c") * col("lnq")).desc, col("term"))
+      qz.withColumn("rn", row_number().over(wrk))
+        .filter(col("rn") <= 10)
+        .select(col("source"), col("term"), col("c").as("cnt"),
+          col("rn").cast(LongType).as("rn"),
+          T.r6s("c * lnq", "n_s * 1000000L").as("contrib6"))
+        .orderBy("source", "rn")
+    },
+
+    // Log2-bucketed histogram of order value per priority — the
+    // latency-histogram shape every observability stack uses (power-of-two
+    // buckets, constant bucket count regardless of domain). The bucket is
+    // floor(log2(cents)) computed EXACTLY as length(bin(cents))−1 — a pure
+    // integer/string op in both engines, no float log near a power-of-two
+    // boundary can ever misbucket. One map-side-combinable hash agg + an
+    // enum-sized share re-agg; shares are pure-integer rationals (T.r6).
+    q("agg_histogram_log2",
+      """WITH o AS (SELECT o_orderpriority AS pri,
+        |    CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        |  FROM orders),
+        |b AS (SELECT pri, CAST(length(bin(cents)) - 1 AS INT) AS bucket FROM o),
+        |g AS (SELECT pri, bucket, CAST(count(*) AS BIGINT) AS n
+        |  FROM b GROUP BY 1, 2),
+        |t AS (SELECT pri, CAST(sum(n) AS BIGINT) AS tot FROM g GROUP BY 1)
+        |SELECT g.pri, g.bucket,
+        |  CAST((CAST(1 AS BIGINT) << g.bucket) AS BIGINT) AS lo_cents, g.n,
+        |  CAST((2000000*g.n + t.tot) // (2*t.tot) AS BIGINT) / 1000000.0
+        |    AS share6
+        |FROM g JOIN t ON g.pri = t.pri ORDER BY g.pri, g.bucket""") { (s, dir) =>
+      val g = T.t(s, dir, "orders")
+        .select(col("o_orderpriority").as("pri"),
+          (col("o_totalprice").cast(T.dec) * 100).cast(LongType).as("cents"))
+        .withColumn("bucket", (length(bin(col("cents"))) - 1).cast(IntegerType))
+        .groupBy("pri", "bucket").agg(count(lit(1)).cast(LongType).as("n"))
+      val t = g.groupBy("pri").agg(sum("n").cast(LongType).as("tot"))
+      g.join(broadcast(t), "pri")
+        .select(col("pri"), col("bucket"),
+          expr("shiftleft(1L, bucket)").cast(LongType).as("lo_cents"),
+          col("n"), T.r6("n", "tot").as("share6"))
+        .orderBy("pri", "bucket")
+    },
+
+    // Dedup-index quality audit — vector_recall_at_k's contract applied to
+    // the near-dup index: grade the SimHash band index (the pairs
+    // dedup_simhash reports, Hamming ≤ 8) against the exact shingle-Jaccard
+    // ≥ 0.8 ground truth (the inverted-index path dedup_ngram_jaccard
+    // materializes). This is the continuous-evaluation loop a production
+    // dedup pipeline runs after retuning bands/thresholds: recall = how
+    // much true near-duplication the index surfaces, precision = how much
+    // of what it surfaces is real. Counts are exact integers; the shares
+    // are pure-integer rationals (T.r6), NULL when a denominator is empty.
+    // Both sides reuse the STAGED shingle index / shared helper — the audit
+    // adds one candidates⋈truth equi-join over pair keys, nothing else.
+    q("dedup_simhash_recall_audit",
+      s"""WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2),
+        |      i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        |keep AS (SELECT sh FROM sh GROUP BY sh
+        |  HAVING count(*) BETWEEN 2 AND 10000),
+        |common AS (SELECT a.doc_id AS ia, b.doc_id AS ib, count(*) AS c
+        |  FROM sh a JOIN keep ON a.sh = keep.sh
+        |  JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |truth AS (SELECT ia, ib
+        |  FROM common JOIN sizes sa ON sa.doc_id = ia
+        |  JOIN sizes sb ON sb.doc_id = ib
+        |  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+        |${GroupPipeline.simhashOracleCtes},
+        |h AS (SELECT CAST(count(*) AS BIGINT) AS n_hit
+        |  FROM truth t JOIN scand c ON t.ia = c.ia AND t.ib = c.ib),
+        |m AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM truth) AS n_truth,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM scand) AS n_cand,
+        |    n_hit FROM h)
+        |SELECT n_truth, n_cand, n_hit,
+        |  CASE WHEN n_truth > 0 THEN
+        |    CAST((2000000*n_hit + n_truth) // (2*n_truth) AS BIGINT) / 1000000.0
+        |  END AS recall6,
+        |  CASE WHEN n_cand > 0 THEN
+        |    CAST((2000000*n_hit + n_cand) // (2*n_cand) AS BIGINT) / 1000000.0
+        |  END AS precision6
+        |FROM m""") { (s, dir) =>
+      val truth = GroupPipeline.exactJaccardPairs(s, dir, 0.8)
+        .select("ia", "ib")
+      val cand = GroupPipeline.simhashNearPairs(s, dir).select("ia", "ib")
+      val nTruth = truth.agg(count(lit(1)).cast(LongType).as("n_truth"))
+      val nCand = cand.agg(count(lit(1)).cast(LongType).as("n_cand"))
+      val nHit = truth.join(cand, Seq("ia", "ib"))
+        .agg(count(lit(1)).cast(LongType).as("n_hit"))
+      nTruth.crossJoin(broadcast(nCand)).crossJoin(broadcast(nHit))
+        .select(col("n_truth"), col("n_cand"), col("n_hit"),
+          when(col("n_truth") > 0, T.r6("n_hit", "n_truth")).as("recall6"),
+          when(col("n_cand") > 0, T.r6("n_hit", "n_cand")).as("precision6"))
+    },
+
+    // Cohen's kappa — inter-rater agreement between two rule labelers
+    // (the label-quality audit run before trusting any weak-supervision
+    // source): two 3-band raters over `value` with offset thresholds, 3×3
+    // confusion, κ = (n·agree − Σ rowₘ·colₘ)/(n² − Σ rowₘ·colₘ) — a
+    // pure-integer rational (T.r6s; DECIMAL(38,0) since n² is 10¹⁰ at
+    // sf0.1 and grows quadratically). One enum-sized confusion agg; the
+    // marginal product join is 3×3.
+    q("stat_cohens_kappa",
+      """WITH r AS (SELECT
+        |    CASE WHEN value >= 75 THEN 'hi' WHEN value >= 25 THEN 'mid'
+        |      ELSE 'lo' END AS a,
+        |    CASE WHEN value >= 70 THEN 'hi' WHEN value >= 30 THEN 'mid'
+        |      ELSE 'lo' END AS b
+        |  FROM events),
+        |cm AS (SELECT a, b, CAST(count(*) AS BIGINT) AS c FROM r GROUP BY 1, 2),
+        |mg AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS HUGEINT) AS agree
+        |  FROM cm),
+        |ra AS (SELECT a, CAST(sum(c) AS BIGINT) AS ca FROM cm GROUP BY 1),
+        |rb AS (SELECT b, CAST(sum(c) AS BIGINT) AS cb FROM cm GROUP BY 1),
+        |pe AS (SELECT CAST(sum(CAST(ra.ca AS HUGEINT) * rb.cb) AS HUGEINT)
+        |    AS chance
+        |  FROM ra JOIN rb ON ra.a = rb.b)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS agree,
+        |  CAST((2000000*agree + n) // (2*n) AS BIGINT) / 1000000.0 AS po6,
+        |  CAST((2000000*chance + n*n) // (2*n*n) AS BIGINT) / 1000000.0 AS pe6,
+        |  (CASE WHEN n*agree - chance < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(n*agree - chance) + (n*n - chance))
+        |      // (2*(n*n - chance)) AS BIGINT) / 1000000.0 AS kappa6
+        |FROM mg CROSS JOIN pe""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val cm = T.t(s, dir, "events").select(
+          when(col("value") >= 75, "hi").when(col("value") >= 25, "mid")
+            .otherwise("lo").as("a"),
+          when(col("value") >= 70, "hi").when(col("value") >= 30, "mid")
+            .otherwise("lo").as("b"))
+        .groupBy("a", "b").agg(count(lit(1)).cast(LongType).as("c"))
+      val mg = cm.agg(sum("c").cast(d38).as("n"),
+        sum(when(col("a") === col("b"), col("c")).otherwise(0L))
+          .cast(d38).as("agree"))
+      val ra = cm.groupBy("a").agg(sum("c").cast(LongType).as("ca"))
+      val rb = cm.groupBy("b").agg(sum("c").cast(LongType).as("cb"))
+      val pe = ra.join(rb, col("a") === col("b"))
+        .agg(sum(col("ca").cast(d38) * col("cb")).cast(d38).as("chance"))
+      mg.crossJoin(broadcast(pe))
+        .select(col("n").cast(LongType).as("n"),
+          col("agree").cast(LongType).as("agree"),
+          T.r6("agree", "n").as("po6"),
+          T.r6("chance", "n*n").as("pe6"),
+          T.r6s("n*agree - chance", "n*n - chance").as("kappa6"))
+    },
+
+    // HITS hubs & authorities over the directed nation co-purchase graph
+    // (customer-nation → supplier-nation, weighted) — the link-analysis
+    // sibling of graph_pagerank, and like it re-planned into EXACT integer
+    // fixed-point: scores live in integer micro-units, each half-round is
+    // one edges⋈scores join + a max-NORMALIZATION by pure integer division
+    // (v·10⁶ div max) — no float ever enters the loop, so both engines
+    // iterate bit-identically (the 9dp round-tie lesson from the PageRank
+    // loop). 3 full rounds; graph is nation-enum-sized after the one
+    // star-join materialization, scores broadcast per round.
+    q("graph_hits_hubs", {
+      val round = (p: Int, c: Int) =>
+        s"""h${c}r AS MATERIALIZED (SELECT n.node, coalesce((
+           |    SELECT sum(e.w * a$p.av) FROM e JOIN a$p ON a$p.node = e.dst
+           |    WHERE e.src = n.node), 0) AS v FROM n),
+           |h$c AS MATERIALIZED (SELECT node,
+           |    (v * 1000000) // (SELECT max(v) FROM h${c}r) AS hv FROM h${c}r),
+           |a${c}r AS MATERIALIZED (SELECT n.node, coalesce((
+           |    SELECT sum(e.w * h$c.hv) FROM e JOIN h$c ON h$c.node = e.src
+           |    WHERE e.dst = n.node), 0) AS v FROM n),
+           |a$c AS MATERIALIZED (SELECT node,
+           |    (v * 1000000) // (SELECT max(v) FROM a${c}r) AS av FROM a${c}r)"""
+          .stripMargin
+      s"""WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst,
+         |    CAST(count(*) AS BIGINT) AS w
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |n AS (SELECT n_nationkey AS node FROM nation),
+         |a0 AS (SELECT node, CAST(1000000 AS BIGINT) AS av FROM n),
+         |${round(0, 1)},
+         |${round(1, 2)},
+         |${round(2, 3)}
+         |SELECT node, CAST(hv AS DOUBLE) / 1000000.0 AS hub,
+         |  CAST(av AS DOUBLE) / 1000000.0 AS auth
+         |FROM h3 JOIN a3 USING (node) ORDER BY node"""
+    }) { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
+      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
+      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
+      val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).cast(LongType).as("w"))
+        .localCheckpoint()
+      val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
+      def normalize(raw: DataFrame, vcol: String): DataFrame = {
+        val mx = raw.agg(max(col("v")).as("mx"))
+        raw.crossJoin(broadcast(mx))
+          .select(col("node"), expr("(v * 1000000L) div mx").as(vcol))
+      }
+      var auth = n.withColumn("av", lit(1000000L))
+      var hub: DataFrame = null
+      for (_ <- 1 to 3) {
+        val hraw = n.join(
+          e.join(broadcast(auth), col("dst") === col("node"))
+            .groupBy("src").agg(sum(col("w") * col("av")).as("c")),
+          col("node") === col("src"), "left")
+          .select(col("node"), coalesce(col("c"), lit(0L)).as("v"))
+        hub = normalize(hraw, "hv")
+        val araw = n.join(
+          e.join(broadcast(hub), col("src") === col("node"))
+            .groupBy("dst").agg(sum(col("w") * col("hv")).as("c")),
+          col("node") === col("dst"), "left")
+          .select(col("node"), coalesce(col("c"), lit(0L)).as("v"))
+        auth = normalize(araw, "av")
+      }
+      hub.join(auth, "node")
+        .select(col("node"),
+          (col("hv").cast(DoubleType) / 1000000.0).as("hub"),
+          (col("av").cast(DoubleType) / 1000000.0).as("auth"))
+        .orderBy("node")
+    },
+
+    // Ljung–Box portmanteau test (lags 1..7) on the daily view-count
+    // series — "is this telemetry series white noise?" The autocovariances
+    // use the n²-scaled centering trick (z = n·x − Σx, all exact
+    // integers), each ρ is quantized to a micro-unit integer via the
+    // exact-int HALF_UP division (|ρ̂ₖ| ≤ 1 by Cauchy–Schwarz, so no
+    // overflow), and Q = n(n+2)·Σ ρₖ²/(n−k) clears its denominators
+    // through the explicit product Π(n−k) — one exact integer rational in
+    // DECIMAL(38,0) (Σ terms reach ~10²⁰), rounded once (T.r6). The series
+    // is calendar-bounded (≤31 rows after the day agg), so the lag
+    // self-join is ≤31×7 pairs in one task; only the day agg is
+    // corpus-sized.
+    q("stat_ljung_box",
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS x
+        |  FROM events WHERE event_type = 'view' GROUP BY 1),
+        |st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx
+        |  FROM daily),
+        |ctr AS (SELECT row_number() OVER (ORDER BY d) AS t, n*x - sx AS z, n
+        |  FROM daily CROSS JOIN st),
+        |den AS (SELECT CAST(sum(z*z) AS HUGEINT) AS dd, max(n) AS n FROM ctr),
+        |num AS (SELECT l.k, CAST(sum(a.z * b.z) AS HUGEINT) AS nk
+        |  FROM range(1, 8) l(k) JOIN ctr a ON true JOIN ctr b ON b.t = a.t + l.k
+        |  GROUP BY 1),
+        |rho AS (SELECT k,
+        |    (CASE WHEN nk < 0 THEN -1 ELSE 1 END) *
+        |      ((2000000*abs(nk) + dd) // (2*dd)) AS rint, den.n
+        |  FROM num CROSS JOIN den),
+        |pp AS (SELECT n, (n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7) AS prod,
+        |    CAST(sum(rint*rint*
+        |      (((n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)) // (n - k)))
+        |      AS HUGEINT) AS sq
+        |  FROM rho GROUP BY 1)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  CAST((2000000*(n*(n+2)*sq) + CAST(prod AS HUGEINT)*1000000000000)
+        |    // (2*CAST(prod AS HUGEINT)*1000000000000) AS BIGINT)
+        |    / 1000000.0 AS q7_6
+        |FROM pp""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val daily = T.t(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .groupBy(col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).cast(LongType).as("x"))
+      val st = daily.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("x").cast(LongType).as("sx"))
+      val ctr = daily.crossJoin(broadcast(st))
+        .withColumn("t", row_number().over(Window.orderBy("d")))
+        .select(col("t"), (col("n") * col("x") - col("sx")).as("z"), col("n"))
+      val den = ctr.agg(sum(col("z") * col("z")).cast(d38).as("dd"),
+        max("n").as("n"))
+      val lags = s.range(1, 8).select(col("id").as("k"))
+      val num = broadcast(lags).crossJoin(ctr.select(col("t"), col("z")))
+        .join(ctr.select(col("t").as("t2"), col("z").as("z2")),
+          col("t2") === col("t") + col("k"))
+        .groupBy("k").agg(sum(col("z") * col("z2")).cast(d38).as("nk"))
+      val rho = num.crossJoin(broadcast(den))
+        .select(col("k"), col("n"),
+          (when(col("nk") < 0, -1L).otherwise(1L) *
+            expr("(2000000L * abs(nk) + dd) div (2L * dd)")).as("rint"))
+      rho.groupBy("n").agg(
+          // rint² · Π/(n−k) ≈ 10²⁰ — cast BEFORE the product, LONG wraps
+          sum(col("rint").cast(d38) * col("rint") *
+            expr("""((n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7)) div (n - k)"""))
+            .cast(d38).as("sq"))
+        .select(col("n").cast(LongType).as("n_days"),
+          T.r6("CAST(n AS DECIMAL(38,0))*(n+2)*sq",
+            "CAST((n-1)*(n-2)*(n-3)*(n-4)*(n-5)*(n-6)*(n-7) AS DECIMAL(38,0))" +
+              "*1000000000000").as("q7_6"))
+    },
+
+    // Kaplan–Meier conversion-survival curve with right censoring — the
+    // time-to-event analysis behind every activation/retention funnel:
+    // event = first purchase (days since the user's first event), censor =
+    // last observed activity for never-purchasers. The survival product
+    // S(t) = Π(1 − dᵢ/nᵢ) is re-planned into the LOG DOMAIN: each step's
+    // ln((nᵢ−dᵢ)/nᵢ) is quantized to an integer micro-unit immediately
+    // (the Zipf machinery), the cumulative sum over steps is EXACT integer
+    // arithmetic, and one final exp on the bit-identical quantized operand
+    // (post-transcendental 6dp — tie measure zero) yields the curve. Risk
+    // sets are pure integer cumulative windows over the ≤31-day spine;
+    // only the per-user reduction is corpus-sized.
+    q("window_kaplan_meier",
+      """WITH u AS (SELECT user_id, min(CAST(ts AS DATE)) AS t0,
+        |    max(CAST(ts AS DATE)) AS tlast,
+        |    min(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+        |      AS tconv
+        |  FROM events GROUP BY 1),
+        |le AS (SELECT user_id,
+        |    date_diff('day', t0, tconv) AS ct,
+        |    date_diff('day', t0, tlast) AS cz,
+        |    (tconv IS NOT NULL) AS converted FROM u),
+        |byday AS (SELECT
+        |    CAST(CASE WHEN converted THEN ct ELSE cz END AS INT) AS t,
+        |    CAST(sum(CASE WHEN converted THEN 1 ELSE 0 END) AS BIGINT) AS d,
+        |    CAST(sum(CASE WHEN converted THEN 0 ELSE 1 END) AS BIGINT) AS c
+        |  FROM le GROUP BY 1),
+        |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS total FROM byday),
+        |risk AS (SELECT t, d, c,
+        |    total - COALESCE(sum(d + c) OVER (ORDER BY t
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nr
+        |  FROM byday CROSS JOIN tot),
+        |lnq AS (SELECT t, d, c, nr,
+        |    CASE WHEN nr > d THEN CAST(round(ln(CAST(nr - d AS DOUBLE)
+        |      / CAST(nr AS DOUBLE)) * 1000000.0, 0) AS BIGINT) END AS lq
+        |  FROM risk WHERE d > 0),
+        |cum AS (SELECT t, d, c, nr,
+        |    sum(CASE WHEN lq IS NULL THEN 0 ELSE lq END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS lns,
+        |    max(CASE WHEN lq IS NULL THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+        |        AND CURRENT ROW) AS dead
+        |  FROM lnq)
+        |SELECT t, CAST(nr AS BIGINT) AS n_risk, d AS deaths, c AS censored,
+        |  CASE WHEN dead = 1 THEN 0.0
+        |    ELSE round(exp(CAST(lns AS DOUBLE) / 1000000.0), 6) END AS surv6
+        |FROM cum ORDER BY t""") { (s, dir) =>
+      val u = T.t(s, dir, "events")
+        .groupBy("user_id").agg(
+          min(col("ts").cast(DateType)).as("t0"),
+          max(col("ts").cast(DateType)).as("tlast"),
+          min(when(col("event_type") === "purchase", col("ts").cast(DateType)))
+            .as("tconv"))
+      val le = u.select(col("user_id"),
+        datediff(col("tconv"), col("t0")).as("ct"),
+        datediff(col("tlast"), col("t0")).as("cz"),
+        col("tconv").isNotNull.as("converted"))
+      val byday = le.groupBy(
+          when(col("converted"), col("ct")).otherwise(col("cz")).as("t"))
+        .agg(sum(when(col("converted"), 1).otherwise(0)).cast(LongType).as("d"),
+          sum(when(col("converted"), 0).otherwise(1)).cast(LongType).as("c"))
+      val tot = byday.agg(sum(col("d") + col("c")).cast(LongType).as("total"))
+      val wcum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wrun = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      byday.crossJoin(broadcast(tot))
+        .withColumn("nr", col("total") -
+          coalesce(sum(col("d") + col("c")).over(wcum), lit(0L)))
+        .filter(col("d") > 0)
+        .withColumn("lq", when(col("nr") > col("d"),
+          round(log((col("nr") - col("d")).cast(DoubleType) /
+            col("nr").cast(DoubleType)) * 1000000.0, 0).cast(LongType)))
+        .withColumn("lns",
+          sum(when(col("lq").isNull, 0L).otherwise(col("lq"))).over(wrun))
+        .withColumn("dead",
+          max(when(col("lq").isNull, 1).otherwise(0)).over(wrun))
+        .select(col("t"), col("nr").cast(LongType).as("n_risk"),
+          col("d").as("deaths"), col("c").as("censored"),
+          when(col("dead") === 1, 0.0)
+            .otherwise(round(exp(col("lns").cast(DoubleType) / 1000000.0), 6))
+            .as("surv6"))
+        .orderBy("t")
+    },
+
+    // Manifest/zone-map prune audit — the scan-planning decision a
+    // lakehouse table format makes from file-level column statistics,
+    // surfaced as data: "files" are month partitions of orders, each with
+    // min/max stats on a NON-partition column (total price, integer
+    // cents), and the audit reports which files a BETWEEN predicate can
+    // skip without opening them. Metadata-shaped at any scale: the stats
+    // agg is one map-side-combinable pass; the prune decision itself reads
+    // zero data rows. Pure integer comparisons.
+    q("etl_manifest_prune_audit",
+      """WITH f AS (SELECT CAST(date_part('year', o_orderdate) * 100
+        |      + date_part('month', o_orderdate) AS INT) AS yyyymm,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    min(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS min_cents,
+        |    max(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+        |      AS max_cents
+        |  FROM orders GROUP BY 1)
+        |SELECT yyyymm, n_rows, min_cents, max_cents,
+        |  (max_cents < 5000000 OR min_cents > 20000000) AS pruned
+        |FROM f ORDER BY yyyymm""") { (s, dir) =>
+      T.t(s, dir, "orders")
+        .groupBy((year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+          .cast(IntegerType).as("yyyymm"))
+        .agg(count(lit(1)).cast(LongType).as("n_rows"),
+          min((col("o_totalprice").cast(T.dec) * 100).cast(LongType))
+            .as("min_cents"),
+          max((col("o_totalprice").cast(T.dec) * 100).cast(LongType))
+            .as("max_cents"))
+        .select(col("yyyymm"), col("n_rows"), col("min_cents"), col("max_cents"),
+          (col("max_cents") < 5000000L || col("min_cents") > 20000000L)
+            .as("pruned"))
+        .orderBy("yyyymm")
     }
   )
 }

@@ -92,7 +92,18 @@ object DrivePlanAudit {
     // round 10d: the 1-row grand-total scalar crossJoins of the Cramér's V
     // and mutual-information contingency tables (stat_chi2_independence's
     // exact shape)
-    "stat_cramers_v", "stat_mutual_information")
+    "stat_cramers_v", "stat_mutual_information",
+    // round 10g: the drill-down's 1-row grand-total scalar crossJoin and
+    // the freshness monitor's 1-row stream-head scalar crossJoin
+    "agg_share_of_parent", "dq_freshness_sla",
+    // round 10h: the KL screen's 1-row corpus-total scalar crossJoin and
+    // the dedup audit's two 1-row count scalars (truth/candidate totals)
+    "text_kl_divergence", "dedup_simhash_recall_audit",
+    // round 10i: 1-row scalar crossJoins — kappa's marginal-product scalar,
+    // HITS' per-round max-normalizer (the Lloyd-centroid shape), Ljung-Box's
+    // n/Σx + denominator scalars, and Kaplan-Meier's user-total scalar
+    "stat_cohens_kappa", "graph_hits_hubs", "stat_ljung_box",
+    "window_kaplan_meier")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -120,9 +131,14 @@ object DrivePlanAudit {
     "pipeline_sample_temperature", // largest-remainder rank over the
                              // 5-row LANG-ENUM allocation table (the
                              // per-doc rank window is lang-partitioned)
-    "stat_wilcoxon_rank_sum") // cumulative counts over the DISTINCT-VALUE
+    "stat_wilcoxon_rank_sum", // cumulative counts over the DISTINCT-VALUE
                              // spine: ≤49k rows bounded by the 2dp value
                              // DOMAIN [0.01, 490], not by the data
+    "stat_ljung_box",        // row_number + lag self-join over the ≤31-day
+                             // spine (CUSUM's argument)
+    "window_kaplan_meier")   // risk-set cumulative windows over the
+                             // ≤31-step lifetime spine (day-granular
+                             // event times bound the step count)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

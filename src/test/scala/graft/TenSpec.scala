@@ -431,6 +431,137 @@ class TenSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(2) >= 0))
   }
 
+  test("ml_auc_roc: AUC bounded, Gini consistent, counts conserve events") {
+    val rows = run("ml_auc_roc").collect()
+    assert(rows.nonEmpty)
+    var total = 0L
+    rows.foreach { r =>
+      total += r.getLong(1) + r.getLong(2)
+      val (auc, gini) = (r.getDouble(3), r.getDouble(4))
+      assert(auc >= 0.0 && auc <= 1.0, s"auc out of range: $auc")
+      // both rounded independently from the same exact rational
+      assert(math.abs(gini - (2 * auc - 1)) < 3e-6, s"gini $gini vs auc $auc")
+    }
+    assert(total == T.t(s, sf, "events").count())
+  }
+
+  test("join_ip_prefix_lookup: one row per user, LPM invariants hold") {
+    val rows = run("join_ip_prefix_lookup").collect()
+    val nUsers = T.t(s, sf, "events").select("user_id").distinct().count()
+    assert(rows.length == nUsers)
+    rows.foreach { r =>
+      val (ip, plen, rule) = (r.getLong(1), r.getInt(2), r.getString(3))
+      assert(Set(0, 8, 16, 24).contains(plen))
+      if (plen == 0) assert(rule == "default")
+      else assert(rule.startsWith(s"r$plen-"))
+      // an /8 rule exists for every even first octet, so an even-o1 IP can
+      // never fall through to the default route
+      val o1 = ip / 16777216
+      if (o1 % 2 == 0) assert(plen >= 8, s"even o1=$o1 got default route")
+    }
+  }
+
+  test("text_kl_divergence: top-10 per source, non-increasing contributions") {
+    val rows = run("text_kl_divergence").collect()
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      assert(rs.length <= 10)
+      val byRank = rs.sortBy(_.getLong(3))
+      assert(byRank.map(_.getLong(3)).toSeq == (1L to byRank.length).toSeq)
+      val contribs = byRank.map(_.getDouble(4)).toSeq
+      contribs.sliding(2).foreach {
+        case Seq(a, b) => assert(a >= b, s"$src contributions not sorted")
+        case _ =>
+      }
+    }
+  }
+
+  test("agg_histogram_log2: buckets conserve orders, shares sum to 1") {
+    val rows = run("agg_histogram_log2").collect()
+    assert(rows.map(_.getLong(3)).sum == T.t(s, sf, "orders").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) == (1L << r.getInt(1)), "lo_cents != 2^bucket")
+    }
+    rows.groupBy(_.getString(0)).foreach { case (pri, rs) =>
+      val sumShare = rs.map(_.getDouble(4)).sum
+      assert(math.abs(sumShare - 1.0) < 1e-4, s"$pri shares sum $sumShare")
+    }
+  }
+
+  test("dedup_simhash_recall_audit: counts consistent with the graded keys") {
+    val r = run("dedup_simhash_recall_audit").collect().head
+    val (nTruth, nCand, nHit) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nHit <= math.min(nTruth, nCand))
+    // cross-key conservation: the audit's sets ARE the graded keys' outputs
+    assert(nCand == run("dedup_simhash").count())
+    assert(nTruth == run("dedup_ngram_jaccard").count())
+    if (nTruth > 0) {
+      val rec = r.getDouble(3)
+      assert(rec >= 0.0 && rec <= 1.0)
+    }
+    if (nCand > 0) {
+      val prec = r.getDouble(4)
+      assert(prec >= 0.0 && prec <= 1.0)
+    }
+  }
+
+  test("stat_cohens_kappa: kappa consistent with po/pe, all bounded") {
+    val r = run("stat_cohens_kappa").collect().head
+    val (po, pe, k) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0)
+    assert(pe > 0.0 && pe < 1.0)
+    assert(k <= 1.0 && k >= -1.0)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4,
+      s"kappa $k vs (po-pe)/(1-pe) ${(po - pe) / (1 - pe)}")
+  }
+
+  test("graph_hits_hubs: scores normalized to [0,1] with unit maxima") {
+    val rows = run("graph_hits_hubs").collect()
+    assert(rows.length == T.t(s, sf, "nation").count())
+    val hubs = rows.map(_.getDouble(1))
+    val auths = rows.map(_.getDouble(2))
+    (hubs ++ auths).foreach(v => assert(v >= 0.0 && v <= 1.0))
+    assert(hubs.max == 1.0, "max hub not normalized to 1")
+    assert(auths.max == 1.0, "max auth not normalized to 1")
+  }
+
+  test("stat_ljung_box: Q non-negative over the full day spine") {
+    val r = run("stat_ljung_box").collect().head
+    assert(r.getLong(0) == 30, "expected the 30-day fixture spine")
+    assert(r.getDouble(1) >= 0.0)
+  }
+
+  test("window_kaplan_meier: survival curve monotone, risk sets decreasing") {
+    val rows = run("window_kaplan_meier").collect().sortBy(_.getInt(0))
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) >= r.getLong(2), "n_risk < deaths")
+      val sv = r.getDouble(4)
+      assert(sv >= 0.0 && sv <= 1.0)
+    }
+    rows.map(_.getDouble(4)).sliding(2).foreach {
+      case Array(a, b) => assert(a >= b - 1e-9, "survival increased")
+      case _ =>
+    }
+    rows.map(_.getLong(1)).sliding(2).foreach {
+      case Array(a, b) => assert(a > b, "risk set did not shrink")
+      case _ =>
+    }
+    // first step: S = (n-d)/n
+    val h = rows.head
+    val expect = (h.getLong(1) - h.getLong(2)).toDouble / h.getLong(1)
+    assert(math.abs(h.getDouble(4) - expect) < 1e-5)
+  }
+
+  test("etl_manifest_prune_audit: stats conserve rows, prune flag honest") {
+    val rows = run("etl_manifest_prune_audit").collect()
+    assert(rows.map(_.getLong(1)).sum == T.t(s, sf, "orders").count())
+    rows.foreach { r =>
+      val (mn, mx, pruned) = (r.getLong(2), r.getLong(3), r.getBoolean(4))
+      assert(mn <= mx)
+      assert(pruned == (mx < 5000000L || mn > 20000000L))
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
