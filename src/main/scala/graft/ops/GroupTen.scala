@@ -2515,6 +2515,266 @@ object GroupTen {
           (col("max_cents") < 5000000L || col("min_cents") > 20000000L)
             .as("pruned"))
         .orderBy("yyyymm")
+    },
+
+    // Decision-threshold sweep — pick the F1-optimal operating point of the
+    // "value ≥ t ⇒ purchase" classifier by evaluating EVERY distinct score
+    // as a candidate threshold. Pure spine machinery (the AUC key's): one
+    // distinct-value agg, suffix-cumulative tp/fp via a DESC window over
+    // the domain-bounded spine, and F1 quantized to an exact HALF_UP
+    // micro-unit integer (the r6 integer itself) so the argmax compares
+    // INTEGERS — no float ever decides the winner. TakeOrdered(1) final.
+    q("ml_threshold_sweep",
+      """WITH e AS (SELECT value,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |vc AS (SELECT value, CAST(sum(pos) AS BIGINT) AS na,
+        |    CAST(sum(1 - pos) AS BIGINT) AS nb
+        |  FROM e GROUP BY 1),
+        |cum AS (SELECT value,
+        |    sum(na) OVER (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp,
+        |    sum(nb) OVER (ORDER BY value DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS fp,
+        |    sum(na) OVER () AS p
+        |  FROM vc),
+        |f AS (SELECT value, tp, fp, p - tp AS fn,
+        |    (2000000*(2*tp) + (2*tp + fp + (p - tp)))
+        |      // (2*(2*tp + fp + (p - tp))) AS f1i
+        |  FROM cum)
+        |SELECT value AS thresh, CAST(tp AS BIGINT) AS tp,
+        |  CAST(fp AS BIGINT) AS fp, CAST(fn AS BIGINT) AS fn,
+        |  CAST(f1i AS BIGINT) / 1000000.0 AS f1_6,
+        |  CAST((2000000*tp + (tp + fp)) // (2*(tp + fp)) AS BIGINT)
+        |    / 1000000.0 AS prec6,
+        |  CAST((2000000*tp + (tp + fn)) // (2*(tp + fn)) AS BIGINT)
+        |    / 1000000.0 AS rec6
+        |FROM f ORDER BY f1i DESC, value LIMIT 1""") { (s, dir) =>
+      val vc = T.t(s, dir, "events")
+        .select(col("value"),
+          when(col("event_type") === "purchase", 1).otherwise(0).as("pos"))
+        .groupBy("value").agg(
+          sum(col("pos")).cast(LongType).as("na"),
+          sum(lit(1) - col("pos")).cast(LongType).as("nb"))
+      val wdesc = Window.orderBy(col("value").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      vc.withColumn("tp", sum(col("na")).over(wdesc))
+        .withColumn("fp", sum(col("nb")).over(wdesc))
+        .withColumn("p", sum(col("na")).over(wall))
+        .withColumn("fn", col("p") - col("tp"))
+        .withColumn("f1i",
+          expr("(2000000L*(2*tp) + (2*tp + fp + fn)) div (2L*(2*tp + fp + fn))"))
+        .orderBy(col("f1i").desc, col("value")).limit(1)
+        .select(col("value").as("thresh"),
+          col("tp").cast(LongType).as("tp"), col("fp").cast(LongType).as("fp"),
+          col("fn").cast(LongType).as("fn"),
+          (col("f1i").cast(LongType) / 1000000.0).as("f1_6"),
+          T.r6("tp", "tp + fp").as("prec6"),
+          T.r6("tp", "tp + fn").as("rec6"))
+    },
+
+    // Leave-one-out k-NN evaluation over a deterministic 10% eval slice
+    // (vec_id % 10 = 0) against the FULL corpus minus self — the embedding
+    // label-consistency audit (does the space cluster by label?). The eval
+    // slice BROADCASTS (the vector_cosine_topk contract shape: eval-set ×
+    // corpus, never corpus²); 3-NN by exact codegen'd dot, majority vote
+    // with (votes DESC, label) tie-break, per-label accuracy as exact
+    // integer rationals (T.r6). At 100 TB the same plan holds — the eval
+    // slice is the small side by construction.
+    q("ml_knn_loocv",
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS tl
+        |  FROM embeddings WHERE vec_id % 10 = 0),
+        |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce, label
+        |  FROM embeddings),
+        |sm AS (SELECT q_id, tl, c_id, label,
+        |    round(list_dot_product(qe, ce), 6) AS sim
+        |  FROM q CROSS JOIN c WHERE q_id <> c_id),
+        |nn AS (SELECT * FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY q_id ORDER BY sim DESC, c_id) AS rn FROM sm)
+        |  WHERE rn <= 3),
+        |v AS (SELECT q_id, tl, label, count(*) AS votes FROM nn GROUP BY 1,2,3),
+        |pred AS (SELECT q_id, tl, label AS pl FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY q_id
+        |    ORDER BY votes DESC, label) AS rn2 FROM v) WHERE rn2 = 1)
+        |SELECT tl AS label, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) AS BIGINT) AS correct,
+        |  CAST((2000000*sum(CASE WHEN pl = tl THEN 1 ELSE 0 END) + count(*))
+        |    // (2*count(*)) AS BIGINT) / 1000000.0 AS acc6
+        |FROM pred GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val e = GroupVector.emb(s, dir)
+      val qs = e.filter(col("vec_id") % 10 === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
+          col("label").as("tl"))
+      val cs = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),
+        col("label"))
+      val nn = cs.crossJoin(broadcast(qs))
+        .filter(col("q_id") =!= col("c_id"))
+        .withColumn("sim", round(
+          call_function("vec_dot", col("qe"), col("ce")), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("sim").desc, col("c_id"))))
+        .filter(col("rn") <= 3)
+      nn.groupBy("q_id", "tl", "label").agg(count(lit(1)).as("votes"))
+        .withColumn("rn2", row_number().over(
+          Window.partitionBy("q_id").orderBy(col("votes").desc, col("label"))))
+        .filter(col("rn2") === 1)
+        .groupBy(col("tl").as("label")).agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("label") === col("tl"), 1).otherwise(0))
+            .cast(LongType).as("correct"))
+        .select(col("label"), col("n"), col("correct"),
+          T.r6("correct", "n").as("acc6"))
+        .orderBy("label")
+    },
+
+    // Fleiss' kappa for THREE rule raters (cohens_kappa widened to the
+    // multi-rater panel): with exactly 3 raters the per-item agreement
+    // Σⱼ nᵢⱼ(nᵢⱼ−1) collapses to a CASE on the three pairwise equalities
+    // (6 / 2 / 0) — no per-item unpivot — and clearing denominators gives
+    // κ = (3NS − 2ΣT²)/(18N² − 2ΣT²), a pure-integer rational
+    // (DECIMAL(38,0): 18N² is ~10¹² at sf0.1, quadratic in corpus size).
+    // Two map-side-combinable scans (agreement sum; label-total explode).
+    q("stat_fleiss_kappa",
+      """WITH r AS (SELECT
+        |    CASE WHEN value >= 75 THEN 'hi' WHEN value >= 25 THEN 'mid'
+        |      ELSE 'lo' END AS a,
+        |    CASE WHEN value >= 70 THEN 'hi' WHEN value >= 30 THEN 'mid'
+        |      ELSE 'lo' END AS b,
+        |    CASE WHEN value >= 80 THEN 'hi' WHEN value >= 20 THEN 'mid'
+        |      ELSE 'lo' END AS c
+        |  FROM events),
+        |sn AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(CASE WHEN a = b AND b = c THEN 6
+        |      WHEN a = b OR b = c OR a = c THEN 2 ELSE 0 END) AS HUGEINT) AS s
+        |  FROM r),
+        |t AS (SELECT lab, CAST(count(*) AS HUGEINT) AS tj
+        |  FROM (SELECT unnest([a, b, c]) AS lab FROM r) GROUP BY 1),
+        |t2 AS (SELECT CAST(sum(tj * tj) AS HUGEINT) AS st2 FROM t)
+        |SELECT CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS s_agree,
+        |  CAST((2000000*s + 6*n) // (12*n) AS BIGINT) / 1000000.0 AS po6,
+        |  CAST((2000000*st2 + 9*n*n) // (18*n*n) AS BIGINT) / 1000000.0 AS pe6,
+        |  (CASE WHEN 3*n*s - 2*st2 < 0 THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(3*n*s - 2*st2) + (18*n*n - 2*st2))
+        |      // (2*(18*n*n - 2*st2)) AS BIGINT) / 1000000.0 AS kappa6
+        |FROM sn CROSS JOIN t2""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val r = T.t(s, dir, "events").select(
+        when(col("value") >= 75, "hi").when(col("value") >= 25, "mid")
+          .otherwise("lo").as("a"),
+        when(col("value") >= 70, "hi").when(col("value") >= 30, "mid")
+          .otherwise("lo").as("b"),
+        when(col("value") >= 80, "hi").when(col("value") >= 20, "mid")
+          .otherwise("lo").as("c"))
+      val sn = r.agg(count(lit(1)).cast(d38).as("n"),
+        sum(when(col("a") === col("b") && col("b") === col("c"), 6)
+          .when(col("a") === col("b") || col("b") === col("c") ||
+            col("a") === col("c"), 2).otherwise(0)).cast(d38).as("s"))
+      val t2 = r.select(explode(array(col("a"), col("b"), col("c"))).as("lab"))
+        .groupBy("lab").agg(count(lit(1)).cast(d38).as("tj"))
+        .agg(sum(col("tj") * col("tj")).cast(d38).as("st2"))
+      sn.crossJoin(broadcast(t2))
+        .select(col("n").cast(LongType).as("n"),
+          col("s").cast(LongType).as("s_agree"),
+          T.r6("s", "6*n").as("po6"),
+          T.r6("st2", "9*n*n").as("pe6"),
+          T.r6s("3*n*s - 2*st2", "18*n*n - 2*st2").as("kappa6"))
+    },
+
+    // Histogram-based join-cardinality ESTIMATION graded against truth —
+    // the System-R estimator (est = n_l·n_p / max(d_l, d_p) per key-range
+    // bucket, containment assumption) beside catalog_join_card_estimate's
+    // exact key-count algebra: per 1000-key bucket, both sides' row and
+    // distinct-key counts feed the estimate, the REAL join (grouped by the
+    // same buckets) supplies actual, and the signed relative error (T.r6s,
+    // NULL when a bucket is empty) shows where uniformity lies. The
+    // estimate itself reads only per-bucket statistics — the CBO path
+    // costs two stats aggs at any scale; only the truth column joins data.
+    q("catalog_histogram_join_estimate",
+      """WITH lb AS (SELECT l_partkey // 1000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_l,
+        |    CAST(count(DISTINCT l_partkey) AS BIGINT) AS d_l
+        |  FROM lineitem GROUP BY 1),
+        |pb AS (SELECT p_partkey // 1000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_p,
+        |    CAST(count(DISTINCT p_partkey) AS BIGINT) AS d_p
+        |  FROM part GROUP BY 1),
+        |act AS (SELECT l_partkey // 1000 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS actual
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey GROUP BY 1),
+        |est AS (SELECT pb.bucket, COALESCE(lb.n_l, 0) AS n_l,
+        |    COALESCE(lb.d_l, 0) AS d_l, pb.n_p, pb.d_p,
+        |    CASE WHEN GREATEST(COALESCE(lb.d_l, 0), pb.d_p) > 0
+        |      THEN (COALESCE(lb.n_l, 0) * pb.n_p)
+        |        // GREATEST(COALESCE(lb.d_l, 0), pb.d_p) ELSE 0 END AS est
+        |  FROM pb LEFT JOIN lb ON pb.bucket = lb.bucket)
+        |SELECT est.bucket, n_l, d_l, n_p, d_p, CAST(est AS BIGINT) AS est,
+        |  COALESCE(act.actual, 0) AS actual,
+        |  CASE WHEN COALESCE(act.actual, 0) > 0 THEN
+        |    (CASE WHEN est - act.actual < 0 THEN -1 ELSE 1 END) *
+        |      CAST((2000000*abs(est - act.actual) + act.actual)
+        |        // (2*act.actual) AS BIGINT) / 1000000.0
+        |  END AS err6
+        |FROM est LEFT JOIN act ON est.bucket = act.bucket
+        |ORDER BY est.bucket""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+      val lb = li.groupBy(expr("l_partkey div 1000").as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("n_l"),
+          countDistinct("l_partkey").cast(LongType).as("d_l"))
+      val pb = T.t(s, dir, "part")
+        .groupBy(expr("p_partkey div 1000").as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("n_p"),
+          countDistinct("p_partkey").cast(LongType).as("d_p"))
+      val act = li.join(T.t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(expr("l_partkey div 1000").as("bucket"))
+        .agg(count(lit(1)).cast(LongType).as("actual"))
+      pb.join(lb.withColumnRenamed("bucket", "lbucket"),
+          col("bucket") === col("lbucket"), "left")
+        .select(col("bucket"), coalesce(col("n_l"), lit(0L)).as("n_l"),
+          coalesce(col("d_l"), lit(0L)).as("d_l"), col("n_p"), col("d_p"))
+        .withColumn("est", when(greatest(col("d_l"), col("d_p")) > 0,
+          expr("(n_l * n_p) div greatest(d_l, d_p)")).otherwise(0L))
+        .join(act.withColumnRenamed("bucket", "abucket"),
+          col("bucket") === col("abucket"), "left")
+        .select(col("bucket"), col("n_l"), col("d_l"), col("n_p"), col("d_p"),
+          col("est").cast(LongType).as("est"),
+          coalesce(col("actual"), lit(0L)).as("actual"),
+          when(coalesce(col("actual"), lit(0L)) > 0,
+            T.r6s("est - actual", "actual")).as("err6"))
+        .orderBy("bucket")
+    },
+
+    // Local-peak detection with neighbor prominence on the daily per-type
+    // series — the alert-trigger primitive of every monitoring stack: a
+    // strict local maximum (c > both calendar neighbors via lag/lead over
+    // the type-partitioned day spine), reported with its height over the
+    // taller neighbor. All exact integer comparisons; the day agg is the
+    // only corpus-sized stage.
+    q("ts_peak_detection",
+      """WITH daily AS (SELECT event_type, CAST(ts AS DATE) AS d,
+        |    CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1, 2),
+        |w AS (SELECT event_type, d, c,
+        |    lag(c) OVER (PARTITION BY event_type ORDER BY d) AS pv,
+        |    lead(c) OVER (PARTITION BY event_type ORDER BY d) AS nx
+        |  FROM daily)
+        |SELECT event_type, d, c, c - GREATEST(pv, nx) AS height
+        |FROM w WHERE pv IS NOT NULL AND nx IS NOT NULL
+        |  AND c > pv AND c > nx
+        |ORDER BY event_type, d""") { (s, dir) =>
+      val w = Window.partitionBy("event_type").orderBy("d")
+      T.t(s, dir, "events")
+        .groupBy(col("event_type"), col("ts").cast(DateType).as("d"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+        .withColumn("pv", lag(col("c"), 1).over(w))
+        .withColumn("nx", lead(col("c"), 1).over(w))
+        .filter(col("pv").isNotNull && col("nx").isNotNull &&
+          col("c") > col("pv") && col("c") > col("nx"))
+        .select(col("event_type"), col("d"), col("c"),
+          (col("c") - greatest(col("pv"), col("nx"))).as("height"))
+        .orderBy("event_type", "d")
     }
   )
 }

@@ -103,7 +103,10 @@ object DrivePlanAudit {
     // HITS' per-round max-normalizer (the Lloyd-centroid shape), Ljung-Box's
     // n/Σx + denominator scalars, and Kaplan-Meier's user-total scalar
     "stat_cohens_kappa", "graph_hits_hubs", "stat_ljung_box",
-    "window_kaplan_meier")
+    "window_kaplan_meier",
+    // round 10j: the LOOCV's broadcast eval-slice × corpus scoring (the
+    // vector_cosine_topk contract shape) and Fleiss' 1-row scalar pair
+    "ml_knn_loocv", "stat_fleiss_kappa")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -136,9 +139,12 @@ object DrivePlanAudit {
                              // DOMAIN [0.01, 490], not by the data
     "stat_ljung_box",        // row_number + lag self-join over the ≤31-day
                              // spine (CUSUM's argument)
-    "window_kaplan_meier")   // risk-set cumulative windows over the
+    "window_kaplan_meier",   // risk-set cumulative windows over the
                              // ≤31-step lifetime spine (day-granular
                              // event times bound the step count)
+    "ml_threshold_sweep")    // suffix-cumulative tp/fp over the DISTINCT-
+                             // VALUE spine (wilcoxon's domain bound);
+                             // the winner is TakeOrdered(1)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

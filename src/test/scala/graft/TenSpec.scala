@@ -562,6 +562,70 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_threshold_sweep: winner's F1 reproduces from raw counts") {
+    val r = run("ml_threshold_sweep").collect().head
+    val thresh = r.getDouble(0)
+    val (tp, fp, fn) = (r.getLong(1), r.getLong(2), r.getLong(3))
+    val e = T.t(s, sf, "events")
+    val tp2 = e.filter(col("event_type") === "purchase" &&
+      col("value") >= thresh).count()
+    val fp2 = e.filter(col("event_type") =!= "purchase" &&
+      col("value") >= thresh).count()
+    val fn2 = e.filter(col("event_type") === "purchase" &&
+      col("value") < thresh).count()
+    assert((tp, fp, fn) == ((tp2, fp2, fn2)), "confusion counts drifted")
+    val f1 = r.getDouble(4)
+    assert(math.abs(f1 - 2.0 * tp / (2.0 * tp + fp + fn)) < 2e-6)
+  }
+
+  test("ml_knn_loocv: accuracy bounded, eval slice fully covered") {
+    val rows = run("ml_knn_loocv").collect()
+    val nEval = T.t(s, sf, "embeddings")
+      .filter(col("vec_id") % 10 === 0).count()
+    assert(rows.map(_.getLong(1)).sum == nEval)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val acc = r.getDouble(3)
+      assert(acc >= 0.0 && acc <= 1.0)
+    }
+  }
+
+  test("stat_fleiss_kappa: kappa consistent with po/pe") {
+    val r = run("stat_fleiss_kappa").collect().head
+    val (po, pe, k) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+    assert(po >= 0.0 && po <= 1.0)
+    assert(pe > 0.0 && pe < 1.0)
+    assert(math.abs(k - (po - pe) / (1 - pe)) < 1e-4)
+  }
+
+  test("catalog_histogram_join_estimate: truth conserved, error signs honest") {
+    val rows = run("catalog_histogram_join_estimate").collect()
+    val joined = T.t(s, sf, "lineitem")
+      .join(T.t(s, sf, "part"), col("l_partkey") === col("p_partkey")).count()
+    assert(rows.map(_.getLong(6)).sum == joined)
+    rows.foreach { r =>
+      assert(r.getLong(5) >= 0)
+      if (!r.isNullAt(7)) {
+        val err = r.getDouble(7)
+        if (r.getLong(5) > r.getLong(6)) assert(err >= 0.0)
+        if (r.getLong(5) < r.getLong(6)) assert(err <= 0.0)
+      }
+    }
+  }
+
+  test("ts_peak_detection: strict peaks are non-adjacent with height >= 1") {
+    val rows = run("ts_peak_detection").collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(3) >= 1, "peak height < 1"))
+    rows.groupBy(_.getString(0)).foreach { case (_, rs) =>
+      val days = rs.map(_.getDate(1).toLocalDate.toEpochDay).sorted
+      days.sliding(2).foreach {
+        case Array(a, b) => assert(b - a >= 2, "adjacent strict peaks")
+        case _ =>
+      }
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
