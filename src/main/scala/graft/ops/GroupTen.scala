@@ -2775,6 +2775,229 @@ object GroupTen {
         .select(col("event_type"), col("d"), col("c"),
           (col("c") - greatest(col("pv"), col("nx"))).as("height"))
         .orderBy("event_type", "d")
+    },
+
+    // Dominant eigenvector of the embedding second-moment (Gram) matrix by
+    // POWER ITERATION — PCA's first component, train-by-aggregation style:
+    // components are QUANTIZED to micro-unit integers at the scan, the
+    // 64×64 moment matrix is ONE pair-explode + hash agg (exact integer
+    // sums — float accumulation order never matters), and each of the 5
+    // matvec rounds renormalizes by max-|component| using SIGN-DECOMPOSED
+    // floor division (sign·(|v|·10⁶ div max) — both engines floor
+    // non-negative ints identically, sidestepping the //-vs-DIV negative
+    // divergence). The iteration state is a 64-row broadcast; only the
+    // moment agg is corpus-sized. Start = all-ones (deterministic sign).
+    q("ml_pca_power_iteration", {
+      val step = (p: Int, c: Int) =>
+        s"""wr$c AS MATERIALIZED (SELECT m.i,
+           |    CAST(sum(m.mv * w$p.wv) AS HUGEINT) AS v
+           |  FROM m JOIN w$p ON w$p.i = m.j GROUP BY 1),
+           |w$c AS MATERIALIZED (SELECT i,
+           |    (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+           |      ((abs(v) * 1000000) // (SELECT max(abs(v)) FROM wr$c)) AS wv
+           |  FROM wr$c)""".stripMargin
+      s"""WITH qv AS (SELECT vec_id, CAST(t.i AS INT) AS i,
+         |    CAST(round(embedding[t.i + 1]::DOUBLE * 1000000.0, 0) AS BIGINT)
+         |      AS q
+         |  FROM embeddings, range(64) t(i)),
+         |m AS (SELECT a.i, b.i AS j, CAST(sum(a.q * b.q) AS HUGEINT) AS mv
+         |  FROM qv a JOIN qv b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+         |w0 AS (SELECT CAST(i AS INT) AS i, CAST(1000000 AS HUGEINT) AS wv
+         |  FROM range(64) t(i)),
+         |${step(0, 1)},
+         |${step(1, 2)},
+         |${step(2, 3)},
+         |${step(3, 4)},
+         |${step(4, 5)}
+         |SELECT i, CAST(wv AS DOUBLE) / 1000000.0 AS w6 FROM w5 ORDER BY i"""
+    }) { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val qv = GroupVector.emb(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
+        .select(col("vec_id"), col("i").cast(IntegerType).as("i"),
+          round(col("x").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("q"))
+      val m = qv.join(qv.select(col("vec_id"), col("i").as("j"),
+          col("q").as("q2")), "vec_id")
+        .groupBy("i", "j").agg(sum(col("q") * col("q2")).cast(d38).as("mv"))
+        .localCheckpoint()
+      var w = s.range(64).select(col("id").cast(IntegerType).as("i"),
+        lit(1000000L).cast(d38).as("wv"))
+      for (_ <- 1 to 5) {
+        val wr = m.join(broadcast(w.withColumnRenamed("i", "j")), "j")
+          .groupBy("i").agg(sum(col("mv") * col("wv")).cast(d38).as("v"))
+        val mx = wr.agg(max(abs(col("v"))).as("mxv"))
+        w = wr.crossJoin(broadcast(mx))
+          .select(col("i"),
+            (when(col("v") < 0, -1L).otherwise(1L).cast(d38) *
+              expr("(abs(v) * 1000000L) div mxv")).as("wv"))
+      }
+      w.select(col("i"), (col("wv").cast(DoubleType) / 1000000.0).as("w6"))
+        .orderBy("i")
+    },
+
+    // Deterministic hash-guided walk corpus over the weighted nation
+    // co-purchase digraph — the node2vec-style corpus generation step of
+    // graph-embedding pipelines, made REPRODUCIBLE AT ANY PARTITIONING:
+    // each walker's next hop is the out-edge minimizing a pure-arithmetic
+    // multiplicative hash of (start, walk, step, src, dst) — an argmin per
+    // frontier row, so a step is one broadcast edges-join + rank, and the
+    // 5 steps unroll statically (no driver loop over data). Dead ends hold
+    // in place via left join. 3 walks per start node.
+    q("graph_walk_corpus", {
+      val step = (p: Int, c: Int) =>
+        s"""s$c AS (SELECT start, wid, COALESCE(nx, v) AS v FROM (
+           |  SELECT f.start, f.wid, f.v, e.dst AS nx, row_number() OVER (
+           |      PARTITION BY f.start, f.wid ORDER BY
+           |        ((f.start*3 + f.wid)*1000003 + $c*101 + f.v*257
+           |          + e.dst*65537) * 2654435761 % 4294967296, e.dst) AS rn
+           |  FROM s$p f LEFT JOIN e ON e.src = f.v)
+           |WHERE rn = 1 OR nx IS NULL)""".stripMargin
+      s"""WITH e AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst
+         |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+         |  JOIN customer c ON o.o_custkey = c.c_custkey
+         |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+         |  GROUP BY 1, 2),
+         |s0 AS (SELECT n_nationkey AS start, CAST(w.k AS BIGINT) AS wid,
+         |    n_nationkey AS v
+         |  FROM nation, range(3) w(k)),
+         |${step(0, 1)},
+         |${step(1, 2)},
+         |${step(2, 3)},
+         |${step(3, 4)},
+         |${step(4, 5)}
+         |SELECT start, wid, 0 AS step, v FROM s0
+         |UNION ALL SELECT start, wid, 1, v FROM s1
+         |UNION ALL SELECT start, wid, 2, v FROM s2
+         |UNION ALL SELECT start, wid, 3, v FROM s3
+         |UNION ALL SELECT start, wid, 4, v FROM s4
+         |UNION ALL SELECT start, wid, 5, v FROM s5
+         |ORDER BY start, wid, step"""
+    }) { (s, dir) =>
+      val e = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T.t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .distinct().localCheckpoint()
+      val s0 = T.t(s, dir, "nation")
+        .select(col("n_nationkey").as("start"))
+        .crossJoin(broadcast(s.range(3).select(col("id").as("wid"))))
+        .withColumn("v", col("start"))
+      var frontier = s0
+      var acc = s0.withColumn("step", lit(0))
+      for (st <- 1 to 5) {
+        val nxt = frontier.join(broadcast(e), col("src") === col("v"), "left")
+          .withColumn("hsel",
+            ((col("start") * 3 + col("wid")) * 1000003L + lit(st) * 101L +
+              col("v") * 257L + col("dst") * 65537L) * 2654435761L
+              % 4294967296L)
+          .withColumn("rn", row_number().over(
+            Window.partitionBy("start", "wid").orderBy("hsel", "dst")))
+          .filter(col("rn") === 1 || col("dst").isNull)
+          .select(col("start"), col("wid"),
+            coalesce(col("dst"), col("v")).as("v"))
+        frontier = nxt
+        acc = acc.unionAll(nxt.withColumn("step", lit(st)))
+      }
+      acc.select(col("start"), col("wid"), col("step"), col("v"))
+        .orderBy("start", "wid", "step")
+    },
+
+    // N-gram novelty curve — corpus-saturation measurement for dataset
+    // curation ("are later shards still contributing new content?"): per
+    // document, the share of its distinct 3-token shingles FIRST seen in
+    // that document (first occurrence = min doc_id over the corpus, one
+    // agg over the SHARED staged shingle index). Novelty shares are
+    // pure-integer rationals (T.r6); two shingle-keyed shuffles total.
+    q("text_ngram_novelty",
+      """WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr FROM documents),
+        |sh AS (SELECT DISTINCT doc_id,
+        |    unnest(list_transform(range(len(arr)-2),
+        |      i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+        |  FROM dd),
+        |fst AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1),
+        |pd AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_sh,
+        |    CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_new
+        |  FROM sh s JOIN fst f ON s.sh = f.sh GROUP BY 1)
+        |SELECT doc_id, n_sh, n_new,
+        |  CAST((2000000*n_new + n_sh) // (2*n_sh) AS BIGINT) / 1000000.0
+        |    AS novelty6
+        |FROM pd ORDER BY doc_id""") { (s, dir) =>
+      val sh = GroupText.shingleRows(s, dir)
+      val fst = sh.groupBy("sh").agg(min(col("doc_id")).as("first_doc"))
+      sh.join(fst, "sh")
+        .groupBy("doc_id").agg(
+          count(lit(1)).cast(LongType).as("n_sh"),
+          sum(when(col("first_doc") === col("doc_id"), 1).otherwise(0))
+            .cast(LongType).as("n_new"))
+        .select(col("doc_id"), col("n_sh"), col("n_new"),
+          T.r6("n_new", "n_sh").as("novelty6"))
+        .orderBy("doc_id")
+    },
+
+    // Clustering-depth audit — grades a physical LAYOUT by how well it
+    // co-locates a probe column: two candidate layouts of orders (range-
+    // bucketed by custkey vs by order date) are split into 32 "files" by
+    // pure integer arithmetic (NO global sort — the file id is a scaled
+    // division of the layout key), each file publishes min/max stats on
+    // the probe column (custkey), and the audit reports the average
+    // overlap depth — how many files a point lookup must open. The
+    // custkey layout audits near 1 (clustered); the date layout audits
+    // near 32 (scattered) — the number a table optimizer acts on. Stats
+    // are one agg; the overlap self-join is 32×32 per layout.
+    q("etl_clustering_depth_audit",
+      """WITH bounds AS (SELECT max(o_custkey) AS maxk,
+        |    min(o_orderdate) AS dmin, max(o_orderdate) AS dmax FROM orders),
+        |f AS (SELECT layout, file_id,
+        |    min(o_custkey) AS mn, max(o_custkey) AS mx
+        |  FROM (
+        |    SELECT 'custkey' AS layout,
+        |      (o_custkey * 32) // (maxk + 1) AS file_id, o_custkey
+        |    FROM orders CROSS JOIN bounds
+        |    UNION ALL
+        |    SELECT 'date',
+        |      (date_diff('day', dmin, o_orderdate) * 32)
+        |        // (date_diff('day', dmin, dmax) + 1), o_custkey
+        |    FROM orders CROSS JOIN bounds)
+        |  GROUP BY 1, 2),
+        |d AS (SELECT a.layout, a.file_id, CAST(count(*) AS BIGINT) AS depth
+        |  FROM f a JOIN f b ON a.layout = b.layout
+        |    AND a.mn <= b.mx AND b.mn <= a.mx
+        |  GROUP BY 1, 2)
+        |SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(max(depth) AS BIGINT) AS max_depth,
+        |  CAST((2000000*sum(depth) + count(*)) // (2*count(*)) AS BIGINT)
+        |    / 1000000.0 AS avg_depth6
+        |FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      val bounds = o.agg(max("o_custkey").as("maxk"),
+        min("o_orderdate").as("dmin"), max("o_orderdate").as("dmax"))
+      val ob = o.crossJoin(broadcast(bounds))
+      val byKey = ob.select(lit("custkey").as("layout"),
+        expr("(o_custkey * 32) div (maxk + 1)").as("file_id"), col("o_custkey"))
+      val byDate = ob.select(lit("date").as("layout"),
+        expr("(datediff(o_orderdate, dmin) * 32) div " +
+          "(datediff(dmax, dmin) + 1)").as("file_id"), col("o_custkey"))
+      val f = byKey.unionAll(byDate)
+        .groupBy("layout", "file_id")
+        .agg(min("o_custkey").as("mn"), max("o_custkey").as("mx"))
+      val d = f.join(f.select(col("layout").as("l2"), col("mn").as("mn2"),
+          col("mx").as("mx2")),
+          col("layout") === col("l2") &&
+            col("mn") <= col("mx2") && col("mn2") <= col("mx"))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).cast(LongType).as("depth"))
+      d.groupBy("layout").agg(
+          count(lit(1)).cast(LongType).as("n_files"),
+          max("depth").cast(LongType).as("max_depth"),
+          sum("depth").as("sd"), count(lit(1)).as("nf"))
+        .select(col("layout"), col("n_files"), col("max_depth"),
+          T.r6("sd", "nf").as("avg_depth6"))
+        .orderBy("layout")
     }
   )
 }

@@ -106,7 +106,12 @@ object DrivePlanAudit {
     "window_kaplan_meier",
     // round 10j: the LOOCV's broadcast eval-slice × corpus scoring (the
     // vector_cosine_topk contract shape) and Fleiss' 1-row scalar pair
-    "ml_knn_loocv", "stat_fleiss_kappa")
+    "ml_knn_loocv", "stat_fleiss_kappa",
+    // round 10k: power iteration's per-round 1-row max-normalizer (the
+    // HITS shape), the walk corpus's 3-row walk-id fan-out, and the
+    // layout audit's 1-row bounds scalar
+    "ml_pca_power_iteration", "graph_walk_corpus",
+    "etl_clustering_depth_audit")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

@@ -626,6 +626,79 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_pca_power_iteration: unit-normalized dominant direction") {
+    val rows = run("ml_pca_power_iteration").collect()
+    assert(rows.length == 64)
+    val ws = rows.map(_.getDouble(1))
+    ws.foreach(w => assert(w >= -1.0 && w <= 1.0))
+    assert(ws.map(math.abs).max == 1.0, "max |component| not normalized")
+  }
+
+  test("graph_walk_corpus: every hop is a real edge or a dead-end hold") {
+    val rows = run("graph_walk_corpus").collect()
+    val nNations = T.t(s, sf, "nation").count().toInt
+    assert(rows.length == nNations * 3 * 6)
+    val e = T.t(s, sf, "lineitem").select("l_orderkey", "l_suppkey")
+      .join(T.t(s, sf, "orders").select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(T.t(s, sf, "customer").select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(T.t(s, sf, "supplier").select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey"), col("s_nationkey")).distinct()
+      .collect()
+      .map(r => (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .toSet
+    val outNodes = e.map(_._1)
+    rows.groupBy(r =>
+      (r.getAs[Number](0).longValue, r.getAs[Number](1).longValue))
+      .foreach { case (k, rs) =>
+      val path = rs.sortBy(_.getInt(2)).map(_.getAs[Number](3).longValue)
+      assert(path.head == k._1, "walk must start at its start node")
+      path.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(e.contains((a, b)) || (a == b && !outNodes.contains(a)),
+            s"hop $a->$b is neither an edge nor a dead-end hold")
+        case _ =>
+      }
+    }
+  }
+
+  test("text_ngram_novelty: first doc fully novel, novelty conserved") {
+    val rows = run("text_ngram_novelty").collect()
+    val byDoc = rows.map(r => r.getLong(0) -> r).toMap
+    val firstDoc = rows.map(_.getLong(0)).min
+    assert(byDoc(firstDoc).getDouble(3) == 1.0, "first doc must be all-novel")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      val nv = r.getDouble(3)
+      assert(nv >= 0.0 && nv <= 1.0)
+    }
+    // every distinct shingle is first-seen exactly once (independent
+    // recompute of the 3-token shingle vocabulary)
+    val totalNew = rows.map(_.getLong(2)).sum
+    val distinctShingles = T.t(s, sf, "documents")
+      .select(explode(expr(
+        """transform(sequence(0, size(split(text, ' ')) - 3),
+          |  i -> concat_ws(' ', slice(split(text, ' '), i + 1, 3)))"""
+          .stripMargin)).as("sh"))
+      .select("sh").distinct().count()
+    assert(totalNew == distinctShingles)
+  }
+
+  test("etl_clustering_depth_audit: clustered layout beats scattered") {
+    val rows = run("etl_clustering_depth_audit").collect()
+    val byLayout = rows.map(r => r.getString(0) -> r).toMap
+    val ck = byLayout("custkey")
+    val dt = byLayout("date")
+    assert(ck.getDouble(3) < dt.getDouble(3),
+      "custkey layout should audit shallower than date layout")
+    rows.foreach { r =>
+      assert(r.getLong(2) >= 1 && r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(3) >= 1.0)
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
