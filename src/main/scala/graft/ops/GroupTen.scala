@@ -2998,6 +2998,207 @@ object GroupTen {
         .select(col("layout"), col("n_files"), col("max_depth"),
           T.r6("sd", "nf").as("avg_depth6"))
         .orderBy("layout")
+    },
+
+    // One Newton/IRLS step of logistic regression from β = 0 — the
+    // train-by-aggregation GLM (ml_ridge_2feature's shape on the logit):
+    // at β=0 every p̂ is ½, so the step is β₁ = 2·A⁻¹·g₂ with A = X'X from
+    // ONE moment pass (floor-dollar + hour features keep the 3×3
+    // determinant inside DECIMAL(38,0)) and g₂ = Σx(2y−1) exact integers;
+    // the solve is the explicit adjugate, so each coefficient is ONE
+    // pure-integer rational (T.r6s; determinant sign folded into the
+    // numerator so the denominator stays positive). No row ever sees a
+    // float; the whole fit is a single map-side-combinable aggregate.
+    q("ml_logreg_newton_step",
+      """WITH f AS (SELECT
+        |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) // 100 AS x1,
+        |    CAST(date_part('hour', ts) AS BIGINT) AS x2,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE -1 END AS y2
+        |  FROM events),
+        |m AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
+        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
+        |    CAST(sum(y2) AS HUGEINT) AS g0,
+        |    CAST(sum(x1*y2) AS HUGEINT) AS g1,
+        |    CAST(sum(x2*y2) AS HUGEINT) AS g2
+        |  FROM f),
+        |d AS (SELECT *,
+        |    n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+        |      + s2*(s1*s12 - s11*s2) AS det,
+        |    (s11*s22 - s12*s12)*g0 + (s2*s12 - s1*s22)*g1
+        |      + (s1*s12 - s2*s11)*g2 AS a0,
+        |    (s2*s12 - s1*s22)*g0 + (n*s22 - s2*s2)*g1
+        |      + (s1*s2 - n*s12)*g2 AS a1,
+        |    (s1*s12 - s2*s11)*g0 + (s1*s2 - n*s12)*g1
+        |      + (n*s11 - s1*s1)*g2 AS a2
+        |  FROM m)
+        |SELECT CAST(n AS BIGINT) AS n,
+        |  (CASE WHEN 2*a0*(CASE WHEN det < 0 THEN -1 ELSE 1 END) < 0
+        |    THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(2*a0) + abs(det)) // (2*abs(det)) AS BIGINT)
+        |    / 1000000.0 AS beta0_6,
+        |  (CASE WHEN 2*a1*(CASE WHEN det < 0 THEN -1 ELSE 1 END) < 0
+        |    THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(2*a1) + abs(det)) // (2*abs(det)) AS BIGINT)
+        |    / 1000000.0 AS beta1_6,
+        |  (CASE WHEN 2*a2*(CASE WHEN det < 0 THEN -1 ELSE 1 END) < 0
+        |    THEN -1 ELSE 1 END) *
+        |    CAST((2000000*abs(2*a2) + abs(det)) // (2*abs(det)) AS BIGINT)
+        |    / 1000000.0 AS beta2_6
+        |FROM d""") { (s, dir) =>
+      val d38 = DecimalType(38, 0)
+      val f = T.t(s, dir, "events").select(
+        expr("cast(cast(value as decimal(18,2)) * 100 as bigint) div 100")
+          .as("x1"),
+        hour(col("ts")).cast(LongType).as("x2"),
+        when(col("event_type") === "purchase", 1L).otherwise(-1L).as("y2"))
+      val m = f.agg(
+        count(lit(1)).cast(d38).as("n"),
+        sum("x1").cast(d38).as("s1"), sum("x2").cast(d38).as("s2"),
+        sum(col("x1") * col("x1")).cast(d38).as("s11"),
+        sum(col("x1") * col("x2")).cast(d38).as("s12"),
+        sum(col("x2") * col("x2")).cast(d38).as("s22"),
+        sum("y2").cast(d38).as("g0"),
+        sum(col("x1") * col("y2")).cast(d38).as("g1"),
+        sum(col("x2") * col("y2")).cast(d38).as("g2"))
+      val d = m.withColumn("det",
+          expr("""n*(s11*s22 - s12*s12) - s1*(s1*s22 - s12*s2)
+            + s2*(s1*s12 - s11*s2)"""))
+        .withColumn("a0", expr("""(s11*s22 - s12*s12)*g0
+          + (s2*s12 - s1*s22)*g1 + (s1*s12 - s2*s11)*g2"""))
+        .withColumn("a1", expr("""(s2*s12 - s1*s22)*g0
+          + (n*s22 - s2*s2)*g1 + (s1*s2 - n*s12)*g2"""))
+        .withColumn("a2", expr("""(s1*s12 - s2*s11)*g0
+          + (s1*s2 - n*s12)*g1 + (n*s11 - s1*s1)*g2"""))
+      d.select(col("n").cast(LongType).as("n"),
+        T.r6s("2*a0*(CASE WHEN det < 0 THEN -1L ELSE 1L END)", "abs(det)")
+          .as("beta0_6"),
+        T.r6s("2*a1*(CASE WHEN det < 0 THEN -1L ELSE 1L END)", "abs(det)")
+          .as("beta1_6"),
+        T.r6s("2*a2*(CASE WHEN det < 0 THEN -1L ELSE 1L END)", "abs(det)")
+          .as("beta2_6"))
+    },
+
+    // Shard-rebalance move plan — the "water pouring" a storage manager
+    // emits to level SKEWED shards to the balanced target (total div k,
+    // the first remainder shards one heavier): surplus shards become
+    // cumulative GIVER intervals, deficit shards TAKER intervals, and
+    // every interval overlap is one move of exactly the overlap length —
+    // a 16×16 bounded join, so the plan conserves items by construction
+    // (spec-pinned). Shards are length-bucketed (the naturally-skewed
+    // layout a size-tiered store accumulates — dense-id hash shards would
+    // be vacuously level). Pure integer cumulative windows over the
+    // enum-sized shard table.
+    q("etl_shard_rebalance_plan",
+      """WITH sz AS (SELECT LEAST(n_chars // 40, 15) AS shard,
+        |    CAST(count(*) AS BIGINT) AS size FROM documents GROUP BY 1),
+        |tt AS (SELECT CAST(sum(size) AS BIGINT) AS total FROM sz),
+        |tg AS (SELECT shard, size, total,
+        |    row_number() OVER (ORDER BY shard) AS r,
+        |    count(*) OVER () AS n_sh
+        |  FROM sz CROSS JOIN tt),
+        |dl AS (SELECT shard, size - (total // n_sh
+        |    + (CASE WHEN r <= total % n_sh THEN 1 ELSE 0 END)) AS delta
+        |  FROM tg),
+        |g AS (SELECT shard,
+        |    COALESCE(sum(delta) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS gs,
+        |    COALESCE(sum(delta) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS ge
+        |  FROM (SELECT shard, delta FROM dl WHERE delta > 0)),
+        |t AS (SELECT shard AS tshard,
+        |    COALESCE(sum(-delta) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS ts,
+        |    COALESCE(sum(-delta) OVER (ORDER BY shard
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS te
+        |  FROM (SELECT shard, delta FROM dl WHERE delta < 0))
+        |SELECT g.shard AS from_shard, t.tshard AS to_shard,
+        |  CAST(LEAST(g.ge, t.te) - GREATEST(g.gs, t.ts) AS BIGINT) AS n_move
+        |FROM g JOIN t ON LEAST(g.ge, t.te) > GREATEST(g.gs, t.ts)
+        |ORDER BY from_shard, to_shard""") { (s, dir) =>
+      val sz = T.t(s, dir, "documents")
+        .groupBy(least(expr("n_chars div 40"), lit(15L)).as("shard"))
+        .agg(count(lit(1)).cast(LongType).as("size"))
+      val tt = sz.agg(sum("size").cast(LongType).as("total"))
+      val wAll = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+      val dl = sz.crossJoin(broadcast(tt))
+        .withColumn("r", row_number().over(Window.orderBy("shard")))
+        .withColumn("n_sh", count(lit(1)).over(wAll))
+        .select(col("shard"),
+          (col("size") - (expr("total div n_sh") +
+            when(col("r") <= col("total") % col("n_sh"), 1L).otherwise(0L)))
+            .as("delta"))
+      val wPrev = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCur = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val g = dl.filter(col("delta") > 0)
+        .withColumn("gs", coalesce(sum("delta").over(wPrev), lit(0L)))
+        .withColumn("ge", coalesce(sum("delta").over(wCur), lit(0L)))
+        .select(col("shard"), col("gs"), col("ge"))
+      val t = dl.filter(col("delta") < 0)
+        .withColumn("ts", coalesce(sum(-col("delta")).over(wPrev), lit(0L)))
+        .withColumn("te", coalesce(sum(-col("delta")).over(wCur), lit(0L)))
+        .select(col("shard").as("tshard"), col("ts"), col("te"))
+      g.join(broadcast(t),
+          least(col("ge"), col("te")) > greatest(col("gs"), col("ts")))
+        .select(col("shard").as("from_shard"), col("tshard").as("to_shard"),
+          (least(col("ge"), col("te")) - greatest(col("gs"), col("ts")))
+            .cast(LongType).as("n_move"))
+        .orderBy("from_shard", "to_shard")
+    },
+
+    // Two-sample Poisson rate test (weekday vs weekend purchase rates) —
+    // the incident/arrival-rate comparison of operational analytics. The
+    // Wald statistic collapses to z = (k₁t₂ − k₂t₁)/√(k₁t₂² + k₂t₁²):
+    // an EXACT integer over one square root of an exact integer — a single
+    // IEEE chain, 6dp-rounded post-sqrt (tie measure zero). Exposures are
+    // calendar-day counts per class; everything before the √ is integer.
+    q("stat_poisson_two_rate",
+      """WITH days AS (SELECT DISTINCT CAST(ts AS DATE) AS d FROM events),
+        |expo AS (SELECT
+        |    CAST(sum(CASE WHEN date_part('dow', d) IN (0, 6)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS t1,
+        |    CAST(sum(CASE WHEN date_part('dow', d) IN (0, 6)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        |  FROM days),
+        |k AS (SELECT
+        |    CAST(sum(CASE WHEN date_part('dow', ts) IN (0, 6)
+        |      THEN 0 ELSE 1 END) AS BIGINT) AS k1,
+        |    CAST(sum(CASE WHEN date_part('dow', ts) IN (0, 6)
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS k2
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT k1, t1, k2, t2,
+        |  round(CAST(k1*t2 - k2*t1 AS DOUBLE)
+        |    / sqrt(CAST(k1*t2*t2 + k2*t1*t1 AS DOUBLE)), 6) + 0.0 AS z6,
+        |  CAST((2000000*k1 + (k1 + k2)) // (2*(k1 + k2)) AS BIGINT)
+        |    / 1000000.0 AS share6,
+        |  CAST((2000000*t1 + (t1 + t2)) // (2*(t1 + t2)) AS BIGINT)
+        |    / 1000000.0 AS expected_share6
+        |FROM k CROSS JOIN expo""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+      val isWknd = (dayofweek(col("ts")) - 1).isin(0, 6)
+      val expo = e.select(col("ts").cast(DateType).as("d")).distinct()
+        .agg(
+          sum(when((dayofweek(col("d")) - 1).isin(0, 6), 0).otherwise(1))
+            .cast(LongType).as("t1"),
+          sum(when((dayofweek(col("d")) - 1).isin(0, 6), 1).otherwise(0))
+            .cast(LongType).as("t2"))
+      val k = e.filter(col("event_type") === "purchase")
+        .agg(sum(when(isWknd, 0).otherwise(1)).cast(LongType).as("k1"),
+          sum(when(isWknd, 1).otherwise(0)).cast(LongType).as("k2"))
+      k.crossJoin(broadcast(expo))
+        .select(col("k1"), col("t1"), col("k2"), col("t2"),
+          (round((col("k1") * col("t2") - col("k2") * col("t1"))
+            .cast(DoubleType) /
+            sqrt((col("k1") * col("t2") * col("t2") +
+              col("k2") * col("t1") * col("t1")).cast(DoubleType)), 6) + 0.0)
+            .as("z6"),
+          T.r6("k1", "k1 + k2").as("share6"),
+          T.r6("t1", "t1 + t2").as("expected_share6"))
     }
   )
 }

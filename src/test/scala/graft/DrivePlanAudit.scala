@@ -111,7 +111,12 @@ object DrivePlanAudit {
     // HITS shape), the walk corpus's 3-row walk-id fan-out, and the
     // layout audit's 1-row bounds scalar
     "ml_pca_power_iteration", "graph_walk_corpus",
-    "etl_clustering_depth_audit")
+    "etl_clustering_depth_audit",
+    // round 10l: 1-row scalar crossJoins (logreg's moment row is itself
+    // the whole fit; the rate test's exposure scalars; the rebalancer's
+    // total) plus its ≤16×16 giver×taker interval-overlap theta join
+    "ml_logreg_newton_step", "stat_poisson_two_rate",
+    "etl_shard_rebalance_plan")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -147,9 +152,11 @@ object DrivePlanAudit {
     "window_kaplan_meier",   // risk-set cumulative windows over the
                              // ≤31-step lifetime spine (day-granular
                              // event times bound the step count)
-    "ml_threshold_sweep")    // suffix-cumulative tp/fp over the DISTINCT-
+    "ml_threshold_sweep",    // suffix-cumulative tp/fp over the DISTINCT-
                              // VALUE spine (wilcoxon's domain bound);
                              // the winner is TakeOrdered(1)
+    "etl_shard_rebalance_plan") // rank/cumsum windows over the ≤16-row
+                             // SHARD-ENUM table (giver/taker intervals)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -699,6 +699,53 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("ml_logreg_newton_step: coefficients finite, corpus conserved") {
+    val r = run("ml_logreg_newton_step").collect().head
+    assert(r.getLong(0) == T.t(s, sf, "events").count())
+    Seq(1, 2, 3).foreach { i =>
+      val b = r.getDouble(i)
+      assert(!b.isNaN && !b.isInfinite && math.abs(b) < 10.0,
+        s"beta$i out of sane range: $b")
+    }
+  }
+
+  test("etl_shard_rebalance_plan: moves conserve surplus and deficit") {
+    val moves = run("etl_shard_rebalance_plan").collect()
+    assert(moves.nonEmpty, "length-bucketed shards must be imbalanced")
+    moves.foreach { m =>
+      assert(m.getLong(2) > 0)
+      assert(m.getLong(0) != m.getLong(1))
+    }
+    // recompute sizes/targets independently
+    val sizes = T.t(s, sf, "documents")
+      .groupBy(least(expr("n_chars div 40"), lit(15L)).as("shard")).count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    val total = sizes.map(_._2).sum
+    val nSh = sizes.length
+    val targets = sizes.zipWithIndex.map { case ((sh, sz), idx) =>
+      sh -> (total / nSh + (if (idx < total % nSh) 1L else 0L))
+    }.toMap
+    val sizeMap = sizes.toMap
+    val outBy = moves.groupBy(_.getLong(0))
+      .map { case (k, ms) => k -> ms.map(_.getLong(2)).sum }
+    val inBy = moves.groupBy(_.getLong(1))
+      .map { case (k, ms) => k -> ms.map(_.getLong(2)).sum }
+    sizeMap.foreach { case (sh, sz) =>
+      val net = outBy.getOrElse(sh, 0L) - inBy.getOrElse(sh, 0L)
+      assert(sz - net == targets(sh), s"shard $sh not leveled: $sz - $net")
+    }
+  }
+
+  test("stat_poisson_two_rate: exposures cover the window, counts conserve") {
+    val r = run("stat_poisson_two_rate").collect().head
+    assert(r.getLong(1) + r.getLong(3) == 30, "weekday+weekend days != 30")
+    val purchases = T.t(s, sf, "events")
+      .filter(col("event_type") === "purchase").count()
+    assert(r.getLong(0) + r.getLong(2) == purchases)
+    assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
