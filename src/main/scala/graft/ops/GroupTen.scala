@@ -3199,6 +3199,169 @@ object GroupTen {
             .as("z6"),
           T.r6("k1", "k1 + k2").as("share6"),
           T.r6("t1", "t1 + t2").as("expected_share6"))
+    },
+
+    // Rolling discrete p95 over the trailing 20-row price window per
+    // supplier — the per-entity tail-latency monitor. NO engine-native
+    // windowed exact quantile is portable (Spark's percentile interpolates,
+    // DuckDB's quantile_disc picks its own boundary), so BOTH engines run
+    // the identical rank-selection plan: each row equi-joins its ≤19
+    // predecessors by row offset (a bounded 20× fan-out on the partition
+    // key — O(k·n), the frame is the index), and the 19th-smallest of the
+    // 20 integer cents is selected by an exact (cents, offset) rank. Zero
+    // float arithmetic anywhere.
+    q("window_rolling_p95",
+      """WITH li AS (SELECT l_suppkey,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+        |      AS cents,
+        |    row_number() OVER (PARTITION BY l_suppkey ORDER BY
+        |      l_shipdate, l_orderkey, l_linenumber, l_extendedprice) AS rn
+        |  FROM lineitem WHERE l_suppkey <= 2),
+        |pr AS (SELECT a.l_suppkey, a.rn, b.cents AS c, b.rn AS brn,
+        |    row_number() OVER (PARTITION BY a.l_suppkey, a.rn
+        |      ORDER BY b.cents, b.rn) AS rk
+        |  FROM li a JOIN li b ON a.l_suppkey = b.l_suppkey
+        |    AND b.rn BETWEEN a.rn - 19 AND a.rn
+        |  WHERE a.rn >= 20)
+        |SELECT l_suppkey, CAST(rn AS BIGINT) AS rn, c AS p95_cents
+        |FROM pr WHERE rk = 19 ORDER BY l_suppkey, rn""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem").filter(col("l_suppkey") <= 2)
+        .withColumn("cents",
+          (col("l_extendedprice").cast(T.dec) * 100).cast(LongType))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("l_suppkey").orderBy(
+            col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice"))))
+        .select(col("l_suppkey"), col("cents"), col("rn"))
+      val b = li.select(col("l_suppkey").as("sk"), col("cents").as("c"),
+        col("rn").as("brn"))
+      li.filter(col("rn") >= 20)
+        .join(b, col("l_suppkey") === col("sk") &&
+          col("brn").between(col("rn") - 19, col("rn")))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("l_suppkey", "rn").orderBy("c", "brn")))
+        .filter(col("rk") === 19)
+        .select(col("l_suppkey"), col("rn").cast(LongType).as("rn"),
+          col("c").as("p95_cents"))
+        .orderBy("l_suppkey", "rn")
+    },
+
+    // Term dispersion (variance-to-mean ratio across the 20 sources) for
+    // the top-100 corpus terms — "is this term corpus-wide vocabulary or
+    // one shard's jargon?" (burstiness screening beside TF-IDF). With
+    // source count n and per-source counts c (absent sources contribute
+    // 0 to Σc² and S alike), VMR = (n·Σc² − S²)/(n·S) is a pure-integer
+    // rational (T.r6; non-negative by Cauchy–Schwarz) — no float crosses
+    // a term. Rank by exact (total, term); two count shuffles.
+    q("text_term_dispersion",
+      """WITH tok AS (SELECT source, unnest(string_split(text,' ')) AS term
+        |  FROM documents),
+        |st AS (SELECT term, source, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_src
+        |  FROM documents),
+        |tm AS (SELECT term, CAST(sum(c) AS BIGINT) AS total,
+        |    CAST(sum(c*c) AS BIGINT) AS sq
+        |  FROM st GROUP BY 1),
+        |rk AS (SELECT term, total, sq, row_number() OVER (
+        |    ORDER BY total DESC, term) AS rn FROM tm)
+        |SELECT term, total, CAST(rn AS BIGINT) AS rn,
+        |  CAST((2000000*(n_src*sq - total*total) + n_src*total)
+        |    // (2*n_src*total) AS BIGINT) / 1000000.0 AS dispersion6
+        |FROM rk CROSS JOIN ns WHERE rn <= 100 ORDER BY rn""") { (s, dir) =>
+      val st = T.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("term", "source").agg(count(lit(1)).cast(LongType).as("c"))
+      val ns = T.t(s, dir, "documents")
+        .agg(countDistinct("source").cast(LongType).as("n_src"))
+      val tm = st.groupBy("term").agg(
+        sum("c").cast(LongType).as("total"),
+        sum(col("c") * col("c")).cast(LongType).as("sq"))
+      tm.orderBy(col("total").desc, col("term")).limit(100)
+        .withColumn("rn", row_number().over(
+          Window.orderBy(col("total").desc, col("term"))))
+        .crossJoin(broadcast(ns))
+        .select(col("term"), col("total"), col("rn").cast(LongType).as("rn"),
+          T.r6("n_src*sq - total*total", "n_src*total").as("dispersion6"))
+        .orderBy("rn")
+    },
+
+    // Snapshot retention/expiry plan — the vacuum policy a lakehouse table
+    // applies to its version history, as data: monthly snapshots (distinct
+    // order months), policy = keep the 6 most recent + each year's first
+    // snapshot (annual archive), expire the rest. Version recency is a
+    // rank over the CALENDAR-bounded month table; all CASE logic on exact
+    // integers. The month agg is the only corpus-sized stage.
+    q("etl_snapshot_expire_plan",
+      """WITH snap AS (SELECT DISTINCT
+        |    CAST(date_part('year', o_orderdate) AS INT) AS yy,
+        |    CAST(date_part('year', o_orderdate) * 100
+        |      + date_part('month', o_orderdate) AS INT) AS yyyymm
+        |  FROM orders),
+        |rk AS (SELECT yy, yyyymm,
+        |    row_number() OVER (ORDER BY yyyymm DESC) AS recency,
+        |    row_number() OVER (PARTITION BY yy ORDER BY yyyymm) AS in_year
+        |  FROM snap)
+        |SELECT yyyymm, CAST(recency AS BIGINT) AS recency,
+        |  CASE WHEN recency <= 6 THEN 'recent'
+        |       WHEN in_year = 1 THEN 'annual'
+        |       ELSE 'expire' END AS action
+        |FROM rk ORDER BY yyyymm""") { (s, dir) =>
+      val snap = T.t(s, dir, "orders")
+        .select(year(col("o_orderdate")).cast(IntegerType).as("yy"),
+          (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+            .cast(IntegerType).as("yyyymm"))
+        .distinct()
+      snap
+        .withColumn("recency", row_number().over(
+          Window.orderBy(col("yyyymm").desc)))
+        .withColumn("in_year", row_number().over(
+          Window.partitionBy("yy").orderBy("yyyymm")))
+        .select(col("yyyymm"), col("recency").cast(LongType).as("recency"),
+          when(col("recency") <= 6, "recent")
+            .when(col("in_year") === 1, "annual")
+            .otherwise("expire").as("action"))
+        .orderBy("yyyymm")
+    },
+
+    // Wilson score confidence interval for a per-type proportion (share
+    // of high-value events) — the small-count-safe CI every dashboard
+    // should use instead of the normal approximation. k and n are exact
+    // integers; p̂ = k/n is ONE IEEE division of identical operands, and
+    // both engines evaluate the IDENTICAL Wilson chain (z² = 3.8416
+    // parses to the same double everywhere) with 6dp rounding after the
+    // sqrt — the post-transcendental boundary. One enum-sized agg.
+    q("stat_wilson_ci",
+      """WITH g AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 100 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS k
+        |  FROM events GROUP BY 1)
+        |SELECT event_type, n, k,
+        |  CAST((2000000*k + n) // (2*n) AS BIGINT) / 1000000.0 AS phat6,
+        |  round(((CAST(k AS DOUBLE)/n + 1.9208/n)
+        |    - 1.96 * sqrt((CAST(k AS DOUBLE)/n)*(1.0 - CAST(k AS DOUBLE)/n)/n
+        |      + 0.9604/(CAST(n AS DOUBLE)*n)))
+        |    / (1.0 + 3.8416/n), 6) + 0.0 AS lo6,
+        |  round(((CAST(k AS DOUBLE)/n + 1.9208/n)
+        |    + 1.96 * sqrt((CAST(k AS DOUBLE)/n)*(1.0 - CAST(k AS DOUBLE)/n)/n
+        |      + 0.9604/(CAST(n AS DOUBLE)*n)))
+        |    / (1.0 + 3.8416/n), 6) + 0.0 AS hi6
+        |FROM g ORDER BY event_type""") { (s, dir) =>
+      val g = T.t(s, dir, "events")
+        .groupBy("event_type").agg(
+          count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("value") >= 100, 1).otherwise(0))
+            .cast(LongType).as("k"))
+      val p = col("k").cast(DoubleType) / col("n")
+      val half = lit(1.9208) / col("n")
+      val rad = sqrt(p * (lit(1.0) - p) / col("n") +
+        lit(0.9604) / (col("n").cast(DoubleType) * col("n")))
+      val den = lit(1.0) + lit(3.8416) / col("n")
+      g.select(col("event_type"), col("n"), col("k"),
+          T.r6("k", "n").as("phat6"),
+          (round((p + half - lit(1.96) * rad) / den, 6) + 0.0).as("lo6"),
+          (round((p + half + lit(1.96) * rad) / den, 6) + 0.0).as("hi6"))
+        .orderBy("event_type")
     }
   )
 }

@@ -116,7 +116,9 @@ object DrivePlanAudit {
     // the whole fit; the rate test's exposure scalars; the rebalancer's
     // total) plus its ≤16×16 giver×taker interval-overlap theta join
     "ml_logreg_newton_step", "stat_poisson_two_rate",
-    "etl_shard_rebalance_plan")
+    "etl_shard_rebalance_plan",
+    // round 10m: the dispersion screen's 1-row source-count scalar
+    "text_term_dispersion")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -155,8 +157,10 @@ object DrivePlanAudit {
     "ml_threshold_sweep",    // suffix-cumulative tp/fp over the DISTINCT-
                              // VALUE spine (wilcoxon's domain bound);
                              // the winner is TakeOrdered(1)
-    "etl_shard_rebalance_plan") // rank/cumsum windows over the ≤16-row
+    "etl_shard_rebalance_plan", // rank/cumsum windows over the ≤16-row
                              // SHARD-ENUM table (giver/taker intervals)
+    "etl_snapshot_expire_plan") // recency rank over the CALENDAR-bounded
+                             // month table (≤84 snapshots)
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

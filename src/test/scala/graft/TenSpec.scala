@@ -746,6 +746,56 @@ class TenSpec extends AnyFunSuite {
     assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
   }
 
+  test("window_rolling_p95: matches a recomputed frame selection") {
+    val rows = run("window_rolling_p95").collect()
+    assert(rows.nonEmpty)
+    // independent recompute for supplier 1: sort its rows the same way,
+    // then check each emitted p95 is the 19th-smallest of its 20-row frame
+    val series = T.t(s, sf, "lineitem").filter(col("l_suppkey") === 1)
+      .select((col("l_extendedprice").cast(T.dec) * 100).cast("long").as("c"),
+        col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "c")
+      .collect().map(_.getLong(0))
+    val bySupp = rows.filter(_.getAs[Number](0).longValue == 1L)
+    assert(bySupp.length == math.max(0, series.length - 19))
+    bySupp.take(50).foreach { r =>
+      val rn = r.getLong(1).toInt
+      val frame = series.slice(rn - 20, rn).sorted
+      assert(r.getLong(2) == frame(18), s"rn=$rn p95 mismatch")
+    }
+  }
+
+  test("text_term_dispersion: non-negative, ranked sequentially") {
+    val rows = run("text_term_dispersion").collect()
+    assert(rows.length <= 100)
+    assert(rows.map(_.getLong(2)).toSeq == (1L to rows.length).toSeq)
+    rows.foreach(r => assert(r.getDouble(3) >= 0.0))
+  }
+
+  test("etl_snapshot_expire_plan: policy classes are coherent") {
+    val rows = run("etl_snapshot_expire_plan").collect()
+    val actions = rows.map(r => r.getInt(0) -> r.getString(2))
+    assert(actions.count(_._2 == "recent") == 6)
+    // the 6 most recent months are exactly the 'recent' class
+    val sorted = rows.sortBy(-_.getInt(0))
+    assert(sorted.take(6).forall(_.getString(2) == "recent"))
+    // every year's chronologically-first snapshot is never 'expire'
+    rows.groupBy(_.getInt(0) / 100).foreach { case (_, ys) =>
+      val first = ys.minBy(_.getInt(0))
+      assert(first.getString(2) != "expire")
+    }
+  }
+
+  test("stat_wilson_ci: interval brackets the point estimate") {
+    val rows = run("stat_wilson_ci").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (p, lo, hi) = (r.getDouble(3), r.getDouble(4), r.getDouble(5))
+      assert(lo >= 0.0 && hi <= 1.0)
+      assert(lo <= p + 1e-9 && p <= hi + 1e-9)
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
