@@ -3362,6 +3362,162 @@ object GroupTen {
           (round((p + half - lit(1.96) * rad) / den, 6) + 0.0).as("lo6"),
           (round((p + half + lit(1.96) * rad) / den, 6) + 0.0).as("hi6"))
         .orderBy("event_type")
+    },
+
+    // Bloom-filter false-positive audit with a fully PORTABLE bloom built
+    // in the engine itself (join_bloom_prefilter uses Spark's native
+    // sketch, whose bits no oracle can reproduce — this one's k=3
+    // multiplicative hashes and m=2¹⁷ bit positions are plain integer
+    // arithmetic, so DuckDB builds the identical filter): the build side
+    // sets DISTINCT positions from order custkeys, the probe side is 2000
+    // synthetic keys past the key domain (guaranteed true negatives at
+    // every scale — real no-order customers exist only at sf0.1), and a
+    // probe "passes" iff all 3 of its positions are set (position
+    // equi-join + per-key distinct-count match).
+    // Every pass is by construction a FALSE POSITIVE — the measured rate
+    // (T.r6) is the number the prefilter design note promises. Shapes:
+    // distinct-agg + explode + position equi-join, all map-side friendly.
+    q("join_bloom_fp_audit",
+      """WITH bk AS (SELECT DISTINCT o_custkey AS key FROM orders),
+        |pos AS (SELECT DISTINCT p FROM (
+        |  SELECT (key * 2654435761) % 4294967296 % 131072 AS p FROM bk
+        |  UNION ALL
+        |  SELECT (key * 2246822519) % 4294967296 % 131072 FROM bk
+        |  UNION ALL
+        |  SELECT (key * 3266489917) % 4294967296 % 131072 FROM bk)),
+        |mx AS (SELECT max(key) AS maxk FROM bk),
+        |probe AS (SELECT maxk + k + 1 AS key FROM range(2000) t(k)
+        |  CROSS JOIN mx),
+        |pp AS (SELECT key, (key * 2654435761) % 4294967296 % 131072 AS p
+        |    FROM probe
+        |  UNION ALL SELECT key, (key * 2246822519) % 4294967296 % 131072
+        |    FROM probe
+        |  UNION ALL SELECT key, (key * 3266489917) % 4294967296 % 131072
+        |    FROM probe),
+        |need AS (SELECT key, count(DISTINCT p) AS need FROM pp GROUP BY 1),
+        |got AS (SELECT pp.key, count(DISTINCT pp.p) AS got
+        |  FROM pp JOIN pos ON pp.p = pos.p GROUP BY 1),
+        |agg AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM probe) AS n_probes,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM need JOIN got
+        |      ON need.key = got.key AND need.need = got.got) AS n_pass,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set)
+        |SELECT n_probes, n_pass, bits_set,
+        |  CAST((2000000*n_pass + n_probes) // (2*n_probes) AS BIGINT)
+        |    / 1000000.0 AS fp6
+        |FROM agg""") { (s, dir) =>
+      val bk = T.t(s, dir, "orders").select(col("o_custkey").as("key"))
+        .distinct()
+      def positions(df: DataFrame): DataFrame =
+        df.select(col("key"), explode(array(
+          expr("(key * 2654435761L) % 4294967296L % 131072L"),
+          expr("(key * 2246822519L) % 4294967296L % 131072L"),
+          expr("(key * 3266489917L) % 4294967296L % 131072L"))).as("p"))
+      val pos = positions(bk).select("p").distinct()
+      val mx = bk.agg(max("key").as("maxk"))
+      val probe = s.range(2000).crossJoin(broadcast(mx))
+        .select((col("maxk") + col("id") + 1).as("key"))
+      val pp = positions(probe)
+      // a probe passes iff ALL its distinct positions are set
+      val need = pp.groupBy("key").agg(countDistinct("p").as("need"))
+      val got = pp.join(pos, "p").groupBy("key")
+        .agg(countDistinct("p").as("got"))
+      val nPass = need.join(got, "key")
+        .filter(col("got") === col("need"))
+        .agg(count(lit(1)).cast(LongType).as("n_pass"))
+      val nProbes = probe.agg(count(lit(1)).cast(LongType).as("n_probes"))
+      val bitsSet = pos.agg(count(lit(1)).cast(LongType).as("bits_set"))
+      nProbes.crossJoin(broadcast(nPass)).crossJoin(broadcast(bitsSet))
+        .select(col("n_probes"), col("n_pass"), col("bits_set"),
+          T.r6("n_pass", "n_probes").as("fp6"))
+    },
+
+    // Deterministic UUID surface — content-derived stable identifiers
+    // (UUIDv5's role: same input, same id, any engine, any partitioning):
+    // md5 of a namespaced key, formatted 8-4-4-4-12 with the version and
+    // variant nibbles pinned ('4'/'8'), plus the prefix-nibble shard
+    // route every id-keyed store derives. Pure scalar projection; md5 hex
+    // is bit-identical across engines.
+    q("scalar_uuid_funcs",
+      """WITH h AS (SELECT o_orderkey,
+        |    md5('orders:' || CAST(o_orderkey AS VARCHAR)) AS hx
+        |  FROM orders WHERE o_orderkey < 500)
+        |SELECT o_orderkey,
+        |  substr(hx, 1, 8) || '-' || substr(hx, 9, 4) || '-4'
+        |    || substr(hx, 14, 3) || '-8' || substr(hx, 18, 3) || '-'
+        |    || substr(hx, 21, 12) AS uuid,
+        |  '4' AS version, '8' AS variant,
+        |  CAST(ascii(substr(hx, 1, 1)) % 16 AS INT) AS shard
+        |FROM h ORDER BY o_orderkey""") { (s, dir) =>
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .withColumn("hx", md5(concat(lit("orders:"), col("o_orderkey"))))
+        .select(col("o_orderkey"),
+          concat(substring(col("hx"), 1, 8), lit("-"),
+            substring(col("hx"), 9, 4), lit("-4"),
+            substring(col("hx"), 14, 3), lit("-8"),
+            substring(col("hx"), 18, 3), lit("-"),
+            substring(col("hx"), 21, 12)).as("uuid"),
+          lit("4").as("version"), lit("8").as("variant"),
+          (ascii(substring(col("hx"), 1, 1)) % 16).cast(IntegerType)
+            .as("shard"))
+        .orderBy("o_orderkey")
+    },
+
+    // Geohash encode/decode from the deterministic 2-D point kit (the
+    // join_spatial_grid coordinates): 15-bit cells per axis interleaved
+    // lon-first into a 30-bit code (the Z-order machinery), emitted as 6
+    // base32 characters, then DE-interleaved back to prove the roundtrip
+    // in-query. Pure integer bit arithmetic + substr on the alphabet —
+    // no UDF, no float, identical in both engines.
+    q("scalar_geohash_funcs", {
+      val interleave = (0 until 15).map(i =>
+        s"(((lonc >> $i) & 1) << ${2 * i + 1}) + (((latc >> $i) & 1) << ${2 * i})")
+        .mkString(" + ")
+      val delon = (0 until 15).map(i => s"(((z >> ${2 * i + 1}) & 1) << $i)")
+        .mkString(" + ")
+      val delat = (0 until 15).map(i => s"(((z >> ${2 * i}) & 1) << $i)")
+        .mkString(" + ")
+      val chars = (0 until 6).map(g =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"CAST(((z >> ${5 * (5 - g)}) & 31) + 1 AS INT), 1)")
+        .mkString(" || ")
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events WHERE user_id < 200),
+         |c AS (SELECT user_id,
+         |    (user_id * 2654435761) % 4294967296 % 32768 AS lonc,
+         |    (user_id * 2246822519) % 4294967296 % 32768 AS latc
+         |  FROM u),
+         |z AS (SELECT user_id, lonc, latc, $interleave AS z FROM c)
+         |SELECT user_id, CAST(lonc AS BIGINT) AS lonc,
+         |  CAST(latc AS BIGINT) AS latc,
+         |  $chars AS geohash,
+         |  CAST($delon AS BIGINT) AS lon_rt, CAST($delat AS BIGINT) AS lat_rt
+         |FROM z ORDER BY user_id"""
+    }) { (s, dir) =>
+      val u = T.t(s, dir, "events").filter(col("user_id") < 200)
+        .select("user_id").distinct()
+        .withColumn("lonc",
+          expr("(user_id * 2654435761L) % 4294967296L % 32768L"))
+        .withColumn("latc",
+          expr("(user_id * 2246822519L) % 4294967296L % 32768L"))
+      val interleave = (0 until 15).map(i =>
+        s"(shiftleft(shiftright(lonc, $i) & 1, ${2 * i + 1})) + " +
+          s"(shiftleft(shiftright(latc, $i) & 1, ${2 * i}))")
+        .mkString(" + ")
+      val delon = (0 until 15).map(i =>
+        s"shiftleft(shiftright(z, ${2 * i + 1}) & 1, $i)").mkString(" + ")
+      val delat = (0 until 15).map(i =>
+        s"shiftleft(shiftright(z, ${2 * i}) & 1, $i)").mkString(" + ")
+      val chars = (0 until 6).map(g =>
+        s"substr('0123456789bcdefghjkmnpqrstuvwxyz', " +
+          s"cast((shiftright(z, ${5 * (5 - g)}) & 31) + 1 as int), 1)")
+        .mkString(", ")
+      u.withColumn("z", expr(interleave))
+        .select(col("user_id"), col("lonc").cast(LongType).as("lonc"),
+          col("latc").cast(LongType).as("latc"),
+          expr(s"concat($chars)").as("geohash"),
+          expr(delon).cast(LongType).as("lon_rt"),
+          expr(delat).cast(LongType).as("lat_rt"))
+        .orderBy("user_id")
     }
   )
 }

@@ -118,7 +118,10 @@ object DrivePlanAudit {
     "ml_logreg_newton_step", "stat_poisson_two_rate",
     "etl_shard_rebalance_plan",
     // round 10m: the dispersion screen's 1-row source-count scalar
-    "text_term_dispersion")
+    "text_term_dispersion",
+    // round 10n: the bloom audit's 1-row count scalars and the probe
+    // generator's 1-row max-key scalar
+    "join_bloom_fp_audit")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other

@@ -796,6 +796,41 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("join_bloom_fp_audit: rate bounded and filter not degenerate") {
+    val r = run("join_bloom_fp_audit").collect().head
+    val (nProbes, nPass, bits) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(nProbes == 2000)
+    assert(nPass <= nProbes)
+    assert(bits > 0 && bits <= 131072)
+    val fp = r.getDouble(3)
+    // with m = 2^17 and n ≤ ~10k build keys, theory puts fp well under 10%
+    assert(fp >= 0.0 && fp < 0.1, s"fp rate implausible: $fp")
+  }
+
+  test("scalar_uuid_funcs: stable well-formed ids, version/variant pinned") {
+    val rows = run("scalar_uuid_funcs").collect()
+    val re = "^[0-9a-f]{8}-[0-9a-f]{4}-4[0-9a-f]{3}-8[0-9a-f]{3}-[0-9a-f]{12}$".r
+    val ids = rows.map(_.getString(1))
+    ids.foreach(u => assert(re.matches(u), s"malformed uuid $u"))
+    assert(ids.distinct.length == ids.length, "uuid collision")
+    rows.foreach { r =>
+      assert(r.getString(2) == "4" && r.getString(3) == "8")
+      assert(r.getInt(4) >= 0 && r.getInt(4) < 16)
+    }
+  }
+
+  test("scalar_geohash_funcs: interleave round-trips exactly") {
+    val rows = run("scalar_geohash_funcs").collect()
+    assert(rows.nonEmpty)
+    val alphabet = "0123456789bcdefghjkmnpqrstuvwxyz".toSet
+    rows.foreach { r =>
+      assert(r.getLong(4) == r.getLong(1), "lon round-trip failed")
+      assert(r.getLong(5) == r.getLong(2), "lat round-trip failed")
+      val gh = r.getString(3)
+      assert(gh.length == 6 && gh.forall(alphabet.contains))
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
