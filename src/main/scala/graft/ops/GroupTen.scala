@@ -3518,6 +3518,594 @@ object GroupTen {
           expr(delon).cast(LongType).as("lon_rt"),
           expr(delat).cast(LongType).as("lat_rt"))
         .orderBy("user_id")
+    },
+
+    // Fixed-window sequence packing audit — the GPT-style pretraining
+    // packing shape: per source shard, documents are concatenated in
+    // doc_id order into one token stream and cut into fixed 512-token
+    // context windows; the audit reports, per window, how many documents
+    // START in it, their token mass, and how many straddle the right
+    // boundary (the cross-document-attention-mask accounting). One
+    // window pass per shard (cumulative token offset, exclusive) — the
+    // shard is the shuffle key, so at 100 TB each packing stream is an
+    // independent partition with O(1) running state; no global order is
+    // ever imposed on the corpus. Pure integer arithmetic end to end.
+    q("pipeline_sequence_pack",
+      """WITH d AS (SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, source, tok,
+        |    COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+        |  FROM d)
+        |SELECT source, CAST(off // 512 AS BIGINT) AS window_id,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(tok) AS BIGINT) AS sum_tok,
+        |  CAST(sum(CASE WHEN off + tok > (off // 512 + 1) * 512
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_straddle
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val d = T.t(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(split(col("text"), " ")).cast(LongType).as("tok"))
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      d.withColumn("off", coalesce(sum("tok").over(w), lit(0L)))
+        .groupBy(col("source"), expr("off div 512").as("window_id"))
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum("tok").cast(LongType).as("sum_tok"),
+          sum(when(expr("off + tok > (off div 512 + 1) * 512"), 1L)
+            .otherwise(0L)).cast(LongType).as("n_straddle"))
+        .orderBy("source", "window_id")
+    },
+
+    // First-order Markov transition matrix over per-user event sequences
+    // — the session-modeling primitive (next-action prediction baselines,
+    // anomalous-path scoring): one lead() pass per user partition gives
+    // the (state, next-state) pairs, one agg counts them, and row
+    // probabilities are pure-integer rationals (T.r6). All three shuffles
+    // share the user_id prefix or the tiny state domain; per-user window
+    // state is O(1) — the canonical sequence-mining shape at any scale.
+    q("ml_markov_transitions",
+      """WITH sq AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS dst
+        |  FROM events),
+        |p AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS n FROM sq
+        |  WHERE dst IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT src, sum(n) AS tot FROM p GROUP BY 1)
+        |SELECT p.src AS src, p.dst AS dst, n,
+        |  CAST((2000000 * n + tot) // (2 * tot) AS BIGINT)
+        |    / 1000000.0 AS p6
+        |FROM p JOIN t ON p.src = t.src ORDER BY p.src, p.dst""") { (s, dir) =>
+      val sq = T.t(s, dir, "events")
+        .withColumn("dst", lead("event_type", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .select(col("event_type").as("src"), col("dst"))
+        .where(col("dst").isNotNull)
+      val p = sq.groupBy("src", "dst")
+        .agg(count(lit(1)).cast(LongType).as("n"))
+      val t = p.groupBy("src").agg(sum("n").as("tot"))
+      p.join(broadcast(t), "src")
+        .select(col("src"), col("dst"), col("n"),
+          T.r6("n", "tot").as("p6"))
+        .orderBy("src", "dst")
+    },
+
+    // Running volume-weighted average price (VWAP) per part over its
+    // shipment history — the weighted running-ratio window (execution
+    // benchmarks, rolling unit economics): both running sums are exact
+    // integer cents (quantity and price are 2dp-exact, FIXTURES.md), the
+    // ratio is one pure-integer HALF_UP rational per row. One shuffle on
+    // l_partkey; rows-frame running state is O(1) per partition. The
+    // numerator crosses LONG range only inside T.r6's 2e6 scaling, so it
+    // is pre-cast to DECIMAL(38,0) (DuckDB's SUM is already HUGEINT).
+    q("window_vwap_running",
+      """WITH li AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    CAST(round(l_quantity * 100) AS BIGINT) AS qc,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+        |  FROM lineitem WHERE l_partkey < 100),
+        |c AS (SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |    SUM(qc * pc) OVER w AS cpv, SUM(qc) OVER w AS cq
+        |  FROM li WINDOW w AS (PARTITION BY l_partkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |SELECT l_partkey, l_shipdate, l_orderkey, l_linenumber,
+        |  CAST((2000000 * cpv + 100 * cq) // (2 * 100 * cq) AS BIGINT)
+        |    / 1000000.0 AS vwap6
+        |FROM c ORDER BY l_partkey, l_shipdate, l_orderkey, l_linenumber""") {
+      (s, dir) =>
+      val li = T.t(s, dir, "lineitem").filter(col("l_partkey") < 100)
+        .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          round(col("l_quantity") * 100).cast(LongType).as("qc"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("pc"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      li.withColumn("cpv", sum(col("qc") * col("pc")).over(w))
+        .withColumn("cq", sum("qc").over(w))
+        .select(col("l_partkey"), col("l_shipdate"), col("l_orderkey"),
+          col("l_linenumber"),
+          T.r6("cast(cpv as decimal(38,0))", "100 * cq").as("vwap6"))
+        .orderBy("l_partkey", "l_shipdate", "l_orderkey", "l_linenumber")
+    },
+
+    // Kruskal–Wallis rank test (one-way analysis on ranks): does the
+    // event `value` distribution differ across the five event types?
+    // Midrank tie handling stays integral by carrying 2·rank (2·avgrank
+    // = 2·cum_before + tie_count + 1); the H statistic is assembled as
+    // ONE integer rational — per-group squared rank sums cleared of
+    // their n_i denominators by the product of the other four group
+    // sizes — evaluated in DECIMAL(38,0) (Spark) / HUGEINT (DuckDB) and
+    // rounded via the T.r6s HALF_UP integer path. No tie-correction
+    // factor (documented uncorrected-H variant; midranks only). The
+    // rank spine is domain-bounded (distinct cents values), so the only
+    // data-sized passes are two hash aggs — scale-safe.
+    q("stat_kruskal_wallis",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS c
+        |  FROM events WHERE user_id < 50),
+        |v AS (SELECT c, count(*) AS cnt FROM e GROUP BY 1),
+        |tr AS (SELECT c, 2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS tr2 FROM v),
+        |gv AS (SELECT g, c, count(*) AS m FROM e GROUP BY 1, 2),
+        |r AS (SELECT g, SUM(m * tr2) AS r2, SUM(m) AS n
+        |  FROM gv JOIN tr USING (c) GROUP BY 1),
+        |p AS (SELECT
+        |    max(CASE WHEN g = 'click' THEN n END) AS nc,
+        |    max(CASE WHEN g = 'error' THEN n END) AS ne,
+        |    max(CASE WHEN g = 'purchase' THEN n END) AS np,
+        |    max(CASE WHEN g = 'signup' THEN n END) AS ns,
+        |    max(CASE WHEN g = 'view' THEN n END) AS nv,
+        |    max(CASE WHEN g = 'click' THEN r2 END) AS rc,
+        |    max(CASE WHEN g = 'error' THEN r2 END) AS re,
+        |    max(CASE WHEN g = 'purchase' THEN r2 END) AS rp,
+        |    max(CASE WHEN g = 'signup' THEN r2 END) AS rs,
+        |    max(CASE WHEN g = 'view' THEN r2 END) AS rv
+        |  FROM r),
+        |x AS (SELECT nc, ne, np, ns, nv,
+        |    nc + ne + np + ns + nv AS nn,
+        |    CAST(nc AS HUGEINT) * ne * np * ns * nv AS pp,
+        |    CAST(rc AS HUGEINT) * rc * ne * np * ns * nv
+        |      + CAST(re AS HUGEINT) * re * nc * np * ns * nv
+        |      + CAST(rp AS HUGEINT) * rp * nc * ne * ns * nv
+        |      + CAST(rs AS HUGEINT) * rs * nc * ne * np * nv
+        |      + CAST(rv AS HUGEINT) * rv * nc * ne * np * ns AS tt
+        |  FROM p),
+        |y AS (SELECT nc, ne, np, ns, nv, nn,
+        |    3 * tt - 3 * CAST(nn AS HUGEINT) * (nn + 1) * (nn + 1) * pp
+        |      AS numr,
+        |    CAST(nn AS HUGEINT) * (nn + 1) * pp AS denr
+        |  FROM x)
+        |SELECT CAST(nn AS BIGINT) AS n_total,
+        |  CAST(nc AS BIGINT) AS n_click, CAST(ne AS BIGINT) AS n_error,
+        |  CAST(np AS BIGINT) AS n_purchase, CAST(ns AS BIGINT) AS n_signup,
+        |  CAST(nv AS BIGINT) AS n_view,
+        |  (CASE WHEN numr < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(numr) + denr) // (2 * denr) AS BIGINT)
+        |    / 1000000.0 AS kw6
+        |FROM y""") { (s, dir) =>
+      val e = T.t(s, dir, "events").filter(col("user_id") < 50)
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("c"))
+      val v = e.groupBy("c").agg(count(lit(1)).as("cnt"))
+      // domain-bounded spine (distinct cents): the single-partition
+      // window runs over ≤ |value domain| rows, never the fact table
+      val tr = v.withColumn("tr2",
+          lit(2L) * coalesce(sum("cnt").over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            + col("cnt") + 1)
+        .select("c", "tr2")
+      val gv = e.groupBy("g", "c").agg(count(lit(1)).as("m"))
+      val r = gv.join(broadcast(tr), "c").groupBy("g")
+        .agg(sum(col("m") * col("tr2")).as("r2"), sum("m").as("n"))
+      val p = r.agg(
+        max(when(col("g") === "click", col("n"))).as("nc"),
+        max(when(col("g") === "error", col("n"))).as("ne"),
+        max(when(col("g") === "purchase", col("n"))).as("np"),
+        max(when(col("g") === "signup", col("n"))).as("ns"),
+        max(when(col("g") === "view", col("n"))).as("nv"),
+        max(when(col("g") === "click", col("r2"))).as("rc"),
+        max(when(col("g") === "error", col("r2"))).as("re"),
+        max(when(col("g") === "purchase", col("r2"))).as("rp"),
+        max(when(col("g") === "signup", col("r2"))).as("rs"),
+        max(when(col("g") === "view", col("r2"))).as("rv"))
+      p.withColumn("nn", expr("nc + ne + np + ns + nv"))
+        .withColumn("pp",
+          expr("cast(nc as decimal(38,0)) * ne * np * ns * nv"))
+        .withColumn("tt", expr(
+          "cast(rc as decimal(38,0)) * rc * ne * np * ns * nv" +
+            " + cast(re as decimal(38,0)) * re * nc * np * ns * nv" +
+            " + cast(rp as decimal(38,0)) * rp * nc * ne * ns * nv" +
+            " + cast(rs as decimal(38,0)) * rs * nc * ne * np * nv" +
+            " + cast(rv as decimal(38,0)) * rv * nc * ne * np * ns"))
+        .withColumn("numr",
+          expr("3 * tt - 3 * cast(nn as decimal(38,0)) * (nn + 1) * (nn + 1) * pp"))
+        .withColumn("denr", expr("cast(nn as decimal(38,0)) * (nn + 1) * pp"))
+        .select(col("nn").cast(LongType).as("n_total"),
+          col("nc").cast(LongType).as("n_click"),
+          col("ne").cast(LongType).as("n_error"),
+          col("np").cast(LongType).as("n_purchase"),
+          col("ns").cast(LongType).as("n_signup"),
+          col("nv").cast(LongType).as("n_view"),
+          T.r6s("numr", "denr").as("kw6"))
+    },
+
+    // SAX symbolic series (Lin et al.'s Symbolic Aggregate approXimation,
+    // the motif/index representation for time series): per event type, the
+    // daily value series is PAA-reduced (daily integer-cent sums), each
+    // segment discretized to a 4-letter alphabet by EXACT rank-selected
+    // quartile breakpoints of that type's own distribution, and the
+    // letters concatenate into the SAX word. Everything before the letters
+    // is integer (cent sums, row_number rank selection); the word is a
+    // deterministic string. One data-sized agg; the rank window runs on
+    // the bounded day×type spine.
+    q("ts_sax_words",
+      """WITH d AS (SELECT event_type, CAST(date_trunc('day', ts) AS DATE)
+        |    AS day, SUM(CAST(round(value * 100) AS BIGINT)) AS ws
+        |  FROM events GROUP BY 1, 2),
+        |r AS (SELECT event_type, day, ws,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY ws, day)
+        |      AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM d),
+        |qs AS (SELECT event_type,
+        |    max(CASE WHEN rn = (n + 3) // 4 THEN ws END) AS q1,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN ws END) AS q2,
+        |    max(CASE WHEN rn = (3 * n + 3) // 4 THEN ws END) AS q3
+        |  FROM r GROUP BY 1),
+        |sym AS (SELECT r.event_type AS event_type, day,
+        |    CASE WHEN ws <= q1 THEN 'a' WHEN ws <= q2 THEN 'b'
+        |         WHEN ws <= q3 THEN 'c' ELSE 'd' END AS letter
+        |  FROM r JOIN qs ON r.event_type = qs.event_type)
+        |SELECT event_type, string_agg(letter, '' ORDER BY day) AS sax_word,
+        |  CAST(count(*) AS BIGINT) AS n_segments
+        |FROM sym GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("ws"))
+      val wr = Window.partitionBy("event_type").orderBy("ws", "day")
+      val wn = Window.partitionBy("event_type")
+      val r = d.withColumn("rn", row_number().over(wr))
+        .withColumn("n", count(lit(1)).over(wn))
+      val qs = r.groupBy(col("event_type").as("et"))
+        .agg(max(when(expr("rn = (n + 3) div 4"), col("ws"))).as("q1"),
+          max(when(expr("rn = (n + 1) div 2"), col("ws"))).as("q2"),
+          max(when(expr("rn = (3 * n + 3) div 4"), col("ws"))).as("q3"))
+      r.join(broadcast(qs), col("event_type") === col("et"))
+        .withColumn("letter",
+          when(col("ws") <= col("q1"), "a")
+            .when(col("ws") <= col("q2"), "b")
+            .when(col("ws") <= col("q3"), "c").otherwise("d"))
+        .groupBy("event_type")
+        .agg(concat_ws("", transform(
+            sort_array(collect_list(struct(col("day"), col("letter")))),
+            x => x.getField("letter"))).as("sax_word"),
+          count(lit(1)).cast(LongType).as("n_segments"))
+        .orderBy("event_type")
+    },
+
+    // RAKE keyword extraction (Rose et al. — Rapid Automatic Keyword
+    // Extraction): candidate phrases are maximal stopword-free token runs
+    // (gaps-and-islands on token position), a word's degree is the total
+    // length of the phrases it appears in, and score = degree/frequency.
+    // The ranking key is the exact HALF_UP micro-unit INTEGER (the r6
+    // numerator itself), so the top-20 cut compares integers — no float
+    // decides placement. Shapes: posexplode, per-doc island window (doc
+    // is the shuffle key), two hash aggs — corpus-parallel at any scale.
+    q("text_rake_keywords",
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(arr) AS tok,
+        |    unnest(range(len(arr))) AS ord FROM dd),
+        |ph AS (SELECT doc_id, tok,
+        |    ord - row_number() OVER (PARTITION BY doc_id ORDER BY ord)
+        |      AS grp
+        |  FROM tk WHERE tok NOT IN ('the', 'a', 'and', 'of', 'in', 'to')),
+        |plen AS (SELECT doc_id, grp, count(*) AS plen FROM ph
+        |  GROUP BY 1, 2),
+        |wo AS (SELECT tok, CAST(count(*) AS BIGINT) AS freq,
+        |    CAST(SUM(plen) AS BIGINT) AS degree
+        |  FROM ph JOIN plen USING (doc_id, grp) GROUP BY 1),
+        |sc AS (SELECT tok, freq, degree,
+        |    (2000000 * degree + freq) // (2 * freq) AS micro FROM wo)
+        |SELECT tok, freq, degree,
+        |  CAST(micro AS BIGINT) / 1000000.0 AS score6
+        |FROM sc ORDER BY micro DESC, tok LIMIT 20""") { (s, dir) =>
+      val tk = T.t(s, dir, "documents")
+        .select(col("doc_id"),
+          posexplode(split(col("text"), " ")).as(Seq("ord", "tok")))
+      val ph = tk
+        .where(!col("tok").isin("the", "a", "and", "of", "in", "to"))
+        .withColumn("grp", col("ord") - row_number().over(
+          Window.partitionBy("doc_id").orderBy("ord")))
+      val plen = ph.groupBy("doc_id", "grp")
+        .agg(count(lit(1)).as("plen"))
+      val wo = ph.join(plen, Seq("doc_id", "grp"))
+        .groupBy("tok")
+        .agg(count(lit(1)).cast(LongType).as("freq"),
+          sum("plen").cast(LongType).as("degree"))
+      wo.withColumn("micro",
+          expr("(2000000L * degree + freq) div (2L * freq)"))
+        .orderBy(col("micro").desc, col("tok")).limit(20)
+        .select(col("tok"), col("freq"), col("degree"),
+          (col("micro").cast(DoubleType) / 1000000.0d).as("score6"))
+    },
+
+    // Heavy-change detection (the sketch-literature "heavy changers"
+    // question — whose traffic shifted most between two periods?): events
+    // split at the integer-micros midpoint of the observed span, per-user
+    // counts in each half via conditional aggregation (one scan), top 20
+    // by absolute delta. All integer; the period boundary derives from
+    // min/max epoch micros with integer halving, so it is identical in
+    // both engines. One map-side-combinable agg + a 20-row TakeOrdered.
+    q("agg_heavy_change_topk",
+      """WITH b AS (SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2
+        |    AS mid FROM events),
+        |c AS (SELECT user_id,
+        |    SUM(CASE WHEN epoch_us(ts) <= mid THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN epoch_us(ts) > mid THEN 1 ELSE 0 END) AS n2
+        |  FROM events CROSS JOIN b GROUP BY 1)
+        |SELECT user_id, CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2,
+        |  CAST(abs(n1 - n2) AS BIGINT) AS delta
+        |FROM c ORDER BY abs(n1 - n2) DESC, user_id LIMIT 20""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+      // midpoint of the observed span, in integer micros
+      val mid = e.agg(
+        expr("(min(unix_micros(cast(ts as timestamp)))" +
+          " + max(unix_micros(cast(ts as timestamp)))) div 2").as("mid"))
+      e.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+          sum(when(expr("unix_micros(cast(ts as timestamp)) <= mid"), 1L)
+            .otherwise(0L)).cast(LongType).as("n1"),
+          sum(when(expr("unix_micros(cast(ts as timestamp)) > mid"), 1L)
+            .otherwise(0L)).cast(LongType).as("n2"))
+        .withColumn("delta", abs(col("n1") - col("n2")).cast(LongType))
+        .orderBy(col("delta").desc, col("user_id")).limit(20)
+        .select("user_id", "n1", "n2", "delta")
+    },
+
+    // Luhn checksum surface (ISO/IEC 7812 mod-10 — the id-validation
+    // scalar every ingest pipeline runs on card/IMEI-shaped fields):
+    // deterministic 16-digit PANs derived from order keys (multiplicative
+    // hash, zero-padded), checksum as 16 explicit digit terms with the
+    // double-every-second-from-the-right rule (2d > 9 → 2d − 9), validity
+    // = sum mod 10. Pure integer + substr projection, no UDF, identical
+    // in both engines.
+    q("scalar_luhn_check", {
+      // position i (1-based from the LEFT, length 16): doubled when i odd
+      val terms = (1 to 16).map { i =>
+        val d = s"CAST(substr(pan, $i, 1) AS INT)"
+        if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+        else d
+      }.mkString(" + ")
+      s"""WITH p AS (SELECT o_orderkey,
+         |    '4' || lpad(CAST(o_orderkey * 2654435761 % 1000000000000000
+         |      AS VARCHAR), 15, '0') AS pan
+         |  FROM orders WHERE o_orderkey < 500)
+         |SELECT o_orderkey, pan,
+         |  CAST($terms AS BIGINT) AS luhn_sum,
+         |  ($terms) % 10 = 0 AS valid
+         |FROM p ORDER BY o_orderkey"""
+    }) { (s, dir) =>
+      val terms = (1 to 16).map { i =>
+        val d = s"CAST(substr(pan, $i, 1) AS INT)"
+        if (i % 2 == 1) s"(CASE WHEN 2 * $d > 9 THEN 2 * $d - 9 ELSE 2 * $d END)"
+        else d
+      }.mkString(" + ")
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .withColumn("pan", concat(lit("4"),
+          lpad(expr("CAST(o_orderkey * 2654435761L % 1000000000000000L" +
+            " AS STRING)"), 15, "0")))
+        .select(col("o_orderkey"), col("pan"),
+          expr(s"CAST($terms AS BIGINT)").as("luhn_sum"),
+          expr(s"($terms) % 10 = 0").as("valid"))
+        .orderBy("o_orderkey")
+    },
+
+    // ABC / Pareto classification per brand (the 80/95 cumulative-revenue
+    // inventory cut): parts ranked by revenue within their brand, running
+    // share held as integer cents, class boundaries decided by pure
+    // integer cross-multiplication (cum·100 ≤ total·80 / ·95 — no float
+    // ever classifies). The rank window is KEYED by brand (bounded
+    // domain), mirroring agg_gini_concentration's scale rule: no
+    // unpartitioned data-sized window. Class rollup emits part counts and
+    // exact revenue share per class.
+    q("agg_pareto_abc",
+      """WITH rev AS (SELECT p.p_brand AS brand, l.l_partkey AS pk,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT brand, pk, cents,
+        |    SUM(cents) OVER (PARTITION BY brand ORDER BY cents DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cents) OVER (PARTITION BY brand) AS total
+        |  FROM rev),
+        |cl AS (SELECT brand, pk, cents,
+        |    CASE WHEN cum * 100 <= total * 80 THEN 'A'
+        |         WHEN cum * 100 <= total * 95 THEN 'B'
+        |         ELSE 'C' END AS abc, total
+        |  FROM rk)
+        |SELECT brand, abc, CAST(count(*) AS BIGINT) AS n_parts,
+        |  CAST(SUM(cents) AS BIGINT) AS class_cents,
+        |  CAST((2000000 * SUM(cents) + max(total))
+        |    // (2 * max(total)) AS BIGINT) / 1000000.0 AS share6
+        |FROM cl GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val rev = T.t(s, dir, "lineitem")
+        .join(T.t(s, dir, "part"),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cents"))
+      val wcum = Window.partitionBy("brand")
+        .orderBy(col("cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wtot = Window.partitionBy("brand")
+      rev.withColumn("cum", sum("cents").over(wcum))
+        .withColumn("total", sum("cents").over(wtot))
+        .withColumn("abc",
+          when(col("cum") * 100 <= col("total") * 80, "A")
+            .when(col("cum") * 100 <= col("total") * 95, "B")
+            .otherwise("C"))
+        .groupBy("brand", "abc")
+        .agg(count(lit(1)).cast(LongType).as("n_parts"),
+          sum("cents").cast(LongType).as("class_cents"),
+          T.r6("sum(cents)", "max(total)").as("share6"))
+        .orderBy("brand", "abc")
+    },
+
+    // RFM segmentation (recency / frequency / monetary quintiles — the
+    // classic CRM partitioning): per ordered customer, days since last
+    // order (vs the global max order date), order count, exact cents;
+    // each dimension scored 1..5 by ntile(5) KEYED by the customer's
+    // nation (relative-to-national-peers scoring keeps every window on a
+    // bounded partition key), ties broken by custkey so the bucketing is
+    // a total order — deterministic in both engines. Output: per
+    // (nation, 'rfm' digit string) segment, customer count and average
+    // monetary value as an exact rational.
+    q("window_rfm_segments",
+      """WITH mx AS (SELECT max(o_orderdate) AS anchor FROM orders),
+        |per AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+        |    CAST(date_diff('day', max(o.o_orderdate), max(mx.anchor))
+        |      AS BIGINT) AS r_days,
+        |    CAST(count(*) AS BIGINT) AS f_cnt,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS m_cents
+        |  FROM orders o CROSS JOIN mx
+        |    JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT nk, ck, m_cents,
+        |    ntile(5) OVER (PARTITION BY nk ORDER BY r_days, ck) AS rq,
+        |    ntile(5) OVER (PARTITION BY nk ORDER BY f_cnt DESC, ck) AS fq,
+        |    ntile(5) OVER (PARTITION BY nk ORDER BY m_cents DESC, ck) AS mq
+        |  FROM per)
+        |SELECT nk, CAST(rq AS VARCHAR) || CAST(fq AS VARCHAR)
+        |    || CAST(mq AS VARCHAR) AS segment,
+        |  CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST((2000000 * SUM(m_cents) + 100 * count(*))
+        |    // (2 * 100 * count(*)) AS BIGINT) / 1000000.0 AS avg_monetary6
+        |FROM sc GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val mx = T.t(s, dir, "orders").agg(max("o_orderdate").as("anchor"))
+      val per = T.t(s, dir, "orders").crossJoin(broadcast(mx))
+        .join(T.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+        .agg(datediff(max(col("anchor")), max(col("o_orderdate")))
+          .cast(LongType).as("r_days"),
+          count(lit(1)).cast(LongType).as("f_cnt"),
+          sum(round(col("o_totalprice") * 100).cast(LongType)).as("m_cents"))
+      val byNk = (c: Column) => Window.partitionBy("nk").orderBy(c, col("ck"))
+      per
+        .withColumn("rq", ntile(5).over(byNk(col("r_days"))))
+        .withColumn("fq", ntile(5).over(byNk(col("f_cnt").desc)))
+        .withColumn("mq", ntile(5).over(byNk(col("m_cents").desc)))
+        .groupBy(col("nk"),
+          concat(col("rq").cast(StringType), col("fq").cast(StringType),
+            col("mq").cast(StringType)).as("segment"))
+        .agg(count(lit(1)).cast(LongType).as("n_customers"),
+          T.r6("sum(m_cents)", "100 * count(*)").as("avg_monetary6"))
+        .orderBy("nk", "segment")
+    },
+
+    // Cohort LTV accumulation curve — cumulative purchase revenue per
+    // signup cohort, by cohort age in days (the growth-analytics
+    // companion to window_retention_cohort's activity counts): cohort =
+    // each user's first event day, revenue = purchase `value` in exact
+    // cents, the cumulative curve is a running integer sum KEYED by
+    // cohort day, and LTV-per-user is one exact rational per point. Ages
+    // with zero purchase revenue don't emit a row (the curve carries
+    // forward at the next observed age).
+    q("window_cohort_ltv",
+      """WITH coh AS (SELECT user_id, min(CAST(ts AS DATE)) AS cd
+        |  FROM events GROUP BY 1),
+        |csize AS (SELECT cd, CAST(count(*) AS BIGINT) AS cohort_users
+        |  FROM coh GROUP BY 1),
+        |rev AS (SELECT coh.cd AS cd,
+        |    CAST(CAST(e.ts AS DATE) - coh.cd AS INT) AS age,
+        |    SUM(CAST(round(e.value * 100) AS BIGINT)) AS cents
+        |  FROM events e JOIN coh ON e.user_id = coh.user_id
+        |  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+        |cum AS (SELECT cd, age,
+        |    SUM(cents) OVER (PARTITION BY cd ORDER BY age
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cc
+        |  FROM rev)
+        |SELECT cum.cd AS cohort_day, age, cohort_users,
+        |  CAST((2000000 * cc + 100) // 200 AS BIGINT) / 1000000.0
+        |    AS cum_revenue6,
+        |  CAST((2000000 * cc + 100 * cohort_users)
+        |    // (2 * 100 * cohort_users) AS BIGINT) / 1000000.0 AS ltv6
+        |FROM cum JOIN csize ON cum.cd = csize.cd
+        |ORDER BY cohort_day, age""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val coh = ev.groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("cd"))
+      val csize = coh.groupBy("cd")
+        .agg(count(lit(1)).cast(LongType).as("cohort_users"))
+      val rev = ev.filter(col("event_type") === "purchase")
+        .join(coh, "user_id")
+        .groupBy(col("cd"), datediff(to_date(col("ts")), col("cd"))
+          .cast(IntegerType).as("age"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("cents"))
+      val w = Window.partitionBy("cd").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cc", sum("cents").over(w))
+        .join(broadcast(csize), "cd")
+        .select(col("cd").as("cohort_day"), col("age"), col("cohort_users"),
+          T.r6("cc", "100").as("cum_revenue6"),
+          T.r6("cc", "100 * cohort_users").as("ltv6"))
+        .orderBy("cohort_day", "age")
+    },
+
+    // Association rules with confidence and lift (the directed completion
+    // of agg_frequent_pairs' support-only view): for the top-20 co-order
+    // part pairs, both rule directions a→b and b→a score conf =
+    // c(ab)/c(a) and lift = c(ab)·N/(c(a)·c(b)) as pure-integer rationals
+    // (T.r6). Reuses the staged co-occurrence pairs artifact; item
+    // supports are one distinct-agg; the 40-rule output joins only
+    // against the 20-pair cut, so the expensive pair scan happens once at
+    // any scale.
+    q("agg_assoc_rules_lift",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |pc AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS c
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |top AS (SELECT pa, pb, c FROM pc ORDER BY c DESC, pa, pb LIMIT 20),
+        |rules AS (SELECT pa AS ante, pb AS cons, c FROM top
+        |  UNION ALL SELECT pb, pa, c FROM top),
+        |items AS (SELECT l_partkey AS pk, CAST(count(*) AS BIGINT) AS ic
+        |  FROM li GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_orders FROM orders)
+        |SELECT ante, cons, CAST(c AS BIGINT) AS c_ab,
+        |  CAST((2000000 * c + ia.ic) // (2 * ia.ic) AS BIGINT)
+        |    / 1000000.0 AS conf6,
+        |  CAST((2000000 * c * n_orders + ia.ic * ib.ic)
+        |    // (2 * ia.ic * ib.ic) AS BIGINT) / 1000000.0 AS lift6
+        |FROM rules JOIN items ia ON rules.ante = ia.pk
+        |  JOIN items ib ON rules.cons = ib.pk CROSS JOIN n
+        |ORDER BY c_ab DESC, ante, cons""") { (s, dir) =>
+      val pc = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      val top = pc.orderBy(col("c").desc, col("pa"), col("pb")).limit(20)
+      val rules = top.select(col("pa").as("ante"), col("pb").as("cons"),
+          col("c"))
+        .unionAll(top.select(col("pb").as("ante"), col("pa").as("cons"),
+          col("c")))
+      val items = T.t(s, dir, "lineitem")
+        .select("l_orderkey", "l_partkey").distinct()
+        .groupBy(col("l_partkey").as("pk"))
+        .agg(count(lit(1)).cast(LongType).as("ic"))
+      val n = T.t(s, dir, "orders")
+        .agg(count(lit(1)).cast(LongType).as("n_orders"))
+      rules
+        .join(broadcast(items.select(col("pk").as("pka"),
+          col("ic").as("ia"))), col("ante") === col("pka"))
+        .join(broadcast(items.select(col("pk").as("pkb"),
+          col("ic").as("ib"))), col("cons") === col("pkb"))
+        .crossJoin(broadcast(n))
+        .select(col("ante"), col("cons"), col("c").cast(LongType).as("c_ab"),
+          T.r6("c", "ia").as("conf6"),
+          T.r6("c * n_orders", "ia * ib").as("lift6"))
+        .orderBy(col("c_ab").desc, col("ante"), col("cons"))
     }
   )
 }

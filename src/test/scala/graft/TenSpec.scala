@@ -831,6 +831,172 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_sequence_pack conserves tokens and doc counts per source") {
+    val rows = run("pipeline_sequence_pack").collect()
+    assert(rows.nonEmpty)
+    val docs = T.t(s, sf, "documents")
+    val nDocs = docs.count()
+    val nToks = docs.select(sum(size(split(col("text"), " ")))).collect()
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nDocs, "doc count not conserved")
+    assert(rows.map(_.getLong(3)).sum == nToks, "token mass not conserved")
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2), "straddle exceeds docs")
+      assert(r.getLong(1) >= 0L)
+    }
+  }
+
+  test("ml_markov_transitions rows are probabilities summing to ~1 per src") {
+    val rows = run("ml_markov_transitions").collect()
+    assert(rows.nonEmpty)
+    val ev = T.t(s, sf, "events")
+    val nPairs = ev.count() - ev.select(countDistinct("user_id")).collect()
+      .head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nPairs, "pair count != N - users")
+    rows.groupBy(_.getString(0)).foreach { case (src, rs) =>
+      val tot = rs.map(_.getDouble(3)).sum
+      assert(math.abs(tot - 1.0) < 1e-5 * rs.length, s"$src rows sum to $tot")
+    }
+  }
+
+  test("window_vwap_running final row matches the whole-history ratio") {
+    val rows = run("window_vwap_running").collect()
+    assert(rows.nonEmpty)
+    // last row per part carries the full-history VWAP; recompute exactly
+    val byPart = rows.groupBy(_.getLong(0))
+    val expected = T.t(s, sf, "lineitem").filter(col("l_partkey") < 100)
+      .groupBy("l_partkey")
+      .agg(T.r6("cast(sum(cast(round(l_quantity*100) as bigint) * " +
+        "cast(round(l_extendedprice*100) as bigint)) as decimal(38,0))",
+        "100 * sum(cast(round(l_quantity*100) as bigint))").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    byPart.foreach { case (pk, rs) =>
+      val last = rs.last // rows arrive ordered by the query's total sort
+      assert(last.getDouble(4) == expected(pk),
+        s"part $pk: ${last.getDouble(4)} != ${expected(pk)}")
+    }
+  }
+
+  test("stat_kruskal_wallis is non-negative and conserves the sample") {
+    val r = run("stat_kruskal_wallis").collect().head
+    val n = T.t(s, sf, "events").filter(col("user_id") < 50).count()
+    assert(r.getLong(0) == n, "n_total mismatch")
+    assert((1 to 5).map(r.getLong).sum == n, "group sizes don't sum to N")
+    assert(r.getDouble(6) >= 0.0, "H is a sum of squares — must be >= 0")
+  }
+
+  test("ts_sax_words: one word per type, alphabet bounded, segments = days") {
+    val rows = run("ts_sax_words").collect()
+    assert(rows.length == 5)
+    val nDays = T.t(s, sf, "events")
+      .select(countDistinct(to_date(col("ts")))).collect().head.getLong(0)
+    rows.foreach { r =>
+      val word = r.getString(1)
+      assert(word.length == r.getLong(2), "word length != segment count")
+      assert(r.getLong(2) == nDays, "segments != distinct days")
+      assert(word.forall("abcd".contains(_)), s"bad alphabet: $word")
+      // rank-selected quartile fences put >= n/4 of the mass at or below
+      // each letter boundary: every letter must appear in a 30-seg series
+      assert("abcd".forall(word.contains(_)), s"degenerate binning: $word")
+    }
+  }
+
+  test("text_rake_keywords: degree >= freq, stopwords excluded, 20 rows") {
+    val rows = run("text_rake_keywords").collect()
+    assert(rows.length == 20)
+    val stop = Set("the", "a", "and", "of", "in", "to")
+    rows.foreach { r =>
+      assert(!stop.contains(r.getString(0)))
+      // every phrase containing the word has length >= 1 occurrence of it
+      assert(r.getLong(2) >= r.getLong(1), "degree < freq impossible")
+      assert(r.getDouble(3) >= 1.0, "score = deg/freq >= 1 by construction")
+    }
+  }
+
+  test("agg_heavy_change_topk conserves totals and orders by delta") {
+    val rows = run("agg_heavy_change_topk").collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    rows.foreach(r => assert(r.getLong(3) ==
+      math.abs(r.getLong(1) - r.getLong(2))))
+    val deltas = rows.map(_.getLong(3)).toSeq
+    assert(deltas == deltas.sorted.reverse, "not ordered by delta desc")
+  }
+
+  test("scalar_luhn_check: validity matches an independent Luhn fold") {
+    val rows = run("scalar_luhn_check").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pan = r.getString(1)
+      assert(pan.length == 16 && pan.head == '4' && pan.forall(_.isDigit))
+      val sum = pan.zipWithIndex.map { case (ch, i) =>
+        val d = ch - '0'
+        if (i % 2 == 0) { val x = 2 * d; if (x > 9) x - 9 else x } else d
+      }.sum
+      assert(r.getLong(2) == sum, s"luhn sum mismatch for $pan")
+      assert(r.getBoolean(3) == (sum % 10 == 0))
+    }
+  }
+
+  test("agg_pareto_abc partitions each brand's revenue into A>=B-share order") {
+    val rows = run("agg_pareto_abc").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getString(0)).foreach { case (brand, rs) =>
+      val shares = rs.map(r => r.getString(1) -> r.getDouble(4)).toMap
+      val total = shares.values.sum
+      assert(math.abs(total - 1.0) < 1e-5, s"$brand shares sum to $total")
+      // the A class holds at least as much share as B by construction
+      for (a <- shares.get("A"); b <- shares.get("B")) assert(a >= b)
+      // parts conserve within the brand
+      val nParts = T.t(s, sf, "lineitem")
+        .join(T.t(s, sf, "part"), col("l_partkey") === col("p_partkey"))
+        .filter(col("p_brand") === brand)
+        .select(countDistinct("l_partkey")).collect().head.getLong(0)
+      assert(rs.map(_.getLong(2)).sum == nParts)
+    }
+  }
+
+  test("window_rfm_segments covers every ordered customer exactly once") {
+    val rows = run("window_rfm_segments").collect()
+    assert(rows.nonEmpty)
+    val nCust = T.t(s, sf, "orders").select(countDistinct("o_custkey"))
+      .collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nCust)
+    rows.foreach { r =>
+      val seg = r.getString(1)
+      assert(seg.length == 3 && seg.forall(c => c >= '1' && c <= '5'),
+        s"bad segment $seg")
+      assert(r.getDouble(3) > 0.0)
+    }
+  }
+
+  test("window_cohort_ltv curves are nondecreasing in age per cohort") {
+    val rows = run("window_cohort_ltv").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (_, rs) =>
+      val byAge = rs.sortBy(_.getInt(1))
+      val curve = byAge.map(_.getDouble(3))
+      assert(curve.zip(curve.tail).forall { case (a, b) => b >= a },
+        "cumulative revenue decreased")
+      // ltv = cum / users is also nondecreasing (users fixed per cohort)
+      val ltv = byAge.map(_.getDouble(4))
+      assert(ltv.zip(ltv.tail).forall { case (a, b) => b >= a })
+    }
+  }
+
+  test("agg_assoc_rules_lift emits both directions with bounded confidence") {
+    val rows = run("agg_assoc_rules_lift").collect()
+    assert(rows.length == 40)
+    val pairs = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.size == 40, "duplicate rules")
+    rows.foreach { r =>
+      assert(pairs.contains((r.getLong(1), r.getLong(0))),
+        "missing reverse direction")
+      val conf = r.getDouble(3)
+      assert(conf > 0.0 && conf <= 1.0, s"conf out of range: $conf")
+      assert(r.getDouble(4) > 0.0, "lift must be positive")
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
