@@ -4106,6 +4106,214 @@ object GroupTen {
           T.r6("c", "ia").as("conf6"),
           T.r6("c * n_orders", "ia * ib").as("lift6"))
         .orderBy(col("c_ab").desc, col("ante"), col("cons"))
+    },
+
+    // STL-lite seasonal decomposition of the daily revenue series —
+    // classical additive decomposition (trend = centered 7-day moving
+    // average, seasonal = per-weekday mean of the detrended series,
+    // residual = remainder), kept EXACT end to end: detrended values are
+    // carried ×7 (7x − Σ7, integer), weekday means are integer rationals,
+    // and every emitted component goes through the T.r6/r6s HALF_UP
+    // path. x = trend + seasonal + residual holds as an exact rational
+    // identity. Windows run on the bounded day spine (≤31 rows); the
+    // only data-sized pass is the daily agg.
+    q("ts_stl_decompose",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS s7,
+        |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS c7
+        |  FROM d),
+        |inter AS (SELECT day, x, s7, 7 * x - s7 AS det7,
+        |    CAST(date_part('dow', day) AS INT) AS dow
+        |  FROM w WHERE c7 = 7),
+        |sdow AS (SELECT dow, SUM(det7) AS sdet,
+        |    CAST(count(*) AS BIGINT) AS nd
+        |  FROM inter GROUP BY 1)
+        |SELECT day, inter.dow AS dow,
+        |  CAST((2000000 * s7 + 700) // 1400 AS BIGINT) / 1000000.0
+        |    AS trend6,
+        |  (CASE WHEN sdet < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(sdet) + 700 * nd) // (2 * 700 * nd)
+        |      AS BIGINT) / 1000000.0 AS seasonal6,
+        |  (CASE WHEN nd * det7 - sdet < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(nd * det7 - sdet) + 700 * nd)
+        |      // (2 * 700 * nd) AS BIGINT) / 1000000.0 AS resid6
+        |FROM inter JOIN sdow ON inter.dow = sdow.dow
+        |ORDER BY day""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val inter = d
+        .withColumn("s7", sum("x").over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .where(col("c7") === 7)
+        .withColumn("det7", lit(7) * col("x") - col("s7"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast(IntegerType))
+      val sdow = inter.groupBy(col("dow").as("sd"))
+        .agg(sum("det7").as("sdet"), count(lit(1)).cast(LongType).as("nd"))
+      inter.join(broadcast(sdow), col("dow") === col("sd"))
+        .select(col("day"), col("dow"),
+          T.r6("s7", "700").as("trend6"),
+          T.r6s("sdet", "700 * nd").as("seasonal6"),
+          T.r6s("nd * det7 - sdet", "700 * nd").as("resid6"))
+        .orderBy("day")
+    },
+
+    // Rolling MAD (median absolute deviation over the trailing 7 events
+    // per user — the robust rolling outlier band, companion to
+    // window_rolling_median's location estimate): the window materializes
+    // its frame as a list, and BOTH medians are exact lower-median
+    // selections on integer cents (sorted-array element picks — no
+    // interpolation, no float until the final ÷100). Per-user O(7) state;
+    // one shuffle on user_id.
+    q("window_rolling_mad",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS c FROM events),
+        |w AS (SELECT event_id, user_id,
+        |    list(c) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS l
+        |  FROM e),
+        |m AS (SELECT event_id, user_id, l,
+        |    list_sort(l)[(len(l) + 1) // 2] AS med FROM w)
+        |SELECT event_id, user_id, CAST(med AS BIGINT) / 100.0 AS med7,
+        |  CAST(list_sort(list_transform(l, x -> abs(x - med)))
+        |    [(len(l) + 1) // 2] AS BIGINT) / 100.0 AS mad7
+        |FROM m ORDER BY event_id LIMIT 2000""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+      T.t(s, dir, "events")
+        .withColumn("c", round(col("value") * 100).cast(LongType))
+        .withColumn("l", collect_list("c").over(w))
+        .withColumn("med",
+          expr("element_at(sort_array(l), cast((size(l) + 1) div 2 as int))"))
+        .select(col("event_id"), col("user_id"),
+          (col("med").cast(DoubleType) / 100.0d).as("med7"),
+          (expr("element_at(sort_array(transform(l, x -> abs(x - med)))," +
+            " cast((size(l) + 1) div 2 as int))").cast(DoubleType) / 100.0d).as("mad7"))
+        .orderBy("event_id").limit(2000)
+    },
+
+    // Cramér–von Mises two-sample statistic (purchase vs click `value`
+    // distributions — the integrated-distance complement to the KS
+    // supremum test): combined midranks carried as integers (the 2·rank
+    // trick), within-sample positions by row_number with an event_id
+    // tiebreak (identical total order in both engines), and T assembled
+    // as ONE integer rational — T = (3·U2 − 2nm(4nm−1)) / (12nm(n+m))
+    // with U2 = n·Σ(2r−2i)² + m·Σ(2s−2j)² — through the T.r6s HALF_UP
+    // path (numerator pre-cast DECIMAL(38,0); DuckDB sums are HUGEINT).
+    // Midrank-ties variant, documented as such.
+    q("stat_cvm_two_sample",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS c, event_id
+        |  FROM events WHERE user_id < 200
+        |    AND event_type IN ('purchase', 'click')),
+        |v AS (SELECT c, count(*) AS cnt FROM e GROUP BY 1),
+        |tr AS (SELECT c, 2 * COALESCE(SUM(cnt) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    + cnt + 1 AS tr2 FROM v),
+        |rk AS (SELECT g, e.c, tr2,
+        |    row_number() OVER (PARTITION BY g ORDER BY e.c, event_id) AS i
+        |  FROM e JOIN tr ON e.c = tr.c),
+        |agg AS (SELECT
+        |    SUM(CASE WHEN g = 'purchase'
+        |      THEN (tr2 - 2 * i) * (tr2 - 2 * i) END) AS sx,
+        |    SUM(CASE WHEN g = 'click'
+        |      THEN (tr2 - 2 * i) * (tr2 - 2 * i) END) AS sy,
+        |    SUM(CASE WHEN g = 'purchase' THEN 1 ELSE 0 END) AS n,
+        |    SUM(CASE WHEN g = 'click' THEN 1 ELSE 0 END) AS m
+        |  FROM rk),
+        |y AS (SELECT n, m,
+        |    3 * (n * sx + m * sy) - 2 * n * m * (4 * n * m - 1) AS numr,
+        |    12 * n * m * (n + m) AS denr FROM agg)
+        |SELECT CAST(n AS BIGINT) AS n_purchase, CAST(m AS BIGINT) AS n_click,
+        |  (CASE WHEN numr < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(numr) + denr) // (2 * denr) AS BIGINT)
+        |    / 1000000.0 AS cvm6
+        |FROM y""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("user_id") < 200 &&
+          col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("c"), col("event_id"))
+      val v = e.groupBy("c").agg(count(lit(1)).as("cnt"))
+      val tr = v.withColumn("tr2",
+          lit(2L) * coalesce(sum("cnt").over(Window.orderBy("c")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+            + col("cnt") + 1)
+        .select("c", "tr2")
+      val rk = e.join(broadcast(tr), "c")
+        .withColumn("i", row_number().over(
+          Window.partitionBy("g").orderBy("c", "event_id")))
+      rk.agg(
+          sum(when(col("g") === "purchase",
+            (col("tr2") - col("i") * 2) * (col("tr2") - col("i") * 2)))
+            .as("sx"),
+          sum(when(col("g") === "click",
+            (col("tr2") - col("i") * 2) * (col("tr2") - col("i") * 2)))
+            .as("sy"),
+          sum(when(col("g") === "purchase", 1L).otherwise(0L)).as("n"),
+          sum(when(col("g") === "click", 1L).otherwise(0L)).as("m"))
+        .withColumn("numr",
+          expr("3 * (n * sx + m * sy) - 2 * n * m * (4 * n * m - 1)"))
+        .withColumn("denr", expr("12 * n * m * (n + m)"))
+        .select(col("n").cast(LongType).as("n_purchase"),
+          col("m").cast(LongType).as("n_click"),
+          T.r6s("cast(numr as decimal(38,0))", "denr").as("cvm6"))
+    },
+
+    // Rescaled-range statistic R/S per event type (the Hurst-analysis
+    // primitive for long-range dependence in the daily revenue series):
+    // cumulative deviations cleared of the rational mean by carrying ×n
+    // (n·cum_k − k·S, integer), R·n = max − min of that integer series,
+    // and R/S = Rn/√(n·Σx² − S²) — the only float math is ONE sqrt and
+    // ONE division on bit-identical integer operands, rounded at 6dp
+    // (post-sqrt — no representability ties). Power sums run in
+    // DECIMAL(38,0)/HUGEINT so the key survives scale-up.
+    q("ts_rescaled_range",
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS s, SUM(x * x) AS sq FROM d GROUP BY 1),
+        |cum AS (SELECT d.event_type AS event_type, day,
+        |    SUM(x) OVER (PARTITION BY d.event_type ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ck,
+        |    row_number() OVER (PARTITION BY d.event_type ORDER BY day) AS k
+        |  FROM d),
+        |dev AS (SELECT cum.event_type AS event_type,
+        |    max(n * ck - k * s) AS mx, min(n * ck - k * s) AS mn
+        |  FROM cum JOIN st ON cum.event_type = st.event_type GROUP BY 1)
+        |SELECT st.event_type AS event_type, n,
+        |  round(CAST(mx - mn AS DOUBLE)
+        |    / sqrt(CAST(n * sq - s * s AS DOUBLE)), 6) AS rs6
+        |FROM dev JOIN st ON dev.event_type = st.event_type
+        |ORDER BY st.event_type""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val st = d.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(col("x").cast(DecimalType(38, 0))).as("s"),
+          sum((col("x") * col("x")).cast(DecimalType(38, 0))).as("sq"))
+      val wc = Window.partitionBy("event_type").orderBy("day")
+      val cum = d
+        .withColumn("ck", sum("x").over(
+          wc.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("k", row_number().over(wc))
+      val dev = cum.join(broadcast(st), col("event_type") === col("et"))
+        .groupBy("event_type")
+        .agg(max(expr("n * ck - k * s")).as("mx"),
+          min(expr("n * ck - k * s")).as("mn"))
+      dev.join(broadcast(st), col("event_type") === col("et"))
+        .select(col("event_type"), col("n"),
+          round((col("mx") - col("mn")).cast(DoubleType)
+            / sqrt(expr("cast(n * sq - s * s as double)")), 6).as("rs6"))
+        .orderBy("event_type")
     }
   )
 }
