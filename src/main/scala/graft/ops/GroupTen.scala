@@ -4314,6 +4314,190 @@ object GroupTen {
           round((col("mx") - col("mn")).cast(DoubleType)
             / sqrt(expr("cast(n * sq - s * s as double)")), 6).as("rs6"))
         .orderBy("event_type")
+    },
+
+    // Truncated Katz centrality (3 attenuation steps, β = 1/4) over the
+    // strong co-purchase edge set — the influence score that, unlike
+    // degree, credits 2- and 3-hop reachability: kept EXACTLY integral by
+    // working in micro-units with floor division per step
+    // (v_{k+1}(u) = ⌊Σ_nbr v_k⌋/4 — same floor in both engines), so the
+    // iterative float-drift trap (the PageRank lesson) never opens. Each
+    // step is one co-partitioned join + agg on the bounded edge set;
+    // the DuckDB ladder references each layer once (safe uninlined).
+    q("graph_katz_centrality",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS sup
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+        |  LIMIT 2000),
+        |e AS (SELECT pa AS src, pb AS dst FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |v0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS v
+        |  FROM e),
+        |v1 AS (SELECT e.src AS node, SUM(v0.v) // 4 AS v
+        |  FROM e JOIN v0 ON e.dst = v0.node GROUP BY 1),
+        |v2 AS (SELECT e.src AS node, SUM(v1.v) // 4 AS v
+        |  FROM e JOIN v1 ON e.dst = v1.node GROUP BY 1),
+        |v3 AS (SELECT e.src AS node, SUM(v2.v) // 4 AS v
+        |  FROM e JOIN v2 ON e.dst = v2.node GROUP BY 1)
+        |SELECT v1.node AS node,
+        |  CAST(v1.v + v2.v + v3.v AS BIGINT) AS katz_micro
+        |FROM v1 JOIN v2 ON v1.node = v2.node
+        |  JOIN v3 ON v1.node = v3.node
+        |ORDER BY katz_micro DESC, node LIMIT 20""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+        .select("pa", "pb")
+      val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
+        .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
+        .localCheckpoint()
+      def step(v: DataFrame): DataFrame =
+        e.join(v.withColumnRenamed("node", "vn"), col("dst") === col("vn"))
+          .groupBy(col("src").as("node"))
+          .agg(expr("sum(v) div 4").as("v"))
+      val v0 = e.select(col("src").as("node")).distinct()
+        .withColumn("v", lit(1000000L))
+      val v1 = step(v0)
+      val v2 = step(v1)
+      val v3 = step(v2)
+      v1.select(col("node"), col("v").as("va"))
+        .join(v2.select(col("node"), col("v").as("vb")), "node")
+        .join(v3.select(col("node"), col("v").as("vc")), "node")
+        .select(col("node"),
+          (col("va") + col("vb") + col("vc")).cast(LongType)
+            .as("katz_micro"))
+        .orderBy(col("katz_micro").desc, col("node")).limit(20)
+    },
+
+    // Time-decayed engagement score — the recency-weighted activity
+    // ranking every feed/churn model starts from, kept EXACTLY integral:
+    // one-day half-life as a pure bit shift (cents >> age_days, floor),
+    // so the per-user sum is an order-independent integer at any
+    // partitioning — no float decay product whose merge order matters.
+    // One scan + one agg; the date anchor is a broadcast scalar.
+    q("agg_time_decay_engagement",
+      """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
+        |sc AS (SELECT user_id,
+        |    SUM(CAST(round(value * 100) AS BIGINT)
+        |      >> (anchor - CAST(ts AS DATE))) AS score_c,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events CROSS JOIN mx GROUP BY user_id)
+        |SELECT user_id, n_events, CAST(score_c AS BIGINT) AS score_cents
+        |FROM sc ORDER BY score_c DESC, user_id LIMIT 20""") { (s, dir) =>
+      val mx = T.t(s, dir, "events")
+        .agg(max(to_date(col("ts"))).as("anchor"))
+      T.t(s, dir, "events").crossJoin(broadcast(mx))
+        .groupBy("user_id")
+        .agg(sum(expr("shiftright(cast(round(value * 100) as bigint)," +
+            " datediff(anchor, cast(ts as date)))")).as("score_c"),
+          count(lit(1)).cast(LongType).as("n_events"))
+        .select(col("user_id"), col("n_events"),
+          col("score_c").cast(LongType).as("score_cents"))
+        .orderBy(col("score_cents").desc, col("user_id")).limit(20)
+    },
+
+    // Base58 encode/decode (the Bitcoin/IPFS id alphabet — no 0/O/I/l):
+    // deterministic 8-symbol codes from hashed order keys via fixed
+    // power-of-58 digit extraction (pure integer div/mod + alphabet
+    // substr, the geohash kit's shape), then DE-coded back in-query
+    // proving the exact roundtrip. No UDF; identical in both engines.
+    q("scalar_base58_funcs", {
+      val alpha =
+        "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+      val enc = (0 until 8).map { i =>
+        val p = math.pow(58.0, (7 - i).toDouble).toLong
+        s"substr('$alpha', CAST((v // $p) % 58 + 1 AS INT), 1)"
+      }.mkString(" || ")
+      val dec = (0 until 8).map { i =>
+        val p = math.pow(58.0, (7 - i).toDouble).toLong
+        s"(strpos('$alpha', substr(code, ${i + 1}, 1)) - 1) * $p"
+      }.mkString(" + ")
+      s"""WITH h AS (SELECT o_orderkey,
+         |    o_orderkey * 2654435761 % 128063081718016 AS v
+         |  FROM orders WHERE o_orderkey < 500),
+         |c AS (SELECT o_orderkey, v, $enc AS code FROM h)
+         |SELECT o_orderkey, CAST(v AS BIGINT) AS v, code,
+         |  CAST($dec AS BIGINT) AS v_rt
+         |FROM c ORDER BY o_orderkey"""
+    }) { (s, dir) =>
+      val alpha =
+        "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+      val enc = (0 until 8).map { i =>
+        val p = math.pow(58.0, (7 - i).toDouble).toLong
+        s"substr('$alpha', CAST((v div ${p}L) % 58 + 1 AS INT), 1)"
+      }.mkString(", ")
+      val dec = (0 until 8).map { i =>
+        val p = math.pow(58.0, (7 - i).toDouble).toLong
+        s"(instr('$alpha', substr(code, ${i + 1}, 1)) - 1) * ${p}L"
+      }.mkString(" + ")
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        // 58^8 = 128063081718016 bounds the 8-symbol code domain
+        .withColumn("v", expr("o_orderkey * 2654435761L % 128063081718016L"))
+        .withColumn("code", expr(s"concat($enc)"))
+        .select(col("o_orderkey"), col("v").cast(LongType).as("v"),
+          col("code"), expr(s"CAST($dec AS BIGINT)").as("v_rt"))
+        .orderBy("o_orderkey")
+    },
+
+    // Jarque–Bera normality test of `value` per event type — the
+    // moment-based omnibus test (JB = n/6·(S² + K²/4)): power sums
+    // S1..S4 are EXACT decimal sums (agg_skew_kurtosis_exact's
+    // construction on DECIMAL(9,2)), and the float composition runs the
+    // IDENTICAL operation sequence in both engines on those bit-identical
+    // operands, rounded once at 6dp (post-division/sqrt — no
+    // representability ties). One map-side-combinable agg; 5 output rows.
+    q("stat_jarque_bera",
+      """WITH s AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(SUM(CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s1,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) AS DECIMAL(19,4))) AS DOUBLE) AS s2,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) AS DECIMAL(19,4)) * CAST(value AS DECIMAL(9,2))) AS DOUBLE) AS s3,
+        |    CAST(SUM(CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) AS DECIMAL(19,4)) * CAST(CAST(value AS DECIMAL(9,2)) * CAST(value AS DECIMAL(9,2)) AS DECIMAL(19,4))) AS DOUBLE) AS s4
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, n,
+        |    s2 - s1 * s1 / n AS m2,
+        |    s3 - 3 * (s1 / n) * s2 + 2 * (s1 / n) * (s1 / n) * s1 AS m3,
+        |    s4 - 4 * (s1 / n) * s3 + 6 * (s1 / n) * (s1 / n) * s2
+        |      - 3 * (s1 / n) * (s1 / n) * (s1 / n) * s1 AS m4
+        |  FROM s),
+        |k AS (SELECT event_type, n,
+        |    sqrt(n) * m3 / pow(m2, 1.5) AS sk,
+        |    n * m4 / (m2 * m2) - 3 AS ku
+        |  FROM m)
+        |SELECT event_type, CAST(n AS BIGINT) AS cnt,
+        |  round(sk, 6) AS skew6, round(ku, 6) AS kurt6,
+        |  round(n / 6 * (sk * sk + ku * ku / 4), 6) AS jb6
+        |FROM k ORDER BY event_type""") { (s, dir) =>
+      val x = col("value").cast(DecimalType(9, 2))
+      // x² re-cast to DECIMAL(19,4) (exact — scale 4 is the true scale of
+      // the product) so the x³/x⁴ chains stay inside decimal128 in BOTH
+      // engines (DECIMAL(19) forces int128 physicals — DuckDB's int64 DECIMAL(18) product overflows)
+      val x2 = (x * x).cast(DecimalType(19, 4))
+      val st = T.t(s, dir, "events")
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast(DoubleType).as("n"),
+          sum(x).cast(DoubleType).as("s1"),
+          sum(x2).cast(DoubleType).as("s2"),
+          sum(x2 * x).cast(DoubleType).as("s3"),
+          sum(x2 * x2).cast(DoubleType).as("s4"))
+      val mu = col("s1") / col("n")
+      st.select(col("event_type"), col("n"),
+          (col("s2") - col("s1") * col("s1") / col("n")).as("m2"),
+          (col("s3") - lit(3) * mu * col("s2")
+            + lit(2) * mu * mu * col("s1")).as("m3"),
+          (col("s4") - lit(4) * mu * col("s3") + lit(6) * mu * mu * col("s2")
+            - lit(3) * mu * mu * mu * col("s1")).as("m4"))
+        .select(col("event_type"), col("n"),
+          (sqrt(col("n")) * col("m3") / pow(col("m2"), 1.5)).as("sk"),
+          (col("n") * col("m4") / (col("m2") * col("m2")) - 3).as("ku"))
+        .select(col("event_type"), col("n").cast(LongType).as("cnt"),
+          round(col("sk"), 6).as("skew6"), round(col("ku"), 6).as("kurt6"),
+          round(col("n") / 6 * (col("sk") * col("sk")
+            + col("ku") * col("ku") / 4), 6).as("jb6"))
+        .orderBy("event_type")
     }
   )
 }

@@ -1051,6 +1051,56 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("graph_katz_centrality: scores positive, ordered, degree-consistent") {
+    val rows = run("graph_katz_centrality").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getLong(1)).toSeq
+    assert(scores == scores.sorted.reverse, "not ordered by score desc")
+    // with v0 = 1e6 and beta = 1/4, a node of degree d has v1 = d*250000:
+    // every katz score is at least its first step, hence >= 250000
+    scores.foreach(v => assert(v >= 250000L, s"implausible katz $v"))
+  }
+
+  test("agg_time_decay_engagement: decayed score never exceeds raw sum") {
+    val rows = run("agg_time_decay_engagement").collect()
+    assert(rows.nonEmpty)
+    val raw = T.t(s, sf, "events").groupBy("user_id")
+      .agg(sum(round(col("value") * 100).cast("long")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val u = r.getLong(0)
+      assert(r.getLong(2) <= raw(u), s"user $u: decayed > raw")
+      assert(r.getLong(2) >= 0L)
+    }
+  }
+
+  test("scalar_base58_funcs: codes round-trip and use the base58 alphabet") {
+    val rows = run("scalar_base58_funcs").collect()
+    assert(rows.nonEmpty)
+    val alpha =
+      "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz".toSet
+    rows.foreach { r =>
+      assert(r.getLong(3) == r.getLong(1), "decode != original value")
+      val code = r.getString(2)
+      assert(code.length == 8 && code.forall(alpha.contains), s"bad $code")
+    }
+    assert(rows.map(_.getString(2)).distinct.length == rows.length)
+  }
+
+  test("stat_jarque_bera: JB nonnegative and consistent with skew/kurt") {
+    val rows = run("stat_jarque_bera").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (n, sk, ku, jb) =
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(jb >= 0.0)
+      val expect = n / 6.0 * (sk * sk + ku * ku / 4)
+      // jb was computed from UNROUNDED sk/ku, so allow rounding slack
+      assert(math.abs(jb - expect) < 0.05 * math.max(1.0, expect),
+        s"${r.getString(0)}: jb $jb vs recomposed $expect")
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
