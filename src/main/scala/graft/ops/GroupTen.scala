@@ -4498,6 +4498,268 @@ object GroupTen {
           round(col("n") / 6 * (col("sk") * col("sk")
             + col("ku") * col("ku") / 4), 6).as("jb6"))
         .orderBy("event_type")
+    },
+
+    // Herfindahl–Hirschman concentration index per nation (the
+    // market-concentration number antitrust and category management run):
+    // HHI = Σ share² over each nation's suppliers by revenue, held as ONE
+    // integer rational Σcents²/total² — squares in DECIMAL(38,0)/HUGEINT,
+    // emitted through the T.r6 HALF_UP path. Sibling of the Gini key
+    // (inequality) and the Pareto key (classification): concentration as
+    // a scalar. Two map-side-combinable aggs.
+    q("agg_hhi_concentration",
+      """WITH rev AS (SELECT s.s_nationkey AS nk, l.l_suppkey AS sk,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |agg AS (SELECT nk, CAST(count(*) AS BIGINT) AS n_suppliers,
+        |    SUM(CAST(cents AS HUGEINT) * cents) AS sumsq,
+        |    SUM(cents) AS total
+        |  FROM rev GROUP BY 1)
+        |SELECT nk, n_suppliers,
+        |  CAST((2000000 * sumsq + total * total)
+        |    // (2 * total * total) AS BIGINT) / 1000000.0 AS hhi6
+        |FROM agg ORDER BY nk""") { (s, dir) =>
+      val rev = T.t(s, dir, "lineitem")
+        .join(broadcast(T.t(s, dir, "supplier")),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey").as("nk"), col("l_suppkey").as("sk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cents"))
+      rev.groupBy("nk")
+        .agg(count(lit(1)).cast(LongType).as("n_suppliers"),
+          sum(col("cents").cast(DecimalType(38, 0)) * col("cents"))
+            .as("sumsq"),
+          sum(col("cents").cast(DecimalType(38, 0))).as("total"))
+        .select(col("nk"), col("n_suppliers"),
+          T.r6("sumsq", "total * total").as("hhi6"))
+        .orderBy("nk")
+    },
+
+    // Split-conformal prediction interval (the distribution-free ML
+    // uncertainty wrapper): train half fits the per-type mean, the
+    // calibration quarter takes the ⌈0.9(n+1)⌉-smallest absolute residual
+    // as interval half-width, the test quarter audits empirical coverage
+    // (lands at ≈0.9 by the conformal guarantee). Residuals stay EXACT by
+    // carrying ×n_train (|n·y − S|, integer — same denominator within a
+    // type, so ranks are integer comparisons); the rank index is pure
+    // integer ceil ((9(n+1)+9) div 10 — no 0.9·x float whose ulp moves
+    // the index). Splits by event_id arithmetic: deterministic, disjoint.
+    q("ml_conformal_interval",
+      """WITH e AS (SELECT event_type AS g, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |tr AS (SELECT g, CAST(count(*) AS BIGINT) AS n, SUM(y) AS sy
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |cal AS (SELECT e.g AS g, abs(n * y - sy) AS r
+        |  FROM e JOIN tr ON e.g = tr.g WHERE event_id % 4 = 1),
+        |cn AS (SELECT g, CAST(count(*) AS BIGINT) AS n_cal FROM cal
+        |  GROUP BY 1),
+        |rk AS (SELECT cal.g AS g, r, n_cal, row_number() OVER (
+        |    PARTITION BY cal.g ORDER BY r) AS rn
+        |  FROM cal JOIN cn ON cal.g = cn.g),
+        |q AS (SELECT g, n_cal,
+        |    max(CASE WHEN rn = (9 * (n_cal + 1) + 9) // 10 THEN r END) AS qs
+        |  FROM rk GROUP BY 1, 2),
+        |tst AS (SELECT e.g AS g, CAST(count(*) AS BIGINT) AS n_test,
+        |    SUM(CASE WHEN abs(n * y - sy) <= qs THEN 1 ELSE 0 END) AS cov
+        |  FROM e JOIN tr ON e.g = tr.g JOIN q ON e.g = q.g
+        |  WHERE event_id % 4 = 3 GROUP BY 1)
+        |SELECT tr.g AS event_type, n AS n_train, n_cal, n_test,
+        |  CAST((2000000 * qs + n * 100) // (2 * n * 100) AS BIGINT)
+        |    / 1000000.0 AS width6,
+        |  CAST((2000000 * cov + n_test) // (2 * n_test) AS BIGINT)
+        |    / 1000000.0 AS coverage6
+        |FROM tr JOIN q ON tr.g = q.g JOIN tst ON tr.g = tst.g
+        |ORDER BY tr.g""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_type").as("g"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("y"))
+      val tr = e.filter(col("event_id") % 2 === 0).groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n"), sum("y").as("sy"))
+      val cal = e.filter(col("event_id") % 4 === 1)
+        .join(broadcast(tr), "g")
+        .withColumn("r", abs(col("n") * col("y") - col("sy")))
+      val cn = cal.groupBy("g").agg(count(lit(1)).cast(LongType).as("n_cal"))
+      val rk = cal.join(broadcast(cn), "g")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy("r")))
+      val q9 = rk.groupBy("g", "n_cal")
+        .agg(max(when(expr("rn = (9 * (n_cal + 1) + 9) div 10"), col("r")))
+          .as("qs"))
+      val tst = e.filter(col("event_id") % 4 === 3)
+        .join(broadcast(tr), "g").join(broadcast(q9), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n_test"),
+          sum(when(abs(col("n") * col("y") - col("sy")) <= col("qs"), 1L)
+            .otherwise(0L)).as("cov"))
+      tr.join(q9, "g").join(tst, "g")
+        .select(col("g").as("event_type"), col("n").as("n_train"),
+          col("n_cal"), col("n_test"),
+          T.r6("qs", "n * 100").as("width6"),
+          T.r6("cov", "n_test").as("coverage6"))
+        .orderBy("event_type")
+    },
+
+    // Simpson diversity index per source (ecology's concentration dual,
+    // used for corpus balance audits): D = Σ c(c−1)/(N(N−1)) — the
+    // probability two sampled tokens repeat a term — as ONE pure-integer
+    // rational per source, plus vocabulary richness. One token agg + one
+    // per-source agg, both map-side-combinable.
+    q("text_simpson_diversity",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |a AS (SELECT source, CAST(count(*) AS BIGINT) AS richness,
+        |    SUM(CAST(c AS HUGEINT) * (c - 1)) AS num, SUM(c) AS n
+        |  FROM c GROUP BY 1)
+        |SELECT source, richness, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST((2000000 * num + n * (n - 1)) // (2 * n * (n - 1))
+        |    AS BIGINT) / 1000000.0 AS simpson6
+        |FROM a ORDER BY source""") { (s, dir) =>
+      val c = T.t(s, dir, "documents")
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).cast(LongType).as("c"))
+      c.groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("richness"),
+          sum(col("c").cast(DecimalType(38, 0)) * (col("c") - 1)).as("num"),
+          sum("c").cast(LongType).as("n"))
+        .select(col("source"), col("richness"), col("n").as("n_tokens"),
+          T.r6("num", "n * (n - 1)").as("simpson6"))
+        .orderBy("source")
+    },
+
+    // Click-to-purchase conversion latency quantiles — funnel TIMING (the
+    // companion to window_funnel_stages' counts): per converting user,
+    // minutes from first click to the first purchase at-or-after it;
+    // p25/50/75/90 by exact cumulative rank selection over the
+    // MINUTE-granular latency spine (domain-bounded — ≤ minutes-in-month
+    // rows — so the unpartitioned cumsum window never sees data-sized
+    // input). Pure integer micros arithmetic throughout.
+    q("window_conversion_latency",
+      """WITH fc AS (SELECT user_id, min(ts) AS t0 FROM events
+        |  WHERE event_type = 'click' GROUP BY 1),
+        |fp AS (SELECT e.user_id AS user_id,
+        |    (epoch_us(min(e.ts)) - epoch_us(min(fc.t0))) // 60000000
+        |      AS lat_min
+        |  FROM events e JOIN fc ON e.user_id = fc.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= fc.t0
+        |  GROUP BY 1),
+        |h AS (SELECT lat_min, count(*) AS cnt FROM fp GROUP BY 1),
+        |r AS (SELECT lat_min, cnt,
+        |    SUM(cnt) OVER (ORDER BY lat_min ROWS BETWEEN UNBOUNDED
+        |      PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM fp) AS n FROM h)
+        |SELECT CAST(max(n) AS BIGINT) AS n_converted,
+        |  CAST(min(CASE WHEN cum * 4 >= n THEN lat_min END) AS BIGINT)
+        |    AS q25_min,
+        |  CAST(min(CASE WHEN cum * 2 >= n THEN lat_min END) AS BIGINT)
+        |    AS q50_min,
+        |  CAST(min(CASE WHEN cum * 4 >= 3 * n THEN lat_min END) AS BIGINT)
+        |    AS q75_min,
+        |  CAST(min(CASE WHEN cum * 10 >= 9 * n THEN lat_min END) AS BIGINT)
+        |    AS q90_min
+        |FROM r""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val fc = ev.filter(col("event_type") === "click")
+        .groupBy("user_id").agg(min("ts").as("t0"))
+      val fp = ev.filter(col("event_type") === "purchase")
+        .join(fc, "user_id")
+        .filter(col("ts") >= col("t0"))
+        .groupBy("user_id")
+        .agg(expr("(unix_micros(cast(min(ts) as timestamp))" +
+          " - unix_micros(cast(min(t0) as timestamp))) div 60000000")
+          .as("lat_min"))
+      val n = fp.agg(count(lit(1)).cast(LongType).as("n"))
+      val h = fp.groupBy("lat_min").agg(count(lit(1)).as("cnt"))
+      // minute-granular spine: bounded by the fixture's time span
+      val cumW = Window.orderBy("lat_min")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      h.withColumn("cum", sum("cnt").over(cumW))
+        .crossJoin(broadcast(n))
+        .agg(max("n").cast(LongType).as("n_converted"),
+          min(when(col("cum") * 4 >= col("n"), col("lat_min")))
+            .cast(LongType).as("q25_min"),
+          min(when(col("cum") * 2 >= col("n"), col("lat_min")))
+            .cast(LongType).as("q50_min"),
+          min(when(col("cum") * 4 >= col("n") * 3, col("lat_min")))
+            .cast(LongType).as("q75_min"),
+          min(when(col("cum") * 10 >= col("n") * 9, col("lat_min")))
+            .cast(LongType).as("q90_min"))
+    },
+
+    // Jensen–Shannon divergence between the src0/src1 unigram
+    // distributions — the SYMMETRIC, bounded corpus-distance (the drift
+    // metric that, unlike KL, tolerates disjoint vocabulary): per-term
+    // log-ratios quantized to integer micro-nats (text_kl_divergence's
+    // quantize-then-sum rule — integer sums are order-independent at any
+    // partitioning), the two halves combined into ONE rational over the
+    // common denominator 2·n_p·n_q. Vocabulary full-outer join; zero
+    // counts contribute exactly zero.
+    q("text_js_divergence",
+      """WITH tok AS (SELECT source, unnest(string_split(text, ' ')) AS term
+        |  FROM documents WHERE source IN ('src0', 'src1')),
+        |c AS (SELECT source, term, CAST(count(*) AS BIGINT) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |n AS (SELECT
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM c WHERE source = 'src0')
+        |      AS np,
+        |    (SELECT CAST(sum(c) AS BIGINT) FROM c WHERE source = 'src1')
+        |      AS nq),
+        |j AS (SELECT COALESCE(p.term, q.term) AS term,
+        |    COALESCE(p.c, 0) AS cp, COALESCE(q.c, 0) AS cq
+        |  FROM (SELECT term, c FROM c WHERE source = 'src0') p
+        |  FULL OUTER JOIN (SELECT term, c FROM c WHERE source = 'src1') q
+        |    ON p.term = q.term),
+        |z AS (SELECT term, cp, cq,
+        |    CASE WHEN cp > 0 THEN cp * CAST(round(ln(
+        |      CAST(2 * cp * nq AS DOUBLE) / CAST(cp * nq + cq * np
+        |      AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END AS wp,
+        |    CASE WHEN cq > 0 THEN cq * CAST(round(ln(
+        |      CAST(2 * cq * np AS DOUBLE) / CAST(cp * nq + cq * np
+        |      AS DOUBLE)) * 1000000.0, 0) AS BIGINT) ELSE 0 END AS wq
+        |  FROM j CROSS JOIN n),
+        |agg AS (SELECT SUM(wp) AS swp, SUM(wq) AS swq FROM z)
+        |SELECT CAST(np AS BIGINT) AS n_src0, CAST(nq AS BIGINT) AS n_src1,
+        |  (CASE WHEN nq * swp + np * swq < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(nq * swp + np * swq)
+        |        + CAST(2 * np * nq AS HUGEINT) * 1000000)
+        |      // (2 * CAST(2 * np * nq AS HUGEINT) * 1000000) AS BIGINT)
+        |    / 1000000.0 AS js6
+        |FROM agg CROSS JOIN n""") { (s, dir) =>
+      val c = T.t(s, dir, "documents")
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source"), explode(split(col("text"), " ")).as("term"))
+        .groupBy("source", "term").agg(count(lit(1)).cast(LongType).as("c"))
+      val np = c.filter(col("source") === "src0")
+        .agg(sum("c").cast(LongType).as("np"))
+      val nq = c.filter(col("source") === "src1")
+        .agg(sum("c").cast(LongType).as("nq"))
+      val p = c.filter(col("source") === "src0")
+        .select(col("term").as("tp"), col("c").as("cp0"))
+      val q2 = c.filter(col("source") === "src1")
+        .select(col("term").as("tq"), col("c").as("cq0"))
+      val j = p.join(q2, col("tp") === col("tq"), "full_outer")
+        .select(coalesce(col("cp0"), lit(0L)).as("cp"),
+          coalesce(col("cq0"), lit(0L)).as("cq"))
+        .crossJoin(broadcast(np)).crossJoin(broadcast(nq))
+      val z = j
+        .withColumn("wp", when(col("cp") > 0,
+          col("cp") * round(log((col("cp") * 2 * col("nq"))
+            .cast(DoubleType) / (col("cp") * col("nq")
+              + col("cq") * col("np")).cast(DoubleType)) * 1000000.0, 0)
+            .cast(LongType)).otherwise(0L))
+        .withColumn("wq", when(col("cq") > 0,
+          col("cq") * round(log((col("cq") * 2 * col("np"))
+            .cast(DoubleType) / (col("cp") * col("nq")
+              + col("cq") * col("np")).cast(DoubleType)) * 1000000.0, 0)
+            .cast(LongType)).otherwise(0L))
+      z.agg(sum("wp").as("swp"), sum("wq").as("swq"),
+          max("np").as("np"), max("nq").as("nq"))
+        .select(col("np").cast(LongType).as("n_src0"),
+          col("nq").cast(LongType).as("n_src1"),
+          T.r6s("cast(nq * swp + np * swq as decimal(38,0))",
+            "cast(2 * np * nq as decimal(38,0)) * 1000000").as("js6"))
     }
   )
 }

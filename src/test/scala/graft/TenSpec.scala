@@ -1101,6 +1101,57 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("agg_hhi_concentration lies in (1/n, 1] per nation") {
+    val rows = run("agg_hhi_concentration").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      val hhi = r.getDouble(2)
+      assert(hhi > 1.0 / n - 1e-6 && hhi <= 1.0 + 1e-6,
+        s"nation ${r.get(0)}: HHI $hhi outside (1/$n, 1]")
+    }
+  }
+
+  test("ml_conformal_interval: coverage near the 0.9 conformal target") {
+    val rows = run("ml_conformal_interval").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val cov = r.getDouble(5)
+      // finite-sample guarantee: coverage ≥ 0.9 in expectation; allow
+      // sampling noise around the target on a few hundred test points
+      assert(cov > 0.8 && cov <= 1.0,
+        s"${r.getString(0)}: coverage $cov far from 0.9")
+      assert(r.getDouble(4) > 0.0, "width must be positive")
+      assert(r.getLong(1) > 0 && r.getLong(2) > 0 && r.getLong(3) > 0)
+    }
+  }
+
+  test("text_simpson_diversity bounded and richness <= tokens") {
+    val rows = run("text_simpson_diversity").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(1) <= r.getLong(2), "richness > token count")
+      val d = r.getDouble(3)
+      assert(d >= 0.0 && d <= 1.0, s"Simpson D out of [0,1]: $d")
+    }
+  }
+
+  test("window_conversion_latency quantiles are ordered") {
+    val r = run("window_conversion_latency").collect().head
+    assert(r.getLong(0) > 0, "no converting users")
+    val qs = (1 to 4).map(r.getLong)
+    assert(qs == qs.sorted, s"quantiles out of order: $qs")
+    assert(qs.head >= 0L)
+  }
+
+  test("text_js_divergence is within [0, ln 2] as JS must be") {
+    val r = run("text_js_divergence").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val js = r.getDouble(2)
+    assert(js >= -1e-6 && js <= math.log(2.0) + 1e-6,
+      s"JS divergence $js outside [0, ln2]")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
