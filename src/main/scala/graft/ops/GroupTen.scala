@@ -4760,6 +4760,181 @@ object GroupTen {
           col("nq").cast(LongType).as("n_src1"),
           T.r6s("cast(nq * swp + np * swq as decimal(38,0))",
             "cast(2 * np * nq as decimal(38,0)) * 1000000").as("js6"))
+    },
+
+    // Permutation test for the purchase-vs-click mean difference — the
+    // assumption-free significance test, made FULLY DETERMINISTIC by
+    // replacing random label shuffles with 200 multiplicative-hash
+    // relabelings (hash(event_id, b) parity — same permutation set on any
+    // engine, any partitioning). Mean differences compare as exact
+    // cross-multiplied integer rationals (|num_b|·den_0 ≥ |num_0|·den_b,
+    // HUGEINT/DECIMAL(38,0)) so no float ever decides extremeness; the
+    // p-value is the add-one rational (1+extreme)/(B+1). One conditional
+    // agg over the ×200 replicated scan — embarrassingly parallel.
+    q("stat_permutation_test",
+      """WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT)
+        |    AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 2 END AS grp
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |obs AS (SELECT
+        |    SUM(CASE WHEN grp = 1 THEN y ELSE 0 END) AS s1,
+        |    SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS n1,
+        |    SUM(CASE WHEN grp = 2 THEN y ELSE 0 END) AS s2,
+        |    SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
+        |  FROM e),
+        |perms AS (SELECT b,
+        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
+        |      % 4294967296 % 2 = 0 THEN y ELSE 0 END) AS s1b,
+        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
+        |      % 4294967296 % 2 = 0 THEN 1 ELSE 0 END) AS n1b,
+        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
+        |      % 4294967296 % 2 = 1 THEN y ELSE 0 END) AS s2b,
+        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
+        |      % 4294967296 % 2 = 1 THEN 1 ELSE 0 END) AS n2b
+        |  FROM e CROSS JOIN (SELECT unnest(range(1, 201)) AS b)
+        |  GROUP BY 1),
+        |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_extreme
+        |  FROM perms CROSS JOIN obs
+        |  WHERE n1b > 0 AND n2b > 0
+        |    AND abs(CAST(s1b * n2b - s2b * n1b AS HUGEINT)) * (n1 * n2)
+        |      >= abs(CAST(s1 * n2 - s2 * n1 AS HUGEINT)) * (n1b * n2b))
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase,
+        |  CAST(n2 AS BIGINT) AS n_click, n_extreme,
+        |  CAST((2000000 * (1 + n_extreme) + 201) // 402 AS BIGINT)
+        |    / 1000000.0 AS pvalue6
+        |FROM cnt CROSS JOIN obs""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_id"),
+          round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1).otherwise(2).as("grp"))
+      val obs = e.agg(
+        sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("s1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+      val side = expr(
+        "(event_id * 2654435761L + b * 40503L) % 4294967296L % 2")
+      val perms = e.crossJoin(broadcast(
+          s.range(1, 201).select(col("id").as("b"))))
+        .groupBy("b")
+        .agg(sum(when(side === 0, col("y")).otherwise(0L)).as("s1b"),
+          sum(when(side === 0, 1L).otherwise(0L)).as("n1b"),
+          sum(when(side === 1, col("y")).otherwise(0L)).as("s2b"),
+          sum(when(side === 1, 1L).otherwise(0L)).as("n2b"))
+      val cnt = perms.crossJoin(broadcast(obs))
+        .where(col("n1b") > 0 && col("n2b") > 0 &&
+          expr("abs(cast(s1b * n2b - s2b * n1b as decimal(38,0)))" +
+            " * (n1 * n2) >= " +
+            "abs(cast(s1 * n2 - s2 * n1 as decimal(38,0))) * (n1b * n2b)"))
+        .agg(count(lit(1)).cast(LongType).as("n_extreme"))
+      cnt.crossJoin(broadcast(obs))
+        .select(col("n1").cast(LongType).as("n_purchase"),
+          col("n2").cast(LongType).as("n_click"), col("n_extreme"),
+          T.r6("1 + n_extreme", "201").as("pvalue6"))
+    },
+
+    // Top-N + Other rollup (the BI presentation cut every dashboard
+    // applies before a pie/bar): top-5 brands by exact-cent revenue keep
+    // their name, the tail collapses into 'Other'; shares are
+    // pure-integer rationals. The rank window runs on the BOUNDED brand
+    // spine (25 rows), never the fact table.
+    q("agg_topn_other_rollup",
+      """WITH rev AS (SELECT p.p_brand AS brand,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1),
+        |rk AS (SELECT brand, cents,
+        |    row_number() OVER (ORDER BY cents DESC, brand) AS rn FROM rev),
+        |lab AS (SELECT CASE WHEN rn <= 5 THEN brand ELSE 'Other' END
+        |    AS label,
+        |    CASE WHEN rn <= 5 THEN rn ELSE 999 END AS ord, cents FROM rk),
+        |tot AS (SELECT SUM(cents) AS t FROM rev)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_brands,
+        |  CAST(SUM(cents) AS BIGINT) AS rev_cents,
+        |  CAST((2000000 * SUM(cents) + t) // (2 * t) AS BIGINT)
+        |    / 1000000.0 AS share6
+        |FROM lab CROSS JOIN tot GROUP BY label, t
+        |ORDER BY min(ord), label""") { (s, dir) =>
+      val rev = T.t(s, dir, "lineitem")
+        .join(broadcast(T.t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+          .as("cents"))
+      val rk = rev.withColumn("rn", row_number().over(
+        Window.orderBy(col("cents").desc, col("brand"))))
+      val tot = rev.agg(sum("cents").as("t"))
+      rk.select(
+          when(col("rn") <= 5, col("brand")).otherwise("Other").as("label"),
+          when(col("rn") <= 5, col("rn")).otherwise(999).as("ord"),
+          col("cents"))
+        .crossJoin(broadcast(tot))
+        .groupBy("label", "t")
+        .agg(count(lit(1)).cast(LongType).as("n_brands"),
+          sum("cents").cast(LongType).as("rev_cents"),
+          T.r6("sum(cents)", "t").as("share6"), min("ord").as("o"))
+        .orderBy("o", "label")
+        .select("label", "n_brands", "rev_cents", "share6")
+    },
+
+    // Velocity / acceleration of the daily revenue series — first and
+    // second discrete differences (the monitoring derivative pair:
+    // "how fast is it moving, is the move speeding up"): two lag passes
+    // on the bounded day spine, exact integer cents end to end.
+    q("ts_velocity_accel",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |v AS (SELECT day, x, x - lag(x) OVER (ORDER BY day) AS dx FROM d)
+        |SELECT day, CAST(x AS BIGINT) AS x_cents,
+        |  CAST(dx AS BIGINT) AS dx_cents,
+        |  CAST(dx - lag(dx) OVER (ORDER BY day) AS BIGINT) AS d2x_cents
+        |FROM v ORDER BY day""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val w = Window.orderBy("day")
+      d.withColumn("dx", col("x") - lag("x", 1).over(w))
+        .withColumn("d2x", col("dx") - lag("dx", 1).over(w))
+        .select(col("day"), col("x").cast(LongType).as("x_cents"),
+          col("dx").cast(LongType).as("dx_cents"),
+          col("d2x").cast(LongType).as("d2x_cents"))
+        .orderBy("day")
+    },
+
+    // Time-in-state accounting — total dwell time per event type, where
+    // an event "holds the state" until the user's next event (the
+    // session-analytics attribution of wall time to activities): one
+    // lead() pass per user partition, integer-micros duration sums,
+    // minutes by floor division, shares as exact rationals. Last event
+    // per user holds no state (no successor) — documented.
+    q("window_time_in_state",
+      """WITH s AS (SELECT user_id, event_type, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS nxt
+        |  FROM events),
+        |dur AS (SELECT event_type,
+        |    SUM(epoch_us(nxt) - epoch_us(ts)) AS us
+        |  FROM s WHERE nxt IS NOT NULL GROUP BY 1),
+        |tot AS (SELECT SUM(us) AS t FROM dur)
+        |SELECT event_type, CAST(us // 60000000 AS BIGINT) AS minutes,
+        |  CAST((2000000 * us + t) // (2 * t) AS BIGINT) / 1000000.0
+        |    AS share6
+        |FROM dur CROSS JOIN tot ORDER BY event_type""") { (s, dir) =>
+      val sq = T.t(s, dir, "events")
+        .withColumn("nxt", lead("ts", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .where(col("nxt").isNotNull)
+      val dur = sq.groupBy("event_type")
+        .agg(sum(expr("unix_micros(cast(nxt as timestamp))" +
+          " - unix_micros(cast(ts as timestamp))")).as("us"))
+      val tot = dur.agg(sum("us").as("t"))
+      dur.crossJoin(broadcast(tot))
+        .select(col("event_type"),
+          expr("us div 60000000").cast(LongType).as("minutes"),
+          T.r6("cast(us as decimal(38,0))", "t").as("share6"))
+        .orderBy("event_type")
     }
   )
 }

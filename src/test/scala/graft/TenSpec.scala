@@ -1152,6 +1152,46 @@ class TenSpec extends AnyFunSuite {
       s"JS divergence $js outside [0, ln2]")
   }
 
+  test("stat_permutation_test: p-value in (0,1], floor 1/(B+1)") {
+    val r = run("stat_permutation_test").collect().head
+    val p = r.getDouble(3)
+    assert(p >= 1.0 / 201 - 1e-6 && p <= 1.0, s"p-value $p out of range")
+    assert(r.getLong(2) >= 0 && r.getLong(2) <= 200)
+  }
+
+  test("agg_topn_other_rollup: exactly 5 named + Other, shares sum to 1") {
+    val rows = run("agg_topn_other_rollup").collect()
+    assert(rows.length == 6)
+    assert(rows.count(_.getString(0) == "Other") == 1)
+    val otherRow = rows.find(_.getString(0) == "Other").get
+    assert(rows.filter(_.getString(0) != "Other").forall(_.getLong(1) == 1))
+    val total = rows.map(_.getDouble(3)).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
+    // each named top-5 brand individually outweighs no other named below it
+    val named = rows.filter(_.getString(0) != "Other").map(_.getLong(2)).toSeq
+    assert(named == named.sorted.reverse, "top-5 not revenue-ordered")
+    assert(otherRow.getLong(1) > 1, "Other must absorb the tail")
+  }
+
+  test("ts_velocity_accel: differences telescope back to the series") {
+    val rows = run("ts_velocity_accel").collect().sortBy(_.getDate(0).getTime)
+    assert(rows.length >= 3)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getLong(2) == b.getLong(1) - a.getLong(1), "dx mismatch")
+      if (!a.isNullAt(2))
+        assert(b.getLong(3) == b.getLong(2) - a.getLong(2), "d2x mismatch")
+    }
+    assert(rows.head.isNullAt(2) && rows.head.isNullAt(3))
+  }
+
+  test("window_time_in_state shares sum to 1 and minutes are plausible") {
+    val rows = run("window_time_in_state").collect()
+    assert(rows.length == 5)
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
+    rows.foreach(r => assert(r.getLong(1) > 0))
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
