@@ -4935,6 +4935,226 @@ object GroupTen {
           expr("us div 60000000").cast(LongType).as("minutes"),
           T.r6("cast(us as decimal(38,0))", "t").as("share6"))
         .orderBy("event_type")
+    },
+
+    // Pinball (quantile) loss evaluation — the scoring rule for quantile
+    // forecasts: train-half P50/P90 by exact rank selection, test-half
+    // pinball losses kept INTEGRAL by scaling (×2 for the median's ½
+    // weights, ×10 for the 0.9/0.1 pair), one exact rational per metric.
+    // The eval harness every quantile-forecasting pipeline needs; splits
+    // by event_id parity — deterministic, disjoint.
+    q("ml_pinball_loss_eval",
+      """WITH e AS (SELECT event_type AS g, event_id,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |tr AS (SELECT g, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY y, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n
+        |  FROM e WHERE event_id % 2 = 0),
+        |q AS (SELECT g,
+        |    max(CASE WHEN rn = (n + 1) // 2 THEN y END) AS p50,
+        |    max(CASE WHEN rn = (9 * (n + 1) + 9) // 10 THEN y END) AS p90
+        |  FROM tr GROUP BY 1),
+        |tst AS (SELECT e.g AS g, CAST(count(*) AS BIGINT) AS n_test,
+        |    SUM(CASE WHEN y > p50 THEN y - p50 ELSE p50 - y END) AS l50x2,
+        |    SUM(CASE WHEN y > p90 THEN 9 * (y - p90) ELSE p90 - y END)
+        |      AS l90x10
+        |  FROM e JOIN q ON e.g = q.g WHERE event_id % 2 = 1 GROUP BY 1)
+        |SELECT tst.g AS event_type, n_test,
+        |  CAST(q.p50 AS BIGINT) AS p50_cents,
+        |  CAST(q.p90 AS BIGINT) AS p90_cents,
+        |  CAST((2000000 * l50x2 + 2 * n_test * 100)
+        |    // (2 * 2 * n_test * 100) AS BIGINT) / 1000000.0
+        |    AS pinball50_6,
+        |  CAST((2000000 * l90x10 + 10 * n_test * 100)
+        |    // (2 * 10 * n_test * 100) AS BIGINT) / 1000000.0
+        |    AS pinball90_6
+        |FROM tst JOIN q ON tst.g = q.g ORDER BY tst.g""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_type").as("g"), col("event_id"),
+          round(col("value") * 100).cast(LongType).as("y"))
+      val tr = e.filter(col("event_id") % 2 === 0)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy("y", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      val q9 = tr.groupBy("g")
+        .agg(max(when(expr("rn = (n + 1) div 2"), col("y"))).as("p50"),
+          max(when(expr("rn = (9 * (n + 1) + 9) div 10"), col("y")))
+            .as("p90"))
+      val tst = e.filter(col("event_id") % 2 === 1)
+        .join(broadcast(q9), "g")
+        .groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n_test"),
+          sum(when(col("y") > col("p50"), col("y") - col("p50"))
+            .otherwise(col("p50") - col("y"))).as("l50x2"),
+          sum(when(col("y") > col("p90"), (col("y") - col("p90")) * 9)
+            .otherwise(col("p90") - col("y"))).as("l90x10"))
+      tst.join(broadcast(q9), "g")
+        .select(col("g").as("event_type"), col("n_test"),
+          col("p50").cast(LongType).as("p50_cents"),
+          col("p90").cast(LongType).as("p90_cents"),
+          T.r6("l50x2", "2 * n_test * 100").as("pinball50_6"),
+          T.r6("l90x10", "10 * n_test * 100").as("pinball90_6"))
+        .orderBy("event_type")
+    },
+
+    // Learning curve — test accuracy of the two-class mean-midpoint
+    // threshold classifier at 25/50/75/100% of the training pool (the
+    // "is more data still helping" diagnostic): nested training subsets
+    // by pure event_id arithmetic, the decision threshold held as the
+    // exact rational (μ₊+μ₋)/2 and applied by integer cross-
+    // multiplication — no float ever classifies. One replicated train
+    // agg (4 sizes) + one replicated test agg, both map-side-combinable.
+    q("ml_learning_curve",
+      """WITH e AS (SELECT event_id, CAST(round(value * 100) AS BIGINT)
+        |    AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |sizes AS (SELECT unnest([1, 2, 3, 4]) AS k),
+        |tr AS (SELECT k,
+        |    SUM(CASE WHEN pos = 1 THEN y ELSE 0 END) AS sp,
+        |    SUM(CASE WHEN pos = 1 THEN 1 ELSE 0 END) AS np,
+        |    SUM(CASE WHEN pos = 0 THEN y ELSE 0 END) AS sn,
+        |    SUM(CASE WHEN pos = 0 THEN 1 ELSE 0 END) AS nn
+        |  FROM e CROSS JOIN sizes
+        |  WHERE event_id % 2 = 0 AND (event_id // 2) % 4 < k
+        |  GROUP BY 1),
+        |tst AS (SELECT k, np, nn, CAST(count(*) AS BIGINT) AS n_test,
+        |    SUM(CASE WHEN
+        |      (CASE WHEN CAST(y AS HUGEINT) * (2 * np * nn)
+        |         > CAST(sp * nn + sn * np AS HUGEINT) * 1
+        |         THEN 1 ELSE 0 END) = pos THEN 1 ELSE 0 END) AS correct
+        |  FROM e CROSS JOIN tr WHERE event_id % 2 = 1
+        |  GROUP BY 1, 2, 3)
+        |SELECT CAST(k * 25 AS BIGINT) AS train_pct,
+        |  CAST(np + nn AS BIGINT) AS n_train, n_test,
+        |  CAST((2000000 * correct + n_test) // (2 * n_test) AS BIGINT)
+        |    / 1000000.0 AS accuracy6
+        |FROM tst ORDER BY k""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_id"),
+          round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val sizes = s.range(1, 5).select(col("id").as("k"))
+      val tr = e.filter(col("event_id") % 2 === 0)
+        .crossJoin(broadcast(sizes))
+        .filter(expr("(event_id div 2) % 4 < k"))
+        .groupBy("k")
+        .agg(sum(when(col("pos") === 1, col("y")).otherwise(0L)).as("sp"),
+          sum(col("pos")).as("np"),
+          sum(when(col("pos") === 0, col("y")).otherwise(0L)).as("sn"),
+          sum(when(col("pos") === 0, 1L).otherwise(0L)).as("nn"))
+      e.filter(col("event_id") % 2 === 1)
+        .crossJoin(broadcast(tr))
+        .groupBy("k", "np", "nn")
+        .agg(count(lit(1)).cast(LongType).as("n_test"),
+          sum(when(
+            (when(expr("cast(y as decimal(38,0)) * (2 * np * nn)" +
+              " > cast(sp * nn + sn * np as decimal(38,0))"), 1L)
+              .otherwise(0L)) === col("pos"), 1L).otherwise(0L))
+            .as("correct"))
+        .select((col("k") * 25).cast(LongType).as("train_pct"),
+          (col("np") + col("nn")).cast(LongType).as("n_train"),
+          col("n_test"),
+          T.r6("correct", "n_test").as("accuracy6"))
+        .orderBy("train_pct")
+    },
+
+    // Order-to-first-ship aging buckets — the fulfillment-lag report
+    // (and an honest surface for the fixture's ship-before-order quirk,
+    // which gets its own 'pre-dated' bucket instead of silently skewing
+    // '0-7'): min-ship per order, integer day difference, CASE bucketing,
+    // exact rational shares. Two map-side-combinable aggs + one
+    // broadcast-total rollup.
+    q("agg_aging_buckets",
+      """WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS ship
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT o.o_orderkey,
+        |    CAST(CAST(fs.ship AS DATE) - CAST(o.o_orderdate AS DATE)
+        |      AS INT) AS days
+        |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey),
+        |b AS (SELECT CASE WHEN days < 0 THEN 'pre-dated'
+        |    WHEN days <= 7 THEN '0-7'
+        |    WHEN days <= 30 THEN '8-30' ELSE '31+' END AS bucket,
+        |    CASE WHEN days < 0 THEN 0 WHEN days <= 7 THEN 1
+        |    WHEN days <= 30 THEN 2 ELSE 3 END AS ord
+        |  FROM d),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS t FROM b)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_orders,
+        |  CAST((2000000 * count(*) + t) // (2 * t) AS BIGINT)
+        |    / 1000000.0 AS share6
+        |FROM b CROSS JOIN tot GROUP BY bucket, t
+        |ORDER BY min(ord)""") { (s, dir) =>
+      val fs = T.t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("ship"))
+      val d = T.t(s, dir, "orders")
+        .join(fs, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("days",
+          datediff(to_date(col("ship")), to_date(col("o_orderdate"))))
+      val b = d.select(
+        when(col("days") < 0, "pre-dated")
+          .when(col("days") <= 7, "0-7")
+          .when(col("days") <= 30, "8-30").otherwise("31+").as("bucket"),
+        when(col("days") < 0, 0).when(col("days") <= 7, 1)
+          .when(col("days") <= 30, 2).otherwise(3).as("ord"))
+      val tot = b.agg(count(lit(1)).cast(LongType).as("t"))
+      b.crossJoin(broadcast(tot))
+        .groupBy("bucket", "t")
+        .agg(count(lit(1)).cast(LongType).as("n_orders"),
+          T.r6("count(*)", "t").as("share6"), min("ord").as("o"))
+        .orderBy("o")
+        .select("bucket", "n_orders", "share6")
+    },
+
+    // Q-Q decile table — purchase vs click value distributions compared
+    // quantile-by-quantile (the distribution-drift VIEW that KS/CvM
+    // reduce to a scalar): exact rank-selected deciles per side on
+    // integer cents, paired into one 9-row table with the per-decile
+    // gap. Rank windows keyed by the bounded type domain.
+    q("stat_qq_deciles",
+      """WITH e AS (SELECT event_type,
+        |    CAST(round(value * 100) AS BIGINT) AS y, event_id
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |rk AS (SELECT event_type, y,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY y, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n FROM e),
+        |dec AS (SELECT unnest(range(1, 10)) AS d),
+        |q AS (SELECT d, event_type,
+        |    max(CASE WHEN rn = (d * (n + 1) + 9) // 10 THEN y END) AS qv
+        |  FROM rk CROSS JOIN dec GROUP BY 1, 2)
+        |SELECT d AS decile,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN qv END)
+        |    AS BIGINT) AS purchase_cents,
+        |  CAST(max(CASE WHEN event_type = 'click' THEN qv END)
+        |    AS BIGINT) AS click_cents,
+        |  CAST(max(CASE WHEN event_type = 'purchase' THEN qv END)
+        |    - max(CASE WHEN event_type = 'click' THEN qv END)
+        |    AS BIGINT) AS gap_cents
+        |FROM q GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type"),
+          round(col("value") * 100).cast(LongType).as("y"), col("event_id"))
+      val rk = e
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("event_type").orderBy("y", "event_id")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("event_type")))
+      val dec = s.range(1, 10).select(col("id").as("d"))
+      rk.crossJoin(broadcast(dec))
+        .groupBy("d", "event_type")
+        .agg(max(when(expr("rn = (d * (n + 1) + 9) div 10"), col("y")))
+          .as("qv"))
+        .groupBy(col("d").as("decile"))
+        .agg(
+          max(when(col("event_type") === "purchase", col("qv")))
+            .cast(LongType).as("purchase_cents"),
+          max(when(col("event_type") === "click", col("qv")))
+            .cast(LongType).as("click_cents"))
+        .withColumn("gap_cents",
+          (col("purchase_cents") - col("click_cents")).cast(LongType))
+        .orderBy("decile")
     }
   )
 }

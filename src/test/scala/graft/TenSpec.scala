@@ -1192,6 +1192,52 @@ class TenSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getLong(1) > 0))
   }
 
+  test("ml_pinball_loss_eval: p50 <= p90 and losses positive") {
+    val rows = run("ml_pinball_loss_eval").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "p50 > p90 impossible")
+      assert(r.getDouble(4) > 0.0 && r.getDouble(5) > 0.0)
+      // the 0.9-quantile pinball loss is smaller than the median's for
+      // right-skewed nonneg data only sometimes — don't over-assert
+    }
+  }
+
+  test("ml_learning_curve: nested training sets grow, accuracy bounded") {
+    val rows = run("ml_learning_curve").collect()
+    assert(rows.length == 4)
+    assert(rows.map(_.getLong(0)).toSeq == Seq(25L, 50L, 75L, 100L))
+    val sizes = rows.map(_.getLong(1)).toSeq
+    assert(sizes == sizes.sorted, "train sizes must be nested/increasing")
+    rows.foreach { r =>
+      val acc = r.getDouble(3)
+      assert(acc > 0.0 && acc <= 1.0)
+    }
+    // all rows score the same test set
+    assert(rows.map(_.getLong(2)).distinct.length == 1)
+  }
+
+  test("agg_aging_buckets: shares sum to 1, orders conserved") {
+    val rows = run("agg_aging_buckets").collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(2)).sum
+    assert(math.abs(total - 1.0) < 1e-5, s"shares sum to $total")
+    val nOrders = T.t(s, sf, "lineitem")
+      .select(countDistinct("l_orderkey")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(1)).sum == nOrders)
+  }
+
+  test("stat_qq_deciles: both sides monotone nondecreasing over deciles") {
+    val rows = run("stat_qq_deciles").collect().sortBy(_.getLong(0))
+    assert(rows.length == 9)
+    Seq(1, 2).foreach { c =>
+      val v = rows.map(_.getLong(c)).toSeq
+      assert(v == v.sorted, s"column $c not monotone: $v")
+    }
+    rows.foreach(r =>
+      assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "gap mismatch"))
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
