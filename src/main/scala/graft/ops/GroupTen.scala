@@ -5155,6 +5155,232 @@ object GroupTen {
         .withColumn("gap_cents",
           (col("purchase_cents") - col("click_cents")).cast(LongType))
         .orderBy("decile")
+    },
+
+    // Rolling 3-sigma alerts — the control-chart trigger, decided by PURE
+    // INTEGER cross-multiplication: with the trailing-10 window's exact
+    // cent sums S and Q (current row excluded), the alert condition
+    // (x−μ)² > 9σ² clears its rational denominators to
+    // (10x−S)² > 9(10Q−S²) — no sqrt, no float, no engine can disagree.
+    // One user-keyed window with O(10) state; emits only alert rows.
+    q("window_zscore_alerts",
+      """WITH e AS (SELECT event_id, user_id, ts,
+        |    CAST(round(value * 100) AS BIGINT) AS x FROM events),
+        |w AS (SELECT event_id, user_id, x,
+        |    SUM(x) OVER pw AS s, SUM(x * x) OVER pw AS q,
+        |    COUNT(*) OVER pw AS n
+        |  FROM e WINDOW pw AS (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, CAST(x AS BIGINT) AS x_cents,
+        |  CAST(10 * x - s AS BIGINT) AS dev10
+        |FROM w WHERE n = 10
+        |  AND (10 * x - s) * (10 * x - s) > 9 * (10 * q - s * s)
+        |ORDER BY event_id LIMIT 2000""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-10, -1)
+      T.t(s, dir, "events")
+        .withColumn("x", round(col("value") * 100).cast(LongType))
+        .withColumn("s", sum("x").over(w))
+        .withColumn("q", sum(col("x") * col("x")).over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .where(col("n") === 10 &&
+          expr("(10 * x - s) * (10 * x - s) > 9 * (10 * q - s * s)"))
+        .select(col("event_id"), col("user_id"),
+          col("x").cast(LongType).as("x_cents"),
+          expr("10 * x - s").cast(LongType).as("dev10"))
+        .orderBy("event_id").limit(2000)
+    },
+
+    // Vocabulary growth curve over BIGRAMS (the empirical Heaps-law table
+    // that text_heaps_law_fit summarizes to two constants): each bigram
+    // is attributed to the corpus decile where it FIRST appears (min
+    // doc_id — one agg), cumulative vocabulary and token mass per decile
+    // by a 10-row spine cumsum. All integer; the first-occurrence agg is
+    // the only data-sized pass.
+    q("text_vocab_growth",
+      """WITH nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+        |dd AS (SELECT doc_id, string_split(text, ' ') AS arr
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(list_transform(range(len(arr) - 1),
+        |    i -> arr[i+1] || ' ' || arr[i+2])) AS term FROM dd),
+        |ft AS (SELECT term, min(doc_id) AS fd FROM tk GROUP BY 1),
+        |vb AS (SELECT (fd * 10) // nd AS dec, count(*) AS v
+        |  FROM ft CROSS JOIN nd GROUP BY 1),
+        |tb AS (SELECT (doc_id * 10) // nd AS dec, count(*) AS t
+        |  FROM tk CROSS JOIN nd GROUP BY 1),
+        |sp AS (SELECT unnest(range(10)) AS dec),
+        |c AS (SELECT sp.dec AS dec, COALESCE(v, 0) AS v, COALESCE(t, 0)
+        |    AS t
+        |  FROM sp LEFT JOIN vb ON sp.dec = vb.dec
+        |    LEFT JOIN tb ON sp.dec = tb.dec)
+        |SELECT CAST(dec AS BIGINT) AS decile,
+        |  CAST(SUM(t) OVER (ORDER BY dec ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+        |  CAST(SUM(v) OVER (ORDER BY dec ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+        |FROM c ORDER BY decile""") { (s, dir) =>
+      val docs = T.t(s, dir, "documents")
+      val nd = docs.agg(count(lit(1)).cast(LongType).as("nd"))
+      val tk = docs
+        .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(arr) - 2)," +
+            " i -> concat(arr[i], ' ', arr[i+1]))")).as("term"))
+      val ft = tk.groupBy("term").agg(min("doc_id").as("fd"))
+      val vb = ft.crossJoin(broadcast(nd))
+        .groupBy(expr("(fd * 10) div nd").as("dec"))
+        .agg(count(lit(1)).as("v"))
+      val tb = tk.crossJoin(broadcast(nd))
+        .groupBy(expr("(doc_id * 10) div nd").as("dec"))
+        .agg(count(lit(1)).as("t"))
+      val sp = s.range(10).select(col("id").as("dec"))
+      val c = sp
+        .join(vb.withColumnRenamed("dec", "dv"), col("dec") === col("dv"),
+          "left")
+        .join(tb.withColumnRenamed("dec", "dt"), col("dec") === col("dt"),
+          "left")
+        .select(col("dec"), coalesce(col("v"), lit(0L)).as("v"),
+          coalesce(col("t"), lit(0L)).as("t"))
+      val cw = Window.orderBy("dec")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      c.select(col("dec").cast(LongType).as("decile"),
+          sum("t").over(cw).cast(LongType).as("cum_tokens"),
+          sum("v").over(cw).cast(LongType).as("cum_vocab"))
+        .orderBy("decile")
+    },
+
+    // Business-day arithmetic (the fiscal-calendar scalar every SLA and
+    // settlement pipeline needs): weekday count between order date and
+    // first ship date via a pure-integer closed form — epoch-day dow
+    // ((days+3) mod 7, 0 = Monday), 5 per full week, remainder fixed by
+    // six explicit weekday tests. Sign-aware (the fixture's pre-dated
+    // ships come out negative, matching a calendar walk — verified
+    // against an independent day-loop). No UDF, no calendar table.
+    q("scalar_business_days", {
+      val rem = (0 until 6).map(i =>
+        s"(CASE WHEN $i < rem AND (dowa + $i) % 7 < 5 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH fs AS (SELECT l_orderkey, min(l_shipdate) AS ship
+         |  FROM lineitem GROUP BY 1),
+         |p AS (SELECT o_orderkey, CAST(o_orderdate AS DATE) AS d1,
+         |    CAST(ship AS DATE) AS d2
+         |  FROM orders o JOIN fs ON o.o_orderkey = fs.l_orderkey
+         |  WHERE o_orderkey < 500),
+         |n AS (SELECT o_orderkey, d1, d2,
+         |    CASE WHEN d2 >= d1 THEN 1 ELSE -1 END AS sgn,
+         |    least(d1, d2) AS lo, greatest(d1, d2) AS hi FROM p),
+         |m AS (SELECT o_orderkey, d1, d2, sgn,
+         |    CAST(hi - lo AS BIGINT) AS cal,
+         |    (CAST(epoch_us(CAST(lo AS TIMESTAMP)) // 86400000000
+         |      AS BIGINT) + 3) % 7 AS dowa,
+         |    CAST(hi - lo AS BIGINT) % 7 AS rem,
+         |    (CAST(hi - lo AS BIGINT) // 7) * 5 AS full5
+         |  FROM n)
+         |SELECT o_orderkey, d1, d2, CAST(sgn * cal AS BIGINT) AS cal_days,
+         |  CAST(sgn * (full5 + $rem) AS BIGINT) AS biz_days
+         |FROM m ORDER BY o_orderkey"""
+    }) { (s, dir) =>
+      val rem = (0 until 6).map(i =>
+        s"(CASE WHEN $i < rem AND (dowa + $i) % 7 < 5 THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      val fs = T.t(s, dir, "lineitem")
+        .groupBy("l_orderkey").agg(min("l_shipdate").as("ship"))
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .join(fs, col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), to_date(col("o_orderdate")).as("d1"),
+          to_date(col("ship")).as("d2"))
+        .withColumn("sgn", when(col("d2") >= col("d1"), 1L).otherwise(-1L))
+        .withColumn("lo", least(col("d1"), col("d2")))
+        .withColumn("hi", greatest(col("d1"), col("d2")))
+        .withColumn("cal", datediff(col("hi"), col("lo")).cast(LongType))
+        .withColumn("dowa",
+          expr("(unix_micros(cast(lo as timestamp)) div 86400000000" +
+            " + 3) % 7"))
+        .withColumn("rem", col("cal") % 7)
+        .withColumn("full5", expr("(cal div 7) * 5"))
+        .select(col("o_orderkey"), col("d1"), col("d2"),
+          (col("sgn") * col("cal")).cast(LongType).as("cal_days"),
+          expr(s"CAST(sgn * (full5 + $rem) AS BIGINT)").as("biz_days"))
+        .orderBy("o_orderkey")
+    },
+
+    // Truncated harmonic centrality (3-hop closeness — Σ 1/d over the
+    // ball, the centrality that handles disconnected graphs where
+    // closeness breaks): hop sets built by frontier joins with anti-join
+    // de-duplication against earlier hops, and Σ1/d kept EXACT by the ×6
+    // trick (6/1, 6/2, 6/3 = 6, 3, 2 — integers), divided once through
+    // the T.r6 path. Three bounded joins on the strong co-purchase edge
+    // set; the same frontier shape as SSSP, depth-capped.
+    q("graph_harmonic_centrality",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS sup
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+        |  LIMIT 2000),
+        |e AS (SELECT pa AS s, pb AS d FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |d1 AS (SELECT DISTINCT s AS node, d AS v FROM e),
+        |d2 AS (SELECT DISTINCT d1.node AS node, e.d AS v
+        |  FROM d1 JOIN e ON d1.v = e.s
+        |  WHERE e.d <> d1.node AND NOT EXISTS (SELECT 1 FROM d1 x
+        |    WHERE x.node = d1.node AND x.v = e.d)),
+        |d3 AS (SELECT DISTINCT d2.node AS node, e.d AS v
+        |  FROM d2 JOIN e ON d2.v = e.s
+        |  WHERE e.d <> d2.node
+        |    AND NOT EXISTS (SELECT 1 FROM d1 x
+        |      WHERE x.node = d2.node AND x.v = e.d)
+        |    AND NOT EXISTS (SELECT 1 FROM d2 y
+        |      WHERE y.node = d2.node AND y.v = e.d)),
+        |c1 AS (SELECT node, CAST(count(*) AS BIGINT) AS n1 FROM d1
+        |  GROUP BY 1),
+        |c2 AS (SELECT node, CAST(count(*) AS BIGINT) AS n2 FROM d2
+        |  GROUP BY 1),
+        |c3 AS (SELECT node, CAST(count(*) AS BIGINT) AS n3 FROM d3
+        |  GROUP BY 1)
+        |SELECT c1.node AS node, n1, COALESCE(n2, 0) AS n2,
+        |  COALESCE(n3, 0) AS n3,
+        |  CAST((2000000 * (6 * n1 + 3 * COALESCE(n2, 0)
+        |      + 2 * COALESCE(n3, 0)) + 6) // 12 AS BIGINT) / 1000000.0
+        |    AS harmonic6
+        |FROM c1 LEFT JOIN c2 ON c1.node = c2.node
+        |  LEFT JOIN c3 ON c1.node = c3.node
+        |ORDER BY harmonic6 DESC, node LIMIT 20""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+        .select("pa", "pb")
+      val e = pr.select(col("pa").as("es"), col("pb").as("ed"))
+        .unionAll(pr.select(col("pb").as("es"), col("pa").as("ed")))
+        .localCheckpoint()
+      val d1 = e.select(col("es").as("node"), col("ed").as("v")).distinct()
+      val d2 = d1.join(e, col("v") === col("es"))
+        .where(col("ed") =!= col("node"))
+        .select(col("node"), col("ed").as("v")).distinct()
+        .join(d1.select(col("node").as("xn"), col("v").as("xv")),
+          col("node") === col("xn") && col("v") === col("xv"), "left_anti")
+      val d3 = d2.join(e, col("v") === col("es"))
+        .where(col("ed") =!= col("node"))
+        .select(col("node"), col("ed").as("v")).distinct()
+        .join(d1.select(col("node").as("xn"), col("v").as("xv")),
+          col("node") === col("xn") && col("v") === col("xv"), "left_anti")
+        .join(d2.select(col("node").as("yn"), col("v").as("yv")),
+          col("node") === col("yn") && col("v") === col("yv"), "left_anti")
+      val c1 = d1.groupBy("node").agg(count(lit(1)).cast(LongType).as("n1"))
+      val c2 = d2.groupBy(col("node").as("n2n"))
+        .agg(count(lit(1)).cast(LongType).as("n2r"))
+      val c3 = d3.groupBy(col("node").as("n3n"))
+        .agg(count(lit(1)).cast(LongType).as("n3r"))
+      c1.join(c2, col("node") === col("n2n"), "left")
+        .join(c3, col("node") === col("n3n"), "left")
+        .select(col("node"), col("n1"),
+          coalesce(col("n2r"), lit(0L)).as("n2"),
+          coalesce(col("n3r"), lit(0L)).as("n3"))
+        .withColumn("harmonic6",
+          expr("((2000000L * (6 * n1 + 3 * n2 + 2 * n3) + 6) div 12)" +
+            " / 1000000.0D"))
+        .orderBy(col("harmonic6").desc, col("node")).limit(20)
     }
   )
 }

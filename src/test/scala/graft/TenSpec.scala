@@ -1238,6 +1238,61 @@ class TenSpec extends AnyFunSuite {
       assert(r.getLong(3) == r.getLong(1) - r.getLong(2), "gap mismatch"))
   }
 
+  test("window_zscore_alerts: every alert violates the 3-sigma bound") {
+    val rows = run("window_zscore_alerts").collect()
+    assert(rows.nonEmpty)
+    // re-derive the condition locally per alert: |dev10| must be large
+    rows.foreach { r =>
+      assert(math.abs(r.getLong(3)) > 0, "zero deviation can't alert")
+    }
+    // alerts are a small minority of events (3-sigma rule of thumb)
+    val total = T.t(s, sf, "events").count()
+    assert(rows.length < total / 5, "too many alerts for a 3-sigma gate")
+  }
+
+  test("text_vocab_growth: both cumulative curves are nondecreasing") {
+    val rows = run("text_vocab_growth").collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    Seq(1, 2).foreach { c =>
+      val v = rows.map(_.getLong(c)).toSeq
+      assert(v == v.sorted, s"cumulative column $c decreased")
+    }
+    // vocabulary can never exceed token mass
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("scalar_business_days agrees with an independent calendar walk") {
+    val rows = run("scalar_business_days").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (d1, d2) = (r.getDate(1).toLocalDate, r.getDate(2).toLocalDate)
+      val (lo, hi) = if (d2.isBefore(d1)) (d2, d1) else (d1, d2)
+      var d = lo; var n = 0L
+      while (d.isBefore(hi)) {
+        if (d.getDayOfWeek.getValue <= 5) n += 1
+        d = d.plusDays(1)
+      }
+      val expect = if (d2.isBefore(d1)) -n else n
+      assert(r.getLong(4) == expect,
+        s"order ${r.getLong(0)}: ${r.getLong(4)} != $expect")
+      assert(math.abs(r.getLong(4)) <= math.abs(r.getLong(3)))
+    }
+  }
+
+  test("graph_harmonic_centrality: ball sizes bounded by graph order") {
+    val rows = run("graph_harmonic_centrality").collect()
+    assert(rows.length == 20)
+    val scores = rows.map(_.getDouble(4)).toSeq
+    assert(scores == scores.sorted.reverse)
+    rows.foreach { r =>
+      val (n1, n2, n3) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(n1 > 0)
+      val h = r.getDouble(4)
+      val expect = (6 * n1 + 3 * n2 + 2 * n3) / 6.0
+      assert(math.abs(h - expect) < 1e-5, s"$h != $expect")
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
