@@ -5381,6 +5381,189 @@ object GroupTen {
           expr("((2000000L * (6 * n1 + 3 * n2 + 2 * n3) + 6) div 12)" +
             " / 1000000.0D"))
         .orderBy(col("harmonic6").desc, col("node")).limit(20)
+    },
+
+    // Interval union coverage (the merge-overlapping-intervals operator —
+    // promo windows, maintenance windows, on-call coverage): deterministic
+    // per-customer intervals (start = order date, length keyed off the
+    // order key), islands found where a start exceeds the running max of
+    // prior ends (one customer-keyed window), then covered vs span day
+    // counts per customer. Pure integer date arithmetic.
+    q("etl_interval_union_coverage",
+      """WITH iv AS (SELECT o_custkey AS ck, CAST(o_orderdate AS DATE)
+        |    AS st,
+        |    CAST(o_orderdate AS DATE) + CAST(o_orderkey % 10 + 1 AS INT)
+        |      AS en, o_orderkey
+        |  FROM orders WHERE o_custkey < 200),
+        |m AS (SELECT ck, st, en, o_orderkey,
+        |    max(en) OVER (PARTITION BY ck ORDER BY st, en, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        |  FROM iv),
+        |isl AS (SELECT ck, st, en,
+        |    SUM(CASE WHEN pmax IS NULL OR st > pmax THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY ck ORDER BY st, en, o_orderkey
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        |  FROM m),
+        |g AS (SELECT ck, isl, min(st) AS ist, max(en) AS ien
+        |  FROM isl GROUP BY 1, 2)
+        |SELECT ck, CAST(count(*) AS BIGINT) AS n_islands,
+        |  CAST(SUM(ien - ist) AS BIGINT) AS covered_days,
+        |  CAST(max(ien) - min(ist) AS BIGINT) AS span_days
+        |FROM g GROUP BY 1 ORDER BY ck""") { (s, dir) =>
+      val iv = T.t(s, dir, "orders").filter(col("o_custkey") < 200)
+        .select(col("o_custkey").as("ck"),
+          to_date(col("o_orderdate")).as("st"),
+          expr("date_add(to_date(o_orderdate)," +
+            " cast(o_orderkey % 10 + 1 as int))").as("en"),
+          col("o_orderkey"))
+      val wPrev = Window.partitionBy("ck")
+        .orderBy("st", "en", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.partitionBy("ck").orderBy("st", "en", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val isl = iv
+        .withColumn("pmax", max("en").over(wPrev))
+        .withColumn("isl",
+          sum(when(col("pmax").isNull || col("st") > col("pmax"), 1L)
+            .otherwise(0L)).over(wCum))
+      isl.groupBy("ck", "isl")
+        .agg(min("st").as("ist"), max("en").as("ien"))
+        .groupBy("ck")
+        .agg(count(lit(1)).cast(LongType).as("n_islands"),
+          sum(datediff(col("ien"), col("ist"))).cast(LongType)
+            .as("covered_days"),
+          datediff(max("ien"), min("ist")).cast(LongType).as("span_days"))
+        .orderBy("ck")
+    },
+
+    // Watermark-lateness audit under a deterministic hash-sharded ingest
+    // (the number that sets a stream's withWatermark bound): arrival
+    // order within each of 8 shards is a multiplicative-hash shuffle of
+    // event_id — the partition-interleaved arrival a multi-partition
+    // source actually delivers — and each event's lateness is the
+    // per-shard running-max event time minus its own, in integer seconds.
+    // Per-shard: max lateness and the share of events behind the
+    // watermark. Shard-keyed windows; all integer.
+    q("dq_watermark_lateness",
+      """WITH a AS (SELECT event_id, ts,
+        |    (event_id * 2654435761) % 4294967296 % 8 AS shard,
+        |    (event_id * 2246822519) % 4294967296 AS arr
+        |  FROM events),
+        |w AS (SELECT shard, ts,
+        |    max(ts) OVER (PARTITION BY shard ORDER BY arr, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+        |  FROM a),
+        |l AS (SELECT shard,
+        |    CASE WHEN wm IS NULL OR wm <= ts THEN 0
+        |      ELSE (epoch_us(wm) - epoch_us(ts)) // 1000000 END AS late_s
+        |  FROM w)
+        |SELECT CAST(shard AS BIGINT) AS shard,
+        |  CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(max(late_s) AS BIGINT) AS max_late_s,
+        |  CAST((2000000 * SUM(CASE WHEN late_s > 0 THEN 1 ELSE 0 END)
+        |    + count(*)) // (2 * count(*)) AS BIGINT) / 1000000.0
+        |    AS late_rate6
+        |FROM l GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val a = T.t(s, dir, "events")
+        .select(col("event_id"), col("ts"),
+          expr("(event_id * 2654435761L) % 4294967296L % 8L").as("shard"),
+          expr("(event_id * 2246822519L) % 4294967296L").as("arr"))
+      val w = Window.partitionBy("shard").orderBy("arr", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      a.withColumn("wm", max("ts").over(w))
+        .withColumn("late_s",
+          when(col("wm").isNull || col("wm") <= col("ts"), 0L)
+            .otherwise(expr("(unix_micros(cast(wm as timestamp))" +
+              " - unix_micros(cast(ts as timestamp))) div 1000000")))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast(LongType).as("n_events"),
+          sum(when(col("late_s") > 0, 1L).otherwise(0L)).cast(LongType)
+            .as("n_late"),
+          max("late_s").cast(LongType).as("max_late_s"),
+          T.r6("sum(case when late_s > 0 then 1 else 0 end)", "count(*)")
+            .as("late_rate6"))
+        .select(col("shard").cast(LongType).as("shard"), col("n_events"),
+          col("n_late"), col("max_late_s"), col("late_rate6"))
+        .orderBy("shard")
+    },
+
+    // Lin's concordance correlation coefficient between discount and tax
+    // rates per return flag — the AGREEMENT measure (penalizes location
+    // and scale shift where Pearson forgives them; the metric of choice
+    // for method-comparison studies): CCC = 2S_xy/(S_x²+S_y²+n(μx−μy)²),
+    // cleared of all denominators into ONE integer rational of exact
+    // cent power sums — num = 2(nΣxy−ΣxΣy), den = nΣx²−(Σx)² + nΣy²
+    // −(Σy)² + (Σx−Σy)² — in DECIMAL(38,0)/HUGEINT via T.r6s.
+    q("stat_lin_ccc",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS x,
+        |    CAST(round(l_tax * 100) AS BIGINT) AS y FROM lineitem),
+        |m AS (SELECT f, CAST(count(*) AS BIGINT) AS n,
+        |    SUM(x) AS sx, SUM(y) AS sy,
+        |    SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |  FROM b GROUP BY 1),
+        |y AS (SELECT f, n,
+        |    2 * (n * sxy - sx * sy) AS numr,
+        |    (n * sxx - sx * sx) + (n * syy - sy * sy)
+        |      + (sx - sy) * (sx - sy) AS denr
+        |  FROM m)
+        |SELECT f AS l_returnflag, n,
+        |  (CASE WHEN numr < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(numr) + denr) // (2 * denr) AS BIGINT)
+        |    / 1000000.0 AS ccc6
+        |FROM y ORDER BY f""") { (s, dir) =>
+      val b = T.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"),
+          round(col("l_discount") * 100).cast(LongType).as("x"),
+          round(col("l_tax") * 100).cast(LongType).as("y"))
+      b.groupBy("f")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"),
+          sum(col("x") * col("y")).as("sxy"))
+        .withColumn("numr",
+          expr("2 * (cast(n as decimal(38,0)) * sxy - sx * sy)"))
+        .withColumn("denr",
+          expr("(cast(n as decimal(38,0)) * sxx - sx * sx)" +
+            " + (cast(n as decimal(38,0)) * syy - sy * sy)" +
+            " + cast(sx - sy as decimal(38,0)) * (sx - sy)"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          T.r6s("numr", "denr").as("ccc6"))
+        .orderBy("l_returnflag")
+    },
+
+    // Geometric mean of line revenue per return flag — the
+    // multiplicative-average aggregate (ratio/index data), via the
+    // quantize-then-sum rule: per-row ln(cents) rounded to integer
+    // micro-nats (one libm call on identical integer inputs), the SUM is
+    // an order-independent integer, and the final exp/÷100/round chain is
+    // the same IEEE sequence in both engines. Map-side-combinable
+    // end to end.
+    q("agg_geometric_mean",
+      """WITH b AS (SELECT l_returnflag AS f,
+        |    CAST(round(ln(CAST(CAST(round(l_extendedprice * 100)
+        |      AS BIGINT) AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS lnq
+        |  FROM lineitem),
+        |m AS (SELECT f, CAST(count(*) AS BIGINT) AS n, SUM(lnq) AS slnq
+        |  FROM b GROUP BY 1)
+        |SELECT f AS l_returnflag, n,
+        |  round(exp(CAST(slnq AS DOUBLE) / (CAST(n AS DOUBLE)
+        |    * 1000000.0)) / 100.0, 6) AS geomean6
+        |FROM m ORDER BY f""") { (s, dir) =>
+      val b = T.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("f"),
+          round(log(round(col("l_extendedprice") * 100).cast(LongType)
+            .cast(DoubleType)) * 1000000.0, 0).cast(LongType).as("lnq"))
+      b.groupBy("f")
+        .agg(count(lit(1)).cast(LongType).as("n"), sum("lnq").as("slnq"))
+        .select(col("f").as("l_returnflag"), col("n"),
+          round(exp(col("slnq").cast(DoubleType)
+            / (col("n").cast(DoubleType) * 1000000.0)) / 100.0, 6)
+            .as("geomean6"))
+        .orderBy("l_returnflag")
     }
   )
 }

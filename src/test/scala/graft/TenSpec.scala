@@ -1293,6 +1293,54 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("etl_interval_union_coverage: covered <= span, islands <= intervals") {
+    val rows = run("etl_interval_union_coverage").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(3), "covered days exceed span")
+      assert(r.getLong(1) >= 1)
+      // every island covers at least 1 day (min interval length is 1)
+      assert(r.getLong(2) >= r.getLong(1))
+    }
+  }
+
+  test("dq_watermark_lateness: 8 shards, counts conserve, rates bounded") {
+    val rows = run("dq_watermark_lateness").collect()
+    assert(rows.length == 8)
+    assert(rows.map(_.getLong(1)).sum == T.t(s, sf, "events").count())
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1))
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      // a hash-shuffled arrival order must produce substantial lateness
+      assert(r.getLong(2) > 0, s"shard ${r.getLong(0)}: no late events " +
+        "under a shuffled arrival — hash is not shuffling")
+    }
+  }
+
+  test("stat_lin_ccc: |CCC| <= 1 and CCC <= Pearson in magnitude sense") {
+    val rows = run("stat_lin_ccc").collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val c = r.getDouble(2)
+      assert(c >= -1.0 - 1e-6 && c <= 1.0 + 1e-6, s"CCC out of range: $c")
+    }
+  }
+
+  test("agg_geometric_mean lies between min and arithmetic mean") {
+    val rows = run("agg_geometric_mean").collect()
+    assert(rows.length == 3)
+    val stats = T.t(s, sf, "lineitem").groupBy("l_returnflag")
+      .agg(min("l_extendedprice").as("mn"), avg("l_extendedprice").as("am"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (mn, am) = stats(r.getString(0))
+      val gm = r.getDouble(2)
+      assert(gm >= mn - 1e-3 && gm <= am + 1e-3,
+        s"${r.getString(0)}: GM $gm outside [min=$mn, AM=$am]")
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
