@@ -5564,6 +5564,208 @@ object GroupTen {
             / (col("n").cast(DoubleType) * 1000000.0)) / 100.0, 6)
             .as("geomean6"))
         .orderBy("l_returnflag")
+    },
+
+    // Time-bounded funnel (view → click → purchase, each step within 24 h
+    // of the previous — the constrained variant of window_funnel_stages,
+    // where unbounded step credit becomes a step DEADLINE): three
+    // stepwise min-aggregations chained by user_id-co-partitioned joins,
+    // deadlines as pure integer micros comparisons, conversion rates as
+    // zero-guarded exact rationals. All three shuffles share the user_id
+    // key.
+    q("window_funnel_time_bound",
+      """WITH s1 AS (SELECT user_id, min(ts) AS t1 FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS user_id, min(e.ts) AS t2
+        |  FROM events e JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'click' AND e.ts >= s1.t1
+        |    AND epoch_us(e.ts) - epoch_us(s1.t1) <= 86400000000
+        |  GROUP BY 1),
+        |s3 AS (SELECT e.user_id AS user_id, min(e.ts) AS t3
+        |  FROM events e JOIN s2 ON e.user_id = s2.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts >= s2.t2
+        |    AND epoch_us(e.ts) - epoch_us(s2.t2) <= 86400000000
+        |  GROUP BY 1),
+        |c AS (SELECT
+        |    (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+        |      AS nu,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n3)
+        |SELECT nu AS n_users, n1 AS n_view, n2 AS n_click_24h,
+        |  n3 AS n_purchase_24h,
+        |  CASE WHEN n1 = 0 THEN 0.0 ELSE
+        |    CAST((2000000 * n2 + n1) // (2 * n1) AS BIGINT) / 1000000.0
+        |  END AS conv12_6,
+        |  CASE WHEN n2 = 0 THEN 0.0 ELSE
+        |    CAST((2000000 * n3 + n2) // (2 * n2) AS BIGINT) / 1000000.0
+        |  END AS conv23_6
+        |FROM c""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") >= col("t1") &&
+          expr("unix_micros(cast(ts as timestamp))" +
+            " - unix_micros(cast(t1 as timestamp)) <= 86400000000"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") >= col("t2") &&
+          expr("unix_micros(cast(ts as timestamp))" +
+            " - unix_micros(cast(t2 as timestamp)) <= 86400000000"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val nu = ev.agg(countDistinct("user_id").cast(LongType).as("nu"))
+      val n1 = s1.agg(count(lit(1)).cast(LongType).as("n1"))
+      val n2 = s2.agg(count(lit(1)).cast(LongType).as("n2"))
+      val n3 = s3.agg(count(lit(1)).cast(LongType).as("n3"))
+      nu.crossJoin(broadcast(n1)).crossJoin(broadcast(n2))
+        .crossJoin(broadcast(n3))
+        .select(col("nu").as("n_users"), col("n1").as("n_view"),
+          col("n2").as("n_click_24h"), col("n3").as("n_purchase_24h"),
+          expr("CASE WHEN n1 = 0 THEN 0.0D ELSE" +
+            " ((2000000L * n2 + n1) div (2L * n1)) / 1000000.0D END")
+            .as("conv12_6"),
+          expr("CASE WHEN n2 = 0 THEN 0.0D ELSE" +
+            " ((2000000L * n3 + n2) div (2L * n2)) / 1000000.0D END")
+            .as("conv23_6"))
+    },
+
+    // Odds ratio with Woolf confidence interval — the 2×2 epidemiology
+    // table (exposure: discount > 5%; outcome: returned): the OR itself
+    // is ONE exact integer rational (ad/bc via T.r6); the CI is the
+    // standard lnOR ± 1.96·√(1/a+1/b+1/c+1/d) chain written as the
+    // IDENTICAL IEEE sequence in both engines over exact integer counts,
+    // rounded once at 6dp (post-exp — no representability ties). One
+    // conditional agg over one scan.
+    q("stat_odds_ratio_ci",
+      """WITH b AS (SELECT
+        |    SUM(CASE WHEN l_discount > 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS a,
+        |    SUM(CASE WHEN l_discount > 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS bb,
+        |    SUM(CASE WHEN l_discount <= 0.05 AND l_returnflag = 'R'
+        |      THEN 1 ELSE 0 END) AS c,
+        |    SUM(CASE WHEN l_discount <= 0.05 AND l_returnflag <> 'R'
+        |      THEN 1 ELSE 0 END) AS d
+        |  FROM lineitem)
+        |SELECT CAST(a AS BIGINT) AS n11, CAST(bb AS BIGINT) AS n10,
+        |  CAST(c AS BIGINT) AS n01, CAST(d AS BIGINT) AS n00,
+        |  CAST((2000000 * a * d + bb * c) // (2 * bb * c) AS BIGINT)
+        |    / 1000000.0 AS odds_ratio6,
+        |  round(exp(ln(CAST(a * d AS DOUBLE) / CAST(bb * c AS DOUBLE))
+        |    - 1.96 * sqrt(1.0 / a + 1.0 / bb + 1.0 / c + 1.0 / d)), 6)
+        |    AS ci_lo6,
+        |  round(exp(ln(CAST(a * d AS DOUBLE) / CAST(bb * c AS DOUBLE))
+        |    + 1.96 * sqrt(1.0 / a + 1.0 / bb + 1.0 / c + 1.0 / d)), 6)
+        |    AS ci_hi6
+        |FROM b""") { (s, dir) =>
+      T.t(s, dir, "lineitem")
+        .agg(
+          sum(when(col("l_discount") > 0.05 &&
+            col("l_returnflag") === "R", 1L).otherwise(0L)).as("a"),
+          sum(when(col("l_discount") > 0.05 &&
+            col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("bb"),
+          sum(when(col("l_discount") <= 0.05 &&
+            col("l_returnflag") === "R", 1L).otherwise(0L)).as("c"),
+          sum(when(col("l_discount") <= 0.05 &&
+            col("l_returnflag") =!= "R", 1L).otherwise(0L)).as("d"))
+        .select(col("a").cast(LongType).as("n11"),
+          col("bb").cast(LongType).as("n10"),
+          col("c").cast(LongType).as("n01"),
+          col("d").cast(LongType).as("n00"),
+          T.r6("a * d", "bb * c").as("odds_ratio6"),
+          round(exp(log(expr("CAST(a * d AS DOUBLE)")
+              / expr("CAST(bb * c AS DOUBLE)"))
+            - lit(1.96) * sqrt(expr("1.0D / a + 1.0D / bb + 1.0D / c" +
+              " + 1.0D / d"))), 6).as("ci_lo6"),
+          round(exp(log(expr("CAST(a * d AS DOUBLE)")
+              / expr("CAST(bb * c AS DOUBLE)"))
+            + lit(1.96) * sqrt(expr("1.0D / a + 1.0D / bb + 1.0D / c" +
+              " + 1.0D / d"))), 6).as("ci_hi6"))
+    },
+
+    // Token-budget apportionment by the largest-remainder (Hamilton)
+    // method — exact integer allocation of a 1M-token sampling budget
+    // across sources proportional to their token mass, the data-mixture
+    // step after pipeline_mixture_sample decides rates: floor quotas,
+    // leftover seats to the largest remainders (source tiebreak). The
+    // allocation SUMS TO THE BUDGET EXACTLY, by construction — the
+    // property float-proportional allocation can't give. Bounded-spine
+    // rank window (one row per source).
+    q("pipeline_budget_apportion",
+      """WITH t AS (SELECT source,
+        |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tok
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT SUM(tok) AS tt FROM t),
+        |q AS (SELECT source, tok, (1000000 * tok) // tt AS fl,
+        |    (1000000 * tok) % tt AS rm FROM t CROSS JOIN tot),
+        |l AS (SELECT 1000000 - SUM(fl) AS left_over FROM q),
+        |rk AS (SELECT source, tok, fl,
+        |    row_number() OVER (ORDER BY rm DESC, source) AS rn FROM q)
+        |SELECT source, tok,
+        |  CAST(fl + CASE WHEN rn <= left_over THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc
+        |FROM rk CROSS JOIN l ORDER BY source""") { (s, dir) =>
+      val t = T.t(s, dir, "documents")
+        .groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast(LongType).as("tok"))
+      val tot = t.agg(sum("tok").as("tt"))
+      val q = t.crossJoin(broadcast(tot))
+        .withColumn("fl", expr("(1000000L * tok) div tt"))
+        .withColumn("rm", expr("(1000000L * tok) % tt"))
+      val l = q.agg((lit(1000000L) - sum("fl")).as("left_over"))
+      q.withColumn("rn", row_number().over(
+          Window.orderBy(col("rm").desc, col("source"))))
+        .crossJoin(broadcast(l))
+        .select(col("source"), col("tok"),
+          (col("fl") + when(col("rn") <= col("left_over"), 1L)
+            .otherwise(0L)).cast(LongType).as("alloc"))
+        .orderBy("source")
+    },
+
+    // Capture–recapture population estimation (Lincoln–Petersen +
+    // Chapman) — the mark-recapture estimator, which is exactly how you
+    // estimate a corpus's true distinct-document count from two
+    // overlapping crawl samples: the two "captures" are the even/odd
+    // order-key halves' customer sets, and both estimators are ONE
+    // integer rational each, audited against the true distinct count in
+    // the same row. Three distinct-aggs + one co-partitioned
+    // intersection join.
+    q("stat_capture_recapture",
+      """WITH s1 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey % 2 = 0),
+        |s2 AS (SELECT DISTINCT o_custkey FROM orders
+        |  WHERE o_orderkey % 2 = 1),
+        |c AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n2,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM s1 JOIN s2
+        |      USING (o_custkey)) AS m,
+        |    (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+        |      FROM orders) AS tn)
+        |SELECT n1, n2, m, tn AS true_n,
+        |  CAST((2000000 * n1 * n2 + m) // (2 * m) AS BIGINT)
+        |    / 1000000.0 AS lincoln6,
+        |  CAST((2000000 * ((n1 + 1) * (n2 + 1) - (m + 1)) + (m + 1))
+        |    // (2 * (m + 1)) AS BIGINT) / 1000000.0 AS chapman6
+        |FROM c""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      val s1 = o.filter(col("o_orderkey") % 2 === 0)
+        .select("o_custkey").distinct()
+      val s2 = o.filter(col("o_orderkey") % 2 === 1)
+        .select("o_custkey").distinct()
+      val n1 = s1.agg(count(lit(1)).cast(LongType).as("n1"))
+      val n2 = s2.agg(count(lit(1)).cast(LongType).as("n2"))
+      val m = s1.join(s2, "o_custkey")
+        .agg(count(lit(1)).cast(LongType).as("m"))
+      val tn = o.agg(countDistinct("o_custkey").cast(LongType).as("tn"))
+      n1.crossJoin(broadcast(n2)).crossJoin(broadcast(m))
+        .crossJoin(broadcast(tn))
+        .select(col("n1"), col("n2"), col("m"), col("tn").as("true_n"),
+          T.r6("n1 * n2", "m").as("lincoln6"),
+          T.r6("(n1 + 1) * (n2 + 1) - (m + 1)", "m + 1").as("chapman6"))
     }
   )
 }

@@ -1341,6 +1341,52 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("window_funnel_time_bound: stage counts only shrink down the funnel") {
+    val r = run("window_funnel_time_bound").collect().head
+    val (nu, n1, n2, n3) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(n1 <= nu && n2 <= n1 && n3 <= n2, s"funnel grows: $nu $n1 $n2 $n3")
+    Seq(4, 5).foreach { i =>
+      val c = r.getDouble(i)
+      assert(c >= 0.0 && c <= 1.0)
+    }
+  }
+
+  test("stat_odds_ratio_ci: OR inside its own CI, counts conserve") {
+    val r = run("stat_odds_ratio_ci").collect().head
+    val total = (0 to 3).map(r.getLong).sum
+    assert(total == T.t(s, sf, "lineitem").count())
+    val (or, lo, hi) = (r.getDouble(4), r.getDouble(5), r.getDouble(6))
+    assert(lo <= or && or <= hi, s"OR $or outside CI [$lo, $hi]")
+    assert(lo > 0.0)
+  }
+
+  test("pipeline_budget_apportion sums exactly to the 1M budget") {
+    val rows = run("pipeline_budget_apportion").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == 1000000L,
+      "largest-remainder allocation must hit the budget exactly")
+    // allocation is within 1 seat of the exact proportional quota
+    val totTok = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val exact = 1000000.0 * r.getLong(1) / totTok
+      assert(math.abs(r.getLong(2) - exact) < 1.0 + 1e-9,
+        s"${r.getString(0)}: alloc ${r.getLong(2)} vs quota $exact")
+    }
+  }
+
+  test("stat_capture_recapture estimates the true population closely") {
+    val r = run("stat_capture_recapture").collect().head
+    val (n1, n2, m, trueN) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    assert(m <= n1 && m <= n2)
+    val chapman = r.getDouble(5)
+    // with near-complete captures the estimator lands within a few
+    // percent of truth — the audit the key exists to demonstrate
+    assert(math.abs(chapman - trueN) < 0.1 * trueN,
+      s"Chapman $chapman vs true $trueN")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
