@@ -5766,6 +5766,248 @@ object GroupTen {
         .select(col("n1"), col("n2"), col("m"), col("tn").as("true_n"),
           T.r6("n1 * n2", "m").as("lincoln6"),
           T.r6("(n1 + 1) * (n2 + 1) - (m + 1)", "m + 1").as("chapman6"))
+    },
+
+    // Stratified average treatment effect (the Simpson's-paradox-aware
+    // causal estimate): treatment = deep discount, outcome = returned,
+    // strata = brand; per-stratum rate differences held exact as HALF_UP
+    // micro-unit INTEGERS (the r6 integer itself), then size-weighted by
+    // the quantize-then-sum rule into one rational — beside the naive
+    // pooled difference it corrects. Strata with an empty arm are
+    // excluded (documented). One scan + bounded-stratum rollup.
+    q("stat_stratified_ate",
+      """WITH b AS (SELECT p.p_brand AS st,
+        |    CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END AS tr,
+        |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+        |g AS (SELECT st,
+        |    SUM(CASE WHEN tr = 1 THEN y ELSE 0 END) AS a, SUM(tr) AS n1,
+        |    SUM(CASE WHEN tr = 0 THEN y ELSE 0 END) AS c,
+        |    SUM(1 - tr) AS n0
+        |  FROM b GROUP BY 1),
+        |k AS (SELECT st, n1 + n0 AS ns,
+        |    (CASE WHEN a * n0 - c * n1 < 0 THEN -1 ELSE 1 END)
+        |      * ((2000000 * abs(a * n0 - c * n1) + n1 * n0)
+        |        // (2 * n1 * n0)) AS dmu
+        |  FROM g WHERE n1 > 0 AND n0 > 0),
+        |s AS (SELECT SUM(ns) AS nn, SUM(ns * dmu) AS wsum,
+        |    CAST(count(*) AS BIGINT) AS n_strata FROM k),
+        |naive AS (SELECT
+        |    (CASE WHEN SUM(CASE WHEN tr = 1 THEN y ELSE 0 END)
+        |        * SUM(1 - tr) - SUM(CASE WHEN tr = 0 THEN y ELSE 0 END)
+        |        * SUM(tr) < 0 THEN -1 ELSE 1 END)
+        |    * ((2000000 * abs(SUM(CASE WHEN tr = 1 THEN y ELSE 0 END)
+        |        * SUM(1 - tr) - SUM(CASE WHEN tr = 0 THEN y ELSE 0 END)
+        |        * SUM(tr)) + SUM(tr) * SUM(1 - tr))
+        |      // (2 * SUM(tr) * SUM(1 - tr))) AS nmu
+        |  FROM b)
+        |SELECT n_strata, CAST(nn AS BIGINT) AS n_rows,
+        |  CAST(nmu AS BIGINT) / 1000000.0 AS naive_diff6,
+        |  (CASE WHEN wsum < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(wsum) + nn * 1000000)
+        |      // (2 * nn * 1000000) AS BIGINT) / 1000000.0 AS ate6
+        |FROM s CROSS JOIN naive""") { (s, dir) =>
+      val b = T.t(s, dir, "lineitem")
+        .join(broadcast(T.t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand").as("st"),
+          when(col("l_discount") > 0.05, 1L).otherwise(0L).as("tr"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("y"))
+      val g = b.groupBy("st")
+        .agg(sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("a"),
+          sum("tr").as("n1"),
+          sum(when(col("tr") === 0, col("y")).otherwise(0L)).as("c"),
+          sum(lit(1L) - col("tr")).as("n0"))
+      val k = g.where(col("n1") > 0 && col("n0") > 0)
+        .select((col("n1") + col("n0")).as("ns"),
+          expr("(CASE WHEN a * n0 - c * n1 < 0 THEN -1L ELSE 1L END)" +
+            " * ((2000000L * abs(a * n0 - c * n1) + n1 * n0)" +
+            " div (2L * n1 * n0))").as("dmu"))
+      val sAgg = k.agg(sum("ns").as("nn"),
+        sum(col("ns") * col("dmu")).as("wsum"),
+        count(lit(1)).cast(LongType).as("n_strata"))
+      val naive = b.agg(
+          sum(when(col("tr") === 1, col("y")).otherwise(0L)).as("na"),
+          sum("tr").as("nn1"),
+          sum(when(col("tr") === 0, col("y")).otherwise(0L)).as("nc"),
+          sum(lit(1L) - col("tr")).as("nn0"))
+        .select(expr("(CASE WHEN na * nn0 - nc * nn1 < 0 THEN -1L" +
+          " ELSE 1L END) * ((2000000L * abs(na * nn0 - nc * nn1)" +
+          " + nn1 * nn0) div (2L * nn1 * nn0))").as("nmu"))
+      sAgg.crossJoin(broadcast(naive))
+        .select(col("n_strata"), col("nn").cast(LongType).as("n_rows"),
+          (col("nmu").cast(DoubleType) / 1000000.0d).as("naive_diff6"),
+          T.r6s("cast(wsum as decimal(38,0))", "nn * 1000000")
+            .as("ate6"))
+    },
+
+    // Seasonality strength of the daily revenue series — Hyndman's F_s
+    // measure 1 − Var(remainder)/Var(seasonal+remainder) over the STL
+    // components, assembled from the SAME exact construction as
+    // ts_stl_decompose with each component quantized to its HALF_UP
+    // micro-unit integer (quantize-then-sum), both variances as integer
+    // power sums in DECIMAL(38,0)/HUGEINT, the ratio ONE rational.
+    q("ts_seasonality_strength",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    SUM(x) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS s7,
+        |    COUNT(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING
+        |      AND 3 FOLLOWING) AS c7 FROM d),
+        |inter AS (SELECT day, x, s7, 7 * x - s7 AS det7,
+        |    CAST(date_part('dow', day) AS INT) AS dow
+        |  FROM w WHERE c7 = 7),
+        |sd AS (SELECT dow, SUM(det7) AS sdet,
+        |    CAST(count(*) AS BIGINT) AS nd FROM inter GROUP BY 1),
+        |mu AS (SELECT day,
+        |    (CASE WHEN sdet < 0 THEN -1 ELSE 1 END)
+        |      * ((2000000 * abs(sdet) + 700 * nd) // (2 * 700 * nd))
+        |      AS smu,
+        |    (CASE WHEN nd * det7 - sdet < 0 THEN -1 ELSE 1 END)
+        |      * ((2000000 * abs(nd * det7 - sdet) + 700 * nd)
+        |        // (2 * 700 * nd)) AS rmu
+        |  FROM inter JOIN sd ON inter.dow = sd.dow),
+        |v AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(rmu AS HUGEINT) * rmu) AS rq, SUM(rmu) AS rs,
+        |    SUM(CAST(smu + rmu AS HUGEINT) * (smu + rmu)) AS bq,
+        |    SUM(smu + rmu) AS bs
+        |  FROM mu),
+        |f AS (SELECT n, (n * bq - bs * bs) - (n * rq - rs * rs) AS numr,
+        |    n * bq - bs * bs AS denr FROM v)
+        |SELECT CAST(n AS BIGINT) AS n_days,
+        |  (CASE WHEN numr < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(numr) + denr) // (2 * denr) AS BIGINT)
+        |    / 1000000.0 AS strength6
+        |FROM f""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val w7 = Window.orderBy("day").rowsBetween(-3, 3)
+      val inter = d
+        .withColumn("s7", sum("x").over(w7))
+        .withColumn("c7", count(lit(1)).over(w7))
+        .where(col("c7") === 7)
+        .withColumn("det7", lit(7) * col("x") - col("s7"))
+        .withColumn("dow", (dayofweek(col("day")) - 1).cast(IntegerType))
+      val sd = inter.groupBy(col("dow").as("sdw"))
+        .agg(sum("det7").as("sdet"), count(lit(1)).cast(LongType).as("nd"))
+      val mu = inter.join(broadcast(sd), col("dow") === col("sdw"))
+        .select(
+          expr("(CASE WHEN sdet < 0 THEN -1L ELSE 1L END)" +
+            " * ((2000000L * abs(sdet) + 700L * nd)" +
+            " div (2L * 700L * nd))").as("smu"),
+          expr("(CASE WHEN nd * det7 - sdet < 0 THEN -1L ELSE 1L END)" +
+            " * ((2000000L * abs(nd * det7 - sdet) + 700L * nd)" +
+            " div (2L * 700L * nd))").as("rmu"))
+      mu.agg(count(lit(1)).cast(LongType).as("n"),
+          sum(expr("cast(rmu as decimal(38,0)) * rmu")).as("rq"),
+          sum("rmu").as("rs"),
+          sum(expr("cast(smu + rmu as decimal(38,0)) * (smu + rmu)"))
+            .as("bq"),
+          sum(expr("smu + rmu")).as("bs"))
+        .withColumn("numr",
+          expr("(n * bq - cast(bs as decimal(38,0)) * bs)" +
+            " - (n * rq - cast(rs as decimal(38,0)) * rs)"))
+        .withColumn("denr",
+          expr("n * bq - cast(bs as decimal(38,0)) * bs"))
+        .select(col("n").as("n_days"),
+          T.r6s("numr", "denr").as("strength6"))
+    },
+
+    // Trimmed mean (drop the bottom and top 10% by exact rank, average
+    // the middle 80%) — the robust location estimate that, unlike the
+    // winsorized key, EXCLUDES the tails instead of clamping them:
+    // type-keyed rank window on integer cents, one exact rational per
+    // type.
+    q("agg_trimmed_mean",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y, event_id
+        |  FROM events),
+        |rk AS (SELECT g, y,
+        |    row_number() OVER (PARTITION BY g ORDER BY y, event_id) AS rn,
+        |    count(*) OVER (PARTITION BY g) AS n FROM e),
+        |mid AS (SELECT g, CAST(count(*) AS BIGINT) AS n_kept, SUM(y) AS sy
+        |  FROM rk WHERE rn > n // 10 AND rn <= n - n // 10 GROUP BY 1)
+        |SELECT g AS event_type, n_kept,
+        |  CAST((2000000 * sy + 100 * n_kept) // (2 * 100 * n_kept)
+        |    AS BIGINT) / 1000000.0 AS trimmed_mean6
+        |FROM mid ORDER BY g""") { (s, dir) =>
+      val rk = T.t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("y"), col("event_id"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("g").orderBy("y", "event_id")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("g")))
+      rk.where(expr("rn > n div 10 AND rn <= n - n div 10"))
+        .groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n_kept"),
+          sum("y").as("sy"))
+        .select(col("g").as("event_type"), col("n_kept"),
+          T.r6("sy", "100 * n_kept").as("trimmed_mean6"))
+        .orderBy("event_type")
+    },
+
+    // Johnson–Lindenstrauss projection audit — random ±1 projection to 8
+    // dims with DETERMINISTIC hash signs, distortion measured per pair as
+    // d²_proj/(m·d²_orig) (expectation 1 by the JL lemma): embeddings
+    // quantized to integer units first (round(x·64)), so every distance
+    // and projection is EXACT integer arithmetic and the distortion is
+    // one rational. The dimensionality-reduction pre-check for the
+    // vector-search family.
+    q("vector_jl_projection_audit",
+      """WITH q AS (SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(round(x * 64) AS BIGINT)) AS qv
+        |  FROM embeddings WHERE vec_id < 100),
+        |pr AS (SELECT a.vec_id // 2 AS pid, a.qv AS qa, b.qv AS qb
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id + 1
+        |    AND a.vec_id % 2 = 0),
+        |dims AS (SELECT pid, unnest(range(len(qa))) AS i,
+        |    unnest(qa) AS xa, unnest(qb) AS xb FROM pr),
+        |d2o AS (SELECT pid, SUM((xa - xb) * (xa - xb)) AS d2 FROM dims
+        |  GROUP BY 1),
+        |proj AS (SELECT pid, k,
+        |    SUM((1 - 2 * ((i * 2654435761 + k * 40503) % 4294967296 % 2))
+        |      * (xa - xb)) AS pd
+        |  FROM dims CROSS JOIN (SELECT unnest(range(8)) AS k)
+        |  GROUP BY 1, 2),
+        |d2p AS (SELECT pid, SUM(pd * pd) AS d2 FROM proj GROUP BY 1)
+        |SELECT d2o.pid AS pair_id, CAST(d2o.d2 AS BIGINT) AS d2_orig,
+        |  CAST(d2p.d2 AS BIGINT) AS d2_proj,
+        |  CAST((2000000 * d2p.d2 + 8 * d2o.d2) // (2 * 8 * d2o.d2)
+        |    AS BIGINT) / 1000000.0 AS distortion6
+        |FROM d2o JOIN d2p ON d2o.pid = d2p.pid
+        |ORDER BY pair_id LIMIT 50""") { (s, dir) =>
+      val q = T.t(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(x * 64) as bigint))")
+          .as("qv"))
+      val pr = q.as("a")
+        .join(q.as("b"), expr("b.vec_id = a.vec_id + 1" +
+          " AND a.vec_id % 2 = 0"))
+        .select(expr("a.vec_id div 2").as("pid"),
+          col("a.qv").as("qa"), col("b.qv").as("qb"))
+      val dims = pr.select(col("pid"),
+          posexplode(expr("arrays_zip(qa, qb)")).as(Seq("i", "z")))
+        .select(col("pid"), col("i").cast(LongType).as("i"),
+          col("z.qa").as("xa"), col("z.qb").as("xb"))
+      val d2o = dims.groupBy("pid")
+        .agg(sum((col("xa") - col("xb")) * (col("xa") - col("xb")))
+          .as("d2o"))
+      val proj = dims
+        .crossJoin(broadcast(s.range(8).select(col("id").as("k"))))
+        .groupBy("pid", "k")
+        .agg(sum(expr("(1 - 2 * ((i * 2654435761L + k * 40503L)" +
+          " % 4294967296L % 2)) * (xa - xb)")).as("pd"))
+      val d2p = proj.groupBy(col("pid").as("ppid"))
+        .agg(sum(col("pd") * col("pd")).as("d2p"))
+      d2o.join(d2p, col("pid") === col("ppid"))
+        .select(col("pid").as("pair_id"),
+          col("d2o").cast(LongType).as("d2_orig"),
+          col("d2p").cast(LongType).as("d2_proj"),
+          T.r6("d2p", "8 * d2o").as("distortion6"))
+        .orderBy("pair_id").limit(50)
     }
   )
 }

@@ -1387,6 +1387,52 @@ class TenSpec extends AnyFunSuite {
       s"Chapman $chapman vs true $trueN")
   }
 
+  test("stat_stratified_ate: both estimates bounded, rows conserve") {
+    val r = run("stat_stratified_ate").collect().head
+    assert(r.getLong(0) > 0)
+    Seq(2, 3).foreach { i =>
+      val v = r.getDouble(i)
+      assert(v >= -1.0 && v <= 1.0, s"rate diff $v out of [-1,1]")
+    }
+  }
+
+  test("ts_seasonality_strength lies in [0, 1] up to rounding") {
+    val r = run("ts_seasonality_strength").collect().head
+    val f = r.getDouble(1)
+    // F_s = 1 - Var(R)/Var(S+R): can dip slightly below 0 when seasonal
+    // and remainder anticorrelate, never above 1
+    assert(f <= 1.0 + 1e-6 && f > -0.5, s"implausible strength $f")
+    assert(r.getLong(0) > 0)
+  }
+
+  test("agg_trimmed_mean sits between the type's p10 and p90") {
+    val rows = run("agg_trimmed_mean").collect()
+    assert(rows.length == 5)
+    val qs = T.t(s, sf, "events").groupBy("event_type")
+      .agg(expr("percentile(value, 0.1)").as("p10"),
+        expr("percentile(value, 0.9)").as("p90"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2)))
+      .toMap
+    rows.foreach { r =>
+      val (p10, p90) = qs(r.getString(0))
+      val tm = r.getDouble(2)
+      assert(tm >= p10 - 1e-6 && tm <= p90 + 1e-6,
+        s"${r.getString(0)}: trimmed mean $tm outside [$p10, $p90]")
+    }
+  }
+
+  test("vector_jl_projection_audit: mean distortion near 1 (JL lemma)") {
+    val rows = run("vector_jl_projection_audit").collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      assert(r.getLong(1) > 0, "identical pair degenerate")
+      assert(r.getDouble(3) >= 0.0)
+    }
+    val mean = rows.map(_.getDouble(3)).sum / rows.length
+    // E[distortion] = 1; at m=8 the average over 50 pairs concentrates
+    assert(mean > 0.5 && mean < 1.6, s"mean distortion $mean far from 1")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
