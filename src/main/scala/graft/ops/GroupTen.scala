@@ -6008,6 +6008,205 @@ object GroupTen {
           col("d2p").cast(LongType).as("d2_proj"),
           T.r6("d2p", "8 * d2o").as("distortion6"))
         .orderBy("pair_id").limit(50)
+    },
+
+    // Expected calibration error — the ONE-NUMBER summary of
+    // ml_calibration_bins (score = value scaled to [0,1], label =
+    // purchase, 10 equal-width bins): the per-bin |accuracy−confidence|
+    // has common denominator n_b·maxc, so the n_b-weighted ECE sum
+    // telescopes to Σ|pos_b·maxc − Σy_b| / (N·maxc) — ONE pure-integer
+    // rational, no per-bin float ever. Two map-side-combinable aggs.
+    q("ml_expected_calibration_error",
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |mx AS (SELECT max(y) AS maxc, CAST(count(*) AS BIGINT) AS n
+        |  FROM e),
+        |b AS (SELECT (y * 10) // (maxc + 1) AS bin, pos, y
+        |  FROM e CROSS JOIN mx),
+        |g AS (SELECT bin, CAST(count(*) AS BIGINT) AS nb, SUM(pos)
+        |    AS posb, SUM(y) AS syb FROM b GROUP BY 1),
+        |s AS (SELECT SUM(abs(posb * maxc - syb)) AS num
+        |  FROM g CROSS JOIN mx)
+        |SELECT n, CAST(maxc AS BIGINT) AS max_cents,
+        |  CAST((2000000 * num + n * maxc) // (2 * n * maxc) AS BIGINT)
+        |    / 1000000.0 AS ece6
+        |FROM s CROSS JOIN mx""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val mx = e.agg(max("y").as("maxc"),
+        count(lit(1)).cast(LongType).as("n"))
+      val g = e.crossJoin(broadcast(mx))
+        .groupBy(expr("(y * 10) div (maxc + 1)").as("bin"))
+        .agg(sum("pos").as("posb"), sum("y").as("syb"),
+          max("maxc").as("mc"))
+      g.agg(sum(abs(col("posb") * col("mc") - col("syb"))).as("num"))
+        .crossJoin(broadcast(mx))
+        .select(col("n"), col("maxc").cast(LongType).as("max_cents"),
+          T.r6("num", "n * maxc").as("ece6"))
+    },
+
+    // Rolling regression slope (beta) of purchase revenue on click
+    // revenue over a trailing 14-day window — the moving-relationship
+    // monitor beside window_rolling_corr's strength: all five windowed
+    // moments are exact integer cents on the bounded day spine, the
+    // slope is ONE rational per row (numerator pre-cast DECIMAL(38,0)
+    // inside T.r6s; DuckDB window sums are HUGEINT).
+    q("window_rolling_beta",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS x,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day,
+        |    SUM(x) OVER pw AS sx, SUM(y) OVER pw AS sy,
+        |    SUM(x * y) OVER pw AS sxy, SUM(x * x) OVER pw AS sxx,
+        |    COUNT(*) OVER pw AS n
+        |  FROM d WINDOW pw AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
+        |    AND CURRENT ROW))
+        |SELECT day,
+        |  (CASE WHEN 14 * sxy - sx * sy < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(14 * sxy - sx * sy)
+        |        + (14 * sxx - sx * sx))
+        |      // (2 * (14 * sxx - sx * sx)) AS BIGINT) / 1000000.0
+        |    AS beta6
+        |FROM w WHERE n = 14 ORDER BY day""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "click",
+            round(col("value") * 100).cast(LongType)).otherwise(0L))
+            .as("x"),
+          sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast(LongType)).otherwise(0L))
+            .as("y"))
+      val pw = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
+      d.withColumn("sx", sum("x").over(pw))
+        .withColumn("sy", sum("y").over(pw))
+        .withColumn("sxy", sum(col("x") * col("y")).over(pw))
+        .withColumn("sxx", sum(col("x") * col("x")).over(pw))
+        .withColumn("n", count(lit(1)).over(pw))
+        .where(col("n") === 14)
+        .select(col("day"),
+          T.r6s("cast(14 * sxy - sx * sy as decimal(38,0))",
+            "14 * sxx - sx * sx").as("beta6"))
+        .orderBy("day")
+    },
+
+    // Rich-club coefficient φ(k) at k = 2,4,8,16 — do high-degree nodes
+    // preferentially connect to each other? (the structural elite-core
+    // question): degrees on the strong co-purchase edge set, φ(k) =
+    // 2E_k/(N_k(N_k−1)) as zero-guarded exact rationals. Degree joins
+    // are broadcast-sized on the bounded edge set; the k ladder is a
+    // 4-row spine.
+    q("graph_rich_club",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS sup
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+        |  LIMIT 2000),
+        |e AS (SELECT pa AS s, pb AS d FROM pr
+        |  UNION ALL SELECT pb, pa FROM pr),
+        |deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg FROM e
+        |  GROUP BY 1),
+        |ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+        |nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+        |  FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+        |ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+        |  FROM pr JOIN deg da ON pr.pa = da.node
+        |    JOIN deg db ON pr.pb = db.node
+        |  CROSS JOIN ks WHERE da.dg > k AND db.dg > k GROUP BY 1)
+        |SELECT CAST(ks.k AS BIGINT) AS k, COALESCE(n_k, 0) AS n_k,
+        |  COALESCE(e_k, 0) AS e_k,
+        |  CASE WHEN COALESCE(n_k, 0) <= 1 THEN 0.0 ELSE
+        |    CAST((2000000 * 2 * COALESCE(e_k, 0) + n_k * (n_k - 1))
+        |      // (2 * n_k * (n_k - 1)) AS BIGINT) / 1000000.0
+        |  END AS phi6
+        |FROM ks LEFT JOIN nk ON ks.k = nk.k
+        |  LEFT JOIN ek ON ks.k = ek.k ORDER BY ks.k""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+        .select("pa", "pb").localCheckpoint()
+      val e = pr.select(col("pa").as("es"))
+        .unionAll(pr.select(col("pb").as("es")))
+      val deg = e.groupBy(col("es").as("node"))
+        .agg(count(lit(1)).cast(LongType).as("dg"))
+      val ks = s.range(5).select(
+        expr("cast(pow(2, id + 1) as bigint)").as("k"))
+        .filter(col("k") <= 16)
+      val nk = deg.crossJoin(broadcast(ks)).where(col("dg") > col("k"))
+        .groupBy(col("k").as("nkk"))
+        .agg(count(lit(1)).cast(LongType).as("n_k"))
+      val ek = pr
+        .join(broadcast(deg.select(col("node").as("na"),
+          col("dg").as("da"))), col("pa") === col("na"))
+        .join(broadcast(deg.select(col("node").as("nb"),
+          col("dg").as("db"))), col("pb") === col("nb"))
+        .crossJoin(broadcast(ks))
+        .where(col("da") > col("k") && col("db") > col("k"))
+        .groupBy(col("k").as("ekk"))
+        .agg(count(lit(1)).cast(LongType).as("e_k"))
+      ks.join(nk, col("k") === col("nkk"), "left")
+        .join(ek, col("k") === col("ekk"), "left")
+        .select(col("k").cast(LongType).as("k"),
+          coalesce(col("n_k"), lit(0L)).as("n_k"),
+          coalesce(col("e_k"), lit(0L)).as("e_k"))
+        .withColumn("phi6",
+          expr("CASE WHEN n_k <= 1 THEN 0.0D ELSE" +
+            " ((2000000L * 2 * e_k + n_k * (n_k - 1))" +
+            " div (2L * n_k * (n_k - 1))) / 1000000.0D END"))
+        .orderBy("k")
+    },
+
+    // Value-at-Risk and conditional VaR (expected shortfall) of the
+    // daily revenue CHANGE series — the risk-tail pair every financial
+    // monitor reports: day-over-day deltas in exact cents, VaR95 by
+    // exact rank selection (⌈n/20⌉-th smallest), CVaR as the exact
+    // rational mean of the selected tail. All integer until the final
+    // ÷100; the rank window runs on the bounded day spine.
+    q("agg_var_cvar",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |dxs AS (SELECT x - lag(x) OVER (ORDER BY day) AS dx FROM d),
+        |v AS (SELECT dx FROM dxs WHERE dx IS NOT NULL),
+        |rk AS (SELECT dx, row_number() OVER (ORDER BY dx) AS rn,
+        |    count(*) OVER () AS n FROM v),
+        |q AS (SELECT max(n) AS nq,
+        |    max(CASE WHEN rn = (n + 19) // 20 THEN dx END) AS qv FROM rk),
+        |tail AS (SELECT nq, qv, CAST(count(*) AS BIGINT) AS nt,
+        |    SUM(rk.dx) AS st
+        |  FROM rk CROSS JOIN q WHERE rk.dx <= qv GROUP BY 1, 2)
+        |SELECT CAST(nq AS BIGINT) AS n_days,
+        |  CAST(-qv AS BIGINT) AS var95_cents,
+        |  (CASE WHEN -st < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(st) + nt * 100) // (2 * nt * 100)
+        |      AS BIGINT) / 1000000.0 AS cvar95_loss6
+        |FROM tail""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val v = d.withColumn("dx", col("x") - lag("x", 1)
+          .over(Window.orderBy("day")))
+        .where(col("dx").isNotNull).select("dx")
+      val rk = v
+        .withColumn("rn", row_number().over(Window.orderBy("dx")))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(lit(1))))
+      val q9 = rk.agg(max("n").as("nq"),
+        max(when(expr("rn = (n + 19) div 20"), col("dx"))).as("qv"))
+      rk.crossJoin(broadcast(q9))
+        .where(col("dx") <= col("qv"))
+        .groupBy("nq", "qv")
+        .agg(count(lit(1)).cast(LongType).as("nt"), sum("dx").as("st"))
+        .select(col("nq").cast(LongType).as("n_days"),
+          (-col("qv")).cast(LongType).as("var95_cents"),
+          T.r6s("-st", "nt * 100").as("cvar95_loss6"))
     }
   )
 }

@@ -1433,6 +1433,45 @@ class TenSpec extends AnyFunSuite {
     assert(mean > 0.5 && mean < 1.6, s"mean distortion $mean far from 1")
   }
 
+  test("ml_expected_calibration_error is a bounded telescoped rational") {
+    val r = run("ml_expected_calibration_error").collect().head
+    val ece = r.getDouble(2)
+    assert(ece >= 0.0 && ece <= 1.0, s"ECE out of [0,1]: $ece")
+    assert(r.getLong(0) == T.t(s, sf, "events").count())
+  }
+
+  test("window_rolling_beta: full 14-day frames only, finite values") {
+    val rows = run("window_rolling_beta").collect()
+    assert(rows.nonEmpty)
+    val nDays = T.t(s, sf, "events")
+      .select(countDistinct(to_date(col("ts")))).collect().head.getLong(0)
+    assert(rows.length == nDays - 13, "one row per full 14-day frame")
+    rows.foreach(r => assert(!r.getDouble(1).isNaN))
+  }
+
+  test("graph_rich_club: phi in [0,1], club sizes shrink with k") {
+    val rows = run("graph_rich_club").collect().sortBy(_.getLong(0))
+    assert(rows.length == 4)
+    val nks = rows.map(_.getLong(1)).toSeq
+    assert(nks == nks.sorted.reverse, "club must shrink as k grows")
+    rows.foreach { r =>
+      val phi = r.getDouble(3)
+      assert(phi >= 0.0 && phi <= 1.0, s"phi out of range: $phi")
+      // edges within the club can't exceed the club's complete graph
+      val nk = r.getLong(1)
+      assert(2 * r.getLong(2) <= nk * (nk - 1).max(0))
+    }
+  }
+
+  test("agg_var_cvar: CVaR loss at least the VaR loss (tail mean deeper)") {
+    val r = run("agg_var_cvar").collect().head
+    assert(r.getLong(0) > 0)
+    val varLoss = r.getLong(1) / 100.0
+    val cvarLoss = r.getDouble(2)
+    assert(cvarLoss >= varLoss - 1e-6,
+      s"CVaR $cvarLoss must be at least VaR $varLoss")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
