@@ -6207,6 +6207,185 @@ object GroupTen {
         .select(col("nq").cast(LongType).as("n_days"),
           (-col("qv")).cast(LongType).as("var95_cents"),
           T.r6s("-st", "nt * 100").as("cvar95_loss6"))
+    },
+
+    // Kendall's W (coefficient of concordance) per language — do three
+    // independent document "raters" (token count, distinct-token count,
+    // char count) agree on the ordering? Ranks are total orders (doc_id
+    // tiebreak — deterministic under ties, documented), the squared
+    // deviation sum is kept integral by the ×2 trick (2ΣR − m(n+1)),
+    // and W = S4/(3(n³−n)) is ONE rational per language in
+    // DECIMAL(38,0)/HUGEINT. Rank windows are KEYED by lang.
+    q("stat_kendall_w",
+      """WITH m AS (SELECT doc_id, lang,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS m2,
+        |    n_chars AS m3 FROM documents),
+        |r AS (SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY m1, doc_id)
+        |      AS r1,
+        |    row_number() OVER (PARTITION BY lang ORDER BY m2, doc_id)
+        |      AS r2,
+        |    row_number() OVER (PARTITION BY lang ORDER BY m3, doc_id)
+        |      AS r3,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM m),
+        |s AS (SELECT lang, max(n) AS n,
+        |    SUM(CAST(2 * (r1 + r2 + r3) - 3 * (n + 1) AS HUGEINT)
+        |      * (2 * (r1 + r2 + r3) - 3 * (n + 1))) AS s4
+        |  FROM r GROUP BY 1)
+        |SELECT lang, CAST(n AS BIGINT) AS n_docs,
+        |  CAST((2000000 * s4 + 3 * (CAST(n AS HUGEINT) * n * n - n))
+        |    // (2 * 3 * (CAST(n AS HUGEINT) * n * n - n)) AS BIGINT)
+        |    / 1000000.0 AS kendall_w6
+        |FROM s ORDER BY lang""") { (s, dir) =>
+      val m = T.t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"),
+          size(split(col("text"), " ")).cast(LongType).as("m1"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("m2"),
+          col("n_chars").as("m3"))
+      def rk(c: String) = row_number().over(
+        Window.partitionBy("lang").orderBy(col(c), col("doc_id")))
+      val r = m.withColumn("r1", rk("m1")).withColumn("r2", rk("m2"))
+        .withColumn("r3", rk("m3"))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      r.groupBy("lang")
+        .agg(max("n").as("n"),
+          sum(expr("cast(2 * (r1 + r2 + r3) - 3 * (n + 1)" +
+            " as decimal(38,0)) * (2 * (r1 + r2 + r3) - 3 * (n + 1))"))
+            .as("s4"))
+        .select(col("lang"), col("n").cast(LongType).as("n_docs"),
+          T.r6("s4", "3 * (cast(n as decimal(38,0)) * n * n - n)")
+            .as("kendall_w6"))
+        .orderBy("lang")
+    },
+
+    // Overdispersion index of per-user event counts — Var/Mean, the
+    // Poisson-model diagnostic (≈1 Poisson, >1 clumped — decides whether
+    // a negative-binomial model is needed): ONE integer rational
+    // (nΣc²−S²)/(nS) from exact count power sums. Two
+    // map-side-combinable aggs.
+    q("stat_overdispersion_index",
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS c
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(c) AS sc,
+        |    SUM(c * c) AS sq FROM c)
+        |SELECT n AS n_users,
+        |  CAST((2000000 * sc + n) // (2 * n) AS BIGINT) / 1000000.0
+        |    AS mean_events6,
+        |  CAST((2000000 * (n * sq - sc * sc) + n * sc) // (2 * n * sc)
+        |    AS BIGINT) / 1000000.0 AS dispersion6
+        |FROM s""") { (s, dir) =>
+      val c = T.t(s, dir, "events")
+        .groupBy("user_id").agg(count(lit(1)).cast(LongType).as("c"))
+      c.agg(count(lit(1)).cast(LongType).as("n"), sum("c").as("sc"),
+          sum(col("c") * col("c")).as("sq"))
+        .select(col("n").as("n_users"),
+          T.r6("sc", "n").as("mean_events6"),
+          T.r6("n * sq - sc * sc", "n * sc").as("dispersion6"))
+    },
+
+    // Lorenz curve table per nation (the raw curve the Gini key
+    // integrates): customers ranked by exact-cent revenue within their
+    // nation, decile cut, cumulative population vs revenue shares as
+    // exact rationals — rev_share ≤ pop_share pointwise by construction.
+    // Nation-keyed rank and cumsum windows (the gini scale rule).
+    q("agg_lorenz_curve",
+      """WITH per AS (SELECT c.c_nationkey AS nk, o.o_custkey AS ck,
+        |    SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS cents
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT nk, cents,
+        |    row_number() OVER (PARTITION BY nk ORDER BY cents, ck) AS rn,
+        |    count(*) OVER (PARTITION BY nk) AS n,
+        |    SUM(cents) OVER (PARTITION BY nk) AS tot FROM per),
+        |dec AS (SELECT nk, ((rn - 1) * 10) // n AS d, SUM(cents) AS dc,
+        |    CAST(count(*) AS BIGINT) AS np, max(tot) AS tot, max(n) AS n
+        |  FROM rk GROUP BY 1, 2),
+        |cum AS (SELECT nk, d,
+        |    SUM(dc) OVER (PARTITION BY nk ORDER BY d ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cdc,
+        |    SUM(np) OVER (PARTITION BY nk ORDER BY d ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND CURRENT ROW) AS cnp,
+        |    tot, n FROM dec)
+        |SELECT nk, CAST(d AS BIGINT) AS decile,
+        |  CAST((2000000 * cnp + n) // (2 * n) AS BIGINT) / 1000000.0
+        |    AS pop_share6,
+        |  CAST((2000000 * cdc + tot) // (2 * tot) AS BIGINT) / 1000000.0
+        |    AS rev_share6
+        |FROM cum ORDER BY nk, decile""") { (s, dir) =>
+      val per = T.t(s, dir, "orders")
+        .join(T.t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nk"), col("o_custkey").as("ck"))
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType))
+          .as("cents"))
+      val wn = Window.partitionBy("nk")
+      val rk = per
+        .withColumn("rn", row_number().over(wn.orderBy("cents", "ck")))
+        .withColumn("n", count(lit(1)).over(wn))
+        .withColumn("tot", sum("cents").over(wn))
+      val dec = rk.groupBy(col("nk"), expr("((rn - 1) * 10) div n").as("d"))
+        .agg(sum("cents").as("dc"), count(lit(1)).cast(LongType).as("np"),
+          max("tot").as("tot"), max("n").as("n"))
+      val cw = Window.partitionBy("nk").orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      dec.withColumn("cdc", sum("dc").over(cw))
+        .withColumn("cnp", sum("np").over(cw))
+        .select(col("nk"), col("d").cast(LongType).as("decile"),
+          T.r6("cnp", "n").as("pop_share6"),
+          T.r6("cdc", "tot").as("rev_share6"))
+        .orderBy("nk", "decile")
+    },
+
+    // Positional inverted index + phrase query — the search-engine
+    // primitive TF-IDF ranking can't give (exact phrase match): postings
+    // with token positions for the two phrase terms, adjacency equi-join
+    // (t2.pos = t1.pos + 1) per document, and the result AUDITED in-query
+    // against an independent substring count (length-difference trick) —
+    // the two counts must agree exactly. All integer.
+    q("text_phrase_index_query",
+      """WITH dd AS (SELECT doc_id, string_split(text, ' ') AS arr, text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, unnest(arr) AS tok,
+        |    unnest(range(len(arr))) AS pos FROM dd),
+        |t1 AS (SELECT doc_id, pos FROM tk WHERE tok = 'data'),
+        |t2 AS (SELECT doc_id, pos FROM tk WHERE tok = 'query'),
+        |hits AS (SELECT t1.doc_id AS doc_id, count(*) AS h
+        |  FROM t1 JOIN t2 ON t1.doc_id = t2.doc_id
+        |    AND t2.pos = t1.pos + 1 GROUP BY 1),
+        |sub AS (SELECT doc_id, (len(text) - len(replace(text,
+        |    'data query', ''))) // len('data query') AS h2 FROM dd),
+        |agg AS (SELECT
+        |    (SELECT CAST(count(*) AS BIGINT) FROM hits) AS n_docs_with,
+        |    (SELECT CAST(COALESCE(SUM(h), 0) AS BIGINT) FROM hits)
+        |      AS n_idx,
+        |    (SELECT CAST(COALESCE(SUM(h2), 0) AS BIGINT) FROM sub)
+        |      AS n_substr)
+        |SELECT 'data query' AS phrase, n_docs_with, n_idx, n_substr,
+        |  n_idx = n_substr AS idx_matches_substr
+        |FROM agg""") { (s, dir) =>
+      val dd = T.t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tk = dd.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      val t1 = tk.filter(col("tok") === "data")
+        .select(col("doc_id").as("d1"), col("pos").as("p1"))
+      val t2 = tk.filter(col("tok") === "query")
+        .select(col("doc_id").as("d2"), col("pos").as("p2"))
+      val hits = t1.join(t2,
+          col("d1") === col("d2") && col("p2") === col("p1") + 1)
+        .groupBy("d1").agg(count(lit(1)).as("h"))
+      val nIdx = hits.agg(
+        count(lit(1)).cast(LongType).as("n_docs_with"),
+        coalesce(sum("h"), lit(0L)).cast(LongType).as("n_idx"))
+      val nSub = dd.select(
+          expr("(length(text) - length(replace(text, 'data query', '')))" +
+            " div length('data query')").as("h2"))
+        .agg(coalesce(sum("h2"), lit(0L)).cast(LongType).as("n_substr"))
+      nIdx.crossJoin(broadcast(nSub))
+        .select(lit("data query").as("phrase"), col("n_docs_with"),
+          col("n_idx"), col("n_substr"),
+          (col("n_idx") === col("n_substr")).as("idx_matches_substr"))
     }
   )
 }

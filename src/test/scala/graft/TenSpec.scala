@@ -1472,6 +1472,45 @@ class TenSpec extends AnyFunSuite {
       s"CVaR $cvarLoss must be at least VaR $varLoss")
   }
 
+  test("stat_kendall_w: W in [0,1] per language") {
+    val rows = run("stat_kendall_w").collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val w = r.getDouble(2)
+      assert(w >= 0.0 && w <= 1.0 + 1e-6, s"${r.getString(0)}: W $w")
+      assert(r.getLong(1) > 0)
+    }
+  }
+
+  test("stat_overdispersion_index: positive mean and dispersion") {
+    val r = run("stat_overdispersion_index").collect().head
+    assert(r.getLong(0) > 0)
+    assert(r.getDouble(1) > 0.0)
+    assert(r.getDouble(2) > 0.0)
+  }
+
+  test("agg_lorenz_curve: monotone, rev_share <= pop_share, ends at 1") {
+    val rows = run("agg_lorenz_curve").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.get(0)).foreach { case (nk, rs) =>
+      val byD = rs.sortBy(_.getLong(1))
+      val pop = byD.map(_.getDouble(2)).toSeq
+      val rev = byD.map(_.getDouble(3)).toSeq
+      assert(pop == pop.sorted && rev == rev.sorted, s"nation $nk not monotone")
+      byD.foreach(r => assert(r.getDouble(3) <= r.getDouble(2) + 1e-6,
+        s"nation $nk: Lorenz curve above the diagonal"))
+      assert(math.abs(pop.last - 1.0) < 1e-5)
+      assert(math.abs(rev.last - 1.0) < 1e-5)
+    }
+  }
+
+  test("text_phrase_index_query: index count equals substring count") {
+    val r = run("text_phrase_index_query").collect().head
+    assert(r.getBoolean(4),
+      s"positional-index count ${r.getLong(2)} != substring ${r.getLong(3)}")
+    assert(r.getLong(1) <= r.getLong(2), "docs-with cannot exceed hits")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
