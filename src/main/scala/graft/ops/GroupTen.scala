@@ -6386,6 +6386,185 @@ object GroupTen {
         .select(lit("data query").as("phrase"), col("n_docs_with"),
           col("n_idx"), col("n_substr"),
           (col("n_idx") === col("n_substr")).as("idx_matches_substr"))
+    },
+
+    // Precision–recall curve at decile thresholds — the TABLE behind
+    // ml_auc_roc's scalar and ml_threshold_sweep's argmax: thresholds by
+    // exact rank selection on the distinct-score spine, tp/fp by one
+    // ×9-replicated conditional agg, precision/recall as zero-guarded
+    // exact rationals. The spine is domain-bounded (distinct cents).
+    q("ml_pr_curve_points",
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |rk AS (SELECT y, row_number() OVER (ORDER BY y) AS rn,
+        |    count(*) OVER () AS n FROM (SELECT DISTINCT y FROM e)),
+        |nd AS (SELECT max(n) AS nd FROM rk),
+        |thr AS (SELECT d, max(CASE WHEN rn = (d * (nd + 1) + 9) // 10
+        |    THEN y END) AS t
+        |  FROM rk CROSS JOIN nd
+        |  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) GROUP BY 1),
+        |pt AS (SELECT SUM(pos) AS post FROM e),
+        |m AS (SELECT d, t,
+        |    SUM(CASE WHEN y > t THEN pos ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN y > t THEN 1 - pos ELSE 0 END) AS fp
+        |  FROM e CROSS JOIN thr GROUP BY 1, 2)
+        |SELECT CAST(d AS BIGINT) AS decile, CAST(t AS BIGINT)
+        |    AS thr_cents,
+        |  CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CASE WHEN tp + fp = 0 THEN 0.0 ELSE
+        |    CAST((2000000 * tp + (tp + fp)) // (2 * (tp + fp)) AS BIGINT)
+        |      / 1000000.0 END AS precision6,
+        |  CAST((2000000 * tp + post) // (2 * post) AS BIGINT) / 1000000.0
+        |    AS recall6
+        |FROM m CROSS JOIN pt ORDER BY d""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val rk = e.select("y").distinct()
+        .withColumn("rn", row_number().over(Window.orderBy("y")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val nd = rk.agg(max("n").as("nd"))
+      val thr = rk.crossJoin(broadcast(nd))
+        .crossJoin(broadcast(s.range(1, 10).select(col("id").as("d"))))
+        .groupBy("d")
+        .agg(max(when(expr("rn = (d * (nd + 1) + 9) div 10"), col("y")))
+          .as("t"))
+      val pt = e.agg(sum("pos").as("post"))
+      e.crossJoin(broadcast(thr))
+        .groupBy("d", "t")
+        .agg(sum(when(col("y") > col("t"), col("pos")).otherwise(0L))
+          .as("tp"),
+          sum(when(col("y") > col("t"), lit(1L) - col("pos"))
+            .otherwise(0L)).as("fp"))
+        .crossJoin(broadcast(pt))
+        .select(col("d").cast(LongType).as("decile"),
+          col("t").cast(LongType).as("thr_cents"),
+          col("tp").cast(LongType).as("tp"),
+          col("fp").cast(LongType).as("fp"),
+          expr("CASE WHEN tp + fp = 0 THEN 0.0D ELSE" +
+            " ((2000000L * tp + (tp + fp)) div (2L * (tp + fp)))" +
+            " / 1000000.0D END").as("precision6"),
+          T.r6("tp", "post").as("recall6"))
+        .orderBy("decile")
+    },
+
+    // Daily-volume anomaly monitor — row counts vs trailing-7 median ±
+    // 3·MAD, the robust control band every ingest pipeline watches
+    // (median/MAD shrug off the spikes that wreck mean/sigma bands):
+    // both estimates are exact lower-median list picks on integer
+    // counts (the rolling-MAD machinery on the day spine), the alert a
+    // pure integer comparison.
+    q("dq_volume_anomaly",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS c FROM events GROUP BY 1),
+        |w AS (SELECT day, c, list(c) OVER (ORDER BY day ROWS BETWEEN
+        |    7 PRECEDING AND 1 PRECEDING) AS l FROM d),
+        |m AS (SELECT day, c, l, list_sort(l)[(len(l) + 1) // 2] AS med
+        |  FROM w WHERE len(l) = 7),
+        |md AS (SELECT day, c, med,
+        |    list_sort(list_transform(l, x -> abs(x - med)))
+        |      [(len(l) + 1) // 2] AS mad FROM m)
+        |SELECT day, c, CAST(med AS BIGINT) AS med7,
+        |  CAST(mad AS BIGINT) AS mad7,
+        |  abs(c - med) > 3 * mad AS alert
+        |FROM md ORDER BY day""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).cast(LongType).as("c"))
+      val w = Window.orderBy("day").rowsBetween(-7, -1)
+      d.withColumn("l", collect_list("c").over(w))
+        .where(size(col("l")) === 7)
+        .withColumn("med",
+          expr("element_at(sort_array(l), cast((size(l) + 1) div 2 as int))"))
+        .withColumn("mad",
+          expr("element_at(sort_array(transform(l, x -> abs(x - med)))," +
+            " cast((size(l) + 1) div 2 as int))"))
+        .select(col("day"), col("c"),
+          col("med").cast(LongType).as("med7"),
+          col("mad").cast(LongType).as("mad7"),
+          (abs(col("c") - col("med")) > col("mad") * 3).as("alert"))
+        .orderBy("day")
+    },
+
+    // Chi-square standardized residuals — WHICH cells drive the
+    // independence rejection (the diagnostic table behind
+    // stat_chi2_independence's scalar): event type × above/below the
+    // exact rank-selected median value; residual (O−E)/√E written as the
+    // IDENTICAL float sequence in both engines over exact integer
+    // operands, 6dp post-sqrt. The median comes from the bounded cents
+    // spine (no data-sized global window).
+    q("stat_chi2_residuals",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+        |h AS (SELECT y, count(*) AS cnt FROM e GROUP BY 1),
+        |r0 AS (SELECT y, SUM(cnt) OVER (ORDER BY y ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n FROM h),
+        |mx AS (SELECT min(CASE WHEN cum * 2 >= n THEN y END) AS medc
+        |  FROM r0),
+        |b AS (SELECT g, CASE WHEN y > medc THEN 'hi' ELSE 'lo' END AS v
+        |  FROM e CROSS JOIN mx),
+        |o AS (SELECT g, v, CAST(count(*) AS BIGINT) AS obs FROM b
+        |  GROUP BY 1, 2),
+        |rt AS (SELECT g, SUM(obs) AS r FROM o GROUP BY 1),
+        |ct AS (SELECT v, SUM(obs) AS c2 FROM o GROUP BY 1),
+        |n AS (SELECT SUM(obs) AS n FROM o)
+        |SELECT o.g AS event_type, o.v AS bucket, obs,
+        |  round((CAST(obs AS DOUBLE) - CAST(r * c2 AS DOUBLE) / n)
+        |    / sqrt(CAST(r * c2 AS DOUBLE) / n), 6) AS residual6
+        |FROM o JOIN rt ON o.g = rt.g JOIN ct ON o.v = ct.v CROSS JOIN n
+        |ORDER BY o.g, o.v""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("y"))
+      val h = e.groupBy("y").agg(count(lit(1)).as("cnt"))
+      val nTot = e.agg(count(lit(1)).cast(LongType).as("n"))
+      val r0 = h.withColumn("cum", sum("cnt").over(Window.orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .crossJoin(broadcast(nTot))
+      val mx = r0.agg(min(when(col("cum") * 2 >= col("n"), col("y")))
+        .as("medc"))
+      val o = e.crossJoin(broadcast(mx))
+        .groupBy(col("g"),
+          when(col("y") > col("medc"), "hi").otherwise("lo").as("v"))
+        .agg(count(lit(1)).cast(LongType).as("obs"))
+      val rt = o.groupBy(col("g").as("rg")).agg(sum("obs").as("r"))
+      val ct = o.groupBy(col("v").as("cv")).agg(sum("obs").as("c2"))
+      val n2 = o.agg(sum("obs").as("nn"))
+      o.join(broadcast(rt), col("g") === col("rg"))
+        .join(broadcast(ct), col("v") === col("cv"))
+        .crossJoin(broadcast(n2))
+        .select(col("g").as("event_type"), col("v").as("bucket"),
+          col("obs"),
+          round((col("obs").cast(DoubleType)
+              - expr("CAST(r * c2 AS DOUBLE)") / col("nn"))
+            / sqrt(expr("CAST(r * c2 AS DOUBLE)") / col("nn")), 6)
+            .as("residual6"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // URL-slug normalization (the content-id scalar every CMS/SEO
+    // pipeline runs): lowercase, collapse every non-alphanumeric run to
+    // a single dash, trim edge dashes — plus token count before
+    // slugging. Pure regexp/string projection; DuckDB needs the 'g'
+    // flag where Spark's regexp_replace is global by default
+    // (documented portability trap).
+    q("scalar_slugify",
+      """SELECT p_partkey, p_name,
+        |  trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'),
+        |    '-') AS slug,
+        |  CAST(len(string_split(p_name, ' ')) AS BIGINT) AS n_words
+        |FROM part WHERE p_partkey < 500 ORDER BY p_partkey""") {
+      (s, dir) =>
+      T.t(s, dir, "part").filter(col("p_partkey") < 500)
+        .select(col("p_partkey"), col("p_name"),
+          expr("trim(BOTH '-' FROM" +
+            " regexp_replace(lower(p_name), '[^a-z0-9]+', '-'))")
+            .as("slug"),
+          size(split(col("p_name"), " ")).cast(LongType).as("n_words"))
+        .orderBy("p_partkey")
     }
   )
 }

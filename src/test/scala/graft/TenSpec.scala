@@ -1511,6 +1511,50 @@ class TenSpec extends AnyFunSuite {
     assert(r.getLong(1) <= r.getLong(2), "docs-with cannot exceed hits")
   }
 
+  test("ml_pr_curve_points: recall decreases as the threshold rises") {
+    val rows = run("ml_pr_curve_points").collect().sortBy(_.getLong(0))
+    assert(rows.length == 9)
+    val recalls = rows.map(_.getDouble(5)).toSeq
+    assert(recalls == recalls.sorted.reverse, "recall must be nonincreasing")
+    rows.foreach { r =>
+      assert(r.getDouble(4) >= 0.0 && r.getDouble(4) <= 1.0)
+      assert(r.getDouble(5) >= 0.0 && r.getDouble(5) <= 1.0)
+    }
+  }
+
+  test("dq_volume_anomaly: alert iff |c - med| > 3*mad, exactly") {
+    val rows = run("dq_volume_anomaly").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = math.abs(r.getLong(1) - r.getLong(2)) > 3 * r.getLong(3)
+      assert(r.getBoolean(4) == expect, s"day ${r.getDate(0)}")
+    }
+  }
+
+  test("stat_chi2_residuals: row pairs cancel (hi ~ -lo) and conserve") {
+    val rows = run("stat_chi2_residuals").collect()
+    assert(rows.length == 10)
+    assert(rows.map(_.getLong(2)).sum == T.t(s, sf, "events").count())
+    rows.groupBy(_.getString(0)).foreach { case (g, rs) =>
+      assert(rs.length == 2, s"$g missing a bucket")
+      // within a 2-column table, the two residuals of a row have equal
+      // magnitude and opposite signs (up to rounding)
+      val Array(a, b) = rs.map(_.getDouble(3)).sorted
+      assert(math.abs(a + b) < 2e-3, s"$g: residuals $a, $b don't cancel")
+    }
+  }
+
+  test("scalar_slugify emits clean dash-delimited lowercase slugs") {
+    val rows = run("scalar_slugify").collect()
+    assert(rows.nonEmpty)
+    val re = "^[a-z0-9]+(-[a-z0-9]+)*$".r
+    rows.foreach { r =>
+      val slug = r.getString(2)
+      assert(re.matches(slug), s"malformed slug '$slug'")
+      assert(r.getLong(3) >= 1)
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
