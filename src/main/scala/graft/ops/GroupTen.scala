@@ -6565,6 +6565,134 @@ object GroupTen {
             .as("slug"),
           size(split(col("p_name"), " ")).cast(LongType).as("n_words"))
         .orderBy("p_partkey")
+    },
+
+    // Dataset card — the per-source summary sheet a training-data release
+    // ships (HuggingFace dataset-card numbers): doc/token counts, mean
+    // length, language share, and the share of docs whose text also
+    // appears ANYWHERE else in the corpus (global md5 collision —
+    // per-source dedup would undercount cross-source copies). Exact
+    // rationals throughout; the hash join is the only corpus-wide pass.
+    q("pipeline_dataset_card",
+      """WITH d AS (SELECT source, lang, md5(text) AS h,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |gh AS (SELECT h, count(*) AS gc FROM d GROUP BY 1),
+        |base AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |    SUM(tok) AS n_tokens,
+        |    SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en,
+        |    SUM(CASE WHEN gc > 1 THEN 1 ELSE 0 END) AS n_dup
+        |  FROM d JOIN gh ON d.h = gh.h GROUP BY 1)
+        |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST((2000000 * n_tokens + n_docs) // (2 * n_docs) AS BIGINT)
+        |    / 1000000.0 AS mean_tokens6,
+        |  CAST((2000000 * n_en + n_docs) // (2 * n_docs) AS BIGINT)
+        |    / 1000000.0 AS en_share6,
+        |  CAST((2000000 * n_dup + n_docs) // (2 * n_docs) AS BIGINT)
+        |    / 1000000.0 AS dup_share6
+        |FROM base ORDER BY source""") { (s, dir) =>
+      val d = T.t(s, dir, "documents")
+        .select(col("source"), col("lang"), md5(col("text")).as("h"),
+          size(split(col("text"), " ")).cast(LongType).as("tok"))
+      val gh = d.groupBy("h").agg(count(lit(1)).as("gc"))
+      d.join(gh, "h")
+        .groupBy("source")
+        .agg(count(lit(1)).cast(LongType).as("n_docs"),
+          sum("tok").as("n_tokens"),
+          sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+          sum(when(col("gc") > 1, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("source"), col("n_docs"),
+          col("n_tokens").cast(LongType).as("n_tokens"),
+          T.r6("n_tokens", "n_docs").as("mean_tokens6"),
+          T.r6("n_en", "n_docs").as("en_share6"),
+          T.r6("n_dup", "n_docs").as("dup_share6"))
+        .orderBy("source")
+    },
+
+    // Cohen's d effect size between purchase and click values — the
+    // magnitude companion to the t-test's significance (stat_ttest_welch
+    // says WHETHER, d says HOW MUCH): pooled-SD standardized mean gap
+    // from exact integer power sums, written as the IDENTICAL float
+    // sequence in both engines, 6dp post-sqrt. One conditional agg.
+    q("stat_cohens_d",
+      """WITH e AS (SELECT event_type AS g,
+        |    CAST(round(value * 100) AS BIGINT) AS y FROM events
+        |  WHERE event_type IN ('purchase', 'click')),
+        |m AS (SELECT g, CAST(count(*) AS BIGINT) AS n, SUM(y) AS sy,
+        |    SUM(y * y) AS sq FROM e GROUP BY 1),
+        |p AS (SELECT
+        |    max(CASE WHEN g = 'purchase' THEN n END) AS n1,
+        |    max(CASE WHEN g = 'purchase' THEN sy END) AS s1,
+        |    max(CASE WHEN g = 'purchase' THEN sq END) AS q1,
+        |    max(CASE WHEN g = 'click' THEN n END) AS n2,
+        |    max(CASE WHEN g = 'click' THEN sy END) AS s2,
+        |    max(CASE WHEN g = 'click' THEN sq END) AS q2 FROM m)
+        |SELECT CAST(n1 AS BIGINT) AS n_purchase,
+        |  CAST(n2 AS BIGINT) AS n_click,
+        |  round((CAST(s1 AS DOUBLE) / n1 - CAST(s2 AS DOUBLE) / n2)
+        |    / sqrt(((CAST(q1 AS DOUBLE) - CAST(s1 AS DOUBLE) * s1 / n1)
+        |      + (CAST(q2 AS DOUBLE) - CAST(s2 AS DOUBLE) * s2 / n2))
+        |      / (n1 + n2 - 2)), 6) AS cohens_d6
+        |FROM p""") { (s, dir) =>
+      val m = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(col("event_type").as("g"),
+          round(col("value") * 100).cast(LongType).as("y"))
+        .groupBy("g")
+        .agg(count(lit(1)).cast(LongType).as("n"), sum("y").as("sy"),
+          sum(col("y") * col("y")).as("sq"))
+      m.agg(
+          max(when(col("g") === "purchase", col("n"))).as("n1"),
+          max(when(col("g") === "purchase", col("sy"))).as("s1"),
+          max(when(col("g") === "purchase", col("sq"))).as("q1"),
+          max(when(col("g") === "click", col("n"))).as("n2"),
+          max(when(col("g") === "click", col("sy"))).as("s2"),
+          max(when(col("g") === "click", col("sq"))).as("q2"))
+        .select(col("n1").cast(LongType).as("n_purchase"),
+          col("n2").cast(LongType).as("n_click"),
+          round((expr("CAST(s1 AS DOUBLE)") / col("n1")
+              - expr("CAST(s2 AS DOUBLE)") / col("n2"))
+            / sqrt(((expr("CAST(q1 AS DOUBLE)")
+                - expr("CAST(s1 AS DOUBLE)") * col("s1") / col("n1"))
+              + (expr("CAST(q2 AS DOUBLE)")
+                - expr("CAST(s2 AS DOUBLE)") * col("s2") / col("n2")))
+              / (col("n1") + col("n2") - 2)), 6).as("cohens_d6"))
+    },
+
+    // Events-since-last-purchase counter — the recency FEATURE (not the
+    // report) a churn model joins per event: purchase epochs via a
+    // running conditional count per user, position within the epoch via
+    // a (user, epoch)-keyed rank; −1 sentinel before any purchase.
+    // Purchase rows restart at 0. Pure integer; both windows share the
+    // user_id shuffle prefix.
+    q("window_since_last_event",
+      """WITH s AS (SELECT event_id, user_id, ts, event_type,
+        |    SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS epoch
+        |  FROM events),
+        |r AS (SELECT event_id, user_id, epoch,
+        |    row_number() OVER (PARTITION BY user_id, epoch
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM s)
+        |SELECT event_id, user_id, CAST(epoch AS BIGINT)
+        |    AS n_purchases_so_far,
+        |  CAST(CASE WHEN epoch = 0 THEN -1 ELSE rn - 1 END AS BIGINT)
+        |    AS events_since_purchase
+        |FROM r ORDER BY event_id LIMIT 2000""") { (s, dir) =>
+      val wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sdf = T.t(s, dir, "events")
+        .withColumn("epoch",
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wu.rowsBetween(Window.unboundedPreceding,
+              Window.currentRow)))
+      sdf.withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "epoch").orderBy("ts", "event_id")))
+        .select(col("event_id"), col("user_id"),
+          col("epoch").cast(LongType).as("n_purchases_so_far"),
+          when(col("epoch") === 0, -1L).otherwise(col("rn") - 1)
+            .cast(LongType).as("events_since_purchase"))
+        .orderBy("event_id").limit(2000)
     }
   )
 }

@@ -1555,6 +1555,41 @@ class TenSpec extends AnyFunSuite {
     }
   }
 
+  test("pipeline_dataset_card: shares bounded, tokens/docs conserve") {
+    val rows = run("pipeline_dataset_card").collect()
+    assert(rows.nonEmpty)
+    val docs = T.t(s, sf, "documents")
+    assert(rows.map(_.getLong(1)).sum == docs.count())
+    rows.foreach { r =>
+      Seq(4, 5).foreach { i =>
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0)
+      }
+      assert(r.getDouble(3) > 0.0)
+    }
+    // FIXTURES.md documents duplicate texts in the corpus — the card
+    // must surface a nonzero global dup share somewhere
+    assert(rows.map(_.getDouble(5)).sum > 0.0, "dup share all zero")
+  }
+
+  test("stat_cohens_d is small for near-identical distributions") {
+    val r = run("stat_cohens_d").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val d = r.getDouble(2)
+    assert(math.abs(d) < 2.0, s"implausible effect size $d")
+  }
+
+  test("window_since_last_event: sentinel before purchases, 0 at purchase") {
+    val rows = run("window_since_last_event").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (np, since) = (r.getLong(2), r.getLong(3))
+      if (np == 0) assert(since == -1L, "pre-purchase rows carry -1")
+      else assert(since >= 0L)
+    }
+    assert(rows.exists(_.getLong(3) == 0L), "purchase rows restart at 0")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
