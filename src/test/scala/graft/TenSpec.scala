@@ -1567,9 +1567,12 @@ class TenSpec extends AnyFunSuite {
       }
       assert(r.getDouble(3) > 0.0)
     }
-    // FIXTURES.md documents duplicate texts in the corpus — the card
-    // must surface a nonzero global dup share somewhere
-    assert(rows.map(_.getDouble(5)).sum > 0.0, "dup share all zero")
+    // FIXTURES.md's duplicate texts exist only at sf0.1 — when this
+    // corpus carries any, the card must surface a nonzero dup share
+    val nDups = docs.count() -
+      docs.select(countDistinct(md5(col("text")))).collect().head.getLong(0)
+    if (nDups > 0)
+      assert(rows.map(_.getDouble(5)).sum > 0.0, "dup share all zero")
   }
 
   test("stat_cohens_d is small for near-identical distributions") {
