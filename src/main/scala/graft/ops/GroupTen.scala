@@ -6693,6 +6693,151 @@ object GroupTen {
           when(col("epoch") === 0, -1L).otherwise(col("rn") - 1)
             .cast(LongType).as("events_since_purchase"))
         .orderBy("event_id").limit(2000)
+    },
+
+    // Durbin–Watson statistic of the daily revenue linear-trend
+    // residuals — the serial-correlation test every regression
+    // diagnostic runs (≈2 = independent, →0 = positive autocorrelation):
+    // the OLS fit is the exact closed form, residuals are carried
+    // ×(n·den) as INTEGERS (e·n·den = n·den·y − (den·Σy − bnum·Σx) −
+    // n·bnum·t — the scale cancels in the DW ratio), and DW is ONE
+    // rational of two decimal power sums. Day-spine windows only.
+    q("stat_durbin_watson",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS y
+        |  FROM events GROUP BY 1),
+        |ix AS (SELECT y, row_number() OVER (ORDER BY day) AS t FROM d),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS nn, SUM(t) AS sx,
+        |    SUM(y) AS sy, SUM(t * y) AS sxy, SUM(t * t) AS sxx FROM ix),
+        |co AS (SELECT nn, nn * sxy - sx * sy AS bnum,
+        |    nn * sxx - sx * sx AS den, sy, sx FROM m),
+        |r AS (SELECT t, CAST(nn AS HUGEINT) * den * y
+        |    - (CAST(den AS HUGEINT) * sy - CAST(bnum AS HUGEINT) * sx)
+        |    - CAST(nn AS HUGEINT) * bnum * t AS e
+        |  FROM ix CROSS JOIN co),
+        |l AS (SELECT e, lag(e) OVER (ORDER BY t) AS ep FROM r),
+        |agg AS (SELECT SUM((e - ep) * (e - ep)) AS num,
+        |    (SELECT SUM(e * e) FROM r) AS dd FROM l WHERE ep IS NOT NULL)
+        |SELECT CAST((2000000 * num + dd) // (2 * dd) AS BIGINT)
+        |  / 1000000.0 AS dw6 FROM agg""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("y"))
+      val ix = d.withColumn("t",
+        row_number().over(Window.orderBy("day"))).select("y", "t")
+      val m = ix.agg(count(lit(1)).cast(LongType).as("nn"),
+        sum("t").as("sx"), sum("y").as("sy"),
+        sum(col("t") * col("y")).as("sxy"),
+        sum(col("t") * col("t")).as("sxx"))
+      val co = m.select(col("nn"),
+        (col("nn") * col("sxy") - col("sx") * col("sy")).as("bnum"),
+        (col("nn") * col("sxx") - col("sx") * col("sx")).as("den"),
+        col("sy"), col("sx"))
+      val r = ix.crossJoin(broadcast(co))
+        .select(col("t"), expr("cast(nn as decimal(38,0)) * den * y" +
+          " - (cast(den as decimal(38,0)) * sy" +
+          " - cast(bnum as decimal(38,0)) * sx)" +
+          " - cast(nn as decimal(38,0)) * bnum * t").as("e"))
+      val dd = r.agg(sum(col("e") * col("e")).as("dd"))
+      r.withColumn("ep", lag("e", 1).over(Window.orderBy("t")))
+        .where(col("ep").isNotNull)
+        .agg(sum((col("e") - col("ep")) * (col("e") - col("ep")))
+          .as("num"))
+        .crossJoin(broadcast(dd))
+        .select(T.r6("num", "dd").as("dw6"))
+    },
+
+    // Deterministic pseudonymization (GDPR-style tokenization): customer
+    // names replaced by stable peppered-hash tokens — same input, same
+    // token, on any cluster — with a COLLISION AUDIT carried in every
+    // row (distinct names must equal distinct tokens, or the
+    // pseudonym mapping is lossy). The governance scalar surface; the
+    // audit is a 1-row broadcast.
+    q("etl_pii_pseudonymize",
+      """WITH p AS (SELECT c_custkey, c_name,
+        |    'cust-' || substr(md5('pepper1:' || c_name), 1, 12) AS token
+        |  FROM customer),
+        |audit AS (SELECT CAST(count(DISTINCT c_name) AS BIGINT) AS dn,
+        |    CAST(count(DISTINCT token) AS BIGINT) AS dt FROM p)
+        |SELECT p.c_custkey, p.token, audit.dn = audit.dt AS no_collisions
+        |FROM p CROSS JOIN audit WHERE c_custkey < 100
+        |ORDER BY c_custkey""") { (s, dir) =>
+      val p = T.t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"),
+          concat(lit("cust-"),
+            substring(md5(concat(lit("pepper1:"), col("c_name"))), 1, 12))
+            .as("token"))
+      val audit = p.agg(
+        countDistinct("c_name").cast(LongType).as("dn"),
+        countDistinct("token").cast(LongType).as("dt"))
+      p.crossJoin(broadcast(audit))
+        .where(col("c_custkey") < 100)
+        .select(col("c_custkey"), col("token"),
+          (col("dn") === col("dt")).as("no_collisions"))
+        .orderBy("c_custkey")
+    },
+
+    // Exact Shapley values for a two-feature rate model (value > $100,
+    // weekend) — the attribution method, in the ONE case where it's
+    // closed-form exact (4 coalition rates, 2 orderings): each coalition
+    // rate quantized to its HALF_UP micro-integer, φ as half-sums of
+    // integer differences (÷2e6 at the end). The efficiency axiom
+    // φ1 + φ2 = v(full) − v(∅) holds exactly and is spec-pinned. One
+    // conditional agg.
+    q("ml_shapley_two_feature",
+      """WITH e AS (SELECT
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS f1,
+        |    CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+        |      AS f2,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |v AS (SELECT
+        |    SUM(y) AS s00n, CAST(count(*) AS BIGINT) AS n00,
+        |    SUM(CASE WHEN f1 = 1 THEN y END) AS s10,
+        |    SUM(CASE WHEN f1 = 1 THEN 1 ELSE 0 END) AS n10,
+        |    SUM(CASE WHEN f2 = 1 THEN y END) AS s01,
+        |    SUM(CASE WHEN f2 = 1 THEN 1 ELSE 0 END) AS n01,
+        |    SUM(CASE WHEN f1 = 1 AND f2 = 1 THEN y END) AS s11,
+        |    SUM(CASE WHEN f1 = 1 AND f2 = 1 THEN 1 ELSE 0 END) AS n11
+        |  FROM e),
+        |mu AS (SELECT
+        |    (2000000 * s00n + n00) // (2 * n00) AS v0,
+        |    (2000000 * s10 + n10) // (2 * n10) AS v1,
+        |    (2000000 * s01 + n01) // (2 * n01) AS v2,
+        |    (2000000 * s11 + n11) // (2 * n11) AS v12 FROM v)
+        |SELECT CAST(v0 AS BIGINT) / 1000000.0 AS base_rate6,
+        |  CAST(v12 AS BIGINT) / 1000000.0 AS full_rate6,
+        |  CAST((v1 - v0) + (v12 - v2) AS BIGINT) / 2000000.0
+        |    AS shap_value_gt100_6,
+        |  CAST((v2 - v0) + (v12 - v1) AS BIGINT) / 2000000.0
+        |    AS shap_weekend6
+        |FROM mu""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(when(col("value") > 100, 1L).otherwise(0L).as("f1"),
+          when(expr("(dayofweek(ts) - 1) IN (0, 6)"), 1L).otherwise(0L)
+            .as("f2"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+      e.agg(sum("y").as("s00n"), count(lit(1)).cast(LongType).as("n00"),
+          sum(when(col("f1") === 1, col("y"))).as("s10"),
+          sum(when(col("f1") === 1, 1L).otherwise(0L)).as("n10"),
+          sum(when(col("f2") === 1, col("y"))).as("s01"),
+          sum(when(col("f2") === 1, 1L).otherwise(0L)).as("n01"),
+          sum(when(col("f1") === 1 && col("f2") === 1, col("y")))
+            .as("s11"),
+          sum(when(col("f1") === 1 && col("f2") === 1, 1L).otherwise(0L))
+            .as("n11"))
+        .withColumn("v0", expr("(2000000L * s00n + n00) div (2L * n00)"))
+        .withColumn("v1", expr("(2000000L * s10 + n10) div (2L * n10)"))
+        .withColumn("v2", expr("(2000000L * s01 + n01) div (2L * n01)"))
+        .withColumn("v12", expr("(2000000L * s11 + n11) div (2L * n11)"))
+        .select(
+          (col("v0").cast(DoubleType) / 1000000.0d).as("base_rate6"),
+          (col("v12").cast(DoubleType) / 1000000.0d).as("full_rate6"),
+          (((col("v1") - col("v0")) + (col("v12") - col("v2")))
+            .cast(DoubleType) / 2000000.0d).as("shap_value_gt100_6"),
+          (((col("v2") - col("v0")) + (col("v12") - col("v1")))
+            .cast(DoubleType) / 2000000.0d).as("shap_weekend6"))
     }
   )
 }

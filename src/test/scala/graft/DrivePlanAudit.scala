@@ -121,7 +121,34 @@ object DrivePlanAudit {
     "text_term_dispersion",
     // round 10n: the bloom audit's 1-row count scalars and the probe
     // generator's 1-row max-key scalar
-    "join_bloom_fp_audit")
+    "join_bloom_fp_audit",
+    // round 10o batch 15-17: 1-row scalar crossJoins (date anchors,
+    // grand totals, order counts) and the RFM anchor broadcast
+    "agg_assoc_rules_lift", "window_rfm_segments", "agg_heavy_change_topk",
+    // round 10o batches 18-23: 1-row scalar totals (time-decay anchor,
+    // JS-divergence corpus totals, funnel stage counts, capture-recapture
+    // sample counts, apportionment leftover, phrase-audit counts,
+    // vocab-growth doc count) and the JL audit's 8-projection fan-out
+    // (the IVF coarse-stage contract shape)
+    "agg_time_decay_engagement", "text_js_divergence",
+    "window_funnel_time_bound", "stat_capture_recapture",
+    "pipeline_budget_apportion", "text_phrase_index_query",
+    "text_vocab_growth", "vector_jl_projection_audit",
+    // round 10o batches 24-30: 1-row scalar crossJoins (aging totals,
+    // top-N revenue total, VaR tail quantile, ECE max/total, chi2
+    // margins, stratified-ATE naive row, time-in-state total, latency
+    // population), the learning curve's 4-size and PR curve's 9-threshold
+    // fan-outs, the permutation test's ×200 hash-relabel replication (the
+    // permutation SET is the semantics), rich-club's 4-k ladder, and the
+    // Q-Q table's 9-decile fan-out
+    "agg_aging_buckets", "agg_topn_other_rollup", "agg_var_cvar",
+    "ml_expected_calibration_error", "ml_learning_curve",
+    "ml_pr_curve_points", "stat_chi2_residuals", "stat_permutation_test",
+    "stat_qq_deciles", "stat_stratified_ate", "window_time_in_state",
+    "window_conversion_latency", "graph_rich_club",
+    // round 10o batch 31: the DW fit's 1-row coefficient broadcast +
+    // Σe² scalar, and the pseudonymizer's 1-row collision-audit row
+    "stat_durbin_watson", "etl_pii_pseudonymize")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -162,8 +189,27 @@ object DrivePlanAudit {
                              // the winner is TakeOrdered(1)
     "etl_shard_rebalance_plan", // rank/cumsum windows over the ≤16-row
                              // SHARD-ENUM table (giver/taker intervals)
-    "etl_snapshot_expire_plan") // recency rank over the CALENDAR-bounded
+    "etl_snapshot_expire_plan", // recency rank over the CALENDAR-bounded
                              // month table (≤84 snapshots)
+    // round 10o: day-spine windows (≤31 calendar rows — STL trend MA,
+    // velocity/accel lags, rolling beta, seasonality strength, VaR rank,
+    // volume-anomaly list window)
+    "ts_stl_decompose", "ts_velocity_accel", "window_rolling_beta",
+    "ts_seasonality_strength", "agg_var_cvar", "dq_volume_anomaly",
+    // round 10o: DISTINCT-VALUE cents-spine windows (wilcoxon's 2dp
+    // domain bound) — KW/CvM midrank spines, chi2-residual median spine,
+    // PR-curve threshold spine
+    "stat_kruskal_wallis", "stat_cvm_two_sample", "stat_chi2_residuals",
+    "ml_pr_curve_points",
+    // round 10o: enum-bounded spines — 25-brand top-N rank, 20-source
+    // apportionment rank, 10-row vocab-growth decile cumsum, and the
+    // minute-granular conversion-latency spine (bounded by the span's
+    // minute count, not the data)
+    "agg_topn_other_rollup", "pipeline_budget_apportion",
+    "text_vocab_growth", "window_conversion_latency",
+    // round 10o batch 31: DW's day-index and residual-lag windows on the
+    // ≤31-row day spine
+    "stat_durbin_watson")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

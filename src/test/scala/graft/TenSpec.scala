@@ -1593,6 +1593,34 @@ class TenSpec extends AnyFunSuite {
     assert(rows.exists(_.getLong(3) == 0L), "purchase rows restart at 0")
   }
 
+  test("stat_durbin_watson lies in the statistic's [0, 4] range") {
+    val r = run("stat_durbin_watson").collect().head
+    val dw = r.getDouble(0)
+    assert(dw >= 0.0 && dw <= 4.0, s"DW $dw outside [0,4]")
+  }
+
+  test("etl_pii_pseudonymize: stable tokens, collision audit green") {
+    val rows = run("etl_pii_pseudonymize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getString(1).startsWith("cust-") &&
+        r.getString(1).length == 17)
+      assert(r.getBoolean(2), "pseudonym collision detected")
+    }
+    // re-run yields identical tokens (determinism of the pepper hash)
+    val again = run("etl_pii_pseudonymize").collect()
+    assert(rows.map(_.getString(1)).toSeq == again.map(_.getString(1)).toSeq)
+  }
+
+  test("ml_shapley_two_feature satisfies the efficiency axiom exactly") {
+    val r = run("ml_shapley_two_feature").collect().head
+    val (v0, v12) = (r.getDouble(0), r.getDouble(1))
+    val (p1, p2) = (r.getDouble(2), r.getDouble(3))
+    assert(math.abs((p1 + p2) - (v12 - v0)) < 2e-6,
+      s"phi1+phi2 = ${p1 + p2} != v(full)-v(empty) = ${v12 - v0}")
+    assert(v0 >= 0.0 && v0 <= 1.0 && v12 >= 0.0 && v12 <= 1.0)
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
