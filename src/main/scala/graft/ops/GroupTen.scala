@@ -6838,6 +6838,118 @@ object GroupTen {
             .cast(DoubleType) / 2000000.0d).as("shap_value_gt100_6"),
           (((col("v2") - col("v0")) + (col("v12") - col("v1")))
             .cast(DoubleType) / 2000000.0d).as("shap_weekend6"))
+    },
+
+    // Theil entropy index of customer revenue — the third leg of the
+    // inequality kit (Gini integrates, Lorenz draws, Theil DECOMPOSES):
+    // T = Σ(x/S)·ln(x·n/S), with the log quantized to integer micro-nats
+    // per customer (quantize-then-sum — the x-weighted integer sum is
+    // order-independent at any partitioning) and the final value ONE
+    // rational over S·10⁶. Two map-side-combinable aggs.
+    q("agg_theil_index",
+      """WITH per AS (SELECT o_custkey,
+        |    SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS x
+        |  FROM orders GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(x) AS sx
+        |  FROM per),
+        |q AS (SELECT x, CAST(round(ln(CAST(x AS DOUBLE) * n / sx)
+        |    * 1000000.0, 0) AS BIGINT) AS lnq
+        |  FROM per CROSS JOIN t),
+        |s AS (SELECT SUM(CAST(x AS HUGEINT) * lnq) AS num FROM q)
+        |SELECT CAST(n AS BIGINT) AS n_customers,
+        |  (CASE WHEN num < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(num) + CAST(sx AS HUGEINT) * 1000000)
+        |      // (2 * CAST(sx AS HUGEINT) * 1000000) AS BIGINT)
+        |    / 1000000.0 AS theil6
+        |FROM s CROSS JOIN t""") { (s, dir) =>
+      val per = T.t(s, dir, "orders")
+        .groupBy("o_custkey")
+        .agg(sum(round(col("o_totalprice") * 100).cast(LongType)).as("x"))
+      val t = per.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("x").as("sx"))
+      val q = per.crossJoin(broadcast(t))
+        .withColumn("lnq",
+          round(log(col("x").cast(DoubleType) * col("n") / col("sx"))
+            * 1000000.0, 0).cast(LongType))
+      q.agg(sum(expr("cast(x as decimal(38,0)) * lnq")).as("num"),
+          max("n").as("n"), max("sx").as("sx"))
+        .select(col("n").cast(LongType).as("n_customers"),
+          T.r6s("num", "cast(sx as decimal(38,0)) * 1000000")
+            .as("theil6"))
+    },
+
+    // McNemar's test for two paired classifiers (the value rule vs the
+    // weekend rule on the SAME events — the paired-comparison question
+    // accuracy alone can't answer): discordant counts b/c from one scan,
+    // χ² = (b−c)²/(b+c) as a zero-guarded exact rational. One
+    // conditional agg.
+    q("stat_mcnemar",
+      """WITH e AS (SELECT
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS a,
+        |    CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END
+        |      AS b2,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |d AS (SELECT
+        |    SUM(CASE WHEN a = y AND b2 <> y THEN 1 ELSE 0 END) AS b,
+        |    SUM(CASE WHEN a <> y AND b2 = y THEN 1 ELSE 0 END) AS c
+        |  FROM e)
+        |SELECT CAST(b AS BIGINT) AS n_only_a_right,
+        |  CAST(c AS BIGINT) AS n_only_b_right,
+        |  CASE WHEN b + c = 0 THEN 0.0 ELSE
+        |    CAST((2000000 * (b - c) * (b - c) + (b + c)) // (2 * (b + c))
+        |      AS BIGINT) / 1000000.0 END AS mcnemar_chi2_6
+        |FROM d""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .select(when(col("value") > 100, 1L).otherwise(0L).as("a"),
+          when(expr("(dayofweek(ts) - 1) IN (0, 6)"), 1L).otherwise(0L)
+            .as("b2"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+        .agg(sum(when(col("a") === col("y") && col("b2") =!= col("y"), 1L)
+            .otherwise(0L)).as("b"),
+          sum(when(col("a") =!= col("y") && col("b2") === col("y"), 1L)
+            .otherwise(0L)).as("c"))
+        .select(col("b").cast(LongType).as("n_only_a_right"),
+          col("c").cast(LongType).as("n_only_b_right"),
+          expr("CASE WHEN b + c = 0 THEN 0.0D ELSE" +
+            " ((2000000L * (b - c) * (b - c) + (b + c))" +
+            " div (2L * (b + c))) / 1000000.0D END")
+            .as("mcnemar_chi2_6"))
+    },
+
+    // Net Promoter Score from per-user purchase spend, scored on FIXED
+    // dollar thresholds (0–10 in $50 steps; 9–10 promoters, 0–6
+    // detractors — the standard NPS buckets) so the whole computation is
+    // scan-local with NO rank window over a data-sized relation: NPS =
+    // (P − D)/N as one signed exact rational. Two
+    // map-side-combinable aggs.
+    q("agg_nps_score",
+      """WITH e AS (SELECT user_id,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS spend
+        |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+        |cls AS (SELECT least(10, spend // 5000) AS score FROM e),
+        |s AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CASE WHEN score >= 9 THEN 1 ELSE 0 END) AS p,
+        |    SUM(CASE WHEN score <= 6 THEN 1 ELSE 0 END) AS d FROM cls)
+        |SELECT n AS n_users, CAST(p AS BIGINT) AS promoters,
+        |  CAST(d AS BIGINT) AS detractors,
+        |  (CASE WHEN p - d < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(p - d) + n) // (2 * n) AS BIGINT)
+        |    / 1000000.0 AS nps6
+        |FROM s""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("spend"))
+      e.select(least(lit(10L), expr("spend div 5000")).as("score"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("score") >= 9, 1L).otherwise(0L)).as("p"),
+          sum(when(col("score") <= 6, 1L).otherwise(0L)).as("d"))
+        .select(col("n").as("n_users"),
+          col("p").cast(LongType).as("promoters"),
+          col("d").cast(LongType).as("detractors"),
+          T.r6s("p - d", "n").as("nps6"))
     }
   )
 }

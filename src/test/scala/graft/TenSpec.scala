@@ -1621,6 +1621,34 @@ class TenSpec extends AnyFunSuite {
     assert(v0 >= 0.0 && v0 <= 1.0 && v12 >= 0.0 && v12 <= 1.0)
   }
 
+  test("agg_theil_index nonnegative and below ln(n)") {
+    val r = run("agg_theil_index").collect().head
+    val t = r.getDouble(1)
+    val n = r.getLong(0)
+    // the ln quantization can push T a hair below 0 for near-equal
+    // distributions; the upper bound ln(n) is exact
+    assert(t > -1e-3 && t <= math.log(n.toDouble), s"Theil $t out of range")
+  }
+
+  test("stat_mcnemar matches the discordant-count formula") {
+    val r = run("stat_mcnemar").collect().head
+    val (b, c) = (r.getLong(0), r.getLong(1))
+    val chi2 = r.getDouble(2)
+    if (b + c > 0) {
+      val expect = (b - c).toDouble * (b - c) / (b + c)
+      assert(math.abs(chi2 - expect) < 1e-5, s"$chi2 != $expect")
+    } else assert(chi2 == 0.0)
+  }
+
+  test("agg_nps_score: counts consistent, NPS in [-1, 1]") {
+    val r = run("agg_nps_score").collect().head
+    val (n, p, d) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(p + d <= n)
+    val nps = r.getDouble(3)
+    assert(nps >= -1.0 && nps <= 1.0)
+    assert(math.abs(nps - (p - d).toDouble / n) < 1e-5)
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
