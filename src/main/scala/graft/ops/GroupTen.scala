@@ -6950,6 +6950,159 @@ object GroupTen {
           col("p").cast(LongType).as("promoters"),
           col("d").cast(LongType).as("detractors"),
           T.r6s("p - d", "n").as("nps6"))
+    },
+
+    // Peaks-over-threshold GPD fit (extreme-value tail modeling — the
+    // method behind "what does a 1-in-1000 value look like"): exceedances
+    // of the $250 threshold, method-of-moments ξ/σ estimates from exact
+    // integer moments via the IDENTICAL float chain in both engines,
+    // zero-guarded below 10 exceedances (the sf0.001 tail is too thin to
+    // fit — emitted as 0, documented). One filtered agg.
+    q("stat_pot_gpd_fit",
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS y
+        |  FROM events),
+        |x AS (SELECT y - 25000 AS z FROM e WHERE y > 25000),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS k, SUM(z) AS sz,
+        |    SUM(z * z) AS sq FROM x)
+        |SELECT k AS n_exceed,
+        |  CASE WHEN k < 10 THEN 0.0 ELSE
+        |    round(0.5 * (1.0 - (CAST(sz AS DOUBLE) / k)
+        |      * (CAST(sz AS DOUBLE) / k)
+        |      / ((CAST(sq AS DOUBLE) - CAST(sz AS DOUBLE) * sz / k) / k)),
+        |      6) END AS xi6,
+        |  CASE WHEN k < 10 THEN 0.0 ELSE
+        |    round(0.5 * (CAST(sz AS DOUBLE) / k)
+        |      * (1.0 + (CAST(sz AS DOUBLE) / k) * (CAST(sz AS DOUBLE) / k)
+        |      / ((CAST(sq AS DOUBLE) - CAST(sz AS DOUBLE) * sz / k) / k))
+        |      / 100.0, 6) END AS sigma_dollars6
+        |FROM m""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .select(round(col("value") * 100).cast(LongType).as("y"))
+        .where(col("y") > 25000)
+        .select((col("y") - 25000).as("z"))
+        .agg(count(lit(1)).cast(LongType).as("k"), sum("z").as("sz"),
+          sum(col("z") * col("z")).as("sq"))
+        .select(col("k").as("n_exceed"),
+          expr("CASE WHEN k < 10 THEN 0.0D ELSE" +
+            " round(0.5D * (1.0D - (CAST(sz AS DOUBLE) / k)" +
+            " * (CAST(sz AS DOUBLE) / k)" +
+            " / ((CAST(sq AS DOUBLE) - CAST(sz AS DOUBLE) * sz / k) / k))" +
+            ", 6) END").as("xi6"),
+          expr("CASE WHEN k < 10 THEN 0.0D ELSE" +
+            " round(0.5D * (CAST(sz AS DOUBLE) / k)" +
+            " * (1.0D + (CAST(sz AS DOUBLE) / k) * (CAST(sz AS DOUBLE) / k)" +
+            " / ((CAST(sq AS DOUBLE) - CAST(sz AS DOUBLE) * sz / k) / k))" +
+            " / 100.0D, 6) END").as("sigma_dollars6"))
+    },
+
+    // Cumulative gains and lift chart at population deciles — the
+    // campaign-targeting view of the score's ranking power (PR curve's
+    // marketing twin): decile cuts resolved on the DESC cumulative
+    // distinct-cents spine (largest y whose coverage reaches d/10 of the
+    // population), gain share and lift as exact rationals. No data-sized
+    // rank window — the spine is domain-bounded.
+    q("ml_gain_lift_chart",
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events),
+        |h AS (SELECT y, count(*) AS cnt, SUM(pos) AS pc FROM e
+        |  GROUP BY 1),
+        |c AS (SELECT y, SUM(cnt) OVER (ORDER BY y DESC ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND CURRENT ROW) AS ccnt,
+        |    SUM(pc) OVER (ORDER BY y DESC ROWS BETWEEN UNBOUNDED
+        |    PRECEDING AND CURRENT ROW) AS cpos,
+        |    (SELECT CAST(count(*) AS BIGINT) FROM e) AS n,
+        |    (SELECT CAST(SUM(pos) AS BIGINT) FROM e) AS post FROM h),
+        |dec AS (SELECT d, max(y) AS cut FROM c
+        |  CROSS JOIN (SELECT unnest(range(1, 11)) AS d)
+        |  WHERE ccnt * 10 >= n * d GROUP BY 1),
+        |g AS (SELECT d, c.ccnt AS pop, c.cpos AS gain, c.n AS n,
+        |    c.post AS post
+        |  FROM dec JOIN c ON c.y = dec.cut)
+        |SELECT CAST(d AS BIGINT) AS decile,
+        |  CAST(pop AS BIGINT) AS n_targeted,
+        |  CAST(gain AS BIGINT) AS n_positives,
+        |  CAST((2000000 * gain + post) // (2 * post) AS BIGINT)
+        |    / 1000000.0 AS gain_share6,
+        |  CAST((2000000 * gain * n + post * pop) // (2 * post * pop)
+        |    AS BIGINT) / 1000000.0 AS lift6
+        |FROM g ORDER BY d""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val h = e.groupBy("y").agg(count(lit(1)).as("cnt"),
+        sum("pos").as("pc"))
+      val tot = e.agg(count(lit(1)).cast(LongType).as("n"),
+        sum("pos").cast(LongType).as("post"))
+      val cw = Window.orderBy(col("y").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val c = h.withColumn("ccnt", sum("cnt").over(cw))
+        .withColumn("cpos", sum("pc").over(cw))
+        .crossJoin(broadcast(tot))
+      val dec = c.crossJoin(broadcast(
+          s.range(1, 11).select(col("id").as("d"))))
+        .where(col("ccnt") * 10 >= col("n") * col("d"))
+        .groupBy("d").agg(max("y").as("cut"))
+      dec.join(c, col("cut") === col("y"))
+        .select(col("d").cast(LongType).as("decile"),
+          col("ccnt").cast(LongType).as("n_targeted"),
+          col("cpos").cast(LongType).as("n_positives"),
+          T.r6("cpos", "post").as("gain_share6"),
+          T.r6("cpos * n", "post * ccnt").as("lift6"))
+        .orderBy("decile")
+    },
+
+    // MASE — mean absolute scaled error of the seasonal-naive (lag-7)
+    // forecast against the naive (lag-1) benchmark, the scale-free
+    // forecast-accuracy standard (Hyndman & Koehler): both MAEs are
+    // integer |Δ| sums on the day spine, MASE ONE rational of their
+    // cross-multiplied forms. Day-spine lags only.
+    q("ts_mase_naive",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |l AS (SELECT day, x, lag(x, 1) OVER (ORDER BY day) AS l1,
+        |    lag(x, 7) OVER (ORDER BY day) AS l7 FROM d),
+        |m AS (SELECT
+        |    SUM(CASE WHEN l7 IS NOT NULL THEN abs(x - l7) END) AS e7,
+        |    CAST(SUM(CASE WHEN l7 IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n7,
+        |    SUM(CASE WHEN l1 IS NOT NULL AND l7 IS NOT NULL
+        |      THEN abs(x - l1) END) AS e1,
+        |    CAST(SUM(CASE WHEN l1 IS NOT NULL AND l7 IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n1
+        |  FROM l)
+        |SELECT n7 AS n_scored,
+        |  CAST((2000000 * e7 + n7 * 100) // (2 * n7 * 100) AS BIGINT)
+        |    / 1000000.0 AS mae_seasonal6,
+        |  CAST((2000000 * e1 + n1 * 100) // (2 * n1 * 100) AS BIGINT)
+        |    / 1000000.0 AS mae_naive6,
+        |  CAST((2000000 * CAST(e7 AS HUGEINT) * n1
+        |      + CAST(e1 AS HUGEINT) * n7)
+        |    // (2 * CAST(e1 AS HUGEINT) * n7) AS BIGINT) / 1000000.0
+        |    AS mase6
+        |FROM m""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val w = Window.orderBy("day")
+      d.withColumn("l1", lag("x", 1).over(w))
+        .withColumn("l7", lag("x", 7).over(w))
+        .agg(
+          sum(when(col("l7").isNotNull, abs(col("x") - col("l7"))))
+            .as("e7"),
+          sum(when(col("l7").isNotNull, 1L).otherwise(0L))
+            .cast(LongType).as("n7"),
+          sum(when(col("l1").isNotNull && col("l7").isNotNull,
+            abs(col("x") - col("l1")))).as("e1"),
+          sum(when(col("l1").isNotNull && col("l7").isNotNull, 1L)
+            .otherwise(0L)).cast(LongType).as("n1"))
+        .select(col("n7").as("n_scored"),
+          T.r6("e7", "n7 * 100").as("mae_seasonal6"),
+          T.r6("e1", "n1 * 100").as("mae_naive6"),
+          T.r6("cast(e7 as decimal(38,0)) * n1",
+            "cast(e1 as decimal(38,0)) * n7").as("mase6"))
     }
   )
 }

@@ -148,7 +148,10 @@ object DrivePlanAudit {
     "window_conversion_latency", "graph_rich_club",
     // round 10o batch 31: the DW fit's 1-row coefficient broadcast +
     // Σe² scalar, and the pseudonymizer's 1-row collision-audit row
-    "stat_durbin_watson", "etl_pii_pseudonymize")
+    "stat_durbin_watson", "etl_pii_pseudonymize",
+    // round 10o batch 32-33: Theil's 1-row total broadcast, the gain/lift
+    // chart's 1-row population-total broadcast + 10-row decile fan-out
+    "agg_theil_index", "ml_gain_lift_chart")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -209,7 +212,10 @@ object DrivePlanAudit {
     "text_vocab_growth", "window_conversion_latency",
     // round 10o batch 31: DW's day-index and residual-lag windows on the
     // ≤31-row day spine
-    "stat_durbin_watson")
+    "stat_durbin_watson",
+    // round 10o batch 33: gain/lift DESC cumulative on the distinct-cents
+    // spine; MASE lags on the day spine
+    "ml_gain_lift_chart", "ts_mase_naive")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -1649,6 +1649,38 @@ class TenSpec extends AnyFunSuite {
     assert(math.abs(nps - (p - d).toDouble / n) < 1e-5)
   }
 
+  test("stat_pot_gpd_fit: guarded below 10 exceedances, sigma positive") {
+    val r = run("stat_pot_gpd_fit").collect().head
+    val k = r.getLong(0)
+    if (k < 10) {
+      assert(r.getDouble(1) == 0.0 && r.getDouble(2) == 0.0)
+    } else {
+      assert(r.getDouble(2) > 0.0, "scale must be positive")
+      assert(r.getDouble(1) < 0.5, "MoM xi < 1/2 by construction")
+    }
+  }
+
+  test("ml_gain_lift_chart: gains cumulative, decile 10 captures all") {
+    val rows = run("ml_gain_lift_chart").collect().sortBy(_.getLong(0))
+    assert(rows.length == 10)
+    val gains = rows.map(_.getDouble(3)).toSeq
+    assert(gains == gains.sorted, "gain share must be nondecreasing")
+    assert(math.abs(gains.last - 1.0) < 1e-5, "final decile captures all")
+    rows.foreach { r =>
+      assert(r.getLong(2) <= r.getLong(1), "positives exceed targeted")
+      assert(r.getDouble(4) > 0.0)
+    }
+  }
+
+  test("ts_mase_naive: MASE equals the ratio of the two MAEs") {
+    val r = run("ts_mase_naive").collect().head
+    assert(r.getLong(0) > 0)
+    val (mae7, mae1, mase) =
+      (r.getDouble(1), r.getDouble(2), r.getDouble(3))
+    assert(mae7 > 0.0 && mae1 > 0.0)
+    assert(math.abs(mase - mae7 / mae1) < 1e-4, s"$mase != ${mae7 / mae1}")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
