@@ -7103,6 +7103,171 @@ object GroupTen {
           T.r6("e1", "n1 * 100").as("mae_naive6"),
           T.r6("cast(e7 as decimal(38,0)) * n1",
             "cast(e1 as decimal(38,0)) * n7").as("mase6"))
+    },
+
+    // Hodges–Lehmann estimator of the daily revenue delta — the median
+    // of all pairwise (Walsh) averages, the robust location estimate
+    // behind the Wilcoxon test: Walsh sums carried ×2 (a.v + b.v —
+    // integer), exact rank-selected median over the ≤(31·32/2)-pair
+    // day-spine self-join (bounded by the calendar, not the data).
+    q("stat_hodges_lehmann",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |dx AS (SELECT x - lag(x) OVER (ORDER BY day) AS v, day FROM d),
+        |v AS (SELECT v, row_number() OVER (ORDER BY day) AS i FROM dx
+        |  WHERE v IS NOT NULL),
+        |pairs AS (SELECT a.v + b.v AS w2 FROM v a JOIN v b ON a.i <= b.i),
+        |rk AS (SELECT w2, row_number() OVER (ORDER BY w2) AS rn,
+        |    count(*) OVER () AS n FROM pairs)
+        |SELECT CAST(max(n) AS BIGINT) AS n_pairs,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN w2 END) AS BIGINT)
+        |    AS hl2_cents,
+        |  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN w2 END) AS BIGINT)
+        |    / 200.0 AS hl_dollars
+        |FROM rk""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val v = d.withColumn("v", col("x") - lag("x", 1)
+          .over(Window.orderBy("day")))
+        .where(col("v").isNotNull)
+        .withColumn("i", row_number().over(Window.orderBy("day")))
+        .select("v", "i")
+      val pairs = v.as("a")
+        .join(v.as("b"), col("a.i") <= col("b.i"))
+        .select((col("a.v") + col("b.v")).as("w2"))
+      val rk = pairs
+        .withColumn("rn", row_number().over(Window.orderBy("w2")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      rk.agg(max("n").cast(LongType).as("n_pairs"),
+          max(when(expr("rn = (n + 1) div 2"), col("w2")))
+            .cast(LongType).as("hl2_cents"))
+        .select(col("n_pairs"), col("hl2_cents"),
+          (col("hl2_cents").cast(DoubleType) / 200.0d).as("hl_dollars"))
+    },
+
+    // Brier score of the two-bucket purchase-probability forecast —
+    // calibration-and-resolution in one number (the proper scoring rule;
+    // completes the ECE/pinball evaluation trio): train-half rates
+    // quantized to HALF_UP micro-integers, test-half squared errors as
+    // EXACT integer sums ((pµ − y·10⁶)², order-independent), Brier ONE
+    // rational over n·10¹². Hash-join on the 2-row model table.
+    q("ml_brier_score",
+      """WITH e AS (SELECT event_id,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y,
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS f FROM events),
+        |tr AS (SELECT f, SUM(y) AS sy, CAST(count(*) AS BIGINT) AS n
+        |  FROM e WHERE event_id % 2 = 0 GROUP BY 1),
+        |p AS (SELECT f, (2000000 * sy + n) // (2 * n) AS pmu FROM tr),
+        |tst AS (SELECT CAST(count(*) AS BIGINT) AS nt,
+        |    SUM(CAST(pmu - y * 1000000 AS HUGEINT)
+        |      * (pmu - y * 1000000)) AS ss
+        |  FROM e JOIN p ON e.f = p.f WHERE event_id % 2 = 1)
+        |SELECT nt AS n_test,
+        |  CAST((2000000 * ss + CAST(nt AS HUGEINT) * 1000000000000)
+        |    // (2 * CAST(nt AS HUGEINT) * 1000000000000) AS BIGINT)
+        |    / 1000000.0 AS brier6
+        |FROM tst""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .select(col("event_id"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"),
+          when(col("value") > 100, 1L).otherwise(0L).as("f"))
+      val p = e.filter(col("event_id") % 2 === 0)
+        .groupBy("f")
+        .agg(sum("y").as("sy"), count(lit(1)).cast(LongType).as("n"))
+        .select(col("f"), expr("(2000000L * sy + n) div (2L * n)")
+          .as("pmu"))
+      e.filter(col("event_id") % 2 === 1)
+        .join(broadcast(p), "f")
+        .agg(count(lit(1)).cast(LongType).as("nt"),
+          sum(expr("cast(pmu - y * 1000000L as decimal(38,0))" +
+            " * (pmu - y * 1000000L)")).as("ss"))
+        .select(col("nt").as("n_test"),
+          T.r6("ss", "cast(nt as decimal(38,0)) * 1000000000000")
+            .as("brier6"))
+    },
+
+    // IBAN-style mod-97 check (ISO 7064 — the checksum that catches any
+    // single-digit error AND any transposition, unlike Luhn): an 18-digit
+    // account string reduced by PIECEWISE modular arithmetic (7+7+4 digit
+    // chunks, r ← (r·10^k + chunk) mod 97 — the standard trick since the
+    // full number overflows int64 math in general), check digits = 98−r.
+    // Pure integer + substr; verified against direct big-int mod.
+    q("scalar_iban_mod97",
+      """WITH h AS (SELECT o_orderkey,
+        |    lpad(CAST(o_orderkey * 2654435761 % 1000000000000000000
+        |      AS VARCHAR), 18, '0') AS ds
+        |  FROM orders WHERE o_orderkey < 300),
+        |st AS (SELECT o_orderkey, ds,
+        |    CAST(substr(ds, 1, 7) AS BIGINT) % 97 AS r1 FROM h),
+        |s2 AS (SELECT o_orderkey, ds,
+        |    (r1 * 10000000 + CAST(substr(ds, 8, 7) AS BIGINT)) % 97
+        |      AS r2 FROM st),
+        |s3 AS (SELECT o_orderkey, ds,
+        |    (r2 * 10000 + CAST(substr(ds, 15, 4) AS BIGINT)) % 97
+        |      AS r3 FROM s2)
+        |SELECT o_orderkey, ds, CAST(r3 AS BIGINT) AS mod97,
+        |  CAST(98 - r3 AS BIGINT) AS check_digits, r3 = 1 AS valid
+        |FROM s3 ORDER BY o_orderkey""") { (s, dir) =>
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .withColumn("ds", lpad(expr(
+          "CAST(o_orderkey * 2654435761L % 1000000000000000000L" +
+            " AS STRING)"), 18, "0"))
+        .withColumn("r1", expr("CAST(substr(ds, 1, 7) AS BIGINT) % 97"))
+        .withColumn("r2",
+          expr("(r1 * 10000000L + CAST(substr(ds, 8, 7) AS BIGINT)) % 97"))
+        .withColumn("r3",
+          expr("(r2 * 10000L + CAST(substr(ds, 15, 4) AS BIGINT)) % 97"))
+        .select(col("o_orderkey"), col("ds"),
+          col("r3").cast(LongType).as("mod97"),
+          (lit(98L) - col("r3")).cast(LongType).as("check_digits"),
+          (col("r3") === 1).as("valid"))
+        .orderBy("o_orderkey")
+    },
+
+    // Gini coefficient of the degree distribution — hub concentration of
+    // the strong co-purchase graph in one number (the inequality kit
+    // applied to graph structure; pairs with graph_rich_club's φ(k)
+    // ladder): the exact agg_gini_concentration construction over node
+    // degrees. The node set is LIMIT-bounded by the top-2000 edge cut,
+    // so the rank window input is ≤4000 rows by construction.
+    q("graph_degree_gini",
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |sup AS (SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+        |    count(*) AS sup
+        |  FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |    AND a.l_partkey < b.l_partkey GROUP BY 1, 2),
+        |pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+        |  LIMIT 2000),
+        |e AS (SELECT pa AS s FROM pr UNION ALL SELECT pb FROM pr),
+        |deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg FROM e
+        |  GROUP BY 1),
+        |rk AS (SELECT dg, row_number() OVER (ORDER BY dg, node) AS i,
+        |    count(*) OVER () AS n FROM deg),
+        |g AS (SELECT CAST(max(n) AS BIGINT) AS n, SUM(dg) AS sx,
+        |    SUM(CAST(i AS HUGEINT) * dg) AS six FROM rk)
+        |SELECT n AS n_nodes,
+        |  CAST((2000000 * (2 * six - (n + 1) * sx) + n * sx)
+        |    // (2 * n * sx) AS BIGINT) / 1000000.0 AS degree_gini6
+        |FROM g""") { (s, dir) =>
+      val pr = GroupSeven.orderPairs(s, dir)
+        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+        .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
+        .select("pa", "pb")
+      val deg = pr.select(col("pa").as("nd"))
+        .unionAll(pr.select(col("pb").as("nd")))
+        .groupBy(col("nd").as("node"))
+        .agg(count(lit(1)).cast(LongType).as("dg"))
+      val rk = deg
+        .withColumn("i", row_number().over(Window.orderBy("dg", "node")))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      rk.agg(max("n").cast(LongType).as("n"),
+          sum(col("dg").cast(DecimalType(38, 0))).as("sx"),
+          sum(col("i").cast(DecimalType(38, 0)) * col("dg")).as("six"))
+        .select(col("n").as("n_nodes"),
+          T.r6("2L * six - (n + 1L) * sx", "n * sx").as("degree_gini6"))
     }
   )
 }

@@ -151,7 +151,10 @@ object DrivePlanAudit {
     "stat_durbin_watson", "etl_pii_pseudonymize",
     // round 10o batch 32-33: Theil's 1-row total broadcast, the gain/lift
     // chart's 1-row population-total broadcast + 10-row decile fan-out
-    "agg_theil_index", "ml_gain_lift_chart")
+    "agg_theil_index", "ml_gain_lift_chart",
+    // round 10o batch 34: the Walsh-pair theta self-join on the ≤31-row
+    // day spine (mann_kendall's bounded shape)
+    "stat_hodges_lehmann")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -215,7 +218,11 @@ object DrivePlanAudit {
     "stat_durbin_watson",
     // round 10o batch 33: gain/lift DESC cumulative on the distinct-cents
     // spine; MASE lags on the day spine
-    "ml_gain_lift_chart", "ts_mase_naive")
+    "ml_gain_lift_chart", "ts_mase_naive",
+    // round 10o batch 34: HL rank over the ≤(31·32/2)-pair day-spine
+    // self-join; degree-gini rank over the LIMIT-2000-edge node set
+    // (≤4000 rows by construction)
+    "stat_hodges_lehmann", "graph_degree_gini")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

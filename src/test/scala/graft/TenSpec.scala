@@ -1681,6 +1681,39 @@ class TenSpec extends AnyFunSuite {
     assert(math.abs(mase - mae7 / mae1) < 1e-4, s"$mase != ${mae7 / mae1}")
   }
 
+  test("stat_hodges_lehmann: pair count is n(n+1)/2 of the delta series") {
+    val r = run("stat_hodges_lehmann").collect().head
+    val nDays = T.t(s, sf, "events")
+      .select(countDistinct(to_date(col("ts")))).collect().head.getLong(0)
+    val nd = nDays - 1 // deltas
+    assert(r.getLong(0) == nd * (nd + 1) / 2, "Walsh pair count wrong")
+    assert(r.getDouble(2) == r.getLong(1) / 200.0)
+  }
+
+  test("ml_brier_score lies in [0, 1]") {
+    val r = run("ml_brier_score").collect().head
+    assert(r.getLong(0) > 0)
+    val b = r.getDouble(1)
+    assert(b >= 0.0 && b <= 1.0, s"Brier $b out of range")
+  }
+
+  test("scalar_iban_mod97 agrees with big-integer modulus") {
+    val rows = run("scalar_iban_mod97").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val expect = (BigInt(r.getString(1)) mod BigInt(97)).toLong
+      assert(r.getLong(2) == expect, s"mod97 mismatch for ${r.getString(1)}")
+      assert(r.getLong(3) == 98 - expect)
+    }
+  }
+
+  test("graph_degree_gini within [0, 1)") {
+    val r = run("graph_degree_gini").collect().head
+    assert(r.getLong(0) > 0)
+    val g = r.getDouble(1)
+    assert(g >= 0.0 && g < 1.0, s"degree gini $g out of range")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
