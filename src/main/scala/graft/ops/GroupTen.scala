@@ -7268,6 +7268,145 @@ object GroupTen {
           sum(col("i").cast(DecimalType(38, 0)) * col("dg")).as("six"))
         .select(col("n").as("n_nodes"),
           T.r6("2L * six - (n + 1L) * sx", "n * sx").as("degree_gini6"))
+    },
+
+    // ABC×XYZ classification matrix — the supply-chain planning grid
+    // (revenue importance × demand variability): ABC by the Pareto key's
+    // brand-keyed cumulative cut, XYZ by the quantity coefficient of
+    // variation decided ENTIRELY by integer cross-multiplication
+    // (CV² ≤ 0.04 ⟺ 25·nΣq² ≤ 26·S², CV² ≤ 0.25 ⟺ 4·nΣq² ≤ 5·S² — no
+    // sqrt, no float). One agg + the brand-keyed window; 9-cell rollup.
+    q("agg_abc_xyz_matrix",
+      """WITH rev AS (SELECT p.p_brand AS brand, l.l_partkey AS pk,
+        |    SUM(CAST(round(l.l_extendedprice * 100) AS BIGINT)) AS cents,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CAST(round(l.l_quantity * 100) AS BIGINT)) AS sq,
+        |    SUM(CAST(round(l.l_quantity * 100) AS BIGINT)
+        |      * CAST(round(l.l_quantity * 100) AS BIGINT)) AS sqq
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  GROUP BY 1, 2),
+        |rk AS (SELECT brand, pk, cents, n, sq, sqq,
+        |    SUM(cents) OVER (PARTITION BY brand ORDER BY cents DESC, pk
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    SUM(cents) OVER (PARTITION BY brand) AS tot FROM rev),
+        |cls AS (SELECT
+        |    CASE WHEN cum * 100 <= tot * 80 THEN 'A'
+        |      WHEN cum * 100 <= tot * 95 THEN 'B' ELSE 'C' END AS abc,
+        |    CASE WHEN 25 * CAST(n AS HUGEINT) * sqq
+        |        <= 26 * CAST(sq AS HUGEINT) * sq THEN 'X'
+        |      WHEN 4 * CAST(n AS HUGEINT) * sqq
+        |        <= 5 * CAST(sq AS HUGEINT) * sq THEN 'Y'
+        |      ELSE 'Z' END AS xyz
+        |  FROM rk)
+        |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
+        |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val qc = round(col("l_quantity") * 100).cast(LongType)
+      val rev = T.t(s, dir, "lineitem")
+        .join(broadcast(T.t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("pk"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
+            .as("cents"),
+          count(lit(1)).cast(LongType).as("n"),
+          sum(qc).as("sq"), sum(qc * qc).as("sqq"))
+      val wcum = Window.partitionBy("brand")
+        .orderBy(col("cents").desc, col("pk"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.withColumn("cum", sum("cents").over(wcum))
+        .withColumn("tot", sum("cents").over(Window.partitionBy("brand")))
+        .select(
+          when(col("cum") * 100 <= col("tot") * 80, "A")
+            .when(col("cum") * 100 <= col("tot") * 95, "B")
+            .otherwise("C").as("abc"),
+          when(expr("25 * cast(n as decimal(38,0)) * sqq" +
+            " <= 26 * cast(sq as decimal(38,0)) * sq"), "X")
+            .when(expr("4 * cast(n as decimal(38,0)) * sqq" +
+              " <= 5 * cast(sq as decimal(38,0)) * sq"), "Y")
+            .otherwise("Z").as("xyz"))
+        .groupBy("abc", "xyz")
+        .agg(count(lit(1)).cast(LongType).as("n_parts"))
+        .orderBy("abc", "xyz")
+    },
+
+    // Semantic-version scalar kit — parse MAJOR.MINOR.PATCH, build the
+    // total-order sort key (maj·10⁶ + min·10³ + pat — the comparison
+    // every dependency resolver runs), and classify stability. Versions
+    // derive deterministically from order keys; pure split/cast
+    // projection, no UDF.
+    q("scalar_semver_funcs",
+      """WITH v AS (SELECT o_orderkey,
+        |    CAST(o_orderkey % 5 AS VARCHAR) || '.'
+        |      || CAST(o_orderkey % 12 AS VARCHAR) || '.'
+        |      || CAST(o_orderkey % 20 AS VARCHAR) AS ver
+        |  FROM orders WHERE o_orderkey < 300),
+        |p AS (SELECT o_orderkey, ver,
+        |    CAST(string_split(ver, '.')[1] AS BIGINT) AS maj,
+        |    CAST(string_split(ver, '.')[2] AS BIGINT) AS mnr,
+        |    CAST(string_split(ver, '.')[3] AS BIGINT) AS pat FROM v)
+        |SELECT o_orderkey, ver,
+        |  CAST(maj * 1000000 + mnr * 1000 + pat AS BIGINT) AS ord_key,
+        |  maj >= 1 AS is_stable
+        |FROM p ORDER BY o_orderkey""") { (s, dir) =>
+      T.t(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .withColumn("ver", concat(
+          (col("o_orderkey") % 5).cast(StringType), lit("."),
+          (col("o_orderkey") % 12).cast(StringType), lit("."),
+          (col("o_orderkey") % 20).cast(StringType)))
+        .withColumn("maj",
+          expr("CAST(element_at(split(ver, '\\\\.'), 1) AS BIGINT)"))
+        .withColumn("mnr",
+          expr("CAST(element_at(split(ver, '\\\\.'), 2) AS BIGINT)"))
+        .withColumn("pat",
+          expr("CAST(element_at(split(ver, '\\\\.'), 3) AS BIGINT)"))
+        .select(col("o_orderkey"), col("ver"),
+          (col("maj") * 1000000 + col("mnr") * 1000 + col("pat"))
+            .cast(LongType).as("ord_key"),
+          (col("maj") >= 1).as("is_stable"))
+        .orderBy("o_orderkey")
+    },
+
+    // Mann–Whitney U as AUC — the rank-sum/AUC identity (U/(n₁n₀) IS
+    // the probability a random positive outscores a random negative,
+    // ties half-credited): U carried ×2 integral via the cumulative
+    // negatives-below spine (2·negBelow + ties), AUC ONE rational over
+    // 2n₁n₀. The spec audits it against an independent pairwise
+    // recount — the cross-op identity check on the board's rank
+    // machinery. Domain-bounded spine only.
+    q("stat_u_auc_identity",
+      """WITH e AS (SELECT CAST(round(value * 100) AS BIGINT) AS y,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |v AS (SELECT y, count(*) AS cnt, SUM(pos) AS pc FROM e
+        |  GROUP BY 1),
+        |c AS (SELECT y, cnt, pc, cnt - pc AS nc,
+        |    COALESCE(SUM(cnt - pc) OVER (ORDER BY y ROWS BETWEEN
+        |      UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS negBelow
+        |  FROM v),
+        |u AS (SELECT SUM(pc * (2 * negBelow + nc)) AS u2,
+        |    (SELECT SUM(pos) FROM e) AS n1,
+        |    (SELECT CAST(count(*) AS BIGINT) - SUM(pos) FROM e) AS n0
+        |  FROM c)
+        |SELECT CAST(n1 AS BIGINT) AS n_pos, CAST(n0 AS BIGINT) AS n_neg,
+        |  CAST((2000000 * u2 + 2 * n1 * n0) // (2 * 2 * n1 * n0)
+        |    AS BIGINT) / 1000000.0 AS auc_u6
+        |FROM u""") { (s, dir) =>
+      val e = T.t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(round(col("value") * 100).cast(LongType).as("y"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("pos"))
+      val v = e.groupBy("y").agg(count(lit(1)).as("cnt"),
+        sum("pos").as("pc"))
+      val tot = e.agg(sum("pos").cast(LongType).as("n1"),
+        (count(lit(1)) - sum("pos")).cast(LongType).as("n0"))
+      val c = v.withColumn("negBelow",
+        coalesce(sum(col("cnt") - col("pc")).over(Window.orderBy("y")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      c.agg(sum(col("pc") * (col("negBelow") * 2 + col("cnt")
+          - col("pc"))).as("u2"))
+        .crossJoin(broadcast(tot))
+        .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
+          T.r6("u2", "2 * n1 * n0").as("auc_u6"))
     }
   )
 }

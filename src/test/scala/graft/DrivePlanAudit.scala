@@ -154,7 +154,9 @@ object DrivePlanAudit {
     "agg_theil_index", "ml_gain_lift_chart",
     // round 10o batch 34: the Walsh-pair theta self-join on the ≤31-row
     // day spine (mann_kendall's bounded shape)
-    "stat_hodges_lehmann")
+    "stat_hodges_lehmann",
+    // round 10o batch 35: the U/AUC identity's 1-row population scalar
+    "stat_u_auc_identity")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -222,7 +224,9 @@ object DrivePlanAudit {
     // round 10o batch 34: HL rank over the ≤(31·32/2)-pair day-spine
     // self-join; degree-gini rank over the LIMIT-2000-edge node set
     // (≤4000 rows by construction)
-    "stat_hodges_lehmann", "graph_degree_gini")
+    "stat_hodges_lehmann", "graph_degree_gini",
+    // round 10o batch 35: the U spine cumsum over distinct cents
+    "stat_u_auc_identity")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -1714,6 +1714,48 @@ class TenSpec extends AnyFunSuite {
     assert(g >= 0.0 && g < 1.0, s"degree gini $g out of range")
   }
 
+  test("agg_abc_xyz_matrix: parts conserve across the 9-cell grid") {
+    val rows = run("agg_abc_xyz_matrix").collect()
+    assert(rows.nonEmpty)
+    val nParts = T.t(s, sf, "lineitem")
+      .select(countDistinct("l_partkey")).collect().head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == nParts)
+    rows.foreach { r =>
+      assert(Set("A", "B", "C").contains(r.getString(0)))
+      assert(Set("X", "Y", "Z").contains(r.getString(1)))
+    }
+  }
+
+  test("scalar_semver_funcs: sort key is order-isomorphic to the triple") {
+    val rows = run("scalar_semver_funcs").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Array(m, n, p) = r.getString(1).split("\\.").map(_.toLong)
+      assert(r.getLong(2) == m * 1000000 + n * 1000 + p)
+      assert(r.getBoolean(3) == (m >= 1))
+    }
+  }
+
+  test("stat_u_auc_identity equals an independent pairwise AUC recount") {
+    val r = run("stat_u_auc_identity").collect().head
+    val data = T.t(s, sf, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(round(col("value") * 100).cast("long").as("y"),
+        (col("event_type") === "purchase").as("p"))
+      .collect().map(x => (x.getLong(0), x.getBoolean(1)))
+    val pos = data.filter(_._2).map(_._1)
+    val neg = data.filterNot(_._2).map(_._1)
+    var u2 = 0L
+    pos.foreach { a =>
+      neg.foreach { b =>
+        if (a > b) u2 += 2 else if (a == b) u2 += 1
+      }
+    }
+    val expect = u2.toDouble / (2.0 * pos.length * neg.length)
+    assert(math.abs(r.getDouble(2) - expect) < 2e-6,
+      s"AUC ${r.getDouble(2)} != pairwise $expect")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
