@@ -7407,6 +7407,129 @@ object GroupTen {
         .crossJoin(broadcast(tot))
         .select(col("n1").as("n_pos"), col("n0").as("n_neg"),
           T.r6("u2", "2 * n1 * n0").as("auc_u6"))
+    },
+
+    // Price/volume growth bridge per brand (the FP&A revenue
+    // decomposition: how much of ΔR is price, how much is volume):
+    // Laspeyres-style split pe = (R₂Q₁ − R₁Q₂)/Q₁, ve = (Q₂−Q₁)·R₁/Q₁ —
+    // chosen so pe + ve = ΔR EXACTLY (a rational identity, spec-pinned);
+    // both effects are single signed rationals over Q₁ in
+    // HUGEINT/DECIMAL(38,0). One conditional agg between two shipment
+    // years; brands missing a year are excluded (documented).
+    q("agg_growth_price_volume_bridge",
+      """WITH li AS (SELECT p.p_brand AS brand,
+        |    date_part('year', l.l_shipdate) AS yr,
+        |    CAST(round(l.l_extendedprice * 100) AS BIGINT) AS rc,
+        |    CAST(round(l.l_quantity * 100) AS BIGINT) AS qc
+        |  FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |  WHERE date_part('year', l.l_shipdate) IN (1995, 1996)),
+        |g AS (SELECT brand,
+        |    SUM(CASE WHEN yr = 1995 THEN rc ELSE 0 END) AS r1,
+        |    SUM(CASE WHEN yr = 1995 THEN qc ELSE 0 END) AS q1,
+        |    SUM(CASE WHEN yr = 1996 THEN rc ELSE 0 END) AS r2,
+        |    SUM(CASE WHEN yr = 1996 THEN qc ELSE 0 END) AS q2
+        |  FROM li GROUP BY 1
+        |  HAVING SUM(CASE WHEN yr = 1995 THEN qc ELSE 0 END) > 0
+        |    AND SUM(CASE WHEN yr = 1996 THEN qc ELSE 0 END) > 0)
+        |SELECT brand, CAST(r1 AS BIGINT) AS r1_cents,
+        |  CAST(r2 AS BIGINT) AS r2_cents,
+        |  (CASE WHEN CAST(r2 AS HUGEINT) * q1 - CAST(r1 AS HUGEINT) * q2
+        |      < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(CAST(r2 AS HUGEINT) * q1
+        |        - CAST(r1 AS HUGEINT) * q2) + CAST(q1 AS HUGEINT) * 100)
+        |      // (2 * CAST(q1 AS HUGEINT) * 100) AS BIGINT) / 1000000.0
+        |    AS price_effect6,
+        |  (CASE WHEN (q2 - q1) * r1 < 0 THEN -1 ELSE 1 END)
+        |    * CAST((2000000 * abs(CAST(q2 - q1 AS HUGEINT) * r1)
+        |        + CAST(q1 AS HUGEINT) * 100)
+        |      // (2 * CAST(q1 AS HUGEINT) * 100) AS BIGINT) / 1000000.0
+        |    AS volume_effect6
+        |FROM g ORDER BY brand""") { (s, dir) =>
+      val li = T.t(s, dir, "lineitem")
+        .join(broadcast(T.t(s, dir, "part")),
+          col("l_partkey") === col("p_partkey"))
+        .where(year(col("l_shipdate")).isin(1995, 1996))
+        .select(col("p_brand").as("brand"),
+          year(col("l_shipdate")).as("yr"),
+          round(col("l_extendedprice") * 100).cast(LongType).as("rc"),
+          round(col("l_quantity") * 100).cast(LongType).as("qc"))
+      li.groupBy("brand")
+        .agg(sum(when(col("yr") === 1995, col("rc")).otherwise(0L))
+            .as("r1"),
+          sum(when(col("yr") === 1995, col("qc")).otherwise(0L)).as("q1"),
+          sum(when(col("yr") === 1996, col("rc")).otherwise(0L)).as("r2"),
+          sum(when(col("yr") === 1996, col("qc")).otherwise(0L)).as("q2"))
+        .where(col("q1") > 0 && col("q2") > 0)
+        .select(col("brand"), col("r1").cast(LongType).as("r1_cents"),
+          col("r2").cast(LongType).as("r2_cents"),
+          T.r6s("cast(r2 as decimal(38,0)) * q1" +
+            " - cast(r1 as decimal(38,0)) * q2",
+            "cast(q1 as decimal(38,0)) * 100").as("price_effect6"),
+          T.r6s("cast(q2 - q1 as decimal(38,0)) * r1",
+            "cast(q1 as decimal(38,0)) * 100").as("volume_effect6"))
+        .orderBy("brand")
+    },
+
+    // Duplicate-cluster size histogram — the shape of the dedup problem
+    // (how much is pairwise vs mass-duplicated), the summary every
+    // dedup_* key's planning starts from: exact-text clusters by md5,
+    // bucketed 1 / 2 / 3+ with cluster and document counts. Two
+    // map-side-combinable aggs.
+    q("dedup_cluster_size_histogram",
+      """WITH c AS (SELECT md5(text) AS h, count(*) AS sz FROM documents
+        |  GROUP BY 1),
+        |b AS (SELECT CASE WHEN sz = 1 THEN '1' WHEN sz = 2 THEN '2'
+        |    ELSE '3+' END AS bucket,
+        |    CASE WHEN sz = 1 THEN 1 WHEN sz = 2 THEN 2 ELSE 3 END AS o,
+        |    sz FROM c)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(sz) AS BIGINT) AS n_docs
+        |FROM b GROUP BY bucket, o ORDER BY o""") { (s, dir) =>
+      val c = T.t(s, dir, "documents")
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("sz"))
+      c.select(
+          when(col("sz") === 1, "1").when(col("sz") === 2, "2")
+            .otherwise("3+").as("bucket"),
+          when(col("sz") === 1, 1).when(col("sz") === 2, 2)
+            .otherwise(3).as("o"),
+          col("sz"))
+        .groupBy("bucket", "o")
+        .agg(count(lit(1)).cast(LongType).as("n_clusters"),
+          sum("sz").cast(LongType).as("n_docs"))
+        .orderBy("o")
+        .select("bucket", "n_clusters", "n_docs")
+    },
+
+    // New-vs-returning daily split — the top-of-dashboard product
+    // metric (acquisition vs retention mix): a user's events on their
+    // first-activity day are "new", everything later "returning"; daily
+    // counts + exact rational new-share. One first-day agg + one
+    // user-co-partitioned join + one daily rollup.
+    q("window_new_vs_returning",
+      """WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS fd
+        |  FROM events GROUP BY 1),
+        |e AS (SELECT CAST(e.ts AS DATE) AS day,
+        |    CASE WHEN CAST(e.ts AS DATE) = f.fd THEN 1 ELSE 0 END
+        |      AS is_new
+        |  FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT day, CAST(SUM(is_new) AS BIGINT) AS new_events,
+        |  CAST(SUM(1 - is_new) AS BIGINT) AS returning_events,
+        |  CAST((2000000 * SUM(is_new) + count(*)) // (2 * count(*))
+        |    AS BIGINT) / 1000000.0 AS new_share6
+        |FROM e GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      val ev = T.t(s, dir, "events")
+      val f = ev.groupBy("user_id").agg(min(to_date(col("ts"))).as("fd"))
+      ev.join(f, "user_id")
+        .select(to_date(col("ts")).as("day"),
+          when(to_date(col("ts")) === col("fd"), 1L).otherwise(0L)
+            .as("is_new"))
+        .groupBy("day")
+        .agg(sum("is_new").cast(LongType).as("new_events"),
+          sum(lit(1L) - col("is_new")).cast(LongType)
+            .as("returning_events"),
+          T.r6("sum(is_new)", "count(*)").as("new_share6"))
+        .orderBy("day")
     }
   )
 }

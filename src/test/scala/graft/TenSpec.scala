@@ -1756,6 +1756,34 @@ class TenSpec extends AnyFunSuite {
       s"AUC ${r.getDouble(2)} != pairwise $expect")
   }
 
+  test("agg_growth_price_volume_bridge: pe + ve == delta-R exactly") {
+    val rows = run("agg_growth_price_volume_bridge").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val dr = (r.getLong(2) - r.getLong(1)) / 100.0
+      val sum = r.getDouble(3) + r.getDouble(4)
+      assert(math.abs(sum - dr) < 0.01,
+        s"${r.getString(0)}: bridge $sum != deltaR $dr")
+    }
+  }
+
+  test("dedup_cluster_size_histogram conserves the document count") {
+    val rows = run("dedup_cluster_size_histogram").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(2)).sum == T.t(s, sf, "documents").count())
+    rows.foreach(r => assert(r.getLong(1) <= r.getLong(2)))
+  }
+
+  test("window_new_vs_returning: day one all-new, totals conserve") {
+    val rows = run("window_new_vs_returning").collect()
+      .sortBy(_.getDate(0).getTime)
+    assert(rows.nonEmpty)
+    assert(rows.head.getLong(2) == 0L, "first day cannot have returning")
+    assert(math.abs(rows.head.getDouble(3) - 1.0) < 1e-6)
+    val total = rows.map(r => r.getLong(1) + r.getLong(2)).sum
+    assert(total == T.t(s, sf, "events").count())
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
