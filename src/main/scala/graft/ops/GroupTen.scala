@@ -7530,6 +7530,47 @@ object GroupTen {
             .as("returning_events"),
           T.r6("sum(is_new)", "count(*)").as("new_share6"))
         .orderBy("day")
+    },
+
+    // Record-highs statistic of the daily revenue series — how many days
+    // set a new all-time high, audited in-row against the i.i.d.
+    // expectation E[records] = H_n (the harmonic number — the classic
+    // records-theory result; a large excess means trend): running-max
+    // window on the day spine, H_n as a floor-quantized micro-unit
+    // integer sum (identical in both engines, documented quantization).
+    q("ts_record_highs",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x, max(x) OVER (ORDER BY day ROWS BETWEEN
+        |    UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm FROM d),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    CAST(SUM(CASE WHEN pm IS NULL OR x > pm THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_records FROM w),
+        |h AS (SELECT n, n_records,
+        |    (SELECT SUM(1000000 // k) FROM
+        |      (SELECT unnest(range(1, 32)) AS k) WHERE k <= n) AS hm
+        |  FROM r)
+        |SELECT n AS n_days, n_records,
+        |  CAST(hm AS BIGINT) / 1000000.0 AS expected_records6
+        |FROM h""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val r = d.withColumn("pm", max("x").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("pm").isNull || col("x") > col("pm"), 1L)
+            .otherwise(0L)).cast(LongType).as("n_records"))
+      val hm = T.t(s, dir, "events").sparkSession.range(1, 32)
+        .select(col("id").as("k"))
+      r.crossJoin(broadcast(hm))
+        .where(col("k") <= col("n"))
+        .groupBy("n", "n_records")
+        .agg(sum(expr("1000000L div k")).as("hm"))
+        .select(col("n").as("n_days"), col("n_records"),
+          (col("hm").cast(DoubleType) / 1000000.0d)
+            .as("expected_records6"))
     }
   )
 }

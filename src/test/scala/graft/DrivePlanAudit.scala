@@ -156,7 +156,10 @@ object DrivePlanAudit {
     // day spine (mann_kendall's bounded shape)
     "stat_hodges_lehmann",
     // round 10o batch 35: the U/AUC identity's 1-row population scalar
-    "stat_u_auc_identity")
+    "stat_u_auc_identity",
+    // round 10o batch 37: record-high running max + the 31-row harmonic
+    // spine crossJoin
+    "ts_record_highs")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -226,7 +229,9 @@ object DrivePlanAudit {
     // (≤4000 rows by construction)
     "stat_hodges_lehmann", "graph_degree_gini",
     // round 10o batch 35: the U spine cumsum over distinct cents
-    "stat_u_auc_identity")
+    "stat_u_auc_identity",
+    // round 10o batch 37: record-high running max on the ≤31-row day spine
+    "ts_record_highs")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -1784,6 +1784,14 @@ class TenSpec extends AnyFunSuite {
     assert(total == T.t(s, sf, "events").count())
   }
 
+  test("ts_record_highs: records bounded and expectation is H_n") {
+    val r = run("ts_record_highs").collect().head
+    val (n, rec) = (r.getLong(0), r.getLong(1))
+    assert(rec >= 1 && rec <= n, "day one is always a record")
+    val hn = (1L to n).map(k => 1000000L / k).sum / 1e6
+    assert(math.abs(r.getDouble(2) - hn) < 1e-9)
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
