@@ -7571,6 +7571,177 @@ object GroupTen {
         .select(col("n").as("n_days"), col("n_records"),
           (col("hm").cast(DoubleType) / 1000000.0d)
             .as("expected_records6"))
+    },
+
+    // Sign test on paired daily purchase-vs-click revenue — the
+    // assumption-free paired test (no symmetry needed, unlike Wilcoxon):
+    // sign counts from one spine pass, the normal-approximation z
+    // = (2k−n)/√n as one sqrt+division over exact integers, 6dp.
+    q("stat_sign_test",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS p,
+        |    SUM(CASE WHEN event_type = 'click'
+        |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS c
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT CAST(SUM(CASE WHEN p > c THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS k,
+        |    CAST(SUM(CASE WHEN p <> c THEN 1 ELSE 0 END) AS BIGINT) AS n
+        |  FROM d)
+        |SELECT n AS n_days, k AS n_purchase_higher,
+        |  round((2.0 * k - n) / sqrt(CAST(n AS DOUBLE)), 6) AS sign_z6
+        |FROM s""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(when(col("event_type") === "purchase",
+            round(col("value") * 100).cast(LongType)).otherwise(0L))
+            .as("p"),
+          sum(when(col("event_type") === "click",
+            round(col("value") * 100).cast(LongType)).otherwise(0L))
+            .as("c"))
+        .agg(sum(when(col("p") > col("c"), 1L).otherwise(0L))
+            .cast(LongType).as("k"),
+          sum(when(col("p") =!= col("c"), 1L).otherwise(0L))
+            .cast(LongType).as("n"))
+        .select(col("n").as("n_days"), col("k").as("n_purchase_higher"),
+          round((lit(2.0d) * col("k") - col("n"))
+            / sqrt(col("n").cast(DoubleType)), 6).as("sign_z6"))
+    },
+
+    // Triangular weighted moving average (WMA-4, weights 4-3-2-1) — the
+    // lag-weighted smoother between SMA (flat) and EWMA (geometric):
+    // weights are INTEGER, so each point is ONE exact rational over
+    // 10·100. Fixed-lag windows on the day spine; full frames only.
+    q("window_wma_triangular",
+      """WITH d AS (SELECT CAST(ts AS DATE) AS day,
+        |    SUM(CAST(round(value * 100) AS BIGINT)) AS x
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, x,
+        |    lag(x, 1) OVER (ORDER BY day) AS x1,
+        |    lag(x, 2) OVER (ORDER BY day) AS x2,
+        |    lag(x, 3) OVER (ORDER BY day) AS x3 FROM d)
+        |SELECT day,
+        |  CAST((2000000 * (4 * x + 3 * x1 + 2 * x2 + 1 * x3) + 10 * 100)
+        |    // (2 * 10 * 100) AS BIGINT) / 1000000.0 AS wma4_dollars6
+        |FROM w WHERE x3 IS NOT NULL ORDER BY day""") { (s, dir) =>
+      val d = T.t(s, dir, "events")
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(sum(round(col("value") * 100).cast(LongType)).as("x"))
+      val w = Window.orderBy("day")
+      d.withColumn("x1", lag("x", 1).over(w))
+        .withColumn("x2", lag("x", 2).over(w))
+        .withColumn("x3", lag("x", 3).over(w))
+        .where(col("x3").isNotNull)
+        .select(col("day"),
+          T.r6("4 * x + 3 * x1 + 2 * x2 + 1 * x3", "10 * 100")
+            .as("wma4_dollars6"))
+        .orderBy("day")
+    },
+
+    // Column-level snapshot diff — WHICH columns changed between two
+    // table versions, and how much (the drill-down etl_snapshot_diff's
+    // row counts can't give): v2 derives deterministically from v1
+    // (priority changed on keys ≡0 mod 7, price on ≡0 mod 11), the
+    // per-column change profile comes from ONE co-partitioned join with
+    // conditional aggs, exact rational change rates. Cents-compare on
+    // the money column (never float equality).
+    q("etl_column_diff_profile",
+      """WITH v2 AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 7 = 0 THEN 'P-CHANGED'
+        |      ELSE o_orderpriority END AS o_orderpriority,
+        |    CASE WHEN o_orderkey % 11 = 0 THEN o_totalprice + 1.0
+        |      ELSE o_totalprice END AS o_totalprice,
+        |    o_orderstatus
+        |  FROM orders),
+        |j AS (SELECT o.o_orderkey,
+        |    CASE WHEN o.o_orderpriority <> v2.o_orderpriority THEN 1
+        |      ELSE 0 END AS d_pri,
+        |    CASE WHEN round(o.o_totalprice * 100)
+        |      <> round(v2.o_totalprice * 100) THEN 1 ELSE 0 END
+        |      AS d_price,
+        |    CASE WHEN o.o_orderstatus <> v2.o_orderstatus THEN 1 ELSE 0
+        |      END AS d_status
+        |  FROM orders o JOIN v2 ON o.o_orderkey = v2.o_orderkey),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS n, SUM(d_pri) AS p,
+        |    SUM(d_price) AS pr, SUM(d_status) AS st FROM j)
+        |SELECT col, n_changed,
+        |  CAST((2000000 * n_changed + n) // (2 * n) AS BIGINT)
+        |    / 1000000.0 AS change_rate6
+        |FROM (SELECT 'o_orderpriority' AS col, CAST(p AS BIGINT)
+        |    AS n_changed, n FROM t
+        |  UNION ALL SELECT 'o_totalprice', CAST(pr AS BIGINT), n FROM t
+        |  UNION ALL SELECT 'o_orderstatus', CAST(st AS BIGINT), n FROM t)
+        |ORDER BY col""") { (s, dir) =>
+      val o = T.t(s, dir, "orders")
+      val v2 = o.select(col("o_orderkey").as("k2"),
+        when(col("o_orderkey") % 7 === 0, "P-CHANGED")
+          .otherwise(col("o_orderpriority")).as("pri2"),
+        when(col("o_orderkey") % 11 === 0, col("o_totalprice") + 1.0)
+          .otherwise(col("o_totalprice")).as("price2"),
+        col("o_orderstatus").as("status2"))
+      val t = o.join(v2, col("o_orderkey") === col("k2"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("o_orderpriority") =!= col("pri2"), 1L)
+            .otherwise(0L)).as("p"),
+          sum(when(round(col("o_totalprice") * 100)
+            =!= round(col("price2") * 100), 1L).otherwise(0L)).as("pr"),
+          sum(when(col("o_orderstatus") =!= col("status2"), 1L)
+            .otherwise(0L)).as("st"))
+      val rows = Seq(("o_orderpriority", "p"), ("o_totalprice", "pr"),
+        ("o_orderstatus", "st"))
+      rows.map { case (name, c) =>
+          t.select(lit(name).as("col"),
+            col(c).cast(LongType).as("n_changed"),
+            T.r6(c, "n").as("change_rate6"))
+        }.reduce(_ unionAll _)
+        .orderBy("col")
+    },
+
+    // Predicate selectivity profile — the CBO's scan-level input table
+    // (observed selectivities for canonical predicates, plus one
+    // conjunction to expose correlation the independence assumption
+    // misses): N predicates share ONE scan via conditional aggregation
+    // (the dq_check_constraints rule), exact rational selectivities.
+    q("catalog_predicate_selectivity",
+      """WITH t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |    SUM(CASE WHEN l_shipdate >= DATE '1998-01-01' THEN 1 ELSE 0
+        |      END) AS p1,
+        |    SUM(CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END) AS p2,
+        |    SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS p3,
+        |    SUM(CASE WHEN l_quantity >= 25 THEN 1 ELSE 0 END) AS p4,
+        |    SUM(CASE WHEN l_shipdate >= DATE '1998-01-01'
+        |      AND l_discount > 0.05 THEN 1 ELSE 0 END) AS p12
+        |  FROM lineitem)
+        |SELECT pred, n_match,
+        |  CAST((2000000 * n_match + n) // (2 * n) AS BIGINT) / 1000000.0
+        |    AS selectivity6
+        |FROM (SELECT 'shipdate>=1998' AS pred, CAST(p1 AS BIGINT)
+        |    AS n_match, n FROM t
+        |  UNION ALL SELECT 'discount>5pct', CAST(p2 AS BIGINT), n FROM t
+        |  UNION ALL SELECT 'returned', CAST(p3 AS BIGINT), n FROM t
+        |  UNION ALL SELECT 'qty>=25', CAST(p4 AS BIGINT), n FROM t
+        |  UNION ALL SELECT 'ship1998_and_disc', CAST(p12 AS BIGINT), n
+        |    FROM t)
+        |ORDER BY pred""") { (s, dir) =>
+      val t = T.t(s, dir, "lineitem")
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum(when(col("l_shipdate") >= lit("1998-01-01").cast("date"),
+            1L).otherwise(0L)).as("p1"),
+          sum(when(col("l_discount") > 0.05, 1L).otherwise(0L)).as("p2"),
+          sum(when(col("l_returnflag") === "R", 1L).otherwise(0L))
+            .as("p3"),
+          sum(when(col("l_quantity") >= 25, 1L).otherwise(0L)).as("p4"),
+          sum(when(col("l_shipdate") >= lit("1998-01-01").cast("date")
+            && col("l_discount") > 0.05, 1L).otherwise(0L)).as("p12"))
+      val rows = Seq(("shipdate>=1998", "p1"), ("discount>5pct", "p2"),
+        ("returned", "p3"), ("qty>=25", "p4"),
+        ("ship1998_and_disc", "p12"))
+      rows.map { case (name, c) =>
+          t.select(lit(name).as("pred"),
+            col(c).cast(LongType).as("n_match"),
+            T.r6(c, "n").as("selectivity6"))
+        }.reduce(_ unionAll _)
+        .orderBy("pred")
     }
   )
 }

@@ -159,7 +159,11 @@ object DrivePlanAudit {
     "stat_u_auc_identity",
     // round 10o batch 37: record-high running max + the 31-row harmonic
     // spine crossJoin
-    "ts_record_highs")
+    "ts_record_highs",
+    // round 10o batch 38: the WMA/sign-test day spines reuse the standard
+    // 1-row scalar shapes (diff profile + selectivity re-select ONE agg
+    // row per output label)
+    "etl_column_diff_profile", "catalog_predicate_selectivity")
 
   // Unpartitioned windows whose input is GLOBALLY BOUNDED BY SEMANTICS
   // rather than by a visible limit in the plan. Every other
@@ -231,7 +235,9 @@ object DrivePlanAudit {
     // round 10o batch 35: the U spine cumsum over distinct cents
     "stat_u_auc_identity",
     // round 10o batch 37: record-high running max on the ≤31-row day spine
-    "ts_record_highs")
+    "ts_record_highs",
+    // round 10o batch 38: sign-test and WMA lag windows on the day spine
+    "stat_sign_test", "window_wma_triangular")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -1792,6 +1792,49 @@ class TenSpec extends AnyFunSuite {
     assert(math.abs(r.getDouble(2) - hn) < 1e-9)
   }
 
+  test("stat_sign_test: |z| bounded by sqrt(n)") {
+    val r = run("stat_sign_test").collect().head
+    val (n, k) = (r.getLong(0), r.getLong(1))
+    assert(k <= n)
+    assert(math.abs(r.getDouble(2)) <= math.sqrt(n.toDouble) + 1e-9)
+  }
+
+  test("window_wma_triangular tracks the series level") {
+    val rows = run("window_wma_triangular").collect()
+    assert(rows.nonEmpty)
+    val daily = T.t(s, sf, "events")
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("x"))
+      .collect().map(_.getDouble(1))
+    val (mn, mx) = (daily.min, daily.max)
+    rows.foreach { r =>
+      val w = r.getDouble(1)
+      assert(w >= mn - 1e-6 && w <= mx + 1e-6,
+        s"WMA $w outside series range [$mn, $mx]")
+    }
+  }
+
+  test("etl_column_diff_profile matches the synthetic change rule") {
+    val rows = run("etl_column_diff_profile").collect()
+    assert(rows.length == 3)
+    val m = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keys = T.t(s, sf, "orders").select("o_orderkey")
+      .collect().map(_.getLong(0))
+    assert(m("o_orderpriority") == keys.count(_ % 7 == 0))
+    assert(m("o_totalprice") == keys.count(_ % 11 == 0))
+    assert(m("o_orderstatus") == 0L)
+  }
+
+  test("catalog_predicate_selectivity: conjunction bounded by conjuncts") {
+    val rows = run("catalog_predicate_selectivity").collect()
+    assert(rows.length == 5)
+    val m = rows.map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val conj = m("ship1998_and_disc")
+    assert(conj <= m("shipdate>=1998") + 1e-9)
+    assert(conj <= m("discount>5pct") + 1e-9)
+    rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
