@@ -7742,6 +7742,86 @@ object GroupTen {
             T.r6(c, "n").as("selectivity6"))
         }.reduce(_ unionAll _)
         .orderBy("pred")
+    },
+
+    // Reciprocal-rank fusion — the hybrid-search result combiner (the
+    // standard way RAG stacks merge BM25 and vector rankings): two
+    // document rankings (length, vocabulary richness) fused by
+    // RRF(d) = Σ 1/(60+rank), held as an INTEGER nano-unit sum
+    // (10⁹ div (60+r) — floor-quantized identically in both engines) so
+    // the fused top-10 compares integers. Bounded candidate set (the
+    // re-rank stage's contract — fusion runs on retrieved lists, not
+    // the corpus).
+    q("ml_reciprocal_rank_fusion",
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS m1,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS m2
+        |  FROM documents WHERE doc_id < 200),
+        |r AS (SELECT doc_id,
+        |    row_number() OVER (ORDER BY m1 DESC, doc_id) AS r1,
+        |    row_number() OVER (ORDER BY m2 DESC, doc_id) AS r2 FROM d),
+        |sc AS (SELECT doc_id, r1, r2,
+        |    (1000000000 // (60 + r1)) + (1000000000 // (60 + r2))
+        |      AS rrf_nano FROM r)
+        |SELECT doc_id, CAST(r1 AS BIGINT) AS rank_len,
+        |  CAST(r2 AS BIGINT) AS rank_vocab,
+        |  CAST(rrf_nano AS BIGINT) AS rrf_nano
+        |FROM sc ORDER BY rrf_nano DESC, doc_id LIMIT 10""") { (s, dir) =>
+      val d = T.t(s, dir, "documents").filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).cast(LongType).as("m1"),
+          size(array_distinct(split(col("text"), " "))).cast(LongType)
+            .as("m2"))
+      val r = d
+        .withColumn("r1", row_number().over(
+          Window.orderBy(col("m1").desc, col("doc_id"))))
+        .withColumn("r2", row_number().over(
+          Window.orderBy(col("m2").desc, col("doc_id"))))
+      r.withColumn("rrf_nano",
+          expr("(1000000000L div (60 + r1)) + (1000000000L div (60 + r2))"))
+        .select(col("doc_id"), col("r1").cast(LongType).as("rank_len"),
+          col("r2").cast(LongType).as("rank_vocab"),
+          col("rrf_nano").cast(LongType).as("rrf_nano"))
+        .orderBy(col("rrf_nano").desc, col("doc_id")).limit(10)
+    },
+
+    // Cohen's h effect size for the weekend-vs-weekday purchase-rate
+    // gap — the arcsine-transformed proportion difference (the d of
+    // proportions; pairs with stat_odds_ratio_ci's ratio view): one
+    // conditional agg, the 2·asin(√p) chain over exact rationals is the
+    // identical IEEE sequence in both engines, 6dp post-asin.
+    q("stat_cohens_h",
+      """WITH e AS (SELECT
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0 END)
+        |      AS pw,
+        |    SUM(CASE WHEN date_part('dow', ts) IN (0, 6) THEN 1 ELSE 0
+        |      END) AS nw,
+        |    SUM(CASE WHEN event_type = 'purchase'
+        |      AND date_part('dow', ts) NOT IN (0, 6) THEN 1 ELSE 0 END)
+        |      AS pd,
+        |    SUM(CASE WHEN date_part('dow', ts) NOT IN (0, 6) THEN 1
+        |      ELSE 0 END) AS nd
+        |  FROM events)
+        |SELECT CAST(nw AS BIGINT) AS n_weekend,
+        |  CAST(nd AS BIGINT) AS n_weekday,
+        |  round(2 * asin(sqrt(CAST(pw AS DOUBLE) / nw))
+        |    - 2 * asin(sqrt(CAST(pd AS DOUBLE) / nd)), 6) AS cohens_h6
+        |FROM e""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .select(expr("(dayofweek(ts) - 1) IN (0, 6)").as("we"),
+          (col("event_type") === "purchase").as("pur"))
+        .agg(sum(when(col("pur") && col("we"), 1L).otherwise(0L))
+            .as("pw"),
+          sum(when(col("we"), 1L).otherwise(0L)).as("nw"),
+          sum(when(col("pur") && !col("we"), 1L).otherwise(0L)).as("pd"),
+          sum(when(!col("we"), 1L).otherwise(0L)).as("nd"))
+        .select(col("nw").cast(LongType).as("n_weekend"),
+          col("nd").cast(LongType).as("n_weekday"),
+          round(lit(2) * asin(sqrt(col("pw").cast(DoubleType) / col("nw")))
+            - lit(2) * asin(sqrt(col("pd").cast(DoubleType) / col("nd"))),
+            6).as("cohens_h6"))
     }
   )
 }

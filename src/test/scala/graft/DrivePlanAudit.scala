@@ -237,7 +237,10 @@ object DrivePlanAudit {
     // round 10o batch 37: record-high running max on the ≤31-row day spine
     "ts_record_highs",
     // round 10o batch 38: sign-test and WMA lag windows on the day spine
-    "stat_sign_test", "window_wma_triangular")
+    "stat_sign_test", "window_wma_triangular",
+    // round 10o batch 39: the RRF rankings run on the doc_id<200
+    // CONSTANT-bounded candidate set (retrieval-list fusion contract)
+    "ml_reciprocal_rank_fusion")
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf

@@ -1835,6 +1835,25 @@ class TenSpec extends AnyFunSuite {
     rows.foreach(r => assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
   }
 
+  test("ml_reciprocal_rank_fusion: fused score consistent with ranks") {
+    val rows = run("ml_reciprocal_rank_fusion").collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val expect = 1000000000L / (60 + r.getLong(1)) +
+        1000000000L / (60 + r.getLong(2))
+      assert(r.getLong(3) == expect, "rrf score mismatch")
+    }
+    val scores = rows.map(_.getLong(3)).toSeq
+    assert(scores == scores.sorted.reverse)
+  }
+
+  test("stat_cohens_h within the arcsine range [-pi, pi]") {
+    val r = run("stat_cohens_h").collect().head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    val h = r.getDouble(2)
+    assert(h >= -math.Pi && h <= math.Pi, s"h $h out of range")
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
