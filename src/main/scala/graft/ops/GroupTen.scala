@@ -7822,6 +7822,80 @@ object GroupTen {
           round(lit(2) * asin(sqrt(col("pw").cast(DoubleType) / col("nw")))
             - lit(2) * asin(sqrt(col("pd").cast(DoubleType) / col("nd"))),
             6).as("cohens_h6"))
+    },
+
+    // Matthews correlation coefficient — the single confusion-matrix
+    // number that survives class imbalance (where accuracy and F1 both
+    // mislead; completes ml_eval_confusion's metric set): integer
+    // confusion counts, the (TP·TN−FP·FN)/√(Π margins) chain written
+    // identically in both engines, 6dp post-sqrt. One conditional agg.
+    q("ml_mcc_score",
+      """WITH e AS (SELECT
+        |    CASE WHEN value > 100 THEN 1 ELSE 0 END AS pred,
+        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+        |  FROM events),
+        |c AS (SELECT
+        |    SUM(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END) AS tp,
+        |    SUM(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END) AS fp,
+        |    SUM(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END) AS fn,
+        |    SUM(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END) AS tn
+        |  FROM e)
+        |SELECT CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+        |  CAST(fn AS BIGINT) AS fn, CAST(tn AS BIGINT) AS tn,
+        |  round((CAST(tp AS DOUBLE) * tn - CAST(fp AS DOUBLE) * fn)
+        |    / sqrt(CAST((tp + fp) AS DOUBLE) * (tp + fn) * (tn + fp)
+        |      * (tn + fn)), 6) AS mcc6
+        |FROM c""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .select(when(col("value") > 100, 1L).otherwise(0L).as("pred"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("y"))
+        .agg(sum(when(col("pred") === 1 && col("y") === 1, 1L)
+            .otherwise(0L)).as("tp"),
+          sum(when(col("pred") === 1 && col("y") === 0, 1L)
+            .otherwise(0L)).as("fp"),
+          sum(when(col("pred") === 0 && col("y") === 1, 1L)
+            .otherwise(0L)).as("fn"),
+          sum(when(col("pred") === 0 && col("y") === 0, 1L)
+            .otherwise(0L)).as("tn"))
+        .select(col("tp").cast(LongType).as("tp"),
+          col("fp").cast(LongType).as("fp"),
+          col("fn").cast(LongType).as("fn"),
+          col("tn").cast(LongType).as("tn"),
+          round((expr("CAST(tp AS DOUBLE)") * col("tn")
+              - expr("CAST(fp AS DOUBLE)") * col("fn"))
+            / sqrt(expr("CAST((tp + fp) AS DOUBLE)") * (col("tp")
+              + col("fn")) * (col("tn") + col("fp"))
+              * (col("tn") + col("fn"))), 6).as("mcc6"))
+    },
+
+    // Phone normalization to E.164 (the contact-data ingest scalar):
+    // deterministic NANP-style raw numbers from customer keys,
+    // normalized by stripping every non-digit and re-prefixing '+' —
+    // with the length audit carried per row. Pure regexp projection
+    // (DuckDB 'g' flag vs Spark global-default documented at
+    // scalar_slugify).
+    q("scalar_phone_normalize",
+      """WITH p AS (SELECT c_custkey,
+        |    '+1-' || lpad(CAST(c_custkey * 7 % 1000 AS VARCHAR), 3, '0')
+        |      || '-' || lpad(CAST(c_custkey * 13 % 10000000 AS VARCHAR),
+        |        7, '0') AS raw
+        |  FROM customer WHERE c_custkey < 200),
+        |n AS (SELECT c_custkey, raw,
+        |    '+' || regexp_replace(raw, '[^0-9]', '', 'g') AS e164 FROM p)
+        |SELECT c_custkey, raw, e164, length(e164) = 12 AS valid_length
+        |FROM n ORDER BY c_custkey""") { (s, dir) =>
+      T.t(s, dir, "customer").filter(col("c_custkey") < 200)
+        .withColumn("raw", concat(lit("+1-"),
+          lpad(expr("CAST(c_custkey * 7 % 1000 AS STRING)"), 3, "0"),
+          lit("-"),
+          lpad(expr("CAST(c_custkey * 13 % 10000000 AS STRING)"), 7,
+            "0")))
+        .withColumn("e164",
+          concat(lit("+"), regexp_replace(col("raw"), "[^0-9]", "")))
+        .select(col("c_custkey"), col("raw"), col("e164"),
+          (length(col("e164")) === 12).as("valid_length"))
+        .orderBy("c_custkey")
     }
   )
 }

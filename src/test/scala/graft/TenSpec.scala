@@ -1854,6 +1854,24 @@ class TenSpec extends AnyFunSuite {
     assert(h >= -math.Pi && h <= math.Pi, s"h $h out of range")
   }
 
+  test("ml_mcc_score: counts conserve, MCC within [-1, 1]") {
+    val r = run("ml_mcc_score").collect().head
+    assert((0 to 3).map(r.getLong).sum == T.t(s, sf, "events").count())
+    val mcc = r.getDouble(4)
+    assert(mcc >= -1.0 && mcc <= 1.0, s"MCC $mcc out of range")
+  }
+
+  test("scalar_phone_normalize: E.164 digits only, deterministic") {
+    val rows = run("scalar_phone_normalize").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val e = r.getString(2)
+      assert(e.head == '+' && e.tail.forall(_.isDigit), s"bad E.164 $e")
+      assert(r.getBoolean(3) == (e.length == 12))
+      assert(e == "+" + r.getString(1).filter(_.isDigit))
+    }
+  }
+
   test("round-10 keys are deterministic under repartitioning") {
     // the three keys whose determinism depends on hash-ordering rather
     // than a natural sort: re-run and compare full collected output
