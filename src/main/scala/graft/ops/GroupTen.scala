@@ -4374,15 +4374,18 @@ object GroupTen {
 
     // Time-decayed engagement score — the recency-weighted activity
     // ranking every feed/churn model starts from, kept EXACTLY integral:
-    // one-day half-life as a pure bit shift (cents >> age_days, floor),
+    // one-day half-life as a pure bit shift (cents >> age_days, floor,
+    // clamped to 0 at age >= 63 so Java's 6-bit shift mask and DuckDB's
+    // zero-at->=64 semantics can never diverge on an old event),
     // so the per-user sum is an order-independent integer at any
     // partitioning — no float decay product whose merge order matters.
     // One scan + one agg; the date anchor is a broadcast scalar.
     q("agg_time_decay_engagement",
       """WITH mx AS (SELECT max(CAST(ts AS DATE)) AS anchor FROM events),
         |sc AS (SELECT user_id,
-        |    SUM(CAST(round(value * 100) AS BIGINT)
-        |      >> (anchor - CAST(ts AS DATE))) AS score_c,
+        |    SUM(CASE WHEN (anchor - CAST(ts AS DATE)) >= 63 THEN 0
+        |      ELSE CAST(round(value * 100) AS BIGINT)
+        |        >> (anchor - CAST(ts AS DATE)) END) AS score_c,
         |    CAST(count(*) AS BIGINT) AS n_events
         |  FROM events CROSS JOIN mx GROUP BY user_id)
         |SELECT user_id, n_events, CAST(score_c AS BIGINT) AS score_cents
@@ -4391,8 +4394,10 @@ object GroupTen {
         .agg(max(to_date(col("ts"))).as("anchor"))
       T.t(s, dir, "events").crossJoin(broadcast(mx))
         .groupBy("user_id")
-        .agg(sum(expr("shiftright(cast(round(value * 100) as bigint)," +
-            " datediff(anchor, cast(ts as date)))")).as("score_c"),
+        .agg(sum(expr(
+            "CASE WHEN datediff(anchor, cast(ts as date)) >= 63 THEN 0L" +
+            " ELSE shiftright(cast(round(value * 100) as bigint)," +
+            " datediff(anchor, cast(ts as date))) END")).as("score_c"),
           count(lit(1)).cast(LongType).as("n_events"))
         .select(col("user_id"), col("n_events"),
           col("score_c").cast(LongType).as("score_cents"))
@@ -5223,6 +5228,7 @@ object GroupTen {
       val nd = docs.agg(count(lit(1)).cast(LongType).as("nd"))
       val tk = docs
         .select(col("doc_id"), split(col("text"), " ").as("arr"))
+        .where(expr("size(arr) >= 2"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, size(arr) - 2)," +
             " i -> concat(arr[i], ' ', arr[i+1]))")).as("term"))
@@ -7549,7 +7555,8 @@ object GroupTen {
         |      AS BIGINT) AS n_records FROM w),
         |h AS (SELECT n, n_records,
         |    (SELECT SUM(1000000 // k) FROM
-        |      (SELECT unnest(range(1, 32)) AS k) WHERE k <= n) AS hm
+        |      (SELECT row_number() OVER (ORDER BY day) AS k FROM d) t
+        |      WHERE k <= n) AS hm
         |  FROM r)
         |SELECT n AS n_days, n_records,
         |  CAST(hm AS BIGINT) / 1000000.0 AS expected_records6
@@ -7562,8 +7569,11 @@ object GroupTen {
         .agg(count(lit(1)).cast(LongType).as("n"),
           sum(when(col("pm").isNull || col("x") > col("pm"), 1L)
             .otherwise(0L)).cast(LongType).as("n_records"))
-      val hm = T.t(s, dir, "events").sparkSession.range(1, 32)
-        .select(col("id").as("k"))
+      // H_n spine sized from the day spine itself (one k per observed
+      // day), so expected_records6 never truncates however long the
+      // fixture's time span grows; calendar-bounded global window.
+      val hm = d.select(row_number().over(Window.orderBy("day"))
+          .cast(LongType).as("k"))
       r.crossJoin(broadcast(hm))
         .where(col("k") <= col("n"))
         .groupBy("n", "n_records")
