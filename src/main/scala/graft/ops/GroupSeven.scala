@@ -298,27 +298,23 @@ object GroupSeven {
       // sf0.1): the edge stream takes two hash joins against the per-node
       // out-neighbor arrays (bounded at O(√m) ≈ 97 entries here by the
       // orientation) and one codegen'd array_intersect per edge.
-      // Adjacency distribution is SIZE-CONDITIONAL, not a pinned hint:
-      // the table carries one bigint per oriented edge (~40·m bytes with
-      // array/row overhead), and m is a one-job count over the already-
-      // checkpointed edge list (reused as the n_edges output). Under the
-      // session broadcast budget → broadcast both probes (no shuffle of
-      // the edge stream); over it → leave unhinted, the joins shuffle on
-      // src/dst, and the O(√m) out-degree bound still caps per-edge work.
-      val m = e0.count()
-      val fitsBudget = T.broadcastBudgetBytes(s).exists(40L * m <= _)
-      val maybeBcast: DataFrame => DataFrame =
-        if (fitsBudget) broadcast else identity
+      // Adjacency distribution is left to AQE, not a pinned hint and not
+      // a driver-side e0.count() estimate: the adjacency build ends in a
+      // shuffle stage, so AQE reads its ACTUAL bytes at runtime and
+      // converts each sort-merge join to broadcast-hash iff it fits
+      // spark.sql.autoBroadcastJoinThreshold. Over budget the joins stay
+      // shuffled on src/dst and the O(√m) out-degree bound still caps
+      // per-edge work. n_edges comes from a plan-side agg (no action job).
       val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
       val tri = ed
-        .join(maybeBcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-        .join(maybeBcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
           Seq("dst"), "left")
         .select(size(array_intersect(col("nu"),
           coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
         .agg(sum(col("closed")).as("n_triangles"))
       li.agg(countDistinct(col("l_partkey")).as("n_nodes"))
-        .withColumn("n_edges", lit(m))
+        .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri)
     },
 

@@ -514,10 +514,13 @@ object GroupTen {
           when(col("da") < col("db")
             || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
             .otherwise(col("pa")).as("dst"))
-      val m = e0.count()
-      val fitsBudget = T.broadcastBudgetBytes(s).exists(40L * m <= _)
-      val maybeBcast: DataFrame => DataFrame =
-        if (fitsBudget) broadcast else identity
+      // No driver-side e0.count() to size a manual broadcast hint: the
+      // adjacency build is a shuffle stage, so AQE sees its ACTUAL bytes
+      // at runtime and converts each sort-merge join to broadcast-hash
+      // iff it fits spark.sql.autoBroadcastJoinThreshold — the same
+      // decision the 40B/edge estimate approximated, minus one action
+      // job and with real sizes instead of a guess. Over budget the
+      // joins stay shuffled on src/dst, exactly as before.
       val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
       // per oriented edge (src, dst): common = out-neighbors closing a
       // triangle at this edge — each triangle surfaces exactly once, at the
@@ -526,8 +529,8 @@ object GroupTen {
       // vertex w needs a generator row — 1/3 the exploded volume of the
       // naive (src, dst, w)×3 credit stream.
       val tri0 = ed
-        .join(maybeBcast(adj.select(col("src"), col("nbrs").as("nu"))), "src")
-        .join(maybeBcast(adj.select(col("src").as("dst"), col("nbrs").as("nv"))),
+        .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
           Seq("dst"), "left")
         .select(col("src"), col("dst"),
           array_intersect(col("nu"),

@@ -186,4 +186,16 @@ class PlanShapeSpec extends AnyFunSuite {
     // equi-join over (user, bucket)
     assert(p.contains("Join") && p.contains("bkt"), p.take(3000))
   }
+
+  test("graph_clustering_coeff adjacency joins broadcast via AQE (r10 verdict #4: no driver count steering)") {
+    // The manual e0.count()-sized broadcast hint was replaced by AQE's
+    // runtime conversion: after execution the final adaptive plan must
+    // show the adjacency probes as broadcast-hash joins (the build side
+    // is far under the threshold at test scale) and the query builder
+    // must not have run a separate count job to decide that.
+    val df = SparkEntry.queries("graph_clustering_coeff")(s, sf)
+    df.collect() // finalize AQE on THIS Dataset (head() would re-plan)
+    val p = df.queryExecution.executedPlan.toString
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+  }
 }
