@@ -128,17 +128,45 @@ object GroupWindow {
         .orderBy("s_suppkey")
     },
 
+    // ntile(4) + cume_dist over the full customer balance order — but NOT
+    // as a single-partition data-sized window (r11: the measuring plan
+    // audit caught exactly that shape hiding behind a stale allowlist
+    // comment). Scale re-plan: the only global window runs on the
+    // DISTINCT-acctbal cents spine (domain [-999.99, 9999.99] → ≤1.1M
+    // rows at any sf) to get per-value inclusive cumulative counts; each
+    // row's global row_number is then spine_offset + its rank WITHIN its
+    // balance value (a bal-partitioned window), and ntile's bucket sizes
+    // (ceil/floor of N/4) come from one broadcast total in closed form.
+    // cume_dist = cum/N on exact integers — bit-equal to the oracle's
+    // cume_dist() in both engines.
     q("window_ntile_cume",
       """SELECT c_custkey, CAST(bal AS DOUBLE) AS bal,
         |  CAST(ntile(4) OVER w AS INT) AS q, cume_dist() OVER w AS cd
         |FROM (SELECT c_custkey, CAST(c_acctbal AS DECIMAL(18,2)) AS bal FROM customer)
         |WINDOW w AS (ORDER BY bal, c_custkey) ORDER BY c_custkey""") { (s, dir) =>
-      val w = Window.orderBy("bal", "c_custkey")
-      T.t(s, dir, "customer")
+      val c0 = T.t(s, dir, "customer")
         .select(col("c_custkey"), col("c_acctbal").cast(T.dec).as("bal"))
-        .withColumn("q", ntile(4).over(w))
-        .withColumn("cd", cume_dist().over(w))
-        .withColumn("bal", col("bal").cast(DoubleType))
+      val vc = c0.groupBy("bal").agg(count(lit(1)).as("cnt"))
+      val spine = vc.withColumn("cum",
+        sum("cnt").over(Window.orderBy("bal")))
+      val ntot = vc.agg(sum("cnt").cast(LongType).as("ntot"))
+      c0.withColumn("rw",
+          row_number().over(Window.partitionBy("bal").orderBy("c_custkey")))
+        .join(spine, "bal")
+        .crossJoin(broadcast(ntot))
+        .withColumn("rn", col("cum") - col("cnt") + col("rw"))
+        .withColumn("qq", expr("ntot div 4"))
+        .withColumn("r", expr("ntot % 4"))
+        // ntile(4): buckets 1..r hold qq+1 rows, the rest qq
+        .withColumn("q", expr("cast(CASE WHEN rn <= r * (qq + 1)" +
+          " THEN (rn + qq) div (qq + 1)" +
+          " ELSE r + (rn - r * (qq + 1) + qq - 1) div qq END AS int)"))
+        // cume_dist peers are single rows (the ORDER BY ends in the
+        // unique c_custkey), so cd = rn/N, not the per-value cum/N
+        .withColumn("cd",
+          col("rn").cast(DoubleType) / col("ntot").cast(DoubleType))
+        .select(col("c_custkey"), col("bal").cast(DoubleType).as("bal"),
+          col("q"), col("cd"))
         .orderBy("c_custkey")
     }
   )
