@@ -229,6 +229,85 @@ object GroupStream {
         .filter(col("rnk") <= 3)
         .select("user_id", "rnk", "value")
         .orderBy("user_id", "rnk")
+    },
+
+    // Batch form of the EVENT-TIME-TIMER sessionizer
+    // (Streams.sessionsWithTimers — registerTimer/handleExpiredTimer,
+    // TimeMode.EventTime): one row per closed session. The timer is what
+    // closes a session with NO later event from that user; in batch that
+    // closure is free, so the twin is plain gap-sessionization emitting
+    // per-session rows. StreamingSpec proves the replay (with a watermark-
+    // flush tail so every terminal timer fires) emits exactly this set.
+    q("stream_session_timers",
+      """WITH o AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |              OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM o)
+        |SELECT user_id, min(ts) AS s_start, count(*) AS n_events,
+        |  CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 1000000 AS BIGINT) AS dur_s
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, s_start""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      T.t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull ||
+            expr("unix_micros(cast(ts as timestamp)) - unix_micros(cast(prev_ts as timestamp))") >= 1800000000L, 1)
+            .otherwise(0))
+        .withColumn("sid", sum(col("new_s")).over(run))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("s_start"), count(lit(1)).as("n_events"),
+          expr("(unix_micros(cast(max(ts) as timestamp)) - unix_micros(cast(min(ts) as timestamp))) DIV 1000000")
+            .as("dur_s"))
+        .select("user_id", "s_start", "n_events", "dur_s")
+        .orderBy("user_id", "s_start")
+    },
+
+    // Batch form of the timer-based inactivity monitor
+    // (Streams.inactivityAlerts): an alert is "≥ 2 h passed after this
+    // event with nothing newer from the user" — in batch, events whose
+    // lead() successor is NULL (terminal: the timer path) or ≥ 2 h later
+    // (interior: the gap path). The streaming alerted-flag makes the two
+    // paths exactly-once, so the emitted set equals this twin.
+    q("stream_inactivity_alert",
+      """WITH o AS (SELECT user_id, event_id, ts,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |  FROM events)
+        |SELECT user_id, event_id FROM o
+        |WHERE nxt IS NULL OR epoch_us(nxt) - epoch_us(ts) >= 7200000000
+        |ORDER BY user_id, event_id""") { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      T.t(s, dir, "events")
+        .withColumn("nxt", lead(col("ts"), 1).over(w))
+        .filter(col("nxt").isNull ||
+          expr("unix_micros(cast(nxt as timestamp)) - unix_micros(cast(ts as timestamp))") >= 7200000000L)
+        .select("user_id", "event_id")
+        .orderBy("user_id", "event_id")
+    },
+
+    // Batch form of the CHAINED stateful pipeline
+    // (Streams.dedupThenHourly): dropDuplicatesWithinWatermark(event_id)
+    // feeding a watermarked tumbling hourly count — two stateful operators
+    // in ONE streaming query (Spark 4 multi-stateful append mode). The
+    // time-ordered replay makes "first arrival" = min(ts) per event_id, so
+    // the batch twin dedups to min-ts then counts per hour.
+    q("stream_chained_stateful",
+      """WITH d AS (SELECT event_id, min(ts) AS ts FROM events GROUP BY 1)
+        |SELECT date_trunc('hour', ts) AS w_start, count(*) AS cnt
+        |FROM d GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy("event_id").agg(min("ts").as("ts"))
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("w_start"), col("cnt"))
+        .orderBy("w_start")
     }
   )
 }

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2-K — the real Structured Streaming implementations.
@@ -38,7 +38,8 @@ object Streams {
     * every real event so OUTER stream-stream joins can prove all join
     * windows closed and emit their null-padded rows before the replay ends. */
   def writeChunks(s: SparkSession, sfDir: String, outDir: String, n: Int,
-                  lateTail: Boolean = false, flushTail: Boolean = false): Unit = {
+                  lateTail: Boolean = false, flushTail: Boolean = false,
+                  flushHours: Int = 3): Unit = {
     // TEST-HARNESS fixture staging, not a query path: the collect() is fine
     // at fixture scale (and needed for the precise chunk/tail surgery); at
     // real scale chunking would be a repartitionByRange(ts).write job.
@@ -47,7 +48,9 @@ object Streams {
     val chunks = ev.grouped(per).toSeq
     val reordered = if (lateTail) chunks.tail :+ chunks.head else chunks
     val ordered = if (!flushTail) reordered else {
-      val t = ev.last.getAs[java.time.LocalDateTime]("ts").plusHours(3)
+      // flushHours sizes the final watermark (= maxTs + flushHours − delay):
+      // timer tests needing the watermark STRICTLY past maxTs+2h pass 4
+      val t = ev.last.getAs[java.time.LocalDateTime]("ts").plusHours(flushHours.toLong)
       reordered :+ Array[org.apache.spark.sql.Row](
         org.apache.spark.sql.Row(FlushPurchaseId, t, -1L, "purchase", 0.0, "{}"),
         org.apache.spark.sql.Row(FlushClickId, t, -1L, "click", 0.0, "{}"))
@@ -322,6 +325,163 @@ object Streams {
         },
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Timer-based per-user sessionizer (stream_session_timers) — the
+    * state-API-v2 primitive the other processors don't exercise:
+    * EVENT-TIME TIMERS (`registerTimer`/`handleExpiredTimer`,
+    * TimeMode.EventTime). A session closes through either of two paths:
+    *   - gap path: the user's next event arrives ≥ 30 min after the last
+    *     one — handleInputRows emits the finished session and starts a new
+    *     one (same as any sessionizer);
+    *   - timer path: NO next event arrives — the event-time timer
+    *     registered at lastTs+30min fires once the watermark passes it and
+    *     emits the session a gap path would never see. This is what lets a
+    *     session close WITHOUT requiring a later event from the same user —
+    *     the semantics `session_window` gets from the engine, rebuilt on
+    *     raw timers.
+    * The two paths agree by construction: a timer only fires when the
+    * watermark has passed lastTs+30min, and (in an in-order replay) every
+    * not-yet-seen event is beyond the watermark, so the ≥30 min gap it
+    * would witness is already certain. Emits one row per CLOSED session
+    * (user_id, start_us, n_events, dur_s); the flushTail sentinel chunk
+    * drives the final watermark past every timer so the last session of
+    * every user closes before the replay ends. Sentinel rows (user_id < 0)
+    * are filtered out — they exist to advance the watermark, not to be
+    * sessions. */
+  def sessionsWithTimers(stream: DataFrame, gapMin: Int = 30): Dataset[(Long, Long, Long, Long)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val gapMs = gapMin * 60000L
+    stream
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      // NO DataFrame-level sentinel filter here: Catalyst pushes such a
+      // predicate BELOW the EventTimeWatermark node, so the sentinel rows
+      // would be dropped before ever advancing the watermark and terminal
+      // timers would never fire (observed: the last users' sessions were
+      // withheld). Sentinels are skipped inside the processor instead.
+      .select(col("user_id"), expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Long), (Long, Long, Long, Long)] {
+          // (session start us, last event us, event count)
+          @transient private var sess: ValueState[(Long, Long, Long)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            sess = getHandle.getValueState[(Long, Long, Long)]("sess", TTLConfig.NONE)
+          private def emit(st: (Long, Long, Long), user: Long) =
+            (user, st._1, st._3, (st._2 - st._1) / 1000000L)
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, Long)],
+              timerValues: TimerValues): Iterator[(Long, Long, Long, Long)] = {
+            if (key < 0) return Iterator.empty // watermark-flush sentinels
+            val out = Seq.newBuilder[(Long, Long, Long, Long)]
+            var st = if (sess.exists()) sess.get() else null
+            rows.toSeq.map(_._2).sorted.foreach { us =>
+              if (st == null) st = (us, us, 1L)
+              else if ((us - st._2) / 1000L >= gapMs) { // half-open [ts, ts+gap)
+                out += emit(st, key); st = (us, us, 1L)
+              } else st = (st._1, us, st._3 + 1L)
+            }
+            sess.update(st)
+            // one live timer per key: re-arm at the new session tail
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+            getHandle.registerTimer(st._2 / 1000L + gapMs)
+            out.result().iterator
+          }
+          override def handleExpiredTimer(
+              key: Long, timerValues: TimerValues,
+              expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long, Long, Long)] = {
+            if (sess.exists()) {
+              val st = sess.get(); sess.clear()
+              Iterator(emit(st, key))
+            } else Iterator.empty
+          }
+        },
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Timer-based inactivity alerts (stream_inactivity_alert): emit
+    * (user_id, event_id) whenever ≥ 2 h pass after an event with no newer
+    * event from that user. Interior gaps are witnessed by the NEXT event
+    * (gap path in handleInputRows); the TERMINAL gap — no next event ever —
+    * is exactly what the event-time timer catches. An `alerted` flag keeps
+    * the two paths exactly-once per qualifying event: if the timer fired
+    * first (watermark passed lastTs+2h before the next event's chunk
+    * arrived), the gap path sees alerted=true and does not re-emit — so the
+    * final alert SET is deterministic regardless of how chunk boundaries
+    * interleave with watermark advancement. Batch twin: events whose lead()
+    * successor is NULL or ≥ 2 h later. */
+  def inactivityAlerts(stream: DataFrame, idleMin: Int = 120): Dataset[(Long, Long)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    val idleMs = idleMin * 60000L
+    stream
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      // no sentinel filter here — it would be pushed below the watermark
+      // node (see sessionsWithTimers); sentinels are skipped per-key below
+      .select(col("user_id"), col("event_id"), expr("unix_micros(ts)").as("us"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Long, Long), (Long, Long)] {
+          // (last event_id, last us, already alerted for this event)
+          @transient private var last: ValueState[(Long, Long, Boolean)] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            last = getHandle.getValueState[(Long, Long, Boolean)]("last", TTLConfig.NONE)
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, Long, Long)],
+              timerValues: TimerValues): Iterator[(Long, Long)] = {
+            if (key < 0) return Iterator.empty // watermark-flush sentinels
+            val out = Seq.newBuilder[(Long, Long)]
+            var st = if (last.exists()) last.get() else null
+            // sort by (us, event_id): the replay is time-ordered but one
+            // micro-batch delivers its rows unordered
+            rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, us) =>
+              if (st != null && (us - st._2) / 1000L >= idleMs && !st._3)
+                out += ((key, st._1))
+              st = (id, us, false)
+            }
+            last.update(st)
+            getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+            getHandle.registerTimer(st._2 / 1000L + idleMs)
+            out.result().iterator
+          }
+          override def handleExpiredTimer(
+              key: Long, timerValues: TimerValues,
+              expiredTimerInfo: ExpiredTimerInfo): Iterator[(Long, Long)] = {
+            if (last.exists() && !last.get()._3) {
+              val st = last.get()
+              last.update((st._1, st._2, true)) // keep state: a later event
+              // may still arrive and must not re-alert for this one
+              Iterator((key, st._1))
+            } else Iterator.empty
+          }
+        },
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** Chained stateful operators in ONE streaming query
+    * (stream_chained_stateful): dropDuplicatesWithinWatermark(event_id) →
+    * watermarked tumbling hourly count. Spark 4 supports multiple stateful
+    * operators in sequence in append mode; the dedup state holds one entry
+    * per event_id inside the watermark horizon, the window state one row
+    * per open hour. Windows emit when the watermark passes their end, so a
+    * flushTail replay drains every window before termination. */
+  def dedupThenHourly(stream: DataFrame): DataFrame =
+    stream
+      .withColumn("ts", col("ts").cast(TimestampType)) // watermark needs LTZ
+      .withWatermark("ts", "1 hour")
+      // no sentinel filter (it would be pushed below the watermark node —
+      // see sessionsWithTimers); the sentinels are instead left to land in
+      // the window at maxTs+flushHours, whose end is ALWAYS beyond the
+      // final watermark (maxTs+flushHours−delay), so append mode provably
+      // never emits it and the sink stays sentinel-free
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").cast(TimestampNTZType).as("w_start"), col("cnt"))
 
   /** Stream-stream interval join: purchases ⋈ clicks within ±30 min per
     * user (stream_stream_join). Watermarks bound the join state. */

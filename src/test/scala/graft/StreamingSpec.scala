@@ -357,4 +357,81 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toSet
     assert(got == want)
   }
+
+  private def withRocksDb[A](body: => A): A = {
+    val prov = "spark.sql.streaming.stateStore.providerClass"
+    val old = s.conf.getOption(prov)
+    s.conf.set(prov,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try body
+    finally old match {
+      case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov)
+    }
+  }
+
+  test("event-time timers: sessionizer emissions == batch stream_session_timers") {
+    // flushTail: a session with no later event closes ONLY through its
+    // event-time timer, and the terminal timers (lastTs+30min) need the
+    // final watermark past them — the sentinel chunk provides that
+    val dir = T.tempDir("graft_replay_")
+    Streams.writeChunks(s, sf, dir, n = 5, flushTail = true)
+    withRocksDb {
+      val got = Streams.runToMemory(
+          Streams.sessionsWithTimers(Streams.readReplay(s, dir))
+            .toDF("user_id", "start_us", "n_events", "dur_s"),
+          "t_timer_sess", OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      val want = SparkEntry.queries("stream_session_timers")(s, sf)
+        .collect().map(r => (r.getAs[Long]("user_id"),
+          java.time.Duration.between(java.time.LocalDateTime.of(1970, 1, 1, 0, 0),
+            r.getAs[java.time.LocalDateTime]("s_start")).toNanos / 1000,
+          r.getAs[Long]("n_events"), r.getAs[Long]("dur_s"))).toSet
+      assert(got == want,
+        s"timer sessions diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
+  test("event-time timers: inactivity alerts == batch stream_inactivity_alert") {
+    // flushHours=4: the terminal timer of the globally LAST event sits at
+    // maxTs+2h; the final watermark must be STRICTLY past it to fire
+    val dir = T.tempDir("graft_replay_")
+    Streams.writeChunks(s, sf, dir, n = 5, flushTail = true, flushHours = 4)
+    withRocksDb {
+      val got = Streams.runToMemory(
+          Streams.inactivityAlerts(Streams.readReplay(s, dir))
+            .toDF("user_id", "event_id"),
+          "t_timer_idle", OutputMode.Append())
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = SparkEntry.queries("stream_inactivity_alert")(s, sf)
+        .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
+      assert(got == want,
+        s"alerts diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+    }
+  }
+
+  test("chained stateful operators: dedup → hourly window == batch stream_chained_stateful") {
+    // duplicate every chunk (each event delivered twice, one batch apart):
+    // the dedup stage must collapse them BEFORE the window counts, or every
+    // hourly count doubles — that is what makes this a real two-stateful
+    // chain and not two queries glued together
+    val dir = T.tempDir("graft_replay_")
+    Streams.writeChunks(s, sf, dir, n = 5, flushTail = true)
+    val base = new java.io.File(dir)
+    base.listFiles().filter(_.getName.startsWith("chunk_")).foreach { f =>
+      val copy = new java.io.File(base, f.getName.replace(".parquet", "d.parquet"))
+      java.nio.file.Files.copy(f.toPath, copy.toPath)
+      copy.setLastModified(f.lastModified() + 1)
+    }
+    val got = Streams.runToMemory(
+        Streams.dedupThenHourly(Streams.readReplay(s, dir)),
+        "t_chain", OutputMode.Append())
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getLong(1))).toSet
+    val want = SparkEntry.queries("stream_chained_stateful")(s, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getAs[Long]("cnt"))).toSet
+    assert(got == want,
+      s"chained counts diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
 }
