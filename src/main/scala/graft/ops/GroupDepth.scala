@@ -1146,12 +1146,17 @@ object GroupDepth {
            |      ELSE coalesce(w.lab, NULL) END AS lab
            |  FROM n LEFT JOIN (SELECT node, lab FROM w$c WHERE rn = 1) w
            |    ON w.node = n.node)""".stripMargin
-      s"""WITH e0 AS (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
+      // e0/e are each referenced twice downstream: MATERIALIZED is load-
+      // bearing — DuckDB's default inlining re-expands the 4-way lineitem
+      // join per reference and its optimizer then mis-plans the expanded
+      // tree (observed at the ×10 sf1 probe: >19 GB of spill and an OOM
+      // where the materialized form answers in 0.6 s)
+      s"""WITH e0 AS MATERIALIZED (SELECT c.c_nationkey AS src, s.s_nationkey AS dst, count(*) AS w
          |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
          |  JOIN customer c ON o.o_custkey = c.c_custkey
          |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
          |  GROUP BY 1, 2),
-         |e AS (SELECT src, dst, w FROM e0 UNION ALL
+         |e AS MATERIALIZED (SELECT src, dst, w FROM e0 UNION ALL
          |      SELECT dst, src, w FROM e0 WHERE src <> dst),
          |n AS (SELECT n_nationkey AS node, n_regionkey AS seed FROM nation),
          |l0 AS (SELECT node, CASE WHEN node % 2 = 0 THEN seed END AS lab FROM n),

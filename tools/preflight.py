@@ -36,7 +36,13 @@ def main():
     only = set(sys.argv[3:])
     con = duckdb.connect()
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+        # driver fixtures are single files named <t>.parquet; generated
+        # fixtures (graft.GenScale) are Spark-written DIRECTORIES of the
+        # same name — glob into them so either layout registers
+        pat = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = n_skip = 0
     for key in sorted(oracle):
