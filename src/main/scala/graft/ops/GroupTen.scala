@@ -1044,13 +1044,19 @@ object GroupTen {
       val g = z.groupBy("event_type").agg(
         count(lit(1)).cast(LongType).as("n_g"),
         sum(col("z")).cast(LongType).as("s_g"),
-        sum(col("z") * col("z")).cast(d38).as("ss_g"))
+        // decimal accumulator: DuckDB's SUM(BIGINT) widens to HUGEINT
+        // automatically, Spark's sum(LONG) does not — match the headroom
+        sum(expr("cast(z as decimal(38,0)) * z")).cast(d38).as("ss_g"))
       val t = g.agg(
         count(lit(1)).cast(d38).as("k"),
         sum(col("n_g")).cast(d38).as("n"),
         sum(col("s_g")).cast(d38).as("s"),
         sum(col("ss_g")).cast(d38).as("ss"),
-        sum(expr("(s_g * s_g * 100L) div n_g")).cast(d38).as("a100"))
+        // s_g² crosses LONG at ×10 fixture scale (caught by the r11 sf1
+        // probe: s_g ≈ 1e9 cents → s_g²·100 ≈ 1e20); decimal pre-cast
+        // keeps the math exact — same values, no overflow at any sf
+        sum(expr("(cast(s_g as decimal(38,0)) * s_g * 100) div n_g"))
+          .cast(d38).as("a100"))
       t.select(col("k").cast(LongType).as("k"), col("n").cast(LongType).as("n"),
         (col("k") - 1).cast(LongType).as("df1"),
         (col("n") - col("k")).cast(LongType).as("df2"),
@@ -4881,7 +4887,11 @@ object GroupTen {
         .groupBy("label", "t")
         .agg(count(lit(1)).cast(LongType).as("n_brands"),
           sum("cents").cast(LongType).as("rev_cents"),
-          T.r6("sum(cents)", "t").as("share6"), min("ord").as("o"))
+          // 2e6·sum(cents) crosses LONG once total revenue cents exceed
+          // ~4.6e12 (the r6 rule of thumb — hit at the r11 sf1 probe);
+          // DECIMAL(38,0) pre-cast per T.r6's own overflow guidance
+          T.r6("cast(sum(cents) as decimal(38,0))", "t").as("share6"),
+          min("ord").as("o"))
         .orderBy("o", "label")
         .select("label", "n_brands", "rev_cents", "share6")
     },

@@ -35,6 +35,12 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # big generated fixtures (GenScale sf1 probes) can make a mis-planned
+    # oracle spill the disk full; cap the spill so such an oracle FAILS
+    # LOUDLY (and gets fixed) instead of taking the box down
+    cap = os.environ.get("GRAFT_DUCKDB_TEMP_CAP")
+    if cap:
+        con.execute(f"SET max_temp_directory_size='{cap}'")
     for t in TABLES:
         # driver fixtures are single files named <t>.parquet; generated
         # fixtures (graft.GenScale) are Spark-written DIRECTORIES of the
