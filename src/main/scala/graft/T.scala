@@ -85,7 +85,18 @@ object T {
     // 1000000.0D: the D suffix forces a DOUBLE literal — Spark parses a bare
     // decimal literal as DecimalType, which would make the whole output
     // DECIMAL and trip the driver's no-DECIMAL-output rule (see dsum).
-    expr(s"((2000000L * ($num) + ($den)) div (2L * ($den))) / 1000000.0D")
+    //
+    // Overflow-proof by construction (r11, after the sf1 probe tripped the
+    // 2·10⁶ multiply on a revenue-cent numerator): num and den are cast to
+    // DECIMAL(38,0) INSIDE, so the ×2e6 and ×2 internal multiplies can
+    // never cross LONG no matter the call site — DuckDB's `//` runs on
+    // HUGEINT and always had this headroom. Values are identical (exact
+    // integer math either way; Spark `div` accepts decimals, returns LONG).
+    // A call site whose num/den STRING itself multiplies two data-sized
+    // longs must still pre-cast inside that product — the cast here
+    // happens after the string's own arithmetic.
+    expr(s"((2000000L * cast(($num) as decimal(38,0)) + ($den))" +
+      s" div (2L * cast(($den) as decimal(38,0)))) / 1000000.0D")
 
   /** Sign-aware variant of [[r6]] for rationals that may be negative:
     * HALF_UP = away-from-zero, so round |num|/den and restore the sign.
@@ -94,8 +105,11 @@ object T {
     *   (CASE WHEN num < 0 THEN -1 ELSE 1 END) *
     *     CAST((2000000*abs(num) + den) // (2*den) AS BIGINT) / 1000000.0 */
   def r6s(num: String, den: String): Column =
+    // same DECIMAL(38,0) interior as r6 (abs before the cast keeps the
+    // CASE's sign test on the original expression)
     expr(s"(CASE WHEN ($num) < 0 THEN -1L ELSE 1L END) * " +
-      s"((2000000L * abs($num) + ($den)) div (2L * ($den))) / 1000000.0D")
+      s"((2000000L * cast(abs($num) as decimal(38,0)) + ($den))" +
+      s" div (2L * cast(($den) as decimal(38,0)))) / 1000000.0D")
 
   /** One query definition: key, DataFrame builder, optional DuckDB oracle. */
   final case class Q(

@@ -1565,7 +1565,8 @@ object GroupTen {
     q("operator_asof_native",
       """WITH base AS (SELECT event_id, user_id, ts,
         |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_p,
-        |    (epoch_us(ts) - 1704067200000000) * 1000000 + event_id AS okey
+        |    CAST(epoch_us(ts) - 1704067200000000 AS HUGEINT) * 10000000000
+        |      + event_id AS okey
         |  FROM events WHERE event_type IN ('purchase', 'click')),
         |w AS (SELECT event_id, user_id, ts, is_p,
         |    max(CASE WHEN is_p = 0 THEN okey END) OVER (
@@ -1573,10 +1574,15 @@ object GroupTen {
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cok
         |  FROM base)
         |SELECT event_id, user_id, ts,
-        |  CAST(cok % 1000000 AS BIGINT) AS c_id,
-        |  CAST(((epoch_us(ts) - 1704067200000000) - (cok // 1000000))
+        |  CAST(cok % 10000000000 AS BIGINT) AS c_id,
+        |  CAST(((epoch_us(ts) - 1704067200000000) - (cok // 10000000000))
         |    // 1000000 AS BIGINT) AS gap_s
         |FROM w WHERE is_p = 1 ORDER BY event_id""") { (s, dir) =>
+      // okey packs (ts-delta, event_id) into one orderable number so the
+      // running max IS the as-of pick; the id slot is 1e10 wide (HUGEINT
+      // packing) — the r11 sf1 probe showed the old 1e6 slot silently
+      // mangling the decoded c_id once generated event_ids crossed 1e6,
+      // while the native operator was right
       val ev = T.t(s, dir, "events")
       val purchases = ev.filter(col("event_type") === "purchase")
         .select("event_id", "user_id", "ts")
