@@ -845,17 +845,41 @@ object GroupDepth {
         |    row_number() OVER (PARTITION BY rf ORDER BY price, qty) AS rn
         |  FROM c WHERE 2 * cumw >= totw)
         |SELECT rf, wmedian FROM pick WHERE rn = 1 ORDER BY rf""") { (s, dir) =>
+      // TWO-PHASE bucketed weighted median (re-planned after the r11 sf1
+      // probe): the naive form runs a data-sized running window over ONLY
+      // 3 returnflag partitions — a parallelism ceiling that single-tasks
+      // millions of rows per flag at scale. Phase 1 aggregates weights to
+      // a coarse cent-bucket spine (cents >> 16 ≈ $655 buckets; the price
+      // DOMAIN is TPC-H-bounded, so ≤ ~170 buckets at any sf) and finds
+      // each flag's crossing bucket with a spine-sized window. Phase 2
+      // runs the EXACT row-level (price, qty) window only INSIDE that one
+      // bucket (1/buckets of the data), offset by the weight before it.
+      // Same crossing row as the single-window form — the smallest price
+      // whose running weight reaches half — at a fraction of the window
+      // input and with real parallelism in phase 1's aggregation.
       val li = T.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(T.dec).as("price"),
           col("l_quantity").cast(LongType).as("qty"))
+        .withColumn("bkt", expr("shiftright(cast(price * 100 as bigint), 16)"))
+      val byBkt = Window.partitionBy("rf").orderBy("bkt")
+      val spine = li.groupBy("rf", "bkt").agg(sum("qty").as("bw"))
+        .withColumn("cumb", sum(col("bw")).over(
+          byBkt.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("totw", sum(col("bw")).over(Window.partitionBy("rf")))
+      val crossing = spine
+        .filter(lit(2) * col("cumb") >= col("totw"))
+        .withColumn("rnb", row_number().over(byBkt))
+        .filter(col("rnb") === 1)
+        .select(col("rf").as("crf"), col("bkt").as("cbkt"),
+          (col("cumb") - col("bw")).as("before"), col("totw"))
       val byPrice = Window.partitionBy("rf").orderBy("price", "qty")
-      val c = li
-        .withColumn("cumw", sum(col("qty")).over(
+      li.join(broadcast(crossing),
+          col("rf") === col("crf") && col("bkt") === col("cbkt"))
+        .withColumn("cumw", col("before") + sum(col("qty")).over(
           byPrice.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("totw", sum(col("qty")).over(Window.partitionBy("rf")))
         .filter(lit(2) * col("cumw") >= col("totw"))
-      c.withColumn("rn", row_number().over(byPrice))
+        .withColumn("rn", row_number().over(byPrice))
         .filter(col("rn") === 1)
         .select(col("rf"), col("price").cast(DoubleType).as("wmedian"))
         .orderBy("rf")
