@@ -442,29 +442,38 @@ object Pipelines {
     // self-join recomputes signatures in parallel.
     val src = df.select(col(idCol), col(vecCol)).repartition(col(idCol))
     val banded = cosineLshBands(src, idCol, vecCol, bands, rowsPerBand, seed)
-    // verify BEFORE dedup: the band join's multiplicity-bearing candidate
-    // stream stays inside one codegen stage (equi-join → vector joins →
-    // inline vec_dot filter — nothing materializes), and only the verified
-    // survivors (true pairs × band multiplicity, a tiny set) reach the
-    // distinct's shuffle. Deduping first would shuffle the full candidate
-    // multiset — at low thresholds that is the dominant cost.
-    // shuffle_hash: the banded side is hundreds of rows per input row —
-    // broadcasting it serializes a near-megarow hash map through the
-    // driver; a shuffled hash join keeps both sides distributed
+    // shuffle_hash on the band self-join: the banded side is hundreds of
+    // rows per input row — broadcasting it serializes a near-megarow hash
+    // map through the driver; a shuffled hash join keeps both sides
+    // distributed.
+    // DEDUP the candidate pairs BEFORE the vector joins: the multiset
+    // rides one cheap 16-byte-row shuffle into the distinct, and the
+    // corpus-sized vector attachment touches each pair once. (The prior
+    // shape verified before deduping, which was free only while the vecs
+    // side broadcast — the ×100 scale probe showed that past the
+    // autoBroadcast threshold Catalyst sort-merges those joins and SORTS
+    // the full candidate multiset with vectors attached: a ~100 GB spill
+    // at 202k vectors × r=12 noise. Distinct-first + sort-free hash joins
+    // keeps every stage O(candidates) with no data-sized sort.)
     val cand = banded.select(col("_id").as("ia"), col("band_pos"), col("band_val"))
       .hint("shuffle_hash")
       .join(banded.select(col("_id").as("ib"), col("band_pos").as("bp"),
           col("band_val").as("bv")),
         col("band_pos") === col("bp") && col("band_val") === col("bv")
           && col("ia") < col("ib"))
-      .select("ia", "ib")
+      .select("ia", "ib").distinct()
+    // shuffle_hash (build = the vecs side, probe = the pair stream): an
+    // SMJ here would sort the pair stream; at corpus sizes past the
+    // broadcast threshold that sort is the scale cliff the probe caught
     val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
     cand
-      .join(vecs.select(col("_vid").as("ia"), col("_vv").as("_va")), Seq("ia"))
-      .join(vecs.select(col("_vid").as("ib"), col("_vv").as("_vb")), Seq("ib"))
+      .join(vecs.select(col("_vid").as("ia"), col("_vv").as("_va")).hint("shuffle_hash"),
+        Seq("ia"))
+      .join(vecs.select(col("_vid").as("ib"), col("_vv").as("_vb")).hint("shuffle_hash"),
+        Seq("ib"))
       .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
       .filter(col("sim") >= threshold)
-      .select("ia", "ib", "sim").distinct()
+      .select("ia", "ib", "sim")
   }
 
   /** Banded cosine threshold join across two sides (a_id from left, b_id
@@ -482,19 +491,23 @@ object Pipelines {
       d.select(col(idCol), col(vecCol)).repartition(col(idCol))
     val la = cosineLshBands(spread(left), idCol, vecCol, bands, rowsPerBand, seed)
     val rb = cosineLshBands(spread(right), idCol, vecCol, bands, rowsPerBand, seed)
-    // verify-before-dedup and shuffle_hash, same rationale as cosinePairsLSH
+    // dedup-before-verify and sort-free hash joins, same scale rationale
+    // as cosinePairsLSH (the candidate multiset must never be SORTED with
+    // vectors attached)
     val cand = la.select(col("_id").as("a_id"), col("band_pos"), col("band_val"))
       .hint("shuffle_hash")
       .join(rb.select(col("_id").as("b_id"), col("band_pos").as("bp"),
           col("band_val").as("bv")),
         col("band_pos") === col("bp") && col("band_val") === col("bv"))
-      .select("a_id", "b_id")
+      .select("a_id", "b_id").distinct()
     cand
-      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")), Seq("a_id"))
-      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")), Seq("b_id"))
+      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")).hint("shuffle_hash"),
+        Seq("a_id"))
+      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")).hint("shuffle_hash"),
+        Seq("b_id"))
       .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
       .filter(col("sim") >= threshold)
-      .select("a_id", "b_id", "sim").distinct()
+      .select("a_id", "b_id", "sim")
   }
 
   /** Quality filter: keep documents with ≥ minTokens whitespace tokens and
