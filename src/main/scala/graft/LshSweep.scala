@@ -41,6 +41,12 @@ object LshSweep {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the ×100 corpus (202k × 64 floats ≈ 52 MB) must still broadcast
+      // into the vector-attach stage — a noise-dense sweep point otherwise
+      // shuffles the pair stream with vectors attached; and past any
+      // broadcast budget the attach must be hash, never an SMJ sort
+      .config("spark.sql.autoBroadcastJoinThreshold", "256m")
+      .config("spark.sql.join.preferSortMergeJoin", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()

@@ -462,15 +462,21 @@ object Pipelines {
         col("band_pos") === col("bp") && col("band_val") === col("bv")
           && col("ia") < col("ib"))
       .select("ia", "ib").distinct()
-    // shuffle_hash (build = the vecs side, probe = the pair stream): an
-    // SMJ here would sort the pair stream; at corpus sizes past the
-    // broadcast threshold that sort is the scale cliff the probe caught
+    // Vector attachment is deliberately UNHINTED: under the corpus-side
+    // broadcast threshold Catalyst broadcasts the vecs map and the pair
+    // stream flows through both attaches + the sim filter in one codegen
+    // stage with ZERO pair-stream shuffle (the only shape that survives a
+    // noise-dense banding, where the pair stream is the biggest thing in
+    // the query). Past the threshold, callers must set
+    // spark.sql.join.preferSortMergeJoin=false (the consumer keys' scoped
+    // sessions do): a shuffled-hash attach moves the pair stream but
+    // never SORTS it — at a TUNED rowsPerBand the stream is O(n) and the
+    // move is linear, while an SMJ sort of a vector-laden pair stream is
+    // the ~100 GB scale cliff the ×100 probe caught.
     val vecs = df.select(col(idCol).as("_vid"), col(vecCol).as("_vv"))
     cand
-      .join(vecs.select(col("_vid").as("ia"), col("_vv").as("_va")).hint("shuffle_hash"),
-        Seq("ia"))
-      .join(vecs.select(col("_vid").as("ib"), col("_vv").as("_vb")).hint("shuffle_hash"),
-        Seq("ib"))
+      .join(vecs.select(col("_vid").as("ia"), col("_vv").as("_va")), Seq("ia"))
+      .join(vecs.select(col("_vid").as("ib"), col("_vv").as("_vb")), Seq("ib"))
       .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
       .filter(col("sim") >= threshold)
       .select("ia", "ib", "sim")
@@ -500,11 +506,11 @@ object Pipelines {
           col("band_val").as("bv")),
         col("band_pos") === col("bp") && col("band_val") === col("bv"))
       .select("a_id", "b_id").distinct()
+    // unhinted vector attachment — broadcast under threshold, sort-free
+    // shuffled-hash past it; same scale rationale as cosinePairsLSH
     cand
-      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")).hint("shuffle_hash"),
-        Seq("a_id"))
-      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")).hint("shuffle_hash"),
-        Seq("b_id"))
+      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")), Seq("a_id"))
+      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")), Seq("b_id"))
       .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
       .filter(col("sim") >= threshold)
       .select("a_id", "b_id", "sim")

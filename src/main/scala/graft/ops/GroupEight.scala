@@ -372,6 +372,10 @@ object GroupEight {
       val sc = s.newSession()
       graft.functions.GraftFunctions.register(sc)
       sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // past the broadcast threshold the vector attach must fall to a
+      // sort-free shuffled-hash join, never an SMJ sort of the pair
+      // stream (Pipelines.cosinePairsLSH's ×100-probe note)
+      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val e = T.t(sc, dir, "embeddings")
       val dups = graft.api.Pipelines.cosinePairsLSH(
           e, "vec_id", "embedding", threshold = 0.45)

@@ -284,6 +284,9 @@ object GroupPipeline {
       val sc = s.newSession()
       graft.functions.GraftFunctions.register(sc)
       sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // sort-free attach fallback past the broadcast threshold
+      // (Pipelines.cosinePairsLSH's ×100-probe note)
+      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       graft.api.Pipelines.cosinePairsLSH(
           T.t(sc, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
         .select(col("ia").as("keep_id"), col("ib").as("dup_id"), col("sim"))

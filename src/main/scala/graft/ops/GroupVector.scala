@@ -141,6 +141,9 @@ object GroupVector {
       val sc = s.newSession()
       val e = emb(sc, dir)
       sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
+      // sort-free attach fallback past the broadcast threshold
+      // (Pipelines.cosinePairsLSH's ×100-probe note)
+      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       graft.api.Pipelines.cosineThresholdJoinLSH(
           e.filter(col("label") === 0), e.filter(col("label") === 1),
           "vec_id", "embedding", threshold = 0.35)
