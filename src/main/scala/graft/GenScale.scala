@@ -73,8 +73,20 @@ object GenScale {
       val salted =
         if (i == 0) d
         else {
-          val suf = "x" + ('a' + i - 1).toChar // xa..xi: alphabetic, so
-          // alpha-only tokenizers keep the suffix attached to its word
+          // base-26 multi-letter suffix (xa, xb, …, xz, xba, …): PURELY
+          // alphabetic for ANY copy count, so alpha-only tokenizers keep
+          // the suffix attached to its word and cross-copy vocabularies
+          // stay disjoint (the single-char 'a'+i form left the letter
+          // range at copy 27, which would collapse copies to copy-0
+          // vocabulary under an alpha tokenizer and blow candidate volume
+          // to ~N² in a scale probe)
+          def letters(k: Int): String = {
+            val sb = new StringBuilder
+            var v = k
+            do { sb.append(('a' + v % 26).toChar); v /= 26 } while (v > 0)
+            sb.reverse.toString()
+          }
+          val suf = "x" + letters(i - 1)
           d.withColumn("text",
             regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + suf))
         }

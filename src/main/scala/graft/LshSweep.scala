@@ -117,8 +117,11 @@ object LshSweep {
       val t0 = System.nanoTime()
       val out = graft.api.Pipelines
         .cosinePairsLSH(all, "vec_id", "embedding", threshold, rowsPerBand = r)
-        .agg(count(lit(1)), sum(when(col("ib") - col("ia") === PlantOff, 1L)
-            .otherwise(0L)),
+        .agg(count(lit(1)),
+          // coalesce: sum() over zero pairs is NULL — a mis-tuned sweep
+          // point must report pairs=0, not throw on getLong
+          coalesce(sum(when(col("ib") - col("ia") === PlantOff, 1L)
+            .otherwise(0L)), lit(0L)),
           coalesce(expr("bit_xor(xxhash64(ia, ib))"), lit(0L)))
         .head()
       pairs = out.getLong(0)

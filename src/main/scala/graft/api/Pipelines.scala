@@ -101,13 +101,20 @@ object Pipelines {
         col("band_pos") === col("bp") && col("band_sig") === col("bs")
           && col("ia") < col("ib"))
       .select("ia", "ib").distinct()
-    // exact verification restricted to candidates (broadcast — candidates
-    // are rare by construction)
+    // Exact verification restricted to candidates. The restriction joins
+    // are deliberately UNHINTED: the candidate pair set is DATA-DEPENDENT
+    // (grows with corpus size and band-collision noise), so a forced
+    // broadcast is a latent driver OOM at a noise-dense operating point.
+    // Under the broadcast threshold Catalyst/AQE still broadcasts it from
+    // measured shuffle bytes; past it, callers should set
+    // spark.sql.join.preferSortMergeJoin=false (the consumer keys' scoped
+    // sessions do) so the fallback is a shuffled-hash join that never
+    // sorts the corpus-sized shingle stream.
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val aRows = sh.select(col("doc_id").as("ia"), col("sh"))
-      .join(broadcast(cand), Seq("ia"))
+      .join(cand, Seq("ia"))
     val bRows = sh.select(col("doc_id").as("ib2"), col("sh").as("sh2"))
-      .join(broadcast(cand.select(col("ib").as("ib2")).distinct()), Seq("ib2"))
+      .join(cand.select(col("ib").as("ib2")).distinct(), Seq("ib2"))
     aRows.join(bRows, col("ib") === col("ib2") && col("sh") === col("sh2"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
@@ -429,7 +436,12 @@ object Pipelines {
     * is close to the threshold's (0.65), so recall-safety costs hundreds
     * of bands and the candidate set stays dense — no subquadratic exact
     * method exists there. Selectivity comes from `rowsPerBand` (2^r
-    * buckets per band); 8 bits ⇒ each band passes ~1/256 of random pairs. */
+    * buckets per band); 8 bits ⇒ each band passes ~1/256 of random pairs.
+    *
+    * Precondition: `idCol` must be unique in `df`. Candidate pairs are
+    * deduped on (ia, ib) BEFORE the vector attach (the scale-correct
+    * order), so duplicate ids would fan out in the attach joins and emit
+    * duplicate (ia, ib, sim) rows rather than being collapsed. */
   def cosinePairsLSH(df: DataFrame, idCol: String, vecCol: String,
                      threshold: Double, rowsPerBand: Int = 8,
                      perPairMiss: Double = 1e-5,
@@ -485,7 +497,9 @@ object Pipelines {
   /** Banded cosine threshold join across two sides (a_id from left, b_id
     * from right, sim ≥ threshold) — same candidate/verify machinery as
     * `cosinePairsLSH`, sharing one hyperplane family so both sides band
-    * identically. */
+    * identically. Precondition: `idCol` must be unique within EACH side
+    * (candidates are deduped before the vector attach, so duplicate ids
+    * would fan out into duplicate output rows — see cosinePairsLSH). */
   def cosineThresholdJoinLSH(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double, rowsPerBand: Int = 8,

@@ -2590,17 +2590,24 @@ object GroupTen {
           T.r6("tp", "tp + fn").as("rec6"))
     },
 
-    // Leave-one-out k-NN evaluation over a deterministic 10% eval slice
-    // (vec_id % 10 = 0) against the FULL corpus minus self — the embedding
-    // label-consistency audit (does the space cluster by label?). The eval
-    // slice BROADCASTS (the vector_cosine_topk contract shape: eval-set ×
-    // corpus, never corpus²); 3-NN by exact codegen'd dot, majority vote
-    // with (votes DESC, label) tie-break, per-label accuracy as exact
-    // integer rationals (T.r6). At 100 TB the same plan holds — the eval
-    // slice is the small side by construction.
+    // Leave-one-out k-NN evaluation over a deterministic CAPPED-ABSOLUTE
+    // eval slice against the FULL corpus minus self — the embedding
+    // label-consistency audit (does the space cluster by label?). The
+    // slice modulus is DERIVED FROM THE CORPUS COUNT (md = max(10,
+    // ceil(n/200)), declaratively — no driver action), so the panel is
+    // ~200 rows at ANY scale: slice × corpus is linear in the corpus, not
+    // quadratic (the r11 sf1 probe measured 39× wall at ×10 data with the
+    // old fixed 10% slice — a fraction × corpus IS corpus²/10). The eval
+    // slice BROADCASTS safely by construction (≤ ~200 vectors); 3-NN by
+    // exact codegen'd dot, majority vote with (votes DESC, label)
+    // tie-break, per-label accuracy as exact integer rationals (T.r6).
+    // At sf0.01/sf0.001 the derived md = 10 reproduces the old slice
+    // bit-for-bit; the oracle derives the identical md in lockstep.
     q("ml_knn_loocv",
-      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS tl
-        |  FROM embeddings WHERE vec_id % 10 = 0),
+      """WITH m AS (SELECT GREATEST(10, (count(*) + 199) // 200) AS md
+        |  FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS qe, label AS tl
+        |  FROM embeddings, m WHERE vec_id % md = 0),
         |c AS (SELECT vec_id AS c_id, embedding::DOUBLE[] AS ce, label
         |  FROM embeddings),
         |sm AS (SELECT q_id, tl, c_id, label,
@@ -2619,7 +2626,11 @@ object GroupTen {
         |    // (2*count(*)) AS BIGINT) / 1000000.0 AS acc6
         |FROM pred GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val e = GroupVector.emb(s, dir)
-      val qs = e.filter(col("vec_id") % 10 === 0)
+      // capped-absolute slice modulus, computed in-plan (1-row broadcast)
+      val md = e.agg(count(lit(1)).as("nrows"))
+        .select(greatest(lit(10L), expr("(nrows + 199) div 200")).as("md"))
+      val qs = e.crossJoin(broadcast(md))
+        .filter(col("vec_id") % col("md") === 0)
         .select(col("vec_id").as("q_id"), col("embedding").as("qe"),
           col("label").as("tl"))
       val cs = e.select(col("vec_id").as("c_id"), col("embedding").as("ce"),

@@ -103,7 +103,12 @@ object GroupText {
       // stays 5000 rows × 64 cols regardless of corpus size. Reads the
       // shared staged shingle index instead of re-deriving 5M shingle
       // strings from text on every invocation.
-      val shingles = shingleRows(s, dir)
+      // Scoped session: sort-free join fallback past the broadcast
+      // threshold, same rationale as the cosine-LSH consumers
+      // (Pipelines.cosinePairsLSH's ×100-probe note).
+      val sc = s.newSession()
+      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
+      val shingles = shingleRows(sc, dir)
       val shRows = shingles
         .select(col("doc_id"), xxhash64(col("sh")).as("g1"))
         .withColumn("g2", xxhash64(col("g1")))
@@ -126,15 +131,23 @@ object GroupText {
           col("band_pos") === col("bp") && col("band_sig") === col("bs") && col("ia") < col("ib"))
         .select("ia", "ib").distinct()
       // exact verification on candidates only: common-shingle counts via the
-      // staged index restricted to candidate pairs (broadcast — candidates
-      // are rare by construction), then Jaccard = c / (|A| + |B| - c).
-      // Same math as intersect/union over the distinct sets, but no
-      // re-collection of per-doc arrays.
+      // staged index restricted to candidate pairs, then
+      // Jaccard = c / (|A| + |B| - c). Same math as intersect/union over the
+      // distinct sets, but no re-collection of per-doc arrays.
+      // The candidate-restriction joins are deliberately UNHINTED: the pair
+      // set is DATA-DEPENDENT (grows with corpus size and band-collision
+      // noise — the ×100 cosine sweep measured 0.5B rows at a noise-dense
+      // operating point). Under the broadcast threshold Catalyst (via AQE's
+      // measured shuffle bytes) still broadcasts it; past the threshold the
+      // scoped preferSortMergeJoin=false drops to a shuffled-hash join that
+      // never sorts the corpus-sized shingle stream — a forced broadcast
+      // would turn candidate growth into a driver OOM instead of a linear
+      // shuffle.
       val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
       val aRows = shingles.select(col("doc_id").as("ia"), col("sh"))
-        .join(broadcast(cand), Seq("ia"))
+        .join(cand, Seq("ia"))
       val bRows = shingles.select(col("doc_id").as("ib2"), col("sh").as("sh2"))
-        .join(broadcast(cand.select(col("ib").as("ib2")).distinct()), Seq("ib2"))
+        .join(cand.select(col("ib").as("ib2")).distinct(), Seq("ib2"))
       val common = aRows
         .join(bRows, col("ib") === col("ib2") && col("sh") === col("sh2"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("c"))

@@ -381,7 +381,11 @@ object Streams {
               if (st == null) st = (us, us, 1L)
               else if ((us - st._2) / 1000L >= gapMs) { // half-open [ts, ts+gap)
                 out += emit(st, key); st = (us, us, 1L)
-              } else st = (st._1, us, st._3 + 1L)
+              } else st = (st._1, math.max(st._2, us), st._3 + 1L)
+              // ^ max-clamp: a cross-micro-batch out-of-order event inside
+              // the gap joins the session but never REWINDS its tail (an
+              // unclamped tail would re-arm the timer earlier and
+              // mis-sessionize silently)
             }
             sess.update(st)
             // one live timer per key: re-arm at the new session tail
@@ -441,7 +445,10 @@ object Streams {
             rows.toSeq.sortBy(r => (r._3, r._2)).foreach { case (_, id, us) =>
               if (st != null && (us - st._2) / 1000L >= idleMs && !st._3)
                 out += ((key, st._1))
-              st = (id, us, false)
+              // clamp: a cross-micro-batch out-of-order (older) event must
+              // not become the "last event" — that would rewind the idle
+              // horizon and re-arm the timer earlier (see sessionsWithTimers)
+              if (st == null || us >= st._2) st = (id, us, false)
             }
             last.update(st)
             getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))

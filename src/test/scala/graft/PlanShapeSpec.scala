@@ -187,6 +187,36 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("Join") && p.contains("bkt"), p.take(3000))
   }
 
+  test("minhash verify stage never force-broadcasts the candidate pair set (r11 verdict #1)") {
+    // The candidate (ia, ib) relation is data-dependent (corpus size ×
+    // band-collision noise): a broadcast() hint there is a latent driver
+    // OOM at a noise-dense operating point — the exact cliff class the
+    // ×100 cosine probe measured at 0.5B candidate rows. With the auto
+    // threshold DISABLED, a BroadcastExchange can only come from such a
+    // forced hint — this is the hint detector. (ShuffledHashJoin cannot
+    // be asserted under threshold=-1: Spark's canBuildLocalHashMapBySize
+    // gate is `size < threshold × partitions`, never true at -1; the
+    // sort-free fallback is pinned by the consumer sessions'
+    // preferSortMergeJoin=false at a real threshold instead.)
+    val sc = s.newSession()
+    sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val docs = T.t(sc, sf, "documents")
+    val p = graft.api.Pipelines.nearDupPairsLSH(docs, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastExchange"), p.take(3000))
+  }
+
+  test("minhash candidate restriction broadcasts ADAPTIVELY under the threshold") {
+    // the under-threshold half of the unhinted contract: at fixture scale
+    // AQE converts the candidate-restriction joins to broadcast from
+    // MEASURED shuffle bytes (not from a hint, not from static estimates —
+    // the candidate set's static estimate is a huge join product)
+    val df = SparkEntry.queries("dedup_near_minhash")(s, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+  }
+
   test("graph_clustering_coeff adjacency joins broadcast via AQE (r10 verdict #4: no driver count steering)") {
     // The manual e0.count()-sized broadcast hint was replaced by AQE's
     // runtime conversion: after execution the final adaptive plan must
