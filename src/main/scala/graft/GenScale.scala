@@ -32,6 +32,20 @@ import org.apache.spark.sql.functions._
 object GenScale {
   private val Off = 100000000L
 
+  /** Base-26 multi-letter copy-salt letters (a, b, …, z, ba, bb, …):
+    * PURELY alphabetic for ANY copy count, so alpha-only tokenizers keep
+    * the "x"+suffix attached to its word and cross-copy vocabularies stay
+    * disjoint (the historical single-char 'a'+i form left the letter range
+    * at copy 27, which would collapse copies to copy-0 vocabulary under an
+    * alpha tokenizer and blow candidate volume to ~N² in a scale probe).
+    * Shared with MinHashSweep's in-memory ×N corpus. */
+  private[graft] def letterSuffix(k: Int): String = {
+    val sb = new StringBuilder
+    var v = k
+    do { sb.append(('a' + v % 26).toChar); v /= 26 } while (v > 0)
+    sb.reverse.toString()
+  }
+
   def main(args: Array[String]): Unit = {
     val src = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val dst = if (args.length > 1) args(1) else "/tmp/graft_sf1"
@@ -73,20 +87,7 @@ object GenScale {
       val salted =
         if (i == 0) d
         else {
-          // base-26 multi-letter suffix (xa, xb, …, xz, xba, …): PURELY
-          // alphabetic for ANY copy count, so alpha-only tokenizers keep
-          // the suffix attached to its word and cross-copy vocabularies
-          // stay disjoint (the single-char 'a'+i form left the letter
-          // range at copy 27, which would collapse copies to copy-0
-          // vocabulary under an alpha tokenizer and blow candidate volume
-          // to ~N² in a scale probe)
-          def letters(k: Int): String = {
-            val sb = new StringBuilder
-            var v = k
-            do { sb.append(('a' + v % 26).toChar); v /= 26 } while (v > 0)
-            sb.reverse.toString()
-          }
-          val suf = "x" + letters(i - 1)
+          val suf = "x" + letterSuffix(i - 1)
           d.withColumn("text",
             regexp_replace(col("text"), "([A-Za-z0-9]+)", "$1" + suf))
         }

@@ -64,37 +64,63 @@ object Pipelines {
       .select("ia", "ib", "jac")
   }
 
-  /** MinHash-LSH near-duplicate pairs: shingle → `numHashes` minhashes from
-    * a double-hash family (two real xxhash64 evals per shingle, the rest
-    * derived by xor-rotation — codegen'd bitwise ops, no per-hash rehash)
-    * → `bands` band signatures → bucket self-join for candidates → exact
-    * Jaccard verification of candidates only. Precision 1.0 by
-    * construction; recall is the banding probability (r=4/b=16 ⇒ ≥99.98%
-    * per pair at jac 0.8). The shuffle keys are band signatures; candidate
-    * pairs scale with collisions, not corpus². */
-  def nearDupPairsLSH(df: DataFrame, idCol: String, textCol: String,
-                      n: Int = 3, threshold: Double = 0.8,
-                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+  /** MinHash band signatures from a (doc_id, sh) shingle-row relation:
+    * (doc_id, band_pos, band_sig). The hash family is double-hash derived
+    * (Kirsch–Mitzenmacher shape, xor-rotation variant to stay in
+    * overflow-free bitwise ops): per 64-hash group, two real xxhash64
+    * evals g₁/g₂ and h_i = g₁ XOR rotl(g₂, i mod 64) — so `numHashes` up
+    * to 64 costs exactly 2 real hashes per shingle (bit-identical to the
+    * historical fixed-64 family), and every further group of 64 chains 2
+    * more. The min-aggregation is map-side partial: the shuffle carries
+    * one row × numHashes longs per doc regardless of corpus size. */
+  def minhashBands(sh: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
-    val rows = bands match { case _ => numHashes / bands }
-    val sh = shingles(df, idCol, textCol, n)
-    val hashed = sh
-      .select(col("doc_id"), xxhash64(col("sh")).as("g1"))
-      .withColumn("g2", xxhash64(col("g1")))
+    val rows = numHashes / bands
+    val nGroups = (numHashes + 63) / 64
+    val hashed = (1 until 2 * nGroups).foldLeft(
+        sh.select(col("doc_id"), xxhash64(col("sh")).as("g1"))) {
+      (d, j) => d.withColumn(s"g${j + 1}", xxhash64(col(s"g$j")))
+    }
     def rotl(c: Column, i: Int): Column =
       if (i == 0) c
       else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-    val hashCols = (0 until numHashes).map(i =>
-      min(col("g1").bitwiseXOR(rotl(col("g2"), i))).as(s"h$i"))
+    val hashCols = (0 until numHashes).map { i =>
+      val (grp, off) = (i / 64, i % 64)
+      min(col(s"g${2 * grp + 1}").bitwiseXOR(rotl(col(s"g${2 * grp + 2}"), off)))
+        .as(s"h$i")
+    }
     val minhashes = hashed.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
     val bandCols = (0 until bands).map { b =>
       xxhash64(lit(b) +: (0 until rows).map(r => col(s"h${b * rows + r}")): _*)
         .as(s"band$b")
     }
-    val banded = minhashes.select(col("doc_id") +: bandCols: _*)
+    minhashes.select(col("doc_id") +: bandCols: _*)
       .select(col("doc_id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*))
           .as(Seq("band_pos", "band_sig")))
+  }
+
+  /** Smallest band count whose per-pair MISS probability at `threshold`
+    * is ≤ `perPairMiss`: recall per pair = 1 − (1 − t^r)^b, the Jaccard
+    * twin of CosineLsh.bandsFor. */
+  def minhashBandsFor(threshold: Double, rowsPerBand: Int,
+                      perPairMiss: Double = 1e-3): Int = {
+    val p = math.pow(threshold, rowsPerBand)
+    math.max(1, math.ceil(math.log(perPairMiss) / math.log1p(-p)).toInt)
+  }
+
+  /** MinHash-LSH near-duplicate pairs: shingle → `numHashes` minhashes
+    * (see [[minhashBands]] for the hash family) → `bands` band signatures
+    * → bucket self-join for candidates → exact Jaccard verification of
+    * candidates only. Precision 1.0 by construction; recall is the
+    * banding probability (r=4/b=16 ⇒ ≥99.98% per pair at jac 0.8). The
+    * shuffle keys are band signatures; candidate pairs scale with
+    * collisions, not corpus². */
+  def nearDupPairsLSH(df: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8,
+                      numHashes: Int = 64, bands: Int = 16): DataFrame = {
+    val sh = shingles(df, idCol, textCol, n)
+    val banded = minhashBands(sh, numHashes, bands)
     val cand = banded.select(col("doc_id").as("ia"), col("band_pos"), col("band_sig"))
       .join(banded.select(col("doc_id").as("ib"), col("band_pos").as("bp"),
           col("band_sig").as("bs")),

@@ -292,6 +292,48 @@ object GroupStream {
         .orderBy("user_id", "event_id")
     },
 
+    // Batch form of the TTL'd running-count processor (Streams.ttlCounts —
+    // ValueState with a REAL processing-time TTLConfig, the state-lifecycle
+    // surface every other processor leaves at NONE). The replay delivers
+    // period 2 (ts ≥ Jan 16) after a wall-clock gap > ttl, so TTL eviction
+    // IS the period reset and the stream's final per-(user, period) count
+    // equals this GROUP BY. StreamingSpec proves both directions: retention
+    // (back-to-back batches within a period accumulate) and eviction (a
+    // no-TTL control run shows cumulative counts instead).
+    q("stream_state_ttl",
+      """SELECT user_id,
+        |  CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 1 ELSE 2 END AS period,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy(col("user_id"),
+          when(col("ts") < lit("2024-01-16 00:00:00").cast(TimestampNTZType), 1)
+            .otherwise(2).as("period"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("user_id", "period")
+    },
+
+    // Batch form of the foreachBatch IDEMPOTENT upsert sink
+    // (Streams.upsertBatch/runUpsertSink — per-batch commit markers +
+    // atomic staged directory swap, latest-wins keyed merge): the target
+    // a drained replay converges to is the latest (max ts, then max
+    // event_id) event per user, and StreamingSpec proves a DOUBLE replay
+    // (at-least-once redelivery) and a fresh-checkpoint rerun converge to
+    // this same set.
+    q("stream_upsert_sink",
+      """SELECT user_id, ts, event_id, value FROM (
+        |  SELECT user_id, ts, event_id, value, row_number() OVER (
+        |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY user_id""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "ts", "event_id", "value")
+        .orderBy("user_id")
+    },
+
     // Batch form of the CHAINED stateful pipeline
     // (Streams.dedupThenHourly): dropDuplicatesWithinWatermark(event_id)
     // feeding a watermarked tumbling hourly count — two stateful operators

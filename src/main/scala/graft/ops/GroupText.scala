@@ -109,23 +109,10 @@ object GroupText {
       val sc = s.newSession()
       sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       val shingles = shingleRows(sc, dir)
-      val shRows = shingles
-        .select(col("doc_id"), xxhash64(col("sh")).as("g1"))
-        .withColumn("g2", xxhash64(col("g1")))
-      def rotl(c: org.apache.spark.sql.Column, i: Int): org.apache.spark.sql.Column =
-        if (i == 0) c
-        else shiftleft(c, i).bitwiseOR(shiftrightunsigned(c, 64 - i))
-      val hashCols = (0 until 64).map(i =>
-        min(col("g1").bitwiseXOR(rotl(col("g2"), i))).as(s"h$i"))
-      val minhashes = shRows.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
-      // 16 bands of 4 rows: the band signature hashes its 4 minhashes
-      val bandCols = (0 until 16).map { b =>
-        xxhash64(lit(b) +: (0 until 4).map(r => col(s"h${b * 4 + r}")): _*).as(s"band$b")
-      }
-      val banded = minhashes.select(col("doc_id") +: bandCols: _*)
-        .select(col("doc_id"),
-          posexplode(array((0 until 16).map(b => col(s"band$b")): _*))
-            .as(Seq("band_pos", "band_sig")))
+      // 64 minhashes → 16 bands of 4: the shared library banding
+      // (Pipelines.minhashBands — double-hash family, map-side-partial min
+      // agg, band signature = xxhash64 of the band's 4 minhashes)
+      val banded = graft.api.Pipelines.minhashBands(shingles, 64, 16)
       val cand = banded.select(col("doc_id").as("ia"), col("band_pos"), col("band_sig"))
         .join(banded.select(col("doc_id").as("ib"), col("band_pos").as("bp"), col("band_sig").as("bs")),
           col("band_pos") === col("bp") && col("band_sig") === col("bs") && col("ia") < col("ib"))

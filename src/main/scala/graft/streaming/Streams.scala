@@ -55,20 +55,39 @@ object Streams {
         org.apache.spark.sql.Row(FlushPurchaseId, t, -1L, "purchase", 0.0, "{}"),
         org.apache.spark.sql.Row(FlushClickId, t, -1L, "click", 0.0, "{}"))
     }
-    ordered.zipWithIndex.foreach { case (rows, i) =>
-      val df = s.createDataFrame(
-        s.sparkContext.parallelize(rows.toIndexedSeq, 1), eventsSchema)
-      val tmp = f"$outDir/_stage_$i%03d"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
-      // flatten to one file per chunk: the file source processes files in
-      // mtime order, so chunk_i.parquet IS micro-batch i
-      val part = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      java.nio.file.Files.move(part.toPath,
-        java.nio.file.Paths.get(f"$outDir/chunk_$i%03d.parquet"),
-        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
-      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-      Thread.sleep(15) // distinct mtimes ⇒ deterministic file order
+    ordered.zipWithIndex.foreach { case (rows, i) => writeChunkFile(s, rows, outDir, i) }
+  }
+
+  /** Flatten one chunk to a single parquet file `chunk_<idx>.parquet`: the
+    * file source processes files in mtime order, so chunk_i IS micro-batch
+    * i (maxFilesPerTrigger=1). */
+  private def writeChunkFile(s: SparkSession, rows: Array[org.apache.spark.sql.Row],
+                             outDir: String, idx: Int): Unit = {
+    val df = s.createDataFrame(
+      s.sparkContext.parallelize(rows.toIndexedSeq, 1), eventsSchema)
+    val tmp = f"$outDir/_stage_$idx%03d"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.move(part.toPath,
+      java.nio.file.Paths.get(f"$outDir/chunk_$idx%03d.parquet"),
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    Thread.sleep(15) // distinct mtimes ⇒ deterministic file order
+  }
+
+  /** Progressive-arrival chunk writer: append `df`'s rows (time-ordered) as
+    * `n` chunk files starting at `startIdx`. Lets a replay stage files in
+    * WAVES — a later wave written after an earlier AvailableNow run has
+    * drained (and, for the TTL replay, after a wall-clock gap) is picked up
+    * by the next run from the same checkpoint. */
+  def appendChunks(s: SparkSession, df: DataFrame, outDir: String,
+                   n: Int, startIdx: Int = 0): Unit = {
+    // test-harness fixture staging, same caveat as writeChunks
+    val ev = df.orderBy("ts", "event_id").collect()
+    val per = math.max(1, math.ceil(ev.length.toDouble / n).toInt)
+    ev.grouped(per).toSeq.zipWithIndex.foreach { case (rows, i) =>
+      writeChunkFile(s, rows, outDir, startIdx + i)
     }
   }
 
@@ -158,6 +177,98 @@ object Streams {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+  }
+
+  /** Per-user running event counts under a REAL state TTL
+    * (stream_state_ttl): the ValueState carries
+    * TTLConfig(ttl) — processing-time expiry, the one state-lifecycle
+    * surface every other processor leaves at TTLConfig.NONE. Each input
+    * row also carries its PERIOD (ts before/after `splitTs`), and the
+    * replay harness (runTtlReplay) delivers period 2 after a wall-clock
+    * gap > ttl, so the TTL eviction IS the period reset: the emitted
+    * running counts restart at period boundaries, and the final
+    * per-(user, period) count equals the batch GROUP BY (user, period) —
+    * deterministic BOTH ways because a period's batches run back-to-back
+    * (≪ ttl apart: state provably retained) while the inter-period gap
+    * exceeds ttl (state provably expired). Emits (user_id, period,
+    * running_cnt) per (key, micro-batch). */
+  def ttlCounts(stream: DataFrame, splitTs: String,
+                ttl: java.time.Duration): Dataset[(Long, Int, Long)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream
+      .select(col("user_id"),
+        when(col("ts") < lit(splitTs).cast(TimestampNTZType), 1).otherwise(2)
+          .as("period"))
+      .as[(Long, Int)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessor[Long, (Long, Int), (Long, Int, Long)] {
+          @transient private var cnt: ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            cnt = getHandle.getValueState[Long]("cnt", TTLConfig(ttl))
+          override def handleInputRows(
+              key: Long, rows: Iterator[(Long, Int)],
+              timerValues: TimerValues): Iterator[(Long, Int, Long)] = {
+            if (key < 0) return Iterator.empty // watermark-flush sentinels
+            val rs = rows.toSeq
+            // all rows of a micro-batch share one period by replay
+            // construction (chunks are period-aligned); max is the guard
+            val period = rs.map(_._2).max
+            val c = (if (cnt.exists()) cnt.get() else 0L) + rs.size
+            cnt.update(c)
+            Iterator((key, period, c))
+          }
+        },
+        TimeMode.ProcessingTime(), OutputMode.Append())
+  }
+
+  /** Drive the TTL replay in two AvailableNow waves against ONE checkpoint
+    * and ONE parquet sink: drain the period-1 chunks, wait `gapMs` (must
+    * exceed the ttl), stage the period-2 chunks via `addLater`, drain
+    * again. The second wave's batch timestamp is > ttl past every
+    * period-1 state update, so TTL eviction is certain before any
+    * period-2 row is counted. */
+  def runTtlReplay(s: SparkSession, chunkDir: String, out: String,
+                   checkpoint: String, splitTs: String,
+                   ttl: java.time.Duration, gapMs: Long,
+                   wave1Rows: Long, wave2Rows: Long,
+                   addLater: () => Unit): Unit = {
+    // Spark 4.1 trap: transformWithState in TimeMode.ProcessingTime
+    // reports shouldRunAnotherBatch=true UNCONDITIONALLY (TTL eviction
+    // and processing-time timers need batches to keep running), so
+    // Trigger.AvailableNow never self-terminates — it commits no-data
+    // batches forever and the drain must stop the query itself. "A
+    // no-data progress appeared" alone is NOT the drained signal: on a
+    // loaded restart the run may FIRST replay an uncommitted no-data
+    // batch from the offset log (numInputRows=0) before discovering the
+    // newly staged file — stopping there loses the wave. Require BOTH
+    // the wave's expected input rows consumed AND a trailing no-data
+    // batch (which can only run once every staged file is consumed under
+    // maxFilesPerTrigger=1; state is checkpointed per batch, so stopping
+    // mid-no-data-loop is safe).
+    def drain(minRows: Long): Unit = {
+      val q = ttlCounts(readReplay(s, chunkDir), splitTs, ttl)
+        .toDF("user_id", "period", "cnt")
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", checkpoint)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      def drained: Boolean = {
+        val progs = q.recentProgress
+        progs.map(_.numInputRows).sum >= minRows &&
+          progs.lastOption.exists(_.numInputRows == 0L)
+      }
+      while (q.isActive && !drained) Thread.sleep(100)
+      q.exception.foreach(throw _)
+      if (q.isActive) q.stop()
+      q.awaitTermination()
+    }
+    drain(wave1Rows)
+    Thread.sleep(gapMs)
+    addLater()
+    drain(wave2Rows)
   }
 
   /** Stateful exactly-once-per-id dedup (stream_dedup_stateful). */

@@ -175,14 +175,10 @@ class StreamingSpec extends AnyFunSuite {
       s.read.parquet(s"$target/data").collect()
         .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
     val once = snapshot()
-    val expected = T.t(s, sf, "events")
-      .select("user_id", "ts", "event_id", "value")
-      .withColumn("_rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
-          .orderBy(col("ts").desc, col("event_id").desc)))
-      .filter(col("_rn") === 1)
+    // the graded batch twin (stream_upsert_sink) IS the convergence target
+    val expected = SparkEntry.queries("stream_upsert_sink")(s, sf)
       .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))).toSet
-    assert(once == expected, "upsert target must equal the batch latest-per-user")
+    assert(once == expected, "upsert target must equal batch stream_upsert_sink")
     // retry guard: re-delivering an already-committed (batchId, data) pair
     // (foreachBatch is at-least-once on failure) is a no-op
     val chunk0 = new java.io.File(replayDir).listFiles()
@@ -196,6 +192,49 @@ class StreamingSpec extends AnyFunSuite {
     Streams.runUpsertSink(s, replayDir, target, T.tempDir("graft_upsert_ck2_"))
     assert(snapshot() == once, "fresh-checkpoint replay must be idempotent")
   }
+
+  test("state TTL: counts reset across a gap > ttl == batch stream_state_ttl " +
+    "(retention within a period, eviction across; no-TTL control cumulates)") { withRocksDb {
+    import org.apache.spark.sql.types.TimestampNTZType
+    val split = "2024-01-16 00:00:00"
+    val ev = T.t(s, sf, "events")
+    val p1 = ev.filter(col("ts") < lit(split).cast(TimestampNTZType))
+    val p2 = ev.filter(col("ts") >= lit(split).cast(TimestampNTZType))
+    // period 1 as TWO back-to-back micro-batches (≪ ttl apart: proves the
+    // TTL'd state is RETAINED and accumulates across batches), then a
+    // 35 s gap > the 30 s ttl before period 2 (proves EVICTION)
+    val dir = T.tempDir("graft_ttl_replay_")
+    Streams.appendChunks(s, p1, dir, n = 2, startIdx = 0)
+    val out = T.tempDir("graft_ttl_out_")
+    Streams.runTtlReplay(s, dir, out, T.tempDir("graft_ttl_ck_"), split,
+      java.time.Duration.ofSeconds(30), gapMs = 35000,
+      wave1Rows = p1.count(), wave2Rows = p2.count(),
+      addLater = () => Streams.appendChunks(s, p2, dir, n = 1, startIdx = 2))
+    // final running count per (user, period) = max of the emitted ladder
+    val got = s.read.parquet(out)
+      .groupBy("user_id", "period").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("period"),
+        r.getAs[Long]("cnt"))).toSet
+    val want = SparkEntry.queries("stream_state_ttl")(s, sf)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("period"),
+        r.getAs[Long]("cnt"))).toSet
+    assert(got == want, "TTL eviction must reset counts at the period boundary")
+    // control: a ttl far beyond the (tiny) gap evicts nothing — the final
+    // per-user count is CUMULATIVE across periods, proving the reset above
+    // was the TTL, not an artifact of the two-wave replay
+    val dir2 = T.tempDir("graft_ttl_replay2_")
+    Streams.appendChunks(s, p1, dir2, n = 2, startIdx = 0)
+    val out2 = T.tempDir("graft_ttl_out2_")
+    Streams.runTtlReplay(s, dir2, out2, T.tempDir("graft_ttl_ck2_"), split,
+      java.time.Duration.ofDays(1), gapMs = 100,
+      wave1Rows = p1.count(), wave2Rows = p2.count(),
+      addLater = () => Streams.appendChunks(s, p2, dir2, n = 1, startIdx = 2))
+    val gotTotal = s.read.parquet(out2).groupBy("user_id").agg(max("cnt").as("cnt"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toMap
+    val wantTotal = ev.groupBy("user_id").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("cnt"))).toMap
+    assert(gotTotal == wantTotal, "no-TTL control must cumulate across periods")
+  }}
 
   test("parquet sink + checkpoint: restart resumes exactly-once (no reprocessing)") {
     // phase 1 processes 3 of 5 chunks into a parquet sink with a checkpoint;
