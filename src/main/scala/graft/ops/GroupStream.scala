@@ -334,6 +334,52 @@ object GroupStream {
         .orderBy("user_id")
     },
 
+    // Batch form of the STREAM-STATIC enrichment join
+    // (Streams.staticEnrich): each micro-batch inner-joins the events
+    // stream to the static customer dim — broadcast, so the stream side
+    // never shuffles for the join — then a tumbling hourly count/sum per
+    // market segment. Stream-static inner joins are stateless per batch
+    // (no watermark, no join state), so the drained stream equals this
+    // plain batch join + window agg; StreamingSpec proves the replay.
+    q("stream_static_enrich",
+      """SELECT date_trunc('hour', ts) AS w_start, c_mktsegment, count(*) AS cnt,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
+      val c = T.t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      T.t(s, dir, "events")
+        .join(broadcast(c), col("user_id") === col("c_custkey"))
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+        .select(col("w.start").as("w_start"), col("c_mktsegment"),
+          col("cnt"), col("sum_value"))
+        .orderBy("w_start", "c_mktsegment")
+    },
+
+    // Batch form of the WARM-START stateful totals (Streams.seededTotals —
+    // StatefulProcessorWithInitialState: per-user state bootstrapped from a
+    // batch-computed seed dataset via handleInitialState, the
+    // state-migration surface of the v2 state API). The declared form
+    // splits each user's value mass into the seed portion (before the
+    // split instant — what the initial state carries) and the grand total
+    // (what the seeded stream converges to after replaying only the
+    // post-split events); StreamingSpec proves that convergence, i.e. that
+    // the seeds were genuinely applied before the first input batch.
+    q("stream_initial_state",
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00'
+        |    THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS seed_value,
+        |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1 ORDER BY 1""") { (s, dir) =>
+      T.t(s, dir, "events")
+        .groupBy("user_id")
+        .agg(
+          T.dsum(when(col("ts") < lit("2024-01-16 00:00:00").cast(TimestampNTZType),
+            col("value"))).as("seed_value"),
+          T.dsum(col("value")).as("total_value"))
+        .orderBy("user_id")
+    },
+
     // Batch form of the CHAINED stateful pipeline
     // (Streams.dedupThenHourly): dropDuplicatesWithinWatermark(event_id)
     // feeding a watermarked tumbling hourly count — two stateful operators

@@ -3,7 +3,7 @@ package graft.streaming
 import graft.T
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TTLConfig, TimeMode, TimerValues, ValueState}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState, GroupStateTimeout, MapState, OutputMode, StatefulProcessor, StatefulProcessorWithInitialState, TTLConfig, TimeMode, TimerValues, ValueState}
 import org.apache.spark.sql.types._
 
 /** SURVEY.md §2-K — the real Structured Streaming implementations.
@@ -748,6 +748,56 @@ object Streams {
           1).otherwise(0))
       .groupBy(col("v_id").as("vec_id"))
       .agg(max(col("hit")).as("dup"))
+  }
+
+  /** Stream-static enrichment (stream_static_enrich): every micro-batch
+    * inner-joins the events stream against a STATIC dimension (the
+    * canonical streaming enrich shape — stateless per batch, no watermark
+    * needed on an inner stream-static join, the dim is planned once per
+    * batch and BROADCAST so the stream side never shuffles for the join),
+    * then feeds a tumbling hourly count/sum per market segment. At 100 TB
+    * the dim side stays broadcast-sized (segment metadata), and the
+    * stateful agg keys on (hour, segment) — a bounded domain, so state
+    * never grows with stream volume. */
+  def staticEnrich(stream: DataFrame, dim: DataFrame): DataFrame =
+    stream.join(broadcast(dim), stream("user_id") === dim("c_custkey"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("cnt"), T.dsum(col("value")).as("sum_value"))
+      .select(col("w.start").as("w_start"), col("c_mktsegment"),
+        col("cnt"), col("sum_value"))
+
+  /** Warm-start stateful totals (stream_initial_state): the per-user
+    * running total is BOOTSTRAPPED from a batch-computed initial-state
+    * dataset (yesterday's closing balances) instead of zero — the
+    * state-migration surface of the v2 state API.
+    * `handleInitialState` runs once per seeded key when the query starts
+    * fresh (before any input batch), so the first emission for a seeded
+    * user already includes history the stream itself never saw. Emits the
+    * updated (user, total_cents) per touched batch. */
+  def seededTotals(stream: DataFrame,
+                   seeds: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+    val s = stream.sparkSession
+    import s.implicits._
+    stream.select(col("user_id"), col("value")).as[(Long, Double)]
+      .groupByKey(_._1)
+      .transformWithState(
+        new StatefulProcessorWithInitialState[Long, (Long, Double), (Long, Long), Long] {
+          @transient private var total: ValueState[Long] = _
+          override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+            total = getHandle.getValueState[Long]("total", TTLConfig.NONE)
+          override def handleInitialState(key: Long, seed: Long,
+              timerValues: TimerValues): Unit =
+            total.update(seed)
+          override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
+              timerValues: TimerValues): Iterator[(Long, Long)] = {
+            val prev = if (total.exists()) total.get() else 0L
+            val next = prev + rows.map(r => cents(r._2)).sum
+            total.update(next)
+            Iterator((key, next))
+          }
+        },
+        TimeMode.None(), OutputMode.Update(),
+        seeds.groupByKey(_._1).mapValues(_._2))
   }
 
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -473,4 +473,65 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want,
       s"chained counts diverge: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
   }
+
+  test("stream-static enrich: broadcast dim join + window agg == batch stream_static_enrich") {
+    val dim = T.t(s, sf, "customer").select(col("c_custkey"), col("c_mktsegment"))
+    val got = Streams.runToMemory(
+        Streams.staticEnrich(Streams.readReplay(s, chunks()), dim),
+        "t_enrich", OutputMode.Complete())
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    val want = SparkEntry.queries("stream_static_enrich")(s, sf)
+      .collect().map(r => (r.getAs[java.time.LocalDateTime]("w_start").toString,
+        r.getString(1), r.getAs[Long]("cnt"), r.getAs[Double]("sum_value"))).toSet
+    assert(got == want,
+      s"enrich diverges: extra=${(got -- want).take(5)} missing=${(want -- got).take(5)}")
+  }
+
+  test("initial state: batch-seeded totals over a period-2-only replay " +
+    "== batch stream_initial_state grand totals") { withRocksDb {
+    import s.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val split = "2024-01-16 00:00:00"
+    val ev = T.t(s, sf, "events")
+    val p2 = ev.filter(col("ts") >= lit(split).cast(TimestampNTZType))
+    // the warm-start state: period-1 cents per user, computed in BATCH —
+    // the replay below never delivers a period-1 event
+    val seeds = ev.filter(col("ts") < lit(split).cast(TimestampNTZType))
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("cents"))
+      .as[(Long, Long)]
+    val dir = T.tempDir("graft_seed_replay_")
+    Streams.appendChunks(s, p2, dir, n = 3, startIdx = 0)
+    val q = Streams.seededTotals(Streams.readReplay(s, dir), seeds)
+      .toDF("user_id", "total_cents")
+      .writeStream.format("memory").queryName("t_seed").outputMode(OutputMode.Update())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val emissions = s.table("t_seed").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    // graded twin: the GRAND total per user (seed + streamed) — for every
+    // user the replay touched, the final streamed total must equal it,
+    // which proves handleInitialState applied the seed before batch 1
+    val twin = SparkEntry.queries("stream_initial_state")(s, sf).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        Math.round(r.getAs[Double]("total_value") * 100),
+        if (r.isNullAt(r.fieldIndex("seed_value"))) 0L
+        else Math.round(r.getAs[Double]("seed_value") * 100)))
+    val p2users = p2.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(emissions.keySet == p2users, "every touched user emits, only those")
+    twin.filter(t => p2users.contains(t._1)).foreach { case (u, totalCents, _) =>
+      assert(emissions(u).contains(totalCents),
+        s"user $u: grand total $totalCents not among emissions ${emissions(u)}")
+    }
+    // the seed genuinely contributed: at least one touched user has a
+    // nonzero seed, so their grand total differs from the period-2-only sum
+    val p2only = p2.groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(twin.exists { case (u, tot, seedCents) =>
+      p2users.contains(u) && seedCents != 0L && tot != p2only(u) },
+      "replay must include a user whose seed changes the outcome")
+  }}
 }
