@@ -773,7 +773,13 @@ object Streams {
     * `handleInitialState` runs once per seeded key when the query starts
     * fresh (before any input batch), so the first emission for a seeded
     * user already includes history the stream itself never saw. Emits the
-    * updated (user, total_cents) per touched batch. */
+    * updated (user, total_cents) per touched batch.
+    *
+    * Precondition: `seeds` must carry ONE row per key (the natural shape of
+    * a groupBy aggregate, as in StreamingSpec). Spark invokes
+    * handleInitialState once per initial-state ROW, so duplicate seed rows
+    * would overwrite each other in partition order — last write wins,
+    * nondeterministically. */
   def seededTotals(stream: DataFrame,
                    seeds: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
     val s = stream.sparkSession
