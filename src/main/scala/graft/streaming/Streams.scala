@@ -779,31 +779,41 @@ object Streams {
     * a groupBy aggregate, as in StreamingSpec). Spark invokes
     * handleInitialState once per initial-state ROW, so duplicate seed rows
     * would overwrite each other in partition order — last write wins,
-    * nondeterministically. */
+    * nondeterministically.
+    *
+    * Emits (user, n_seen, total_cents) per touched batch; n_seen counts the
+    * key's INPUT rows (the seed contributes value, not count), and is
+    * strictly increasing per key — an unordered sink (parquet) can select
+    * each key's final state as its max-n_seen row, totals being
+    * non-monotone when values go negative. Initial state applies only when
+    * the query starts from a FRESH checkpoint; a restart resumes from the
+    * state store and must NOT re-apply seeds (pinned by StreamingSpec's
+    * restart test). */
   def seededTotals(stream: DataFrame,
-                   seeds: Dataset[(Long, Long)]): Dataset[(Long, Long)] = {
+                   seeds: Dataset[(Long, Long)]): Dataset[(Long, Long, Long)] = {
     val s = stream.sparkSession
     import s.implicits._
     stream.select(col("user_id"), col("value")).as[(Long, Double)]
       .groupByKey(_._1)
       .transformWithState(
-        new StatefulProcessorWithInitialState[Long, (Long, Double), (Long, Long), Long] {
-          @transient private var total: ValueState[Long] = _
+        new StatefulProcessorWithInitialState[Long, (Long, Double), (Long, Long, Long), (Long, Long)] {
+          @transient private var st: ValueState[(Long, Long)] = _
           override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
-            total = getHandle.getValueState[Long]("total", TTLConfig.NONE)
-          override def handleInitialState(key: Long, seed: Long,
+            st = getHandle.getValueState[(Long, Long)]("st", TTLConfig.NONE)
+          override def handleInitialState(key: Long, seed: (Long, Long),
               timerValues: TimerValues): Unit =
-            total.update(seed)
+            st.update((0L, seed._2))
           override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
-              timerValues: TimerValues): Iterator[(Long, Long)] = {
-            val prev = if (total.exists()) total.get() else 0L
-            val next = prev + rows.map(r => cents(r._2)).sum
-            total.update(next)
-            Iterator((key, next))
+              timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+            val (n0, t0) = if (st.exists()) st.get() else (0L, 0L)
+            var n = n0; var t = t0
+            rows.foreach { r => n += 1; t += cents(r._2) }
+            st.update((n, t))
+            Iterator((key, n, t))
           }
         },
         TimeMode.None(), OutputMode.Update(),
-        seeds.groupByKey(_._1).mapValues(_._2))
+        seeds.groupByKey(_._1))
   }
 
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {

@@ -504,13 +504,15 @@ class StreamingSpec extends AnyFunSuite {
     val dir = T.tempDir("graft_seed_replay_")
     Streams.appendChunks(s, p2, dir, n = 3, startIdx = 0)
     val q = Streams.seededTotals(Streams.readReplay(s, dir), seeds)
-      .toDF("user_id", "total_cents")
+      .toDF("user_id", "n_seen", "total_cents")
       .writeStream.format("memory").queryName("t_seed").outputMode(OutputMode.Update())
       .trigger(Trigger.AvailableNow()).start()
     q.awaitTermination()
-    val emissions = s.table("t_seed").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
-      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).toSet }
+    // final state per user = the max-n_seen emission (n_seen is strictly
+    // increasing per key; totals are non-monotone when values go negative)
+    val finals = s.table("t_seed").collect()
+      .map(r => (r.getLong(0), (r.getLong(1), r.getLong(2))))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).maxBy(_._1)._2 }
     // graded twin: the GRAND total per user (seed + streamed) — for every
     // user the replay touched, the final streamed total must equal it,
     // which proves handleInitialState applied the seed before batch 1
@@ -520,10 +522,10 @@ class StreamingSpec extends AnyFunSuite {
         if (r.isNullAt(r.fieldIndex("seed_value"))) 0L
         else Math.round(r.getAs[Double]("seed_value") * 100)))
     val p2users = p2.select("user_id").distinct().collect().map(_.getLong(0)).toSet
-    assert(emissions.keySet == p2users, "every touched user emits, only those")
+    assert(finals.keySet == p2users, "every touched user emits, only those")
     twin.filter(t => p2users.contains(t._1)).foreach { case (u, totalCents, _) =>
-      assert(emissions(u).contains(totalCents),
-        s"user $u: grand total $totalCents not among emissions ${emissions(u)}")
+      assert(finals(u) == totalCents,
+        s"user $u: final ${finals(u)} != grand total $totalCents")
     }
     // the seed genuinely contributed: at least one touched user has a
     // nonzero seed, so their grand total differs from the period-2-only sum
@@ -533,5 +535,61 @@ class StreamingSpec extends AnyFunSuite {
     assert(twin.exists { case (u, tot, seedCents) =>
       p2users.contains(u) && seedCents != 0L && tot != p2only(u) },
       "replay must include a user whose seed changes the outcome")
+  }}
+
+  test("initial state applies ONCE per checkpoint lifetime: a restart " +
+    "resumes from the store and must not re-apply seeds") { withRocksDb {
+    import s.implicits._
+    import org.apache.spark.sql.types.TimestampNTZType
+    val split = "2024-01-16 00:00:00"
+    val ev = T.t(s, sf, "events")
+    val p2 = ev.filter(col("ts") >= lit(split).cast(TimestampNTZType))
+      .orderBy("ts", "event_id").localCheckpoint()
+    val half = (p2.count() / 2).toInt
+    val w1 = p2.limit(half)
+    val w2 = p2.exceptAll(w1)
+    val seeds = ev.filter(col("ts") < lit(split).cast(TimestampNTZType))
+      .groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("cents"))
+      .as[(Long, Long)].localCheckpoint()
+    val dir = T.tempDir("graft_seed_restart_")
+    val out = T.tempDir("graft_seed_out_")
+    val ck = T.tempDir("graft_seed_ck_")
+    def drain(): Unit = {
+      val q = Streams.seededTotals(Streams.readReplay(s, dir), seeds)
+        .toDF("user_id", "n_seen", "total_cents")
+        .writeStream.format("parquet").option("path", out)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      q.exception.foreach(throw _)
+    }
+    // wave 1 from a FRESH checkpoint: seeds apply here, and only here
+    Streams.appendChunks(s, w1, dir, n = 2, startIdx = 0)
+    drain()
+    // restart against the SAME checkpoint with new files staged: the
+    // processor resumes from the state store — handleInitialState must
+    // NOT run again, or every seeded user double-counts their seed
+    Streams.appendChunks(s, w2, dir, n = 2, startIdx = 2)
+    drain()
+    val finals = s.read.parquet(out).collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        (r.getAs[Long]("n_seen"), r.getAs[Long]("total_cents"))))
+      .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).maxBy(_._1)._2 }
+    val grand = ev.groupBy("user_id")
+      .agg(sum(expr("cast(round(value * 100, 0) as long)")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val seedMap = seeds.collect().toMap
+    val p2users = p2.select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(finals.keySet == p2users)
+    p2users.foreach { u =>
+      assert(finals(u) == grand(u),
+        s"user $u: final ${finals(u)} != grand ${grand(u)} " +
+          s"(double-seed would read ${grand(u) + seedMap.getOrElse(u, 0L)})")
+    }
+    // the assert above distinguishes the failure mode only if some
+    // touched user has a nonzero seed — require it
+    assert(p2users.exists(u => seedMap.getOrElse(u, 0L) != 0L),
+      "fixture must include a seeded user in the replay")
   }}
 }
