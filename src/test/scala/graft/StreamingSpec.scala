@@ -320,7 +320,7 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
-  test("streaming near-dup dedup == batch stream_dedup_neardup (VERDICT r7 #6)") {
+  test("streaming near-dup dedup == batch LSH survivors; panel audit agrees (VERDICT r7 #6)") {
     val dir = T.tempDir("graft_embreplay_")
     Streams.writeEmbChunks(s, sf, dir, n = 5)
     val static = T.t(s, sf, "embeddings")
@@ -329,9 +329,22 @@ class StreamingSpec extends AnyFunSuite {
       "t_neardup", OutputMode.Complete())
     val got = flags.filter(col("dup") === 0).select("vec_id")
       .collect().map(_.getLong(0)).toSet
-    val want = SparkEntry.queries("stream_dedup_neardup")(s, sf)
+    // full-corpus batch twin (the pre-r13 graded form): LSH candidates →
+    // any-earlier-neighbor suppression → left-anti survivors
+    val dups = graft.api.Pipelines
+      .cosinePairsLSH(static, "vec_id", "embedding", threshold = 0.45)
+      .select(col("ib").as("vec_id")).distinct()
+    val want = static.join(dups, Seq("vec_id"), "left_anti")
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got == want)
+    // the r13 graded key audits a capped panel of exactly this gate: its
+    // survives flag must agree with the streaming survivor set on the panel
+    val panel = SparkEntry.queries("stream_dedup_neardup")(s, sf)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("survives")))
+    assert(panel.nonEmpty)
+    panel.foreach { case (id, sv) =>
+      assert((sv == 1L) == got.contains(id), s"panel doc $id")
+    }
   }
 
   test("signature gate: dropDuplicatesWithinWatermark collapses equal LSH signatures") {
