@@ -32,17 +32,20 @@ import org.apache.spark.sql.functions._
 object GenScale {
   private val Off = 100000000L
 
-  /** Base-26 multi-letter copy-salt letters (a, b, …, z, ba, bb, …):
-    * PURELY alphabetic for ANY copy count, so alpha-only tokenizers keep
-    * the "x"+suffix attached to its word and cross-copy vocabularies stay
-    * disjoint (the historical single-char 'a'+i form left the letter range
-    * at copy 27, which would collapse copies to copy-0 vocabulary under an
-    * alpha tokenizer and blow candidate volume to ~N² in a scale probe).
-    * Shared with MinHashSweep's in-memory ×N corpus. */
+  /** Base-25 multi-letter copy-salt letters over a..w,y,z — PURELY
+    * alphabetic (alpha-only tokenizers keep the "x"+suffix attached to its
+    * word; the historical single-char 'a'+i form left the letter range at
+    * copy 27) AND 'x'-free, so 'x' appears ONLY as the word/suffix
+    * separator: a salted token decomposes uniquely at its LAST 'x', making
+    * cross-copy vocabularies disjoint for ANY copy count (the base-26
+    * form collided once a suffix digit could be 'x' — "fox"+"xa" ==
+    * "fo"+"xxa" at copy 598; ADVICE r13). Shared with MinHashSweep's
+    * in-memory ×N corpus. */
   private[graft] def letterSuffix(k: Int): String = {
+    val digits = "abcdefghijklmnopqrstuvwyz" // 25 letters, no 'x'
     val sb = new StringBuilder
     var v = k
-    do { sb.append(('a' + v % 26).toChar); v /= 26 } while (v > 0)
+    do { sb.append(digits(v % 25)); v /= 25 } while (v > 0)
     sb.reverse.toString()
   }
 

@@ -255,10 +255,22 @@ object Streams {
         .option("checkpointLocation", checkpoint)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
+      // recentProgress is a RING BUFFER (spark.sql.streaming
+      // .numRecentProgressUpdates, default 100 entries) and the
+      // ProcessingTime no-data loop commits batches forever, so the data
+      // batches can be EVICTED before a slow poll sums them — a plain
+      // sum(numInputRows) >= minRows would then never satisfy (ADVICE
+      // r13). Accumulate consumed rows ACROSS polls instead, counting
+      // each batchId once (progress entries arrive in batchId order).
+      var consumed = 0L
+      var maxSeen = -1L
       def drained: Boolean = {
         val progs = q.recentProgress
-        progs.map(_.numInputRows).sum >= minRows &&
-          progs.lastOption.exists(_.numInputRows == 0L)
+        progs.iterator.filter(_.batchId > maxSeen).foreach { p =>
+          consumed += p.numInputRows
+          maxSeen = p.batchId
+        }
+        consumed >= minRows && progs.lastOption.exists(_.numInputRows == 0L)
       }
       while (q.isActive && !drained) Thread.sleep(100)
       q.exception.foreach(throw _)
@@ -805,6 +817,7 @@ object Streams {
             st.update((0L, seed._2))
           override def handleInputRows(key: Long, rows: Iterator[(Long, Double)],
               timerValues: TimerValues): Iterator[(Long, Long, Long)] = {
+            if (key < 0) return Iterator.empty // watermark-flush sentinels
             val (n0, t0) = if (st.exists()) st.get() else (0L, 0L)
             var n = n0; var t = t0
             rows.foreach { r => n += 1; t += cents(r._2) }
