@@ -228,12 +228,15 @@ object Streams {
     * exceed the ttl), stage the period-2 chunks via `addLater`, drain
     * again. The second wave's batch timestamp is > ttl past every
     * period-1 state update, so TTL eviction is certain before any
-    * period-2 row is counted. */
+    * period-2 row is counted. Returns the state operator's numRowsTotal
+    * after the FINAL wave drains — the measured TTL-eviction gate: with
+    * eviction working it is bounded by the wave-2-active user domain, not
+    * by everything the stream ever keyed (VERDICT r12 #4). */
   def runTtlReplay(s: SparkSession, chunkDir: String, out: String,
                    checkpoint: String, splitTs: String,
                    ttl: java.time.Duration, gapMs: Long,
                    wave1Rows: Long, wave2Rows: Long,
-                   addLater: () => Unit): Unit = {
+                   addLater: () => Unit): Seq[(String, Long)] = {
     // Spark 4.1 trap: transformWithState in TimeMode.ProcessingTime
     // reports shouldRunAnotherBatch=true UNCONDITIONALLY (TTL eviction
     // and processing-time timers need batches to keep running), so
@@ -247,7 +250,7 @@ object Streams {
     // batch (which can only run once every staged file is consumed under
     // maxFilesPerTrigger=1; state is checkpointed per batch, so stopping
     // mid-no-data-loop is safe).
-    def drain(minRows: Long): Unit = {
+    def drain(minRows: Long): Seq[(String, Long)] = {
       val q = ttlCounts(readReplay(s, chunkDir), splitTs, ttl)
         .toDF("user_id", "period", "cnt")
         .writeStream.format("parquet")
@@ -276,6 +279,9 @@ object Streams {
       q.exception.foreach(throw _)
       if (q.isActive) q.stop()
       q.awaitTermination()
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(o => (o.operatorName, o.numRowsTotal))
     }
     drain(wave1Rows)
     Thread.sleep(gapMs)
@@ -829,12 +835,25 @@ object Streams {
         seeds.groupByKey(_._1))
   }
 
-  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame = {
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): DataFrame =
+    runToMemoryState(df, name, mode)._1
+
+  /** Like runToMemory, but ALSO returns each state operator's final
+    * numRowsTotal — the measured state-cardinality gate (VERDICT r12 #4):
+    * the store's keyed row count after the last batch must track the
+    * processor's documented O(k)/domain bound, NOT the replayed volume,
+    * for the bounded-state 100 TB claim to be a number instead of an
+    * argument. */
+  def runToMemoryState(df: DataFrame, name: String, mode: OutputMode)
+      : (DataFrame, Seq[(String, Long)]) = {
     val q = df.writeStream.format("memory").queryName(name)
       .outputMode(mode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()
-    df.sparkSession.table(name)
+    val ops = Option(q.lastProgress).toSeq
+      .flatMap(_.stateOperators.toSeq)
+      .map(o => (o.operatorName, o.numRowsTotal))
+    (df.sparkSession.table(name), ops)
   }
 }

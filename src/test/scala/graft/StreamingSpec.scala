@@ -206,10 +206,20 @@ class StreamingSpec extends AnyFunSuite {
     val dir = T.tempDir("graft_ttl_replay_")
     Streams.appendChunks(s, p1, dir, n = 2, startIdx = 0)
     val out = T.tempDir("graft_ttl_out_")
-    Streams.runTtlReplay(s, dir, out, T.tempDir("graft_ttl_ck_"), split,
+    val ttlStateRows = Streams.runTtlReplay(s, dir, out,
+      T.tempDir("graft_ttl_ck_"), split,
       java.time.Duration.ofSeconds(30), gapMs = 35000,
       wave1Rows = p1.count(), wave2Rows = p2.count(),
       addLater = () => Streams.appendChunks(s, p2, dir, n = 1, startIdx = 2))
+    // measured state-cardinality gate (VERDICT r12 #4): after wave 2 the
+    // TTL'd ValueState holds at most the wave-2-ACTIVE user domain — the
+    // wave-1 entries are > ttl old and evicted; without eviction the
+    // bound would be the full keyed domain (the no-TTL control's shape)
+    val p2Users = p2.select("user_id").distinct().count()
+    val ttlTotal = ttlStateRows.map(_._2).sum
+    info(s"TTL state rows after wave 2: $ttlTotal (wave-2 users: $p2Users)")
+    assert(ttlTotal > 0 && ttlTotal <= p2Users,
+      s"TTL state rows $ttlTotal exceed the wave-2 active-user bound $p2Users")
     // final running count per (user, period) = max of the emitted ladder
     val got = s.read.parquet(out)
       .groupBy("user_id", "period").agg(max("cnt").as("cnt"))
@@ -255,7 +265,7 @@ class StreamingSpec extends AnyFunSuite {
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)
       Thread.sleep(15) // distinct mtimes keep file order deterministic
     }
-    def runDrain(): Unit = {
+    def runDrain(): Seq[(String, Long)] = {
       val q = Streams.dedup(Streams.readReplay(s, replayDir))
         .writeStream.format("parquet")
         .option("path", sinkDir).option("checkpointLocation", ckptDir)
@@ -263,10 +273,14 @@ class StreamingSpec extends AnyFunSuite {
         .trigger(Trigger.AvailableNow())
         .start()
       q.awaitTermination()
+      Option(q.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .map(o => (o.operatorName, o.numRowsTotal))
     }
     copyIn(chunkFiles.take(3)); runDrain()
     val afterPhase1 = s.read.parquet(sinkDir).count()
-    copyIn(chunkFiles.drop(3)); runDrain()
+    copyIn(chunkFiles.drop(3))
+    val stateRows = runDrain()
     val sunk = s.read.parquet(sinkDir)
     val nUnique = SparkEntry.queries("stream_dedup_stateful")(s, sf)
       .collect().head.getAs[Long]("n_unique")
@@ -274,6 +288,14 @@ class StreamingSpec extends AnyFunSuite {
     assert(sunk.count() == nUnique,
       s"sink rows ${sunk.count()} != $nUnique unique events")
     assert(sunk.select("event_id").distinct().count() == nUnique)
+    // measured state-cardinality gate (VERDICT r12 #4): the dedup store
+    // keys distinct event_ids inside the watermark horizon — bounded by
+    // the unique-id domain, never by replayed volume (duplicates add rows
+    // to the stream but not to the store)
+    val dedupTotal = stateRows.map(_._2).sum
+    info(s"dedup state rows: $dedupTotal (unique-id bound: $nUnique)")
+    assert(dedupTotal > 0 && dedupTotal <= nUnique,
+      s"dedup state rows $dedupTotal exceed the unique-id bound $nUnique")
   }
 
   test("MapState distinct types: final streamed state == batch stream_distinct_state") {
@@ -285,14 +307,25 @@ class StreamingSpec extends AnyFunSuite {
     try {
       // Update mode emits a row per (user, batch); the count is monotone,
       // so the max per user is the drained final state
-      val got = Streams.runToMemory(
+      val (table, stateRows) = Streams.runToMemoryState(
           Streams.distinctTypes(Streams.readReplay(s, chunks())).toDF("user_id", "n"),
           "t_mapstate", OutputMode.Update())
+      val got = table
         .groupBy("user_id").agg(max(col("n")).as("n_types"))
         .collect().map(r => (r.getLong(0), r.getInt(1).toLong)).toSet
       val want = SparkEntry.queries("stream_distinct_state")(s, sf)
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       assert(got == want)
+      // measured state-cardinality gate (VERDICT r12 #4): MapState keeps
+      // one entry per (user, distinct type) — bounded by the enum domain
+      // users × types, NEVER by replayed row volume
+      val ev = T.t(s, sf, "events")
+      val bound = ev.select("user_id").distinct().count() *
+        ev.select("event_type").distinct().count()
+      val total = stateRows.map(_._2).sum
+      info(s"MapState rows: $total (users x types bound: $bound)")
+      assert(total > 0 && total <= bound,
+        s"MapState rows $total exceed the users x types domain bound $bound")
     } finally {
       old match { case Some(v) => s.conf.set(prov, v); case None => s.conf.unset(prov) }
     }
@@ -378,10 +411,18 @@ class StreamingSpec extends AnyFunSuite {
       // the list state is monotone (merging only improves it pointwise),
       // so each user's FINAL state is their pointwise-maximal emission
       import scala.math.Ordering.Implicits._
-      val emitted = Streams.runToMemory(
+      val (emitted, stateRows) = Streams.runToMemoryState(
         Streams.topValuesPerUser(Streams.readReplay(s, chunks()))
           .toDF("user_id", "top"),
         "t_liststate", OutputMode.Update())
+      // measured state-cardinality gate (VERDICT r12 #4): ListState keeps
+      // at most k=3 entries per user — O(users × k), never row volume
+      val kBound = T.t(s, sf, "events")
+        .select("user_id").distinct().count() * 3
+      val stTotal = stateRows.map(_._2).sum
+      info(s"ListState rows: $stTotal (users x 3 bound: $kBound)")
+      assert(stTotal > 0 && stTotal <= kBound,
+        s"ListState rows $stTotal exceed the users x k bound $kBound")
       val got = emitted.collect()
         .map(r => (r.getLong(0), r.getString(1).split(",").map(_.toDouble).toSeq))
         .groupBy(_._1).map { case (u, rows) => u -> rows.map(_._2).max }
