@@ -77,4 +77,42 @@ class SweepSpec extends AnyFunSuite {
     assert(got._2 == exp.getLong(1),
       s"pair checksum drifted: probe=${got._2} graded=${exp.getLong(1)}")
   }
+
+  test("state sweep: fixed-domain replay keeps state rows at the user " +
+    "domain while changelog bytes grow with volume; totals stay exact") {
+    val r = StateSweep.runScenario(s, TestSpark.sf, grow = false,
+      changelog = true, waves = 3, chunksPerWave = 2,
+      T.tempDir("graft_statesweep_"))
+    assert(r.exact, "final streamed totals != batch recompute")
+    val users = T.t(s, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    // the store keys the DOMAIN: 3x the replayed volume, zero state growth
+    assert(r.waves.map(_.stateRows) == Seq(users, users, users),
+      s"state rows ${r.waves.map(_.stateRows)} != flat $users")
+    assert(r.usersMatched == users)
+    // changelog mode: each wave commits deltas, so changelog bytes strictly
+    // grow and every wave produced changelog files
+    val cl = r.waves.map(_.changelogBytes)
+    assert(cl == cl.sorted && cl.distinct == cl, s"changelog not growing: $cl")
+    assert(r.waves.last.nChangelog > r.waves.head.nChangelog)
+  }
+
+  test("state sweep: growing-domain replay grows state rows with the key " +
+    "domain; changelog off uploads snapshot zips, never changelogs") {
+    val r = StateSweep.runScenario(s, TestSpark.sf, grow = true,
+      changelog = false, waves = 2, chunksPerWave = 2,
+      T.tempDir("graft_statesweep_"))
+    assert(r.exact, "final streamed totals != batch recompute")
+    val users = T.t(s, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    // wave 2 brings an all-new shifted user domain: state rows double
+    assert(r.waves.map(_.stateRows) == Seq(users, 2 * users),
+      s"state rows ${r.waves.map(_.stateRows)} != ${Seq(users, 2 * users)}")
+    assert(r.usersMatched == 2 * users)
+    // snapshot mode: zero .changelog files ever; zip bytes grow per commit
+    assert(r.waves.forall(_.nChangelog == 0))
+    val zips = r.waves.map(_.zipBytes)
+    assert(zips.forall(_ > 0) && zips.last > zips.head,
+      s"zip bytes not growing: $zips")
+  }
 }
