@@ -17,6 +17,16 @@ object BenchOne {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE partition-headroom A/B knob (r13 ×100 probe): raising
+      // initialPartitionNum was the obvious remedy for the heavy graph
+      // keys' second-decade overhang, and the interleaved A/B REFUTED it —
+      // ×8 headroom cost graph_clustering_coeff ~40% at sf1 (extra
+      // task-scheduling overhead across its 256-partition stages) and was
+      // a wash at sf10 (414 vs 417 s interleaved), so the default stays 1
+      // and the knob stays only for future probes.
+      .config("spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+        (cpus.toInt *
+          sys.env.getOrElse("SPARK_GRAFT_AQE_HEADROOM", "1").toInt).toString)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)

@@ -69,6 +69,21 @@ object T {
       .toOption.filter(_ > 0L)
   }
 
+  /** Broadcast decision for a relation whose size the driver knows EXACTLY
+    * (iterative-graph keep sets / frontiers: `bytes` = counted rows × fixed
+    * row width). The session's autoBroadcastJoinThreshold (default 10 MB)
+    * prices ESTIMATED sizes with error bars; an exactly-counted node list
+    * has none, so it gets its own cap — 128 MB, the conventional upper
+    * bound for an executor-resident build side. The r13 ×100 probe showed
+    * why the session default is the wrong gate here: at the ×100 fixture
+    * the k-core keep set is 2M nodes = 32 MB, and letting it fall past the
+    * 10 MB budget dragged the 240M-row edge list through 8 shuffle joins
+    * (super-linear wall). Past 128 MB — ≥8M nodes — the fallback to
+    * shuffled restriction joins is the right plan and still applies.
+    * Broadcasting explicitly disabled (threshold = -1) is respected. */
+  def broadcastExact(s: SparkSession, bytes: Long): Boolean =
+    broadcastBudgetBytes(s).isDefined && bytes <= (128L << 20)
+
   /** Engine-portable HALF_UP rounding to 6 dp of an exact NON-NEGATIVE
     * integer rational num/den (den > 0), emitted as DOUBLE: one pure-integer
     * division — q = (2·10⁶·num + den) div (2·den) — then a single IEEE

@@ -590,28 +590,62 @@ object GroupEight {
     }) { (s, dir) =>
       val e = GroupSeven.orderPairs(s, dir) // staged artifact, shared
         .select("pa", "pb").distinct()
+      // Generation storage is SIZE-BRANCHED (r13 ×100 probe, all three
+      // variants measured at sf0.1/sf1/sf10). Per-round localCheckpoint
+      // (deserialized row cache, async ContextCleaner release) is the
+      // fast shape at fixture scales — but at the ×100 fixture ~5 live
+      // generations × 240M rows × ~80 B/object overflowed the heap and
+      // the key went eviction/GC-bound (522–756 s reps, executor
+      // heartbeat timeouts). Past the threshold the loop switches to
+      // columnar-compressed persist (~4× smaller) with PROMPT unpersist
+      // of the previous generation — at most two generations live —
+      // measured 68.8 s at ×100 (7.6× faster; second decade 5.2× for
+      // ×10 data = sub-linear). The persist chain costs ~3× at sf0.1
+      // (per-round cached-plan overhead dominates small data), hence the
+      // branch instead of one strategy. Measured dead end, recorded so
+      // the next reader doesn't retry it: pre-partitioning the edge list
+      // on src (exchange-free degree aggs) cost 2.3×/2.9× at sf0.1/sf1.
+      val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint()
+      // ~80 B/row deserialized × 5 generations ≥ tens of GB past ~50M
+      // rows — the single-JVM storage pool where row caching stops paying
+      val bigRun = edges.count() > 50000000L
       val audit = Seq.newBuilder[(Int, Long, Long)]
       for (r <- 1 to 4) {
-        val keep = edges.groupBy(col("src").as("node"))
+        val keep0 = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("dg")).filter(col("dg") >= 10)
-          .select("node").localCheckpoint() // 2 joins + a count below
-        // the keep set is NODE-sized (~16 bytes/row); under the session
-        // broadcast budget both restriction joins broadcast it and the
-        // edge list never shuffles in-round (the audit needs this count
-        // anyway). Over budget → unhinted shuffle joins on src/dst.
+          .select("node") // 2 joins + a count below
+        val keep = if (bigRun) keep0.persist(mad) else keep0.localCheckpoint()
+        // the keep set is NODE-sized (exactly 16 bytes/row, counted here —
+        // the audit needs the count anyway): under T.broadcastExact's
+        // known-size cap both restriction joins broadcast it and the edge
+        // list never shuffles in-round; past the cap → unhinted shuffle
+        // joins on src/dst. (The r13 ×100 probe caught the old
+        // session-budget gate un-broadcasting a 32 MB keep set at 2M
+        // nodes, pushing 8 edge-list shuffles per run.)
         val nKeep = keep.count()
         val maybeB: DataFrame => DataFrame =
-          if (T.broadcastBudgetBytes(s).exists(16L * nKeep <= _)) broadcast
+          if (T.broadcastExact(s, 16L * nKeep)) broadcast
           else identity
-        edges = edges
+        val next0 = edges
           .join(maybeB(keep.withColumnRenamed("node", "src")), "src")
           .join(maybeB(keep.withColumnRenamed("node", "dst")), "dst")
-          .select("src", "dst").localCheckpoint()
-        audit += ((r, nKeep, edges.count() / 2))
+          .select("src", "dst")
+        if (bigRun) {
+          val next = next0.persist(mad)
+          val nEdges = next.count() // materializes next; prior gen now free
+          edges.unpersist(false)    // non-cascading: next keeps its data
+          keep.unpersist(false)
+          edges = next
+          audit += ((r, nKeep, nEdges / 2))
+        } else {
+          edges = next0.localCheckpoint()
+          audit += ((r, nKeep, edges.count() / 2))
+        }
       }
+      if (bigRun) edges.unpersist(false)
       import s.implicits._
       audit.result().toDF("round", "n_nodes", "n_edges")
         .orderBy("round")
