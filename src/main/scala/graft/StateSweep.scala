@@ -180,24 +180,33 @@ object StateSweep {
   private def restore(s: SparkSession, k: String, v: Option[String]): Unit =
     v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
 
-  /** Checkpoint on-disk bytes by file class: (.changelog, snapshot .zip,
-    * everything else, n_changelog, n_zip). */
+  /** Checkpoint on-disk bytes by file class: (.changelog, snapshot bytes,
+    * everything else, n_changelog, n_snapshot_files). Snapshot bytes count
+    * BOTH the version `.zip` and immutable `.sst` files — past fixture-scale
+    * state RocksDBFileManager uploads SSTs outside the zip, so counting only
+    * zips would understate snapshot upload and misfile it as "other"
+    * (ADVICE r13). The walk stream is closed via Using (it holds directory
+    * handles; this runs every wave across 8 scenarios). */
   def ckptBytes(ckpt: String): (Long, Long, Long, Int, Int) = {
     val root = java.nio.file.Paths.get(ckpt)
     if (!java.nio.file.Files.exists(root)) return (0L, 0L, 0L, 0, 0)
-    var cl = 0L; var zip = 0L; var other = 0L; var nCl = 0; var nZip = 0
-    val it = java.nio.file.Files.walk(root).iterator()
-    while (it.hasNext) {
-      val p = it.next()
-      if (java.nio.file.Files.isRegularFile(p)) {
-        val sz = java.nio.file.Files.size(p)
-        val name = p.getFileName.toString
-        if (name.endsWith(".changelog")) { cl += sz; nCl += 1 }
-        else if (name.endsWith(".zip")) { zip += sz; nZip += 1 }
-        else other += sz
+    var cl = 0L; var snap = 0L; var other = 0L; var nCl = 0; var nSnap = 0
+    scala.util.Using.resource(java.nio.file.Files.walk(root)) { stream =>
+      val it = stream.iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (java.nio.file.Files.isRegularFile(p)) {
+          val sz = java.nio.file.Files.size(p)
+          val name = p.getFileName.toString
+          if (name.endsWith(".changelog")) { cl += sz; nCl += 1 }
+          else if (name.endsWith(".zip") || name.endsWith(".sst")) {
+            snap += sz; nSnap += 1
+          }
+          else other += sz
+        }
       }
     }
-    (cl, zip, other, nCl, nZip)
+    (cl, snap, other, nCl, nSnap)
   }
 
   private def deltas(xs: Seq[Long]): Seq[Long] =

@@ -887,7 +887,7 @@ object Pipelines {
     var cur = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
       .localCheckpoint()
-    val bigRun = cur.count() > 50000000L
+    val bigRun = cur.count() > graft.T.bigRunEdgeThreshold(s)
     val audit = Seq.newBuilder[(Int, Long, Long)]
     for (r <- 1 to rounds) {
       val keep0 = cur.groupBy(col("src").as("node"))

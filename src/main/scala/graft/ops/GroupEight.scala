@@ -609,9 +609,8 @@ object GroupEight {
       var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
         .localCheckpoint()
-      // ~80 B/row deserialized × 5 generations ≥ tens of GB past ~50M
-      // rows — the single-JVM storage pool where row caching stops paying
-      val bigRun = edges.count() > 50000000L
+      // threshold shared + test-overridable via T.bigRunEdgeThreshold
+      val bigRun = edges.count() > T.bigRunEdgeThreshold(s)
       val audit = Seq.newBuilder[(Int, Long, Long)]
       for (r <- 1 to 4) {
         val keep0 = edges.groupBy(col("src").as("node"))
@@ -636,7 +635,8 @@ object GroupEight {
         if (bigRun) {
           val next = next0.persist(mad)
           val nEdges = next.count() // materializes next; prior gen now free
-          edges.unpersist(false)    // non-cascading: next keeps its data
+          // blocking=false; Dataset.unpersist never cascades, next keeps its data
+          edges.unpersist(false)
           keep.unpersist(false)
           edges = next
           audit += ((r, nKeep, nEdges / 2))

@@ -56,6 +56,38 @@ class EightSpec extends AnyFunSuite {
     assert(rows.head._2 > 0 && rows.head._3 > 0)
   }
 
+  test("graph_kcore_peel: the big-run persist branch emits the identical " +
+    "peel curve as the localCheckpoint branch (threshold override forces " +
+    "the persist path at fixture scale — VERDICT r13 #2)") {
+    import s.implicits._
+    val key = "graft.iter.bigRunEdges"
+    def curve() = SparkEntry.queries("graph_kcore_peel")(s, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    // API twin input: nation-adjacency via shared suppliers (small, varied
+    // degrees so k=2 peeling actually removes nodes round by round)
+    val li = T.t(s, sf, "lineitem").select("l_orderkey", "l_suppkey")
+    val ord = T.t(s, sf, "orders").select("o_orderkey", "o_custkey")
+    val cust = T.t(s, sf, "customer").select("c_custkey", "c_nationkey")
+    val supp = T.t(s, sf, "supplier").select("s_suppkey", "s_nationkey")
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(supp, col("l_suppkey") === col("s_suppkey"))
+      .select(col("c_nationkey").as("a"), col("s_nationkey").as("b"))
+      .filter(col("a") =!= col("b")).distinct()
+    def apiCurve() = api.Pipelines.kcorePeel(edges, "a", "b", k = 2, rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val baseGraded = curve()
+    val baseApi = apiCurve()
+    assert(baseApi.head._2 > 0 && baseApi.head._3 > 0)
+    s.conf.set(key, "0") // every run is now a bigRun: persist + prompt unpersist
+    try {
+      assert(curve() == baseGraded,
+        "persist branch diverged from localCheckpoint branch (graded key)")
+      assert(apiCurve() == baseApi,
+        "persist branch diverged from localCheckpoint branch (Pipelines.kcorePeel)")
+    } finally s.conf.unset(key)
+  }
+
   test("residual IVF-PQ recall >= raw IVF-PQ recall on a clustered corpus " +
     "(VERDICT r8 #6; production setting — fixtures are isotropic, see " +
     "DriveResProbe)") {

@@ -239,6 +239,29 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
   }
 
+  test("text_langid vocabulary join broadcasts ADAPTIVELY under the threshold " +
+    "and degrades to a shuffle join when broadcasting is off (r13 verdict #5)") {
+    // tf (the self-trained token-frequency table) is vocabulary-sized —
+    // unbounded at a true corpus scale — so it must NOT ride a forced
+    // broadcast hint. Under-threshold branch: AQE converts the tok join to
+    // broadcast from measured shuffle bytes at fixture scale.
+    val df = SparkEntry.queries("text_langid")(s, sf)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(3000))
+    // over-threshold branch (threshold = -1 models "vocabulary too big"):
+    // the join must come out as a shuffle join — no BroadcastExchange can
+    // appear without a forced hint — and the confusion matrix is unchanged
+    val sc = s.newSession()
+    sc.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val df2 = SparkEntry.queries("text_langid")(sc, sf)
+    val rows2 = df2.collect()
+    val p2 = df2.queryExecution.executedPlan.toString
+    assert(!p2.contains("BroadcastExchange"), p2.take(3000))
+    assert(rows2.toSeq == df.collect().toSeq,
+      "shuffle-join branch changed the confusion matrix")
+  }
+
   test("graph_clustering_coeff adjacency joins broadcast via AQE (r10 verdict #4: no driver count steering)") {
     // The manual e0.count()-sized broadcast hint was replaced by AQE's
     // runtime conversion: after execution the final adaptive plan must

@@ -90,10 +90,17 @@ class SweepSpec extends AnyFunSuite {
     assert(r.waves.map(_.stateRows) == Seq(users, users, users),
       s"state rows ${r.waves.map(_.stateRows)} != flat $users")
     assert(r.usersMatched == users)
-    // changelog mode: each wave commits deltas, so changelog bytes strictly
-    // grow and every wave produced changelog files
+    // changelog mode: each wave commits deltas, so every wave's delta is
+    // strictly positive (per-wave deltas, not distinct-equality on the
+    // cumulative values — retention pruning or a zero-delta wave would make
+    // two cumulatives equal without breaking the "every commit uploads a
+    // changelog" claim; ADVICE r13)
     val cl = r.waves.map(_.changelogBytes)
-    assert(cl == cl.sorted && cl.distinct == cl, s"changelog not growing: $cl")
+    assert(cl.head > 0, s"wave 1 uploaded no changelog bytes: $cl")
+    cl.zip(cl.tail).zipWithIndex.foreach { case ((a, b), i) =>
+      assert(b > a, s"wave ${i + 2} changelog delta ${b - a} <= 0 " +
+        s"(cumulative: $cl) — no changelog was uploaded that wave")
+    }
     assert(r.waves.last.nChangelog > r.waves.head.nChangelog)
   }
 
