@@ -104,6 +104,25 @@ class SweepSpec extends AnyFunSuite {
     assert(r.waves.last.nChangelog > r.waves.head.nChangelog)
   }
 
+  test("state restore: every fresh-query drain restores the store exactly " +
+    "(probe totals == batch recompute) and state rows track the built domain") {
+    val pts = StateRestore.runScenario(s, TestSpark.sf, changelog = true,
+      retain = None, buildWaves = 2, probeReps = 1,
+      T.tempDir("graft_staterestore_"))
+    // runScenario verifies totals after EVERY warm AND cold drain (require
+    // inside — probe chunks touch EXISTING keys, so a lost restore shows up
+    // as a wrong total, not a missing row). Shape pins:
+    val users = T.t(s, TestSpark.sf, "events")
+      .select("user_id").distinct().count()
+    // growing domain: wave w leaves exactly w*users keys (probes reuse
+    // wave-1 keys, adding none)
+    assert(pts.map(_.afterWave) == Seq(1, 2))
+    assert(pts.map(_.stateRows) == Seq(users, 2 * users),
+      s"state rows ${pts.map(_.stateRows)} != ${Seq(users, 2 * users)}")
+    // changelog mode: the restored version's tail exists on disk
+    assert(pts.last.nChangelog > 0)
+  }
+
   test("state sweep: growing-domain replay grows state rows with the key " +
     "domain; changelog off uploads snapshot zips, never changelogs") {
     val r = StateSweep.runScenario(s, TestSpark.sf, grow = true,
