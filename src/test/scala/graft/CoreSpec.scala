@@ -94,6 +94,38 @@ class CoreSpec extends AnyFunSuite {
     } finally s.conf.set("spark.sql.shuffle.partitions", before)
   }
 
+  test("broadcastExact respects session memory signals (ADVICE r13)") {
+    val key = "spark.sql.autoBroadcastJoinThreshold"
+    val cap = "graft.broadcastExact.capBytes"
+    val sc = s.newSession()
+    // default threshold: exactly-counted relations broadcast up to 128 MB
+    assert(T.broadcastExact(sc, 32L << 20))
+    assert(T.broadcastExact(sc, 128L << 20))
+    assert(!T.broadcastExact(sc, (128L << 20) + 1))
+    // threshold = -1 disables exact broadcasts entirely
+    sc.conf.set(key, "-1")
+    assert(!T.broadcastExact(sc, 1024L))
+    // a DELIBERATELY LOWERED threshold becomes the exact cap too: the user
+    // lowered it because executors are small, and a known size doesn't
+    // change what the build side costs in memory
+    sc.conf.set(key, "1MB")
+    assert(T.broadcastExact(sc, 1L << 20))
+    assert(!T.broadcastExact(sc, (1L << 20) + 1))
+    // a RAISED threshold keeps the 128 MB exact cap (estimates may ride
+    // the bigger budget; exact sizes still stop at the executor-resident
+    // convention)
+    sc.conf.set(key, "512MB")
+    assert(T.broadcastExact(sc, 128L << 20))
+    assert(!T.broadcastExact(sc, 256L << 20))
+    // the explicit escape hatch overrides the cap in either direction
+    sc.conf.set(key, "10MB")
+    sc.conf.set(cap, (256L << 20).toString)
+    assert(T.broadcastExact(sc, 200L << 20))
+    sc.conf.set(cap, "1024")
+    assert(!T.broadcastExact(sc, 2048L))
+    sc.conf.unset(cap)
+  }
+
   test("graph_transitive_closure: every customer reaches nation and region") {
     val rows = run("graph_transitive_closure").collect()
     val nCust = T.t(s, sf, "customer").count()
