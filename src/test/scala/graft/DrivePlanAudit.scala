@@ -41,8 +41,12 @@ object DrivePlanAudit {
   //  r2-4: explicit cartesians, all-pairs vector similarity (brute force IS
   //  the semantics; IVF probes prune the pair space but cells still pair
   //  all-vs-all), 1-row scalar broadcasts, salt-replication crossJoin.
-  //  (dedup_embedding_cosine was REMOVED in r7: it runs banded LSH now — a
-  //  BNLJ reappearing there must flag, not be masked by a stale allowlist.)
+  //  (dedup_embedding_cosine was REMOVED in r7: it ran banded LSH r7–r12 —
+  //  a BNLJ reappearing there flagged, as intended. r13 re-graded the pair
+  //  to capped-absolute PANEL audits — broadcast(panel) × corpus where the
+  //  panel is ≤ ~205 rows AT ANY CORPUS SIZE by the count-derived modulus
+  //  md = max(10, ⌈n/200⌉) — so r14 re-adds both with the measured FANOUT
+  //  bound; the audit still flags if the panel ever outgrows the cap.)
   //  r5: 1-row audit scalars, all-pairs int8 ranking, Lloyd k-centroid loop.
   //  r6: 1-row stats/watermark/total/span broadcasts; broadcast-query-set
   //  coarse stages where all-vs-queries IS the semantics.
@@ -70,6 +74,11 @@ object DrivePlanAudit {
   //  Walsh-pair spine, U/AUC population scalar, record-high harmonic
   //  spine, diff-profile/selectivity one-agg-row-per-label selects.
   private val intendedNested: Map[String, Long] = Map(
+    // r13 capped-panel audits: broadcast panel ≤ ~205 rows at ANY corpus
+    // size (md = max(10, ⌈n/200⌉)); the corpus side streams through one
+    // codegen'd vec_dot pass — PlanShapeSpec pins the exchange count
+    "dedup_embedding_cosine" -> FANOUT,
+    "stream_dedup_neardup" -> FANOUT,
     "join_cross_limited" -> CONTRACT, // explicit limited cartesian
     "vector_cosine_topk" -> FANOUT, // 20-query broadcast
     "vector_knn_classify" -> FANOUT,
