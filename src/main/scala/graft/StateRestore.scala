@@ -48,8 +48,12 @@ object StateRestore {
 
   final case class ProbePoint(
       afterWave: Int, stateRows: Long, sstBytes: Long,
-      nChangelog: Int, nZip: Int, ckptFiles: Long,
+      nChangelog: Int, nSnap: Int, ckptFiles: Long,
       warmWallSec: Double, coldWallSec: Double)
+
+  /** One drain's measurements, returned by value so `runScenario` is
+    * reentrant (no shared mutable drain state — ADVICE r14). */
+  final case class DrainStats(wallSec: Double, stateRows: Long, sstBytes: Long)
 
   def main(args: Array[String]): Unit = {
     val srcDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
@@ -73,7 +77,7 @@ object StateRestore {
       pts.foreach { p =>
         println(s"STATERESTORE $tag after_wave=${p.afterWave} " +
           s"state_rows=${p.stateRows} sst_bytes=${p.sstBytes} " +
-          s"ckpt_files=${p.ckptFiles}(cl=${p.nChangelog},zip=${p.nZip}) " +
+          s"ckpt_files=${p.ckptFiles}(cl=${p.nChangelog},snap=${p.nSnap}) " +
           s"warm_wall=${f2(p.warmWallSec)}s cold_wall=${f2(p.coldWallSec)}s")
       }
       println(s"STATERESTORE SUMMARY $tag " +
@@ -106,7 +110,7 @@ object StateRestore {
       val events = T.t(s, srcDir, "events")
       var nextChunk = 0
       var probeSeq = 0
-      def drain(ckptDir: String, outDir: String): Double = {
+      def drain(ckptDir: String, outDir: String): DrainStats = {
         val t0 = System.nanoTime()
         val q = Streams.runningTotalsTws(Streams.readReplay(s, chunkDir))
           .toDF("user_id", "total_cents")
@@ -116,14 +120,13 @@ object StateRestore {
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start()
         q.awaitTermination()
-        lastRows = Option(q.lastProgress).toSeq
+        val op = Option(q.lastProgress).toSeq
           .flatMap(_.stateOperators.toSeq).headOption
-          .map(_.numRowsTotal).getOrElse(-1L)
-        lastSst = Option(q.lastProgress).toSeq
-          .flatMap(_.stateOperators.toSeq).headOption
-          .flatMap(op => Option(op.customMetrics.get("rocksdbSstFileSize")))
-          .map(_.longValue).getOrElse(-1L)
-        (System.nanoTime() - t0) / 1e9
+        DrainStats(
+          (System.nanoTime() - t0) / 1e9,
+          op.map(_.numRowsTotal).getOrElse(-1L),
+          op.flatMap(o => Option(o.customMetrics.get("rocksdbSstFileSize")))
+            .map(_.longValue).getOrElse(-1L))
       }
       (1 to buildWaves).map { w =>
         // build wave w: whole events fixture, all-new key domain per wave
@@ -151,24 +154,30 @@ object StateRestore {
           nextChunk += 1
           // Copying a LIVE checkpoint races the async maintenance task
           // (snapshot temp files vanish; retention deletes old versions):
-          // a torn copy fails the cold load with FileNotFound. Retry the
-          // copy+drain a bounded number of times — a transient tear heals
-          // on re-copy, a deterministically unloadable checkpoint (a real
-          // retention bug) still fails loudly on the last attempt.
+          // a torn copy fails the cold load with FileNotFound — surfacing
+          // either as a StreamingQueryException from the drain or as an
+          // AnalysisException/SparkException from verify()'s parquet read
+          // over the torn sink copy. Retry the copy+drain a bounded number
+          // of times — a transient tear heals on re-copy, a
+          // deterministically unloadable checkpoint (a real retention bug)
+          // still fails loudly on the last attempt. verify()'s exactness
+          // require() throws IllegalArgumentException, which none of these
+          // cases catch: a state-losing restore propagates immediately.
           var cold = -1.0
           var attempt = 0
-          var lastErr: Throwable = null
           while (cold < 0 && attempt < 3) {
             attempt += 1
             val ckptC = s"$base/ckpt_cold_${probeSeq}_$attempt"
             val outC = s"$base/out_cold_${probeSeq}_$attempt"
             copyDir(ckpt, ckptC); copyDir(out, outC)
             try {
-              cold = drain(ckptC, outC)
+              cold = drain(ckptC, outC).wallSec
               verify(s, outC, chunkDir)
             } catch {
-              case e: org.apache.spark.sql.streaming.StreamingQueryException =>
-                lastErr = e; cold = -1.0
+              case e @ (_: org.apache.spark.sql.streaming.StreamingQueryException
+                      | _: org.apache.spark.sql.AnalysisException
+                      | _: org.apache.spark.SparkException) =>
+                cold = -1.0
                 if (attempt == 3) throw e
             }
           }
@@ -176,20 +185,17 @@ object StateRestore {
           verify(s, out, chunkDir)
           (warm, cold)
         }
-        val warm = reps.map(_._1).min
+        val warm = reps.map(_._1.wallSec).min
         val cold = reps.map(_._2).min
-        val (_, _, _, nCl, nZip) = StateSweep.ckptBytes(ckpt)
-        ProbePoint(w, lastRows, lastSst, nCl, nZip, countFiles(ckpt),
-          warm, cold)
+        val lastDrain = reps.last._1
+        val (_, _, _, nCl, nSnap) = StateSweep.ckptBytes(ckpt)
+        ProbePoint(w, lastDrain.stateRows, lastDrain.sstBytes, nCl, nSnap,
+          countFiles(ckpt), warm, cold)
       }
     } finally olds.foreach { case (k, v) =>
       v match { case Some(x) => s.conf.set(k, x); case None => s.conf.unset(k) }
     }
   }
-
-  // metrics of the most recent drain (single-threaded probe loop)
-  private var lastRows = -1L
-  private var lastSst = -1L
 
   /** Exactness after a restore: max emitted total per user (monotone —
     * value ≥ 0 on the fixtures) vs a batch recompute over ALL chunks the

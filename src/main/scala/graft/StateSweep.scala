@@ -60,8 +60,8 @@ object StateSweep {
   final case class WaveStat(
       wave: Int, rowsCum: Long, stateRows: Long, sstBytes: Long,
       filesCopied: Long, filesReused: Long,
-      changelogBytes: Long, zipBytes: Long, otherBytes: Long,
-      nChangelog: Int, nZip: Int, wallSec: Double)
+      changelogBytes: Long, snapBytes: Long, otherBytes: Long,
+      nChangelog: Int, nSnap: Int, wallSec: Double)
 
   final case class ScenarioResult(
       mode: String, changelog: Boolean, waves: Seq[WaveStat],
@@ -91,17 +91,17 @@ object StateSweep {
           s"wave=${w.wave}/$waves rows_cum=${w.rowsCum} " +
           s"state_rows=${w.stateRows} sst_bytes=${w.sstBytes} " +
           s"ckpt_changelog=${w.changelogBytes}(n=${w.nChangelog}) " +
-          s"ckpt_zip=${w.zipBytes}(n=${w.nZip}) ckpt_other=${w.otherBytes} " +
+          s"ckpt_snap=${w.snapBytes}(n=${w.nSnap}) ckpt_other=${w.otherBytes} " +
           s"files_copied=${w.filesCopied} files_reused=${w.filesReused} " +
           s"t=${f2(w.wallSec)}s")
       }
       val clDelta = deltas(r.waves.map(_.changelogBytes))
-      val zipDelta = deltas(r.waves.map(_.zipBytes))
+      val snapDelta = deltas(r.waves.map(_.snapBytes))
       println(s"STATESWEEP SUMMARY mode=${r.mode} " +
         s"changelog=${onOff(changelog)} " +
         s"state_rows=${r.waves.map(_.stateRows).mkString(",")} " +
         s"changelog_delta_per_wave=${clDelta.mkString(",")} " +
-        s"zip_delta_per_wave=${zipDelta.mkString(",")} " +
+        s"snap_delta_per_wave=${snapDelta.mkString(",")} " +
         s"users_matched=${r.usersMatched} exact=${if (r.exact) "OK" else "MISMATCH"}")
       if (!r.exact) { spark.stop(); sys.exit(1) }
     }
@@ -150,11 +150,11 @@ object StateSweep {
         val cm = op.map(_.customMetrics).getOrElse(
           java.util.Collections.emptyMap[String, java.lang.Long]())
         def m(k: String): Long = Option(cm.get(k)).map(_.longValue).getOrElse(-1L)
-        val (clB, zipB, otherB, nCl, nZip) = ckptBytes(ckpt)
+        val (clB, snapB, otherB, nCl, nSnap) = ckptBytes(ckpt)
         WaveStat(w + 1, (w + 1).toLong * waveRows,
           op.map(_.numRowsTotal).getOrElse(-1L), m("rocksdbSstFileSize"),
           m("rocksdbFilesCopied"), m("rocksdbFilesReused"),
-          clB, zipB, otherB, nCl, nZip, wall)
+          clB, snapB, otherB, nCl, nSnap, wall)
       }
       // ground truth: max emitted total per user (monotone — value >= 0 on
       // the fixtures) vs a batch recompute over the staged chunks with the

@@ -39,29 +39,151 @@ object Pipelines {
           .as("sh"))
 
   /** Exact shingle-Jaccard near-duplicate pairs (ia < ib, jac ≥ threshold)
-    * via the inverted-index self-join, with df≥2 pruning (a shingle unique
-    * to one doc can never contribute to a pair). */
+    * via the prefix-filtered inverted-index join, with df≥2 pruning (a
+    * shingle unique to one doc can never contribute to a pair). */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    dfCap: Int = 10000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // doc-sized; reused by the prefix + both sides
     // df ∈ [2, dfCap]: singletons can't pair (exact prune); the hot-shingle
     // ceiling bounds self-join fan-out at dfCap² per shingle — a pair above
     // `threshold` survives unless essentially its whole overlap is
     // corpus-viral stop-shingles (the banding trade, made explicit)
-    val shared = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
-    val shJ = sh.join(shared, "sh")
-    shJ.select(col("doc_id").as("ia"), col("sh"))
-      .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-        col("sh") === col("sh2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    val keptIdx = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
+      .localCheckpoint() // scanned 3x (prefix, a-verify, b-verify); at
+      // real scale stage this to parquet instead (shingle_df pattern)
+    // J ≥ τ  ⟹  c ≥ τ·max(na, nb)  (since c(1+τ) ≥ τ(na+nb) and nb ≥ c),
+    // so each doc's minimum qualifying overlap is ⌈τ·n⌉; the 1e-6 slack
+    // only ever LENGTHENS the prefix (recall-safe for any float τ·n).
+    val cmin = (nn: Column) =>
+      ceil(nn * lit(threshold) - lit(1e-6)).cast(LongType)
+    val cand = prefixCandidates(keptIdx, sizes, cmin, weighted = false)
+    candidateCommonCounts(keptIdx, cand, weighted = false)
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
       .filter(col("jac") >= threshold)
       .select("ia", "ib", "jac")
+  }
+
+  /** Prefix-filtered candidate pairs over a df-bounded inverted index —
+    * the SSJoin/All-Pairs/PPJoin prefix lemma: under ONE global shingle
+    * order, any pair whose (capped) common count reaches `cminOfN(n)` on
+    * BOTH endpoints must share a shingle inside both docs' prefixes, where
+    * a doc's prefix is the shortest head (in global order) of its kept
+    * rows whose weight leaves less than cmin in the tail. Only prefix rows
+    * enter the candidate self-join, so its fan-out is Σ C(df_prefix, 2)
+    * instead of Σ C(df, 2) — at a Jaccard-0.8 operating point the prefix
+    * is ~(1−τ/(1+…))·k ≈ 20% of each doc, and the rare-first order
+    * (df asc, then shingle) puts the least-colliding shingles there.
+    * Exact: candidates are a superset of every qualifying pair; callers
+    * recompute the true overlap via [[candidateCommonCounts]].
+    *
+    * keptIdx: (doc_id, sh, df[, w]) — the df-bounded index (w = per-doc
+    * multiset count when `weighted`); sizes: (doc_id, n) — FULL sizes (the
+    * threshold's denominator counts un-kept shingles too); cminOfN(n) =
+    * the smallest overlap a qualifying pair involving a size-n doc can
+    * carry. Proof of the weighted form: if no common shingle sits in A's
+    * prefix, every common shingle is in A's tail, so
+    * Σ min(wA,wB) ≤ tail weight ≤ cmin−1 < cmin. */
+  private[graft] def prefixCandidates(keptIdx: DataFrame, sizes: DataFrame,
+                                      cminOfN: Column => Column,
+                                      weighted: Boolean): DataFrame = {
+    val wc: Column = if (weighted) col("w") else lit(1L)
+    val ord = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    // materialize the prefix ONCE (localCheckpoint): it enters the
+    // candidate self-join on BOTH sides, and an unmaterialized plan
+    // re-executes the index scan + both windows per side (the 14-window
+    // plan this replaced). The prefix is ~(1−τ/(1+τ)) of the kept index.
+    val pre = keptIdx
+      .withColumn("_cum", sum(wc).over(ord) - wc) // exclusive running weight
+      .withColumn("_kw", sum(wc).over(Window.partitionBy("doc_id")))
+      .join(sizes, "doc_id")
+      .filter(col("_cum") <= col("_kw") - cminOfN(col("n")))
+      .select("doc_id", "sh")
+      .localCheckpoint()
+    // candidates feed the verify stage twice (a-side join + b-side semi):
+    // checkpoint the pair set — it is output-sized (true pairs + prefix
+    // collisions), the thing the whole operator materializes anyway
+    pre.select(col("doc_id").as("ia"), col("sh"))
+      .join(pre.select(col("doc_id").as("ib"), col("sh").as("_sh2")),
+        col("sh") === col("_sh2") && col("ia") < col("ib"))
+      .select("ia", "ib").distinct()
+      .localCheckpoint()
+  }
+
+  /** Containment's asymmetric prefix filter: C(A,B) = c/min(na,nb) ≥ τ
+    * bounds c only through the SMALLER side (c ≥ ⌈τ·min(na,nb)⌉ says
+    * nothing about the larger doc's size), so the prefix lemma applies to
+    * the (n, id)-lex smaller endpoint only and the larger side must stay
+    * fully indexed: candidates = smaller-side prefix ⋈ full kept index. */
+  private[graft] def prefixCandidatesContainment(
+      keptIdx: DataFrame, sizes: DataFrame,
+      cminOfN: Column => Column): DataFrame = {
+    val ord = Window.partitionBy("doc_id").orderBy(col("df"), col("sh"))
+    val pre = keptIdx
+      .withColumn("_r", row_number().over(ord))
+      .withColumn("_ka", count(lit(1)).over(Window.partitionBy("doc_id")))
+      .join(sizes, "doc_id")
+      .filter(col("_r") <= col("_ka") - cminOfN(col("n")) + lit(1))
+      .select(col("doc_id").as("_pid"), col("sh").as("_psh"),
+        col("n").as("_pn"))
+      .localCheckpoint() // see prefixCandidates: one window pass, not two
+    val full = keptIdx.join(sizes, "doc_id")
+      .select(col("doc_id").as("_fid"), col("sh").as("_fsh"),
+        col("n").as("_fn"))
+    pre.join(full, col("_psh") === col("_fsh") &&
+        (col("_pn") < col("_fn") ||
+          (col("_pn") === col("_fn") && col("_pid") < col("_fid"))))
+      .select(least(col("_pid"), col("_fid")).as("ia"),
+        greatest(col("_pid"), col("_fid")).as("ib"))
+      .distinct()
+      .localCheckpoint() // feeds the verify stage twice
+  }
+
+  /** Exact overlap of each candidate pair over the kept index — the
+    * adjacency-array shape (the graph_triangle_count trick), NOT a
+    * per-pair replication join: the kept index collapses to ONE row per
+    * doc (sorted shingle array, or shingle→count map when `weighted`),
+    * candidates take two doc-keyed joins to attach both docs' sets, and
+    * c = |A∩B| (resp. Σ min(wA, wB)) evaluates as one codegen'd
+    * array/map intersection per pair. The replication alternative
+    * (index ⋈ cand per side, then re-agg) shuffles Σ_cand(kA+kB) rows —
+    * measured 6.3 s vs this shape's sub-second at sf0.1 with 119 k
+    * candidates (r15 forensics). The doc-array relation is doc-sized;
+    * AQE broadcasts it under the threshold and shuffles on the doc key
+    * past it — never a data-sized replication. */
+  private[graft] def candidateCommonCounts(keptIdx: DataFrame,
+                                           cand: DataFrame,
+                                           weighted: Boolean): DataFrame = {
+    if (!weighted) {
+      val docArr = keptIdx.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("_arr"))
+      cand
+        .join(docArr.select(col("doc_id").as("ia"), col("_arr").as("_aa")), "ia")
+        .join(docArr.select(col("doc_id").as("ib"), col("_arr").as("_ab")), "ib")
+        .select(col("ia"), col("ib"),
+          size(array_intersect(col("_aa"), col("_ab"))).cast(LongType).as("c"))
+    } else {
+      val docMap = keptIdx.groupBy("doc_id")
+        .agg(map_from_entries(
+          collect_list(struct(col("sh"), col("w")))).as("_m"))
+      cand
+        .join(docMap.select(col("doc_id").as("ia"), col("_m").as("_ma")), "ia")
+        .join(docMap.select(col("doc_id").as("ib"), col("_m").as("_mb")), "ib")
+        .select(col("ia"), col("ib"),
+          // Σ min(wA, wB) over A's entries; absent-in-B keys contribute
+          // least(wA, 0) = 0 (weights are ≥ 1). NOT least(wA, NULL):
+          // Spark's least SKIPS nulls, which would count wA itself.
+          expr("""aggregate(map_entries(_ma), 0L,
+                 |  (acc, e) -> acc + least(e.value,
+                 |    coalesce(element_at(_mb, e.key), 0L)))""".stripMargin)
+            .cast(LongType).as("c"))
+    }
   }
 
   /** MinHash band signatures from a (doc_id, sh) shingle-row relation:
@@ -584,15 +706,18 @@ object Pipelines {
                        dfCap: Int = 10000): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
-    val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
-    val idx = sh.join(keep, "sh")
+    val keptIdx = sh.join(
+      sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
+      .localCheckpoint()
     val thNum = math.round(threshold * 1000)
-    idx.select(col("doc_id").as("ia"), col("sh"))
-      .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-        col("sh") === col("sh2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    // 1000·c ≥ thNum·min(na,nb) ⟹ c ≥ ⌈thNum·n_small/1000⌉, exact integers
+    val cmin = (nn: Column) =>
+      floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
+    val cand = prefixCandidatesContainment(keptIdx, sizes, cmin)
+    candidateCommonCounts(keptIdx, cand, weighted = false)
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       .filter(lit(1000) * col("c") >= lit(thNum) * least(col("na"), col("nb")))
@@ -679,18 +804,22 @@ object Pipelines {
           s"transform(sequence(0, size(_toks)-$n), i -> concat_ws(' ', ${(0 until n).map(j => s"_toks[i+$j]").mkString(", ")}))"))
           .as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
-    val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+    val lens = shc.groupBy("doc_id").agg(sum("c").as("n"))
+      .localCheckpoint()
     // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
-    val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
-      .filter(col("df") >= 2 && col("df") <= dfCap).select("sh")
-    val idx = shc.join(keep, "sh")
+    val keptIdx = shc.withColumnRenamed("c", "w").join(
+      shc.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
+      .localCheckpoint()
     val thNum = math.round(threshold * 1000)
-    idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("_ca"))
-      .join(idx.select(col("doc_id").as("ib"), col("sh").as("_sh2"), col("c").as("_cb")),
-        col("sh") === col("_sh2") && col("ia") < col("ib"))
-      .groupBy("ia", "ib").agg(sum(least(col("_ca"), col("_cb"))).as("_smin"))
-      .join(lens.select(col("doc_id").as("ia"), col("len").as("_la")), "ia")
-      .join(lens.select(col("doc_id").as("ib"), col("len").as("_lb")), "ib")
+    // 1000·smin ≥ thNum·(la+lb−smin) with lb ≥ smin ⟹ smin ≥ ⌈thNum·la/1000⌉
+    val cmin = (nn: Column) =>
+      floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
+    val cand = prefixCandidates(keptIdx, lens, cmin, weighted = true)
+    candidateCommonCounts(keptIdx, cand, weighted = true)
+      .withColumnRenamed("c", "_smin")
+      .join(lens.select(col("doc_id").as("ia"), col("n").as("_la")), "ia")
+      .join(lens.select(col("doc_id").as("ib"), col("n").as("_lb")), "ib")
       .filter(lit(1000) * col("_smin") >=
         lit(thNum) * (col("_la") + col("_lb") - col("_smin")))
       .select(col("ia"), col("ib"),

@@ -251,20 +251,30 @@ object GroupDepth {
           .write.mode("overwrite").parquet(o)
       }
       val shc = s.read.parquet(stage)
-      val lens = shc.groupBy("doc_id").agg(sum("c").as("len"))
+      val lens = shc.groupBy("doc_id").agg(sum("c").as("n"))
       // df ∈ [2, dfCap]: singletons can't pair; the hot-shingle ceiling
       // bounds self-join fan-out at dfCap² per shingle (see
-      // GroupPipeline.exactJaccardPairs for the recall argument)
-      val keep = shc.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap).select("sh")
-      val idx = shc.join(keep, "sh")
-      val mins = idx.select(col("doc_id").as("ia"), col("sh"), col("c").as("ca"))
-        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("c").as("cb")),
-          col("sh") === col("sh2") && col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(sum(least(col("ca"), col("cb"))).as("smin"))
-      mins
-        .join(lens.select(col("doc_id").as("ia"), col("len").as("la")), "ia")
-        .join(lens.select(col("doc_id").as("ib"), col("len").as("lb")), "ib")
+      // GroupPipeline.exactJaccardPairs for the recall argument). The
+      // df-joined index is staged like shingle_df — the prefix-filtered
+      // plan scans it three times (prefix, a-verify, b-verify).
+      val wIdx = T.staged("wshingle_df", dir) { o =>
+        shc.withColumnRenamed("c", "w").join(
+          shc.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap), "sh")
+          .write.mode("overwrite").parquet(o)
+      }
+      val keptIdx = s.read.parquet(wIdx)
+      // weighted prefix filtering (r15): 5·smin ≥ 4·(la+lb−smin) with
+      // lb ≥ smin forces smin ≥ ⌈4·la/5⌉ — pure-integer cmin, the prefix
+      // lemma over cumulative multiset weight (Pipelines.prefixCandidates)
+      val cmin = (nn: Column) =>
+        floor((nn * lit(4) + lit(4)) / lit(5.0)).cast(LongType)
+      val cand = graft.api.Pipelines.prefixCandidates(
+        keptIdx, lens, cmin, weighted = true)
+      graft.api.Pipelines.candidateCommonCounts(keptIdx, cand, weighted = true)
+        .withColumnRenamed("c", "smin")
+        .join(lens.select(col("doc_id").as("ia"), col("n").as("la")), "ia")
+        .join(lens.select(col("doc_id").as("ib"), col("n").as("lb")), "ib")
         .filter(lit(5) * col("smin") >= lit(4) * (col("la") + col("lb") - col("smin")))
         .select(col("ia"), col("ib"),
           T.r6("smin", "la + lb - smin").as("wjac")) // exact-int HALF_UP 6dp
@@ -491,18 +501,19 @@ object GroupDepth {
         |FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
         |WHERE 10 * c >= 9 * least(sa.n, sb.n)
         |ORDER BY ia, ib""") { (s, dir) =>
-      val sh = GroupText.shingleRows(s, dir)
-      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val sizes = GroupPipeline.shingleSizes(s, dir)
       // df ∈ [2, dfCap]: see GroupPipeline.exactJaccardPairs for the
       // hot-shingle-ceiling recall argument
-      val keep = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap).select("sh")
-      val idx = sh.join(keep, "sh")
-      val common = idx.select(col("doc_id").as("ia"), col("sh"))
-        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("ia") < col("ib"))
-        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
-      common
+      val keptIdx = GroupPipeline.shingleDfRows(s, dir)
+      // asymmetric prefix filtering (r15): 10·c ≥ 9·min(na,nb) bounds c
+      // only through the SMALLER side (c ≥ ⌈9·n_small/10⌉), so the
+      // smaller-(n,id) endpoint contributes its prefix and the larger side
+      // stays fully indexed (Pipelines.prefixCandidatesContainment)
+      val cmin = (nn: Column) =>
+        floor((nn * lit(9) + lit(9)) / lit(10.0)).cast(LongType)
+      val cand = graft.api.Pipelines.prefixCandidatesContainment(
+        keptIdx, sizes, cmin)
+      graft.api.Pipelines.candidateCommonCounts(keptIdx, cand, weighted = false)
         .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
         .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
         .filter(lit(10) * col("c") >= lit(9) * least(col("na"), col("nb")))

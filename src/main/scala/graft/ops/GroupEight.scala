@@ -588,8 +588,8 @@ object GroupEight {
          |    CAST((SELECT count(*) FROM l4) // 2 AS BIGINT)
          |) ORDER BY round"""
     }) { (s, dir) =>
-      val e = GroupSeven.orderPairs(s, dir) // staged artifact, shared
-        .select("pa", "pb").distinct()
+      val e = GroupSeven.pairSupport(s, dir) // staged artifact, shared
+        .select("pa", "pb")
       // Generation storage is SIZE-BRANCHED (r13 ×100 probe, all three
       // variants measured at sf0.1/sf1/sf10). Per-round localCheckpoint
       // (deserialized row cache, async ContextCleaner release) is the

@@ -380,7 +380,7 @@ object GroupNine {
         |SELECT CAST(degree AS BIGINT) AS degree,
         |  CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val pr = GroupSeven.pairSupport(s, dir).select("pa", "pb")
       pr.select(col("pa").as("node"))
         .unionAll(pr.select(col("pb").as("node")))
         .groupBy("node").agg(count(lit(1)).as("degree"))
@@ -505,8 +505,7 @@ object GroupNine {
         |    // (2 * (da.d + dc.d - cn)) AS BIGINT) / 1000000.0 AS jaccard
         |FROM nw JOIN deg da ON nw.a = da.node JOIN deg dc ON nw.c = dc.node
         |ORDER BY common_n DESC, pa, pb LIMIT 20""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
         .select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
@@ -839,7 +838,7 @@ object GroupNine {
         |    // (2 * (4*CAST(m AS HUGEINT)*m)) AS BIGINT) / 1000000.0
         |    AS contrib
         |FROM j ORDER BY p_brand""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val pr = GroupSeven.pairSupport(s, dir).select("pa", "pb")
       val mm = pr.agg(count(lit(1)).as("m"))
       val bb = broadcast(T.t(s, dir, "part").select("p_partkey", "p_brand"))
       val e2 = pr
@@ -1047,7 +1046,7 @@ object GroupNine {
         |    / CAST(CAST(n AS HUGEINT) * sxx - sx * sx AS DOUBLE), 6)
         |    AS assortativity
         |FROM st""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir).select("pa", "pb").distinct()
+      val pr = GroupSeven.pairSupport(s, dir).select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
       val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))

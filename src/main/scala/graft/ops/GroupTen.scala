@@ -499,8 +499,8 @@ object GroupTen {
         |FROM dg LEFT JOIN t ON dg.node = t.node
         |WHERE dg.d >= 2
         |ORDER BY coeff DESC, dg.node LIMIT 25""") { (s, dir) =>
-      val e0 = GroupSeven.orderPairs(s, dir)
-        .select("pa", "pb").distinct().localCheckpoint()
+      val e0 = GroupSeven.pairSupport(s, dir)
+        .select("pa", "pb").localCheckpoint()
       val deg = e0.select(col("pa").as("node"))
         .unionAll(e0.select(col("pb").as("node")))
         .groupBy("node").agg(count(lit(1)).as("d"))
@@ -4109,8 +4109,8 @@ object GroupTen {
         |FROM rules JOIN items ia ON rules.ante = ia.pk
         |  JOIN items ib ON rules.cons = ib.pk CROSS JOIN n
         |ORDER BY c_ab DESC, ante, cons""") { (s, dir) =>
-      val pc = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("c"))
+      val pc = GroupSeven.pairSupport(s, dir)
+        .withColumnRenamed("sup", "c")
       val top = pc.orderBy(col("c").desc, col("pa"), col("pb")).limit(20)
       val rules = top.select(col("pa").as("ante"), col("pb").as("cons"),
           col("c"))
@@ -4373,8 +4373,7 @@ object GroupTen {
         |FROM v1 JOIN v2 ON v1.node = v2.node
         |  JOIN v3 ON v1.node = v3.node
         |ORDER BY katz_micro DESC, node LIMIT 20""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
         .select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
@@ -5383,8 +5382,7 @@ object GroupTen {
         |FROM c1 LEFT JOIN c2 ON c1.node = c2.node
         |  LEFT JOIN c3 ON c1.node = c3.node
         |ORDER BY harmonic6 DESC, node LIMIT 20""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
         .select("pa", "pb")
       val e = pr.select(col("pa").as("es"), col("pb").as("ed"))
@@ -6164,8 +6162,7 @@ object GroupTen {
         |  END AS phi6
         |FROM ks LEFT JOIN nk ON ks.k = nk.k
         |  LEFT JOIN ek ON ks.k = ek.k ORDER BY ks.k""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
         .select("pa", "pb").localCheckpoint()
       val e = pr.select(col("pa").as("es"))
@@ -7288,8 +7285,7 @@ object GroupTen {
         |  CAST((2000000 * (2 * six - (n + 1) * sx) + n * sx)
         |    // (2 * n * sx) AS BIGINT) / 1000000.0 AS degree_gini6
         |FROM g""") { (s, dir) =>
-      val pr = GroupSeven.orderPairs(s, dir)
-        .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
+      val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
         .select("pa", "pb")
       val deg = pr.select(col("pa").as("nd"))

@@ -39,6 +39,46 @@ class DedupSpec extends AnyFunSuite {
       s"missing planted dups: ${planted -- atZero}")
   }
 
+  test("prefix filtering is exact AT the threshold boundary (r15): a pair " +
+    "with jac/wjac/containment EXACTLY at its cut survives the shortest " +
+    "possible prefix") {
+    import s.implicits._
+    // A/B: 1 unique + 8 shared trigrams each → jac = 8/(9+9−8) = 0.8
+    // EXACTLY. The unique trigram is df=1 (dropped from the kept index but
+    // still counted in n), so ka=8, cmin=⌈0.8·9⌉=8 and the prefix is ONE
+    // row per doc — the tightest prefix the lemma permits. C/D: identical
+    // repeated text (weighted counts 2 per trigram) → wjac = 1.0.
+    // E (10 trigrams) ⊂ F (30 trigrams) with exactly 9 shared →
+    // containment = 9/min(10,30) = 0.9 EXACTLY, and F is 3× E's size so
+    // only the smaller-side prefix may be consulted.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    // E = "ex e1..e11": 10 trigrams, 1 unique (ex e1 e2) + 9 shared with F
+    val eTok = "ex" +: (1 to 11).map(i => s"e$i")
+    val fTok = (1 to 11).map(i => s"e$i") ++ (1 to 21).map(i => s"g$i")
+    val corpus = Seq(
+      (0L, s"xa $shared"), (1L, s"xb $shared"),
+      (2L, "r1 r2 r3 r1 r2 r3 r1 r2"), (3L, "r1 r2 r3 r1 r2 r3 r1 r2"),
+      (4L, eTok.mkString(" ")),
+      // F shares e1..e11's 9 trigrams, then diverges; (e10 e11 g1) and
+      // (e11 g1 g2) are df=1 noise on F only
+      (5L, fTok.mkString(" "))).toDF("doc_id", "text")
+    val jac = api.Pipelines.nearDupPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac")))
+    assert(jac.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0.8),
+      s"boundary jac-0.8 pair missing: ${jac.toSeq}")
+    val wj = api.Pipelines.weightedJaccardPairs(corpus, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("wjac")))
+    assert(wj.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0.8),
+      s"boundary wjac-0.8 pair missing: ${wj.toSeq}")
+    assert(wj.exists(p => p._1 == 2L && p._2 == 3L && p._3 == 1.0),
+      s"repeated-text weighted pair missing: ${wj.toSeq}")
+    val cont = api.Pipelines.containmentPairs(corpus, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(cont.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 0.9),
+      s"boundary containment-0.9 pair missing: ${cont.toSeq}")
+  }
+
   test("dedup_ngram_jaccard pairs are symmetric-free and above threshold") {
     val rows = run("dedup_ngram_jaccard").collect()
     assert(rows.forall(r => r.getAs[Long]("ia") < r.getAs[Long]("ib")))

@@ -246,7 +246,7 @@ class PlanShapeSpec extends AnyFunSuite {
     // broadcast hint. Under-threshold branch: AQE converts the tok join to
     // broadcast from measured shuffle bytes at fixture scale.
     val df = SparkEntry.queries("text_langid")(s, sf)
-    df.collect() // finalize the adaptive plan
+    val rows1 = df.collect() // finalize the adaptive plan
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastHashJoin"), p.take(3000))
     // over-threshold branch (threshold = -1 models "vocabulary too big"):
@@ -258,7 +258,7 @@ class PlanShapeSpec extends AnyFunSuite {
     val rows2 = df2.collect()
     val p2 = df2.queryExecution.executedPlan.toString
     assert(!p2.contains("BroadcastExchange"), p2.take(3000))
-    assert(rows2.toSeq == df.collect().toSeq,
+    assert(rows2.toSeq == rows1.toSeq,
       "shuffle-join branch changed the confusion matrix")
   }
 

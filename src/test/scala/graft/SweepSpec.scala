@@ -135,10 +135,11 @@ class SweepSpec extends AnyFunSuite {
     assert(r.waves.map(_.stateRows) == Seq(users, 2 * users),
       s"state rows ${r.waves.map(_.stateRows)} != ${Seq(users, 2 * users)}")
     assert(r.usersMatched == 2 * users)
-    // snapshot mode: zero .changelog files ever; zip bytes grow per commit
+    // snapshot mode: zero .changelog files ever; snapshot bytes (version
+    // zips + uploaded .sst files) grow per commit
     assert(r.waves.forall(_.nChangelog == 0))
-    val zips = r.waves.map(_.zipBytes)
-    assert(zips.forall(_ > 0) && zips.last > zips.head,
-      s"zip bytes not growing: $zips")
+    val snaps = r.waves.map(_.snapBytes)
+    assert(snaps.forall(_ > 0) && snaps.last > snaps.head,
+      s"snapshot bytes not growing: $snaps")
   }
 }

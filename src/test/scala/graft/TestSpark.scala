@@ -6,7 +6,10 @@ import org.apache.spark.sql.SparkSession
 object TestSpark {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
-      .master("local[4]")
+      // local[4, 4]: 4 threads, task-failure budget 4 — identical to
+      // local[4] unless a task actually fails; RetrySpec needs the budget
+      // so injected first-attempt failures RETRY instead of killing the job
+      .master("local[4,4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
