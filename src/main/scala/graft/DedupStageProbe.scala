@@ -4,9 +4,13 @@ import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
-/** Stage-level forensics for the prefix-filtered exact-Jaccard plan
-  * (r15): times each stage of GroupPipeline.exactJaccardPairs separately
-  * so the regression's host stage is named, not guessed.
+/** Stage-level A/B for exact-Jaccard candidate strategies (r15): times
+  * the SSJoin prefix-filter path (candidate build + exact verify, the
+  * machinery behind Pipelines.nearDupPairs(prefixFilter = true)) against
+  * the shipped index-agg stream, on the same staged index in the same
+  * JVM. This probe produced the refutation recorded in BASELINE.md —
+  * prefix filtering cuts Σ C(df,2) ~10× but loses end-to-end at every
+  * scale on the fixtures' single-shingle-overlap co-sharing geometry.
   *
   * usage: runMain graft.DedupStageProbe [reps]
   * env:   SPARK_GRAFT_SF_DIR (default sf0.1), SPARK_GRAFT_CPUS (default 32)
@@ -50,11 +54,12 @@ object DedupStageProbe {
       graft.api.Pipelines.candidateCommonCounts(keptIdx, cand,
         weighted = false).count()
     }
-    time("full_key") {
+    time("shipped_key") {
       SparkEntry.queries("dedup_ngram_jaccard")(s, sfDir).count()
     }
-    // the r14 shape for comparison: one df-capped index self-join + agg
-    time("old_full_join_agg") {
+    // the shipped candidate strategy in isolation: df-capped index
+    // self-join + count agg (what the graded keys run)
+    time("index_agg_shape") {
       val shJ = keptIdx.select("doc_id", "sh")
       shJ.select(col("doc_id").as("ia"), col("sh"))
         .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),

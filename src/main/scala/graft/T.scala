@@ -179,13 +179,27 @@ object T {
   /** Stage a derived dataset once per (tag, sfDir) per JVM: the first call
     * creates the dir and runs `write`; later calls reuse the staged output
     * instead of re-materializing (ADVICE r2 — eager side effects at
-    * DataFrame-construction time re-staged on every Verify/Bench call). */
-  def staged(tag: String, sfDir: String)(write: String => Unit): String =
-    stagedDirs.computeIfAbsent(s"$tag|$sfDir", { _ =>
+    * DataFrame-construction time re-staged on every Verify/Bench call).
+    * REENTRANT (r15): a staging `write` may itself stage another tag
+    * (shingle_df stages on top of the shingle index) — the former
+    * computeIfAbsent implementation threw IllegalStateException on that
+    * nesting whenever the inner artifact wasn't already staged, i.e. in
+    * any fresh JVM whose first caller was the outer artifact. */
+  def staged(tag: String, sfDir: String)(write: String => Unit): String = {
+    val key = s"$tag|$sfDir"
+    val existing = stagedDirs.get(key)
+    if (existing != null) return existing
+    stageLock.synchronized { // re-entrant: nested staging stays legal
+      val again = stagedDirs.get(key)
+      if (again != null) return again
       val dir = tempDir(s"graft_${tag}_")
       write(dir)
+      stagedDirs.put(key, dir)
       dir
-    })
+    }
+  }
+
+  private val stageLock = new Object
 
   private val stagedDirs = new java.util.concurrent.ConcurrentHashMap[String, String]()
   private val cleanupAtExit = {

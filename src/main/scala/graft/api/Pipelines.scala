@@ -39,14 +39,28 @@ object Pipelines {
           .as("sh"))
 
   /** Exact shingle-Jaccard near-duplicate pairs (ia < ib, jac ≥ threshold)
-    * via the prefix-filtered inverted-index join, with df≥2 pruning (a
-    * shingle unique to one doc can never contribute to a pair). */
+    * via the inverted-index self-join, with df≥2 pruning (a shingle unique
+    * to one doc can never contribute to a pair).
+    *
+    * `prefixFilter = true` switches candidate generation to SSJoin-style
+    * prefix filtering with exact per-candidate verification — recall-exact
+    * by the prefix lemma ([[prefixCandidates]]), identical output. The
+    * DEFAULT stays the plain index-agg stream because the trade is
+    * corpus-geometry-dependent and was MEASURED the other way on the
+    * fixture family (r15, BASELINE.md): prefix filtering cuts the pair
+    * stream Σ C(df,2) ~10×, but where co-sharing is dominated by
+    * single-rare-shingle overlaps between dissimilar docs the surviving
+    * candidates (~10³ per true pair) each pay an O(kA+kB) exact verify
+    * that exceeds the count-only stream they replaced — 2-3× slower at
+    * sf0.1/sf1/sf10. Turn it on for near-dup-DENSE corpora (mirror
+    * dumps, crawl snapshots) where candidates ≈ true pairs. */
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
-                   dfCap: Int = 10000): DataFrame = {
+                   dfCap: Int = 10000,
+                   prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // doc-sized; reused by the prefix + both sides
+      .localCheckpoint() // doc-sized; reused three times
     // df ∈ [2, dfCap]: singletons can't pair (exact prune); the hot-shingle
     // ceiling bounds self-join fan-out at dfCap² per shingle — a pair above
     // `threshold` survives unless essentially its whole overlap is
@@ -54,15 +68,25 @@ object Pipelines {
     val keptIdx = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
-      .localCheckpoint() // scanned 3x (prefix, a-verify, b-verify); at
+      .localCheckpoint() // reused (df-order prefix / both join sides); at
       // real scale stage this to parquet instead (shingle_df pattern)
-    // J ≥ τ  ⟹  c ≥ τ·max(na, nb)  (since c(1+τ) ≥ τ(na+nb) and nb ≥ c),
-    // so each doc's minimum qualifying overlap is ⌈τ·n⌉; the 1e-6 slack
-    // only ever LENGTHENS the prefix (recall-safe for any float τ·n).
-    val cmin = (nn: Column) =>
-      ceil(nn * lit(threshold) - lit(1e-6)).cast(LongType)
-    val cand = prefixCandidates(keptIdx, sizes, cmin, weighted = false)
-    candidateCommonCounts(keptIdx, cand, weighted = false)
+    val common =
+      if (prefixFilter) {
+        // J ≥ τ ⟹ c ≥ τ·max(na, nb) (since c(1+τ) ≥ τ(na+nb), nb ≥ c):
+        // each doc's minimum qualifying overlap is ⌈τ·n⌉; the 1e-6 slack
+        // only ever LENGTHENS the prefix (recall-safe for float τ·n)
+        val cmin = (nn: Column) =>
+          ceil(nn * lit(threshold) - lit(1e-6)).cast(LongType)
+        val cand = prefixCandidates(keptIdx, sizes, cmin, weighted = false)
+        candidateCommonCounts(keptIdx, cand, weighted = false)
+      } else {
+        val shJ = keptIdx.select("doc_id", "sh")
+        shJ.select(col("doc_id").as("ia"), col("sh"))
+          .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+            col("sh") === col("sh2") && col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      }
+    common
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))
@@ -160,18 +184,30 @@ object Pipelines {
   private[graft] def candidateCommonCounts(keptIdx: DataFrame,
                                            cand: DataFrame,
                                            weighted: Boolean): DataFrame = {
+    // Intersect LONG surrogate ids, not 3-token strings: |A∩B| and
+    // Σ min(wA,wB) are invariant under any injective relabeling, and the
+    // candidate join must shuffle one side's doc set attached per pair —
+    // long arrays are ~3× smaller and free of per-element object churn
+    // (string-array rows through this exchange were the sf1 GC term).
+    // Staged graded indexes carry `shid`; ad-hoc library inputs derive
+    // one here (an extra distinct + join, correct for any corpus).
+    val idx =
+      if (keptIdx.columns.contains("shid")) keptIdx
+      else keptIdx.join(
+        keptIdx.select("sh").distinct()
+          .withColumn("shid", monotonically_increasing_id()), "sh")
     if (!weighted) {
-      val docArr = keptIdx.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("sh"))).as("_arr"))
+      val docArr = idx.groupBy("doc_id")
+        .agg(collect_list(col("shid")).as("_arr"))
       cand
         .join(docArr.select(col("doc_id").as("ia"), col("_arr").as("_aa")), "ia")
         .join(docArr.select(col("doc_id").as("ib"), col("_arr").as("_ab")), "ib")
         .select(col("ia"), col("ib"),
           size(array_intersect(col("_aa"), col("_ab"))).cast(LongType).as("c"))
     } else {
-      val docMap = keptIdx.groupBy("doc_id")
+      val docMap = idx.groupBy("doc_id")
         .agg(map_from_entries(
-          collect_list(struct(col("sh"), col("w")))).as("_m"))
+          collect_list(struct(col("shid"), col("w")))).as("_m"))
       cand
         .join(docMap.select(col("doc_id").as("ia"), col("_m").as("_ma")), "ia")
         .join(docMap.select(col("doc_id").as("ib"), col("_m").as("_mb")), "ib")
@@ -703,21 +739,34 @@ object Pipelines {
     * by an exact integer cross-multiplication. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
                        n: Int = 3, threshold: Double = 0.9,
-                       dfCap: Int = 10000): DataFrame = {
+                       dfCap: Int = 10000,
+                       prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
       .localCheckpoint()
-    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
+    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument;
+    // prefixFilter ditto (asymmetric form: only the (n,id)-lex SMALLER
+    // endpoint may consult a prefix — see prefixCandidatesContainment)
     val keptIdx = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
       .localCheckpoint()
     val thNum = math.round(threshold * 1000)
-    // 1000·c ≥ thNum·min(na,nb) ⟹ c ≥ ⌈thNum·n_small/1000⌉, exact integers
-    val cmin = (nn: Column) =>
-      floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
-    val cand = prefixCandidatesContainment(keptIdx, sizes, cmin)
-    candidateCommonCounts(keptIdx, cand, weighted = false)
+    val common =
+      if (prefixFilter) {
+        // 1000·c ≥ thNum·min(na,nb) ⟹ c ≥ ⌈thNum·n_small/1000⌉, exact ints
+        val cmin = (nn: Column) =>
+          floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
+        val cand = prefixCandidatesContainment(keptIdx, sizes, cmin)
+        candidateCommonCounts(keptIdx, cand, weighted = false)
+      } else {
+        val idx = keptIdx.select("doc_id", "sh")
+        idx.select(col("doc_id").as("ia"), col("sh"))
+          .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+            col("sh") === col("sh2") && col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      }
+    common
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       .filter(lit(1000) * col("c") >= lit(thNum) * least(col("na"), col("nb")))
@@ -796,7 +845,8 @@ object Pipelines {
     * form flattens. */
   def weightedJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.8,
-                           dfCap: Int = 10000): DataFrame = {
+                           dfCap: Int = 10000,
+                           prefixFilter: Boolean = false): DataFrame = {
     val shc = df.withColumn("_toks", split(col(textCol), " "))
       .filter(size(col("_toks")) >= n)
       .select(col(idCol).as("doc_id"),
@@ -806,18 +856,30 @@ object Pipelines {
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
     val lens = shc.groupBy("doc_id").agg(sum("c").as("n"))
       .localCheckpoint()
-    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument
+    // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument;
+    // prefixFilter ditto (weighted form: the prefix bound runs over
+    // cumulative multiset weight — see prefixCandidates)
     val keptIdx = shc.withColumnRenamed("c", "w").join(
       shc.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
       .localCheckpoint()
     val thNum = math.round(threshold * 1000)
-    // 1000·smin ≥ thNum·(la+lb−smin) with lb ≥ smin ⟹ smin ≥ ⌈thNum·la/1000⌉
-    val cmin = (nn: Column) =>
-      floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
-    val cand = prefixCandidates(keptIdx, lens, cmin, weighted = true)
-    candidateCommonCounts(keptIdx, cand, weighted = true)
-      .withColumnRenamed("c", "_smin")
+    val mins =
+      if (prefixFilter) {
+        // 1000·smin ≥ thNum·(la+lb−smin), lb ≥ smin ⟹ smin ≥ ⌈thNum·la/1000⌉
+        val cmin = (nn: Column) =>
+          floor((lit(thNum) * nn + lit(999)) / lit(1000.0)).cast(LongType)
+        val cand = prefixCandidates(keptIdx, lens, cmin, weighted = true)
+        candidateCommonCounts(keptIdx, cand, weighted = true)
+          .withColumnRenamed("c", "_smin")
+      } else {
+        keptIdx.select(col("doc_id").as("ia"), col("sh"), col("w").as("_ca"))
+          .join(keptIdx.select(col("doc_id").as("ib"), col("sh").as("_sh2"),
+              col("w").as("_cb")),
+            col("sh") === col("_sh2") && col("ia") < col("ib"))
+          .groupBy("ia", "ib").agg(sum(least(col("_ca"), col("_cb"))).as("_smin"))
+      }
+    mins
       .join(lens.select(col("doc_id").as("ia"), col("n").as("_la")), "ia")
       .join(lens.select(col("doc_id").as("ib"), col("n").as("_lb")), "ib")
       .filter(lit(1000) * col("_smin") >=

@@ -258,21 +258,25 @@ object GroupDepth {
       // df-joined index is staged like shingle_df — the prefix-filtered
       // plan scans it three times (prefix, a-verify, b-verify).
       val wIdx = T.staged("wshingle_df", dir) { o =>
-        shc.withColumnRenamed("c", "w").join(
+        val kept = shc.withColumnRenamed("c", "w").join(
           shc.groupBy("sh").agg(count(lit(1)).as("df"))
             .filter(col("df") >= 2 && col("df") <= GroupPipeline.dfCap), "sh")
-          .write.mode("overwrite").parquet(o)
+        // shid: see GroupPipeline.shingleDfRows — Σ min(wA,wB) is
+        // invariant under the relabeling and long-keyed maps beat
+        // string-keyed ones through the candidate-join exchange
+        val dict = kept.select("sh").distinct()
+          .withColumn("shid", monotonically_increasing_id())
+        kept.join(dict, "sh").write.mode("overwrite").parquet(o)
       }
-      val keptIdx = s.read.parquet(wIdx)
-      // weighted prefix filtering (r15): 5·smin ≥ 4·(la+lb−smin) with
-      // lb ≥ smin forces smin ≥ ⌈4·la/5⌉ — pure-integer cmin, the prefix
-      // lemma over cumulative multiset weight (Pipelines.prefixCandidates)
-      val cmin = (nn: Column) =>
-        floor((nn * lit(4) + lit(4)) / lit(5.0)).cast(LongType)
-      val cand = graft.api.Pipelines.prefixCandidates(
-        keptIdx, lens, cmin, weighted = true)
-      graft.api.Pipelines.candidateCommonCounts(keptIdx, cand, weighted = true)
-        .withColumnRenamed("c", "smin")
+      // (prefix filtering tried and measured out here in r15 — see
+      // GroupPipeline.exactJaccardPairs; the index-agg stream wins on
+      // this co-sharing geometry at every scale)
+      val idx = s.read.parquet(wIdx)
+      val mins = idx.select(col("doc_id").as("ia"), col("sh"), col("w").as("ca"))
+        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("w").as("cb")),
+          col("sh") === col("sh2") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(sum(least(col("ca"), col("cb"))).as("smin"))
+      mins
         .join(lens.select(col("doc_id").as("ia"), col("n").as("la")), "ia")
         .join(lens.select(col("doc_id").as("ib"), col("n").as("lb")), "ib")
         .filter(lit(5) * col("smin") >= lit(4) * (col("la") + col("lb") - col("smin")))
@@ -503,17 +507,14 @@ object GroupDepth {
         |ORDER BY ia, ib""") { (s, dir) =>
       val sizes = GroupPipeline.shingleSizes(s, dir)
       // df ∈ [2, dfCap]: see GroupPipeline.exactJaccardPairs for the
-      // hot-shingle-ceiling recall argument
-      val keptIdx = GroupPipeline.shingleDfRows(s, dir)
-      // asymmetric prefix filtering (r15): 10·c ≥ 9·min(na,nb) bounds c
-      // only through the SMALLER side (c ≥ ⌈9·n_small/10⌉), so the
-      // smaller-(n,id) endpoint contributes its prefix and the larger side
-      // stays fully indexed (Pipelines.prefixCandidatesContainment)
-      val cmin = (nn: Column) =>
-        floor((nn * lit(9) + lit(9)) / lit(10.0)).cast(LongType)
-      val cand = graft.api.Pipelines.prefixCandidatesContainment(
-        keptIdx, sizes, cmin)
-      graft.api.Pipelines.candidateCommonCounts(keptIdx, cand, weighted = false)
+      // hot-shingle-ceiling recall argument. (Prefix filtering tried and
+      // measured out in r15 — see that function's note.)
+      val idx = GroupPipeline.shingleDfRows(s, dir).select("doc_id", "sh")
+      val common = idx.select(col("doc_id").as("ia"), col("sh"))
+        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+          col("sh") === col("sh2") && col("ia") < col("ib"))
+        .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+      common
         .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
         .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
         .filter(lit(10) * col("c") >= lit(9) * least(col("na"), col("nb")))

@@ -33,9 +33,19 @@ object GroupPipeline {
   private[graft] def shingleDfRows(s: SparkSession, dir: String): DataFrame = {
     val stage = T.staged("shingle_df", dir) { o =>
       val sh = GroupText.shingleRows(s, dir)
-      sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
-        .write.mode("overwrite").parquet(o)
+      val kept = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
+      // shid: a dense surrogate id per distinct kept shingle. The verify
+      // stage intersects per-doc shingle SETS; |A∩B| is invariant under
+      // any injective relabeling, and long arrays shuffle ~3× smaller
+      // than 3-token string arrays with no per-element object churn (the
+      // r15 sf1 forensics: string-array rows through the candidate-join
+      // exchange were the GC term). monotonically_increasing_id is
+      // assigned once at staging time, so every consumer sees one
+      // consistent labeling.
+      val dict = kept.select("sh").distinct()
+        .withColumn("shid", monotonically_increasing_id())
+      kept.join(dict, "sh").write.mode("overwrite").parquet(o)
     }
     s.read.parquet(stage)
   }
@@ -74,20 +84,24 @@ object GroupPipeline {
     //   oracle applies the identical BETWEEN bound in lockstep.)
     // The df agg shuffles on the same key as the self-join, so it adds no
     // new partitioning.
-    val keptIdx = shingleDfRows(s, dir)
-    // Prefix filtering (r15, VERDICT r14 #5): the candidate self-join runs
-    // over each doc's rare-first PREFIX of kept shingles instead of all of
-    // them — J ≥ τ forces c ≥ ⌈τ·n⌉ on both endpoints, so the prefix
-    // lemma (Pipelines.prefixCandidates) guarantees every qualifying pair
-    // still collides, and the exact per-candidate re-count keeps the
-    // output bit-identical to the unfiltered join. Σ C(df,2) over PREFIX
-    // dfs is the new pair-generation cost — the ×100 tail VERDICT r14
-    // measured at ~31 s for this staging is the thing this cuts.
-    val cmin = (nn: Column) =>
-      ceil(nn * lit(threshold) - lit(1e-6)).cast(LongType)
-    val cand = graft.api.Pipelines.prefixCandidates(
-      keptIdx, sizes, cmin, weighted = false)
-    graft.api.Pipelines.candidateCommonCounts(keptIdx, cand, weighted = false)
+    // SSJoin-style prefix filtering was TRIED here and measured OUT
+    // (r15, VERDICT r14 #5): it cuts the pair stream Σ C(df,2) ~10×
+    // (1.27 M → 122 k at sf0.1), but this corpus's co-sharing is
+    // dominated by single-rare-shingle overlaps between DISSIMILAR docs,
+    // so ~119 k candidates survive per 25 true pairs and the exact
+    // per-candidate verification (O(kA+kB) each, however implemented —
+    // replication joins 6.3 s, long-array intersects still 2-3× this
+    // plan) costs more than the count-only stream it replaced at EVERY
+    // scale (sf0.1/sf1/sf10 = 2-3× slower; DedupStageProbe is the
+    // evidence tool, BASELINE.md the record). The library keeps the
+    // machinery behind Pipelines.nearDupPairs(prefixFilter = true) for
+    // near-dup-dense corpora where candidates ≈ true pairs.
+    val shJ = shingleDfRows(s, dir).select("doc_id", "sh")
+    val common = shJ.select(col("doc_id").as("ia"), col("sh"))
+      .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
+        col("sh") === col("sh2") && col("ia") < col("ib"))
+      .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
+    common
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
       .join(sizes.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")
       .withColumn("jac", col("c").cast(DoubleType) / (col("na") + col("nb") - col("c")))

@@ -62,21 +62,30 @@ class DedupSpec extends AnyFunSuite {
       // F shares e1..e11's 9 trigrams, then diverges; (e10 e11 g1) and
       // (e11 g1 g2) are df=1 noise on F only
       (5L, fTok.mkString(" "))).toDF("doc_id", "text")
-    val jac = api.Pipelines.nearDupPairs(corpus, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("jac")))
+    def trip(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val jac = api.Pipelines.nearDupPairs(corpus, "doc_id", "text",
+      prefixFilter = true).collect().map(trip)
     assert(jac.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0.8),
       s"boundary jac-0.8 pair missing: ${jac.toSeq}")
-    val wj = api.Pipelines.weightedJaccardPairs(corpus, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("wjac")))
+    // both candidate strategies must agree exactly (the prefix path is a
+    // recall-exact rewrite, not an approximation)
+    assert(jac.toSet == api.Pipelines.nearDupPairs(corpus, "doc_id", "text")
+      .collect().map(trip).toSet)
+    val wj = api.Pipelines.weightedJaccardPairs(corpus, "doc_id", "text",
+      prefixFilter = true).collect().map(trip)
     assert(wj.exists(p => p._1 == 0L && p._2 == 1L && p._3 == 0.8),
       s"boundary wjac-0.8 pair missing: ${wj.toSeq}")
     assert(wj.exists(p => p._1 == 2L && p._2 == 3L && p._3 == 1.0),
       s"repeated-text weighted pair missing: ${wj.toSeq}")
-    val cont = api.Pipelines.containmentPairs(corpus, "doc_id", "text")
-      .collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Double]("containment")))
+    assert(wj.toSet == api.Pipelines
+      .weightedJaccardPairs(corpus, "doc_id", "text").collect().map(trip).toSet)
+    val cont = api.Pipelines.containmentPairs(corpus, "doc_id", "text",
+      prefixFilter = true).collect().map(trip)
     assert(cont.exists(p => p._1 == 4L && p._2 == 5L && p._3 == 0.9),
       s"boundary containment-0.9 pair missing: ${cont.toSeq}")
+    assert(cont.toSet == api.Pipelines
+      .containmentPairs(corpus, "doc_id", "text").collect().map(trip).toSet)
   }
 
   test("dedup_ngram_jaccard pairs are symmetric-free and above threshold") {
