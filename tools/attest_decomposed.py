@@ -45,7 +45,7 @@ ALL_KEYS = ["graph_clustering_coeff", "graph_harmonic_centrality",
 # SparkEntry.oracleSql (GroupTen.scala) with `sup` now a staged table.
 KATZ_TAIL = """
 WITH sup AS (SELECT * FROM read_parquet('{stage}/sup/*.parquet')),
-pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb LIMIT 2000),
+pr AS MATERIALIZED (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb LIMIT 2000),
 e AS (SELECT pa AS src, pb AS dst FROM pr UNION ALL SELECT pb, pa FROM pr),
 v0 AS (SELECT DISTINCT src AS node, CAST(1000000 AS BIGINT) AS v FROM e),
 v1 AS (SELECT e.src AS node, SUM(v0.v) // 4 AS v
@@ -60,7 +60,7 @@ ORDER BY katz_micro DESC, node LIMIT 20"""
 
 HARMONIC_TAIL = """
 WITH sup AS (SELECT * FROM read_parquet('{stage}/sup/*.parquet')),
-pr AS (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb LIMIT 2000),
+pr AS MATERIALIZED (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb LIMIT 2000),
 e AS (SELECT pa AS s, pb AS d FROM pr UNION ALL SELECT pb, pa FROM pr),
 d1 AS (SELECT DISTINCT s AS node, d AS v FROM e),
 d2 AS (SELECT DISTINCT d1.node AS node, e.d AS v
@@ -207,6 +207,13 @@ def main():
     cap = os.environ.get("GRAFT_DUCKDB_TEMP_CAP")
     if cap:
         con.execute(f"SET max_temp_directory_size='{cap}'")
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM and ignores
+    # co-resident processes: at the x100 fixture the katz tail grew to
+    # ~88 GB RSS beside a 48 GB Spark JVM and the kernel OOM-killed the
+    # attest (2026-08-16). Cap it explicitly so DuckDB spills to the
+    # (already-capped) temp dir instead of dying.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM", "40GB")
+    con.execute(f"SET memory_limit='{mem}'")
     pat = f"{args.sf_dir}/lineitem.parquet"
     if os.path.isdir(pat):
         pat = f"{pat}/*.parquet"
