@@ -124,6 +124,17 @@ object T {
     * exceed LONG range (Spark `div` accepts decimals and returns LONG).
     * DuckDB oracle counterpart:
     *   CAST((2000000*num + den) // (2*den) AS BIGINT) / 1000000.0 */
+  /** (k·c + a) mod 2³² as a LONG, overflow-safe at any key magnitude: the
+    * product runs in DECIMAL(38,0) (exact integer arithmetic) because
+    * key-derived operands at 100 TB scales overflow the 64-bit product —
+    * the r15 full-board ×100 sweep failed 9 keys on exactly this
+    * (surrogate keys ~1e10 × a Knuth constant ~2.7e9 ≈ 2.7e19 >
+    * Long.MaxValue under ANSI). Values are bit-identical to the plain
+    * long math wherever that math didn't overflow. DuckDB oracle
+    * counterpart: CAST((CAST(k AS HUGEINT)*c + a) % 4294967296 AS BIGINT). */
+  def hash32(k: Column, c: Long, a: Long = 0L): Column =
+    ((k.cast(DecimalType(38, 0)) * c + a) % 4294967296L).cast(LongType)
+
   def r6(num: String, den: String): Column =
     // 1000000.0D: the D suffix forces a DOUBLE literal — Spark parses a bare
     // decimal literal as DecimalType, which would make the whole output

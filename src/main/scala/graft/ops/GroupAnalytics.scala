@@ -815,6 +815,16 @@ object GroupAnalytics {
         |SELECT depth, count(*) AS n_pairs FROM reach GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       Seq("customer", "supplier", "nation")
         .foreach(t => T.t(s, dir, t).createOrReplaceTempView(t))
+      // Scale knob: Spark's recursive-CTE safety valve defaults to 1 M total
+      // rows, which a ×100 fixture's 1.6 M-row anchor level exceeds on the
+      // FIRST iteration (found by the r15 full-board ×100 sweep). The
+      // recursion here is depth-bounded by the fixed c→n→r hierarchy (≤3
+      // levels at any data scale), so rows — not depth — are the quantity
+      // that grows with data; size the valve to the data, keep the default
+      // if someone has already raised it.
+      val lim = s.conf.get("spark.sql.cteRecursionRowLimit", "1000000").toLong
+      if (lim != -1L && lim < 100000000L)
+        s.conf.set("spark.sql.cteRecursionRowLimit", "100000000")
       s.sql(
         """WITH RECURSIVE edges AS (
           |  SELECT 'c' || CAST(c_custkey AS STRING) AS child,

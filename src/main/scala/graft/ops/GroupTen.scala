@@ -204,7 +204,8 @@ object GroupTen {
     // All integer arithmetic + printf; zero float ops.
     q("scalar_ip_funcs",
       """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |i AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM u),
+        |i AS (SELECT user_id, CAST((CAST(user_id AS HUGEINT) * 2654435761)
+        |    % 4294967296 AS BIGINT) AS ip FROM u),
         |o AS (SELECT user_id, ip,
         |    ip // 16777216 AS o1, (ip // 65536) % 256 AS o2,
         |    (ip // 256) % 256 AS o3, ip % 256 AS o4 FROM i)
@@ -215,7 +216,7 @@ object GroupTen {
         |  CAST(ip - o4 AS BIGINT) AS net24
         |FROM o ORDER BY user_id""") { (s, dir) =>
       T.t(s, dir, "events").select("user_id").distinct()
-        .withColumn("ip", (col("user_id") * 2654435761L) % 4294967296L)
+        .withColumn("ip", T.hash32(col("user_id"), 2654435761L))
         .withColumn("o1", expr("ip div 16777216"))
         .withColumn("o2", expr("(ip div 65536) % 256"))
         .withColumn("o3", expr("(ip div 256) % 256"))
@@ -431,7 +432,8 @@ object GroupTen {
         |rk AS (SELECT d.lang, d.doc_id,
         |    len(string_split(d.text, ' ')) AS toks,
         |    row_number() OVER (PARTITION BY d.lang
-        |      ORDER BY (d.doc_id * 2654435761) % 4294967296, d.doc_id) AS rn
+        |      ORDER BY (CAST(d.doc_id AS HUGEINT) * 2654435761)
+        |        % 4294967296, d.doc_id) AS rn
         |  FROM documents d),
         |samp AS (SELECT rk.lang, count(*) AS n_sampled,
         |    sum(rk.toks) AS sample_tokens
@@ -462,7 +464,7 @@ object GroupTen {
       val rk = docs
         .withColumn("toks", size(split(col("text"), " ")))
         .withColumn("rn", row_number().over(Window.partitionBy("lang")
-          .orderBy((col("doc_id") * 2654435761L) % 4294967296L, col("doc_id"))))
+          .orderBy(T.hash32(col("doc_id"), 2654435761L), col("doc_id"))))
       val samp = rk.join(broadcast(alloc), Seq("lang"))
         .filter(col("rn") <= col("alloc"))
         .groupBy("lang").agg(count(lit(1)).cast(LongType).as("n_sampled"),
@@ -691,7 +693,8 @@ object GroupTen {
         |    count(*) OVER (PARTITION BY c_mktsegment) AS n
         |  FROM customer),
         |g AS (SELECT c_mktsegment, rn, n, b,
-        |    1 + (2654435761 * (b * 100003 + (rn - 1)) + 17) % n AS idx
+        |    1 + CAST((2654435761 * CAST(b * 100003 + (rn - 1) AS HUGEINT)
+        |      + 17) % n AS BIGINT) AS idx
         |  FROM r CROSS JOIN (SELECT unnest(range(200)) AS b)),
         |m AS (SELECT g.c_mktsegment, g.b,
         |    CAST(SUM(CAST(r2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
@@ -716,9 +719,12 @@ object GroupTen {
         .withColumn("n", count(lit(1)).over(part))
       val g = r.select(col("c_mktsegment"), col("rn"), col("n"))
         .withColumn("b", explode(sequence(lit(0), lit(199))))
+        // the resample index runs in DECIMAL(38,0): rn is data-sized, and
+        // 2654435761·(199·100003 + rn) would overflow the long product past
+        // ~3.3e9 rows per segment (same class as the T.hash32 ×100 findings)
         .withColumn("idx",
-          lit(1) + (lit(2654435761L) * (col("b") * 100003L + (col("rn") - 1))
-            + 17L) % col("n"))
+          (lit(1) + (lit(2654435761L) * (col("b") * 100003L + (col("rn") - 1))
+            .cast(DecimalType(38, 0)) + 17L) % col("n")).cast(LongType))
       val r2 = r.select(col("c_mktsegment").as("seg2"), col("rn").as("rn2"),
         col("c_acctbal"))
       val m = g.join(r2, col("c_mktsegment") === col("seg2") &&
@@ -1076,12 +1082,16 @@ object GroupTen {
     // neighbor per supplier is an arg-min on a composite (d², id) key.
     q("join_spatial_grid",
       """WITH c AS (SELECT c_custkey,
-        |    (c_custkey * 2654435761) % 4294967296 % 10000 AS cx,
-        |    (c_custkey * 2246822519) % 4294967296 % 10000 AS cy
+        |    CAST(CAST(c_custkey AS HUGEINT) * 2654435761
+        |      % 4294967296 % 10000 AS BIGINT) AS cx,
+        |    CAST(CAST(c_custkey AS HUGEINT) * 2246822519
+        |      % 4294967296 % 10000 AS BIGINT) AS cy
         |  FROM customer),
         |sp AS (SELECT s_suppkey,
-        |    (s_suppkey * 2654435761 + 1013904223) % 4294967296 % 10000 AS sx,
-        |    (s_suppkey * 2246822519 + 374761393) % 4294967296 % 10000 AS sy
+        |    CAST((CAST(s_suppkey AS HUGEINT) * 2654435761 + 1013904223)
+        |      % 4294967296 % 10000 AS BIGINT) AS sx,
+        |    CAST((CAST(s_suppkey AS HUGEINT) * 2246822519 + 374761393)
+        |      % 4294967296 % 10000 AS BIGINT) AS sy
         |  FROM supplier),
         |probe AS (SELECT s_suppkey, sx, sy,
         |    sx // 500 + dx.dx AS gx, sy // 500 + dy.dy AS gy
@@ -1097,11 +1107,11 @@ object GroupTen {
         |  arg_min(c_custkey, d2 * 100000 + c_custkey) AS nearest_cust
         |FROM hit GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val c = T.t(s, dir, "customer").select(col("c_custkey"),
-        (col("c_custkey") * 2654435761L % 4294967296L % 10000).as("cx"),
-        (col("c_custkey") * 2246822519L % 4294967296L % 10000).as("cy"))
+        (T.hash32(col("c_custkey"), 2654435761L) % 10000).as("cx"),
+        (T.hash32(col("c_custkey"), 2246822519L) % 10000).as("cy"))
       val sp = T.t(s, dir, "supplier").select(col("s_suppkey"),
-        ((col("s_suppkey") * 2654435761L + 1013904223L) % 4294967296L % 10000).as("sx"),
-        ((col("s_suppkey") * 2246822519L + 374761393L) % 4294967296L % 10000).as("sy"))
+        (T.hash32(col("s_suppkey"), 2654435761L, 1013904223L) % 10000).as("sx"),
+        (T.hash32(col("s_suppkey"), 2246822519L, 374761393L) % 10000).as("sy"))
       val probe = sp
         .withColumn("dx", explode(array(lit(-1), lit(0), lit(1))))
         .withColumn("dy", explode(array(lit(-1), lit(0), lit(1))))
@@ -1131,7 +1141,8 @@ object GroupTen {
     // is the same IEEE sequence on bit-identical operands in both engines.
     q("ml_ridge_kfold_cv",
       """WITH j AS (SELECT
-        |    CAST(l_orderkey * 2654435761 % 4294967296 % 5 AS BIGINT) AS fold,
+        |    CAST(CAST(l_orderkey AS HUGEINT) * 2654435761
+        |      % 4294967296 % 5 AS BIGINT) AS fold,
         |    CAST(l_quantity AS DECIMAL(18,2)) AS x1,
         |    CAST(p_retailprice AS DECIMAL(18,2)) AS x2,
         |    CAST(l_extendedprice AS DECIMAL(18,2)) AS y
@@ -1191,7 +1202,7 @@ object GroupTen {
       val j = T.t(s, dir, "lineitem")
         .join(T.t(s, dir, "part"), col("l_partkey") === col("p_partkey"))
         .select(
-          (col("l_orderkey") * 2654435761L % 4294967296L % 5).as("fold"),
+          (T.hash32(col("l_orderkey"), 2654435761L) % 5).as("fold"),
           col("l_quantity").cast(T.dec).as("x1"),
           col("p_retailprice").cast(T.dec).as("x2"),
           col("l_extendedprice").cast(T.dec).as("y"))
@@ -2023,7 +2034,8 @@ object GroupTen {
     // fall to the 'default' route via left join. Pure integer arithmetic.
     q("join_ip_prefix_lookup",
       """WITH u AS (SELECT DISTINCT user_id FROM events),
-        |p AS (SELECT user_id, (user_id * 2654435761) % 4294967296 AS ip FROM u),
+        |p AS (SELECT user_id, CAST((CAST(user_id AS HUGEINT) * 2654435761)
+        |    % 4294967296 AS BIGINT) AS ip FROM u),
         |po AS (SELECT user_id, ip, ip // 16777216 AS o1,
         |    (ip // 65536) % 256 AS o2, (ip // 256) % 256 AS o3 FROM p),
         |r8 AS (SELECT k*2 AS o1, CAST(NULL AS BIGINT) AS o2,
@@ -2047,7 +2059,7 @@ object GroupTen {
         |FROM po LEFT JOIN best b ON b.user_id = po.user_id AND b.rn = 1
         |ORDER BY po.user_id""") { (s, dir) =>
       val po = T.t(s, dir, "events").select("user_id").distinct()
-        .withColumn("ip", (col("user_id") * 2654435761L) % 4294967296L)
+        .withColumn("ip", T.hash32(col("user_id"), 2654435761L))
         .withColumn("o1", expr("ip div 16777216"))
         .withColumn("o2", expr("(ip div 65536) % 256"))
         .withColumn("o3", expr("(ip div 256) % 256"))
@@ -3406,19 +3418,25 @@ object GroupTen {
     q("join_bloom_fp_audit",
       """WITH bk AS (SELECT DISTINCT o_custkey AS key FROM orders),
         |pos AS (SELECT DISTINCT p FROM (
-        |  SELECT (key * 2654435761) % 4294967296 % 131072 AS p FROM bk
+        |  SELECT CAST(CAST(key AS HUGEINT) * 2654435761
+        |    % 4294967296 % 131072 AS BIGINT) AS p FROM bk
         |  UNION ALL
-        |  SELECT (key * 2246822519) % 4294967296 % 131072 FROM bk
+        |  SELECT CAST(CAST(key AS HUGEINT) * 2246822519
+        |    % 4294967296 % 131072 AS BIGINT) FROM bk
         |  UNION ALL
-        |  SELECT (key * 3266489917) % 4294967296 % 131072 FROM bk)),
+        |  SELECT CAST(CAST(key AS HUGEINT) * 3266489917
+        |    % 4294967296 % 131072 AS BIGINT) FROM bk)),
         |mx AS (SELECT max(key) AS maxk FROM bk),
         |probe AS (SELECT maxk + k + 1 AS key FROM range(2000) t(k)
         |  CROSS JOIN mx),
-        |pp AS (SELECT key, (key * 2654435761) % 4294967296 % 131072 AS p
+        |pp AS (SELECT key, CAST(CAST(key AS HUGEINT) * 2654435761
+        |      % 4294967296 % 131072 AS BIGINT) AS p
         |    FROM probe
-        |  UNION ALL SELECT key, (key * 2246822519) % 4294967296 % 131072
+        |  UNION ALL SELECT key, CAST(CAST(key AS HUGEINT) * 2246822519
+        |      % 4294967296 % 131072 AS BIGINT)
         |    FROM probe
-        |  UNION ALL SELECT key, (key * 3266489917) % 4294967296 % 131072
+        |  UNION ALL SELECT key, CAST(CAST(key AS HUGEINT) * 3266489917
+        |      % 4294967296 % 131072 AS BIGINT)
         |    FROM probe),
         |need AS (SELECT key, count(DISTINCT p) AS need FROM pp GROUP BY 1),
         |got AS (SELECT pp.key, count(DISTINCT pp.p) AS got
@@ -3436,9 +3454,9 @@ object GroupTen {
         .distinct()
       def positions(df: DataFrame): DataFrame =
         df.select(col("key"), explode(array(
-          expr("(key * 2654435761L) % 4294967296L % 131072L"),
-          expr("(key * 2246822519L) % 4294967296L % 131072L"),
-          expr("(key * 3266489917L) % 4294967296L % 131072L"))).as("p"))
+          T.hash32(col("key"), 2654435761L) % 131072L,
+          T.hash32(col("key"), 2246822519L) % 131072L,
+          T.hash32(col("key"), 3266489917L) % 131072L)).as("p"))
       val pos = positions(bk).select("p").distinct()
       val mx = bk.agg(max("key").as("maxk"))
       val probe = s.range(2000).crossJoin(broadcast(mx))
@@ -4813,14 +4831,14 @@ object GroupTen {
         |    SUM(CASE WHEN grp = 2 THEN 1 ELSE 0 END) AS n2
         |  FROM e),
         |perms AS (SELECT b,
-        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
-        |      % 4294967296 % 2 = 0 THEN y ELSE 0 END) AS s1b,
-        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
-        |      % 4294967296 % 2 = 0 THEN 1 ELSE 0 END) AS n1b,
-        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
-        |      % 4294967296 % 2 = 1 THEN y ELSE 0 END) AS s2b,
-        |    SUM(CASE WHEN (event_id * 2654435761 + b * 40503)
-        |      % 4294967296 % 2 = 1 THEN 1 ELSE 0 END) AS n2b
+        |    SUM(CASE WHEN (CAST(event_id AS HUGEINT) * 2654435761
+        |      + b * 40503) % 4294967296 % 2 = 0 THEN y ELSE 0 END) AS s1b,
+        |    SUM(CASE WHEN (CAST(event_id AS HUGEINT) * 2654435761
+        |      + b * 40503) % 4294967296 % 2 = 0 THEN 1 ELSE 0 END) AS n1b,
+        |    SUM(CASE WHEN (CAST(event_id AS HUGEINT) * 2654435761
+        |      + b * 40503) % 4294967296 % 2 = 1 THEN y ELSE 0 END) AS s2b,
+        |    SUM(CASE WHEN (CAST(event_id AS HUGEINT) * 2654435761
+        |      + b * 40503) % 4294967296 % 2 = 1 THEN 1 ELSE 0 END) AS n2b
         |  FROM e CROSS JOIN (SELECT unnest(range(1, 201)) AS b)
         |  GROUP BY 1),
         |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n_extreme
@@ -4844,7 +4862,8 @@ object GroupTen {
         sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
         sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
       val side = expr(
-        "(event_id * 2654435761L + b * 40503L) % 4294967296L % 2")
+        "(cast(event_id as decimal(38,0)) * 2654435761L + b * 40503L)" +
+          " % 4294967296L % 2")
       val perms = e.crossJoin(broadcast(
           s.range(1, 201).select(col("id").as("b"))))
         .groupBy("b")
@@ -4854,9 +4873,11 @@ object GroupTen {
           sum(when(side === 1, 1L).otherwise(0L)).as("n2b"))
       val cnt = perms.crossJoin(broadcast(obs))
         .where(col("n1b") > 0 && col("n2b") > 0 &&
-          expr("abs(cast(s1b * n2b - s2b * n1b as decimal(38,0)))" +
+          expr("abs(cast(s1b as decimal(38,0)) * n2b" +
+            " - cast(s2b as decimal(38,0)) * n1b)" +
             " * (n1 * n2) >= " +
-            "abs(cast(s1 * n2 - s2 * n1 as decimal(38,0))) * (n1b * n2b)"))
+            "abs(cast(s1 as decimal(38,0)) * n2" +
+            " - cast(s2 as decimal(38,0)) * n1) * (n1b * n2b)"))
         .agg(count(lit(1)).cast(LongType).as("n_extreme"))
       cnt.crossJoin(broadcast(obs))
         .select(col("n1").cast(LongType).as("n_purchase"),
@@ -5480,8 +5501,10 @@ object GroupTen {
     // watermark. Shard-keyed windows; all integer.
     q("dq_watermark_lateness",
       """WITH a AS (SELECT event_id, ts,
-        |    (event_id * 2654435761) % 4294967296 % 8 AS shard,
-        |    (event_id * 2246822519) % 4294967296 AS arr
+        |    CAST(CAST(event_id AS HUGEINT) * 2654435761
+        |      % 4294967296 % 8 AS BIGINT) AS shard,
+        |    CAST(CAST(event_id AS HUGEINT) * 2246822519
+        |      % 4294967296 AS BIGINT) AS arr
         |  FROM events),
         |w AS (SELECT shard, ts,
         |    max(ts) OVER (PARTITION BY shard ORDER BY arr, event_id
@@ -5502,8 +5525,8 @@ object GroupTen {
         |FROM l GROUP BY 1 ORDER BY 1""") { (s, dir) =>
       val a = T.t(s, dir, "events")
         .select(col("event_id"), col("ts"),
-          expr("(event_id * 2654435761L) % 4294967296L % 8L").as("shard"),
-          expr("(event_id * 2246822519L) % 4294967296L").as("arr"))
+          (T.hash32(col("event_id"), 2654435761L) % 8L).as("shard"),
+          T.hash32(col("event_id"), 2246822519L).as("arr"))
       val w = Window.partitionBy("shard").orderBy("arr", "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
       a.withColumn("wm", max("ts").over(w))
@@ -6096,8 +6119,10 @@ object GroupTen {
         |      THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS y
         |  FROM events GROUP BY 1),
         |w AS (SELECT day,
-        |    SUM(x) OVER pw AS sx, SUM(y) OVER pw AS sy,
-        |    SUM(x * y) OVER pw AS sxy, SUM(x * x) OVER pw AS sxx,
+        |    SUM(CAST(x AS HUGEINT)) OVER pw AS sx,
+        |    SUM(CAST(y AS HUGEINT)) OVER pw AS sy,
+        |    SUM(CAST(x AS HUGEINT) * y) OVER pw AS sxy,
+        |    SUM(CAST(x AS HUGEINT) * x) OVER pw AS sxx,
         |    COUNT(*) OVER pw AS n
         |  FROM d WINDOW pw AS (ORDER BY day ROWS BETWEEN 13 PRECEDING
         |    AND CURRENT ROW))
@@ -6117,10 +6142,11 @@ object GroupTen {
             round(col("value") * 100).cast(LongType)).otherwise(0L))
             .as("y"))
       val pw = Window.orderBy("day").rowsBetween(-13, Window.currentRow)
-      d.withColumn("sx", sum("x").over(pw))
-        .withColumn("sy", sum("y").over(pw))
-        .withColumn("sxy", sum(col("x") * col("y")).over(pw))
-        .withColumn("sxx", sum(col("x") * col("x")).over(pw))
+      val dx = col("x").cast(DecimalType(38, 0))
+      d.withColumn("sx", sum(dx).over(pw))
+        .withColumn("sy", sum(col("y").cast(DecimalType(38, 0))).over(pw))
+        .withColumn("sxy", sum(dx * col("y")).over(pw))
+        .withColumn("sxx", sum(dx * col("x")).over(pw))
         .withColumn("n", count(lit(1)).over(pw))
         .where(col("n") === 14)
         .select(col("day"),

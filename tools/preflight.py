@@ -41,6 +41,12 @@ def main():
     cap = os.environ.get("GRAFT_DUCKDB_TEMP_CAP")
     if cap:
         con.execute(f"SET max_temp_directory_size='{cap}'")
+    # DuckDB's default memory_limit is 80% of PHYSICAL RAM and ignores
+    # co-resident processes (a concurrent Spark JVM) — the x100 attest's
+    # first run was kernel-OOM-killed at ~88 GB RSS. Optional env cap.
+    mem = os.environ.get("GRAFT_DUCKDB_MEM")
+    if mem:
+        con.execute(f"SET memory_limit='{mem}'")
     for t in TABLES:
         # driver fixtures are single files named <t>.parquet; generated
         # fixtures (graft.GenScale) are Spark-written DIRECTORIES of the
