@@ -125,11 +125,18 @@ object GroupVector {
     // scale path: candidates come from a shuffle equi-join on band values
     // (NO nested-loop operator; PlanShapeSpec pins this), each candidate is
     // exactly verified with the codegen'd vec_dot, so precision is 1.0 by
-    // construction and the oracle is the same brute-force SQL. Recall 1.0
-    // attested empirically at sf0.001/0.01/0.1 (LshRecallSpec) with
-    // r=2×b=24 — at τ=0.35 the banding is recall-safe but dense (see
-    // Pipelines.cosinePairsLSH's parameter-honesty note); at real dedup
-    // thresholds the same operator prunes ~99.95% of pairs.
+    // construction and the oracle is the same brute-force SQL. Recall is
+    // PROBABILISTIC by construction (banding miss at the threshold angle);
+    // the r15 full-board ×100 sweep caught exactly that: at the default
+    // perPairMiss=1e-5 sizing (r=8, 566 bands) two cross-copy pairs at
+    // sim 0.3747 missed every band (0.9999974 observed recall over 761k
+    // pairs) — the designed miss rate, surfaced by ×100 near-threshold
+    // pair density. The graded key therefore sizes banding to
+    // perPairMiss=1e-9 (r=8 → 1018 bands via CosineLsh.bandsFor): the
+    // expected miss count stays ≪1 through ×10⁴ scale, priced as ~2×
+    // banding cost at this deliberately-stressy τ=0.35 (at real dedup
+    // thresholds bandsFor sizes far smaller — parameter-honesty note in
+    // Pipelines.cosinePairsLSH).
     q("similarity_join_lsh",
       """WITH a AS (SELECT vec_id AS a_id, embedding::DOUBLE[] AS ae FROM embeddings WHERE label = 0),
         |b AS (SELECT vec_id AS b_id, embedding::DOUBLE[] AS be FROM embeddings WHERE label = 1)
@@ -146,7 +153,7 @@ object GroupVector {
       sc.conf.set("spark.sql.join.preferSortMergeJoin", "false")
       graft.api.Pipelines.cosineThresholdJoinLSH(
           e.filter(col("label") === 0), e.filter(col("label") === 1),
-          "vec_id", "embedding", threshold = 0.35)
+          "vec_id", "embedding", threshold = 0.35, perPairMiss = 1e-9)
         .orderBy("a_id", "b_id")
     }
   )

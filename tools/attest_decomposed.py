@@ -39,7 +39,14 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from preflight import norm
 
 ALL_KEYS = ["graph_clustering_coeff", "graph_harmonic_centrality",
-            "graph_katz_centrality"]
+            "graph_katz_centrality",
+            # r15 full-board x100 sweep additions: the same quadratic
+            # pair-support prefix (4 graph keys) and the shingle pair
+            # stream (dedup_cluster_components) exhausted the monolithic
+            # oracle's spill cap at x100 -- same decomposition, new tails.
+            "graph_triangle_count", "graph_common_neighbors",
+            "graph_modularity", "graph_rich_club",
+            "dedup_cluster_components"]
 
 # Everything downstream of `sup` in the two centrality keys, verbatim from
 # SparkEntry.oracleSql (GroupTen.scala) with `sup` now a staged table.
@@ -96,6 +103,118 @@ SELECT dg.node, dg.d, COALESCE(t.tri, 0) AS tri,
 FROM dg LEFT JOIN t ON dg.node = t.node
 WHERE dg.d >= 2
 ORDER BY coeff DESC, dg.node LIMIT 25"""
+
+# graph_triangle_count: n_nodes from the staged li projection, n_edges =
+# |sup| (e is sup's key set), n_triangles = the pivot-bucketed per-node
+# triangle credits summed / 3 (each triangle credits its 3 corners once).
+TRIANGLE_TAIL = """
+SELECT (SELECT count(DISTINCT l_partkey)
+    FROM read_parquet('{stage}/li.parquet')) AS n_nodes,
+  (SELECT count(*) FROM read_parquet('{stage}/sup/*.parquet')) AS n_edges,
+  (SELECT CAST(SUM(tri) // 3 AS BIGINT)
+    FROM read_parquet('{stage}/tri/*.parquet')) AS n_triangles"""
+
+# graph_common_neighbors / graph_rich_club: the graded SQL verbatim with
+# the sup CTE replaced by the staged table; everything past pr is
+# LIMIT-2000-bounded. pr MATERIALIZED for the same inlining reason as katz.
+COMMON_TAIL = """
+WITH sup AS (SELECT * FROM read_parquet('{stage}/sup/*.parquet')),
+pr AS MATERIALIZED (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+  LIMIT 2000),
+e AS (SELECT pa AS src, pb AS dst FROM pr
+  UNION ALL SELECT pb, pa FROM pr),
+deg AS (SELECT src AS node, count(*) AS d FROM e GROUP BY 1),
+w AS (SELECT e1.src AS a, e2.dst AS c, count(*) AS cn
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src
+  WHERE e1.src < e2.dst GROUP BY 1, 2),
+nw AS (SELECT a, c, cn FROM w
+  WHERE NOT EXISTS (SELECT 1 FROM pr
+    WHERE pr.pa = w.a AND pr.pb = w.c))
+SELECT a AS pa, c AS pb, CAST(cn AS BIGINT) AS common_n,
+  CAST(da.d AS BIGINT) AS deg_a, CAST(dc.d AS BIGINT) AS deg_b,
+  CAST((2000000 * cn + (da.d + dc.d - cn))
+    // (2 * (da.d + dc.d - cn)) AS BIGINT) / 1000000.0 AS jaccard
+FROM nw JOIN deg da ON nw.a = da.node JOIN deg dc ON nw.c = dc.node
+ORDER BY common_n DESC, pa, pb LIMIT 20"""
+
+RICH_CLUB_TAIL = """
+WITH sup AS (SELECT * FROM read_parquet('{stage}/sup/*.parquet')),
+pr AS MATERIALIZED (SELECT pa, pb FROM sup ORDER BY sup DESC, pa, pb
+  LIMIT 2000),
+e AS (SELECT pa AS s, pb AS d FROM pr
+  UNION ALL SELECT pb, pa FROM pr),
+deg AS (SELECT s AS node, CAST(count(*) AS BIGINT) AS dg FROM e
+  GROUP BY 1),
+ks AS (SELECT unnest([2, 4, 8, 16]) AS k),
+nk AS (SELECT k, CAST(count(*) AS BIGINT) AS n_k
+  FROM deg CROSS JOIN ks WHERE dg > k GROUP BY 1),
+ek AS (SELECT k, CAST(count(*) AS BIGINT) AS e_k
+  FROM pr JOIN deg da ON pr.pa = da.node
+    JOIN deg db ON pr.pb = db.node
+  CROSS JOIN ks WHERE da.dg > k AND db.dg > k GROUP BY 1)
+SELECT CAST(ks.k AS BIGINT) AS k, COALESCE(n_k, 0) AS n_k,
+  COALESCE(e_k, 0) AS e_k,
+  CASE WHEN COALESCE(n_k, 0) <= 1 THEN 0.0 ELSE
+    CAST((2000000 * 2 * COALESCE(e_k, 0) + n_k * (n_k - 1))
+      // (2 * n_k * (n_k - 1)) AS BIGINT) / 1000000.0
+  END AS phi6
+FROM ks LEFT JOIN nk ON ks.k = nk.k
+  LEFT JOIN ek ON ks.k = ek.k ORDER BY ks.k"""
+
+# graph_modularity: pr here is sup's KEY SET (no LIMIT) -- linear joins
+# over the staged table + part brands; everything aggregates to brands.
+MODULARITY_TAIL = """
+WITH pr AS MATERIALIZED (SELECT pa, pb
+  FROM read_parquet('{stage}/sup/*.parquet')),
+mm AS (SELECT count(*) AS m FROM pr),
+bb AS MATERIALIZED (SELECT p_partkey, p_brand FROM part),
+e2 AS (SELECT a.p_brand AS ba, b.p_brand AS bbr FROM pr
+  JOIN bb a ON pr.pa = a.p_partkey
+  JOIN bb b ON pr.pb = b.p_partkey),
+intra AS (SELECT ba AS p_brand, count(*) AS ei FROM e2
+  WHERE ba = bbr GROUP BY 1),
+deg AS (SELECT node, count(*) AS d FROM (
+    SELECT pa AS node FROM pr UNION ALL SELECT pb FROM pr)
+  GROUP BY 1),
+bd AS (SELECT p_brand, sum(d) AS dc FROM deg
+  JOIN bb ON node = p_partkey GROUP BY 1),
+j AS (SELECT bd.p_brand, coalesce(ei, 0) AS ei, dc, m
+  FROM bd LEFT JOIN intra ON bd.p_brand = intra.p_brand
+  CROSS JOIN mm)
+SELECT p_brand, CAST(ei AS BIGINT) AS n_intra,
+  CAST(dc AS BIGINT) AS deg_sum,
+  (CASE WHEN 4*CAST(m AS HUGEINT)*ei - CAST(dc AS HUGEINT)*dc < 0
+    THEN -1 ELSE 1 END) *
+  CAST((2000000 * abs(4*CAST(m AS HUGEINT)*ei
+        - CAST(dc AS HUGEINT)*dc)
+      + 4*CAST(m AS HUGEINT)*m)
+    // (2 * (4*CAST(m AS HUGEINT)*m)) AS BIGINT) / 1000000.0
+    AS contrib
+FROM j ORDER BY p_brand"""
+
+# dedup_cluster_components: the expensive stage is the shingle-inverted-
+# index pair stream (sum C(df,2) join rows). Decompose it by SHINGLE
+# bucket: each co-occurrence row belongs to exactly one shingle, so
+# bucketing the keep-joined self-join on hash(sh) % B partitions the
+# stream exactly once each and the per-pair counts merge by additive SUM.
+# The closure tail (pairs -> recursive reach) runs verbatim on the merged
+# common table.
+CLUSTER_TAIL = """
+WITH RECURSIVE common AS (SELECT ia, ib, CAST(SUM(c) AS BIGINT) AS c
+  FROM read_parquet('{stage}/common_parts/*.parquet') GROUP BY 1, 2),
+sizes AS (SELECT * FROM read_parquet('{stage}/doc_sizes/*.parquet')),
+pairs AS (SELECT ia, ib
+  FROM common JOIN sizes sa ON sa.doc_id = ia JOIN sizes sb ON sb.doc_id = ib
+  WHERE CAST(c AS DOUBLE)/(sa.n + sb.n - c) >= 0.8),
+nodes AS (SELECT DISTINCT x AS id FROM (
+  SELECT ia AS x FROM pairs UNION SELECT ib FROM pairs)),
+edges AS (SELECT ia AS a, ib AS b FROM pairs UNION SELECT ib, ia FROM pairs),
+reach(a, b) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+SELECT a AS doc_id, min(b) AS cluster_rep FROM reach
+GROUP BY 1 ORDER BY 1"""
 
 
 def log(msg):
@@ -166,6 +285,49 @@ def stage_coeff(con, stage, buckets):
         log(f"tri bucket {b + 1}/{buckets} done in {time.time() - t0:.1f}s")
 
 
+def stage_cluster(con, stage, buckets):
+    """documents -> staged shingle table -> df-capped keep set ->
+    shingle-bucketed pair-count passes -> additive merge (CLUSTER_TAIL)."""
+    sh = f"{stage}/sh.parquet"
+    if not os.path.exists(sh):
+        t0 = time.time()
+        con.execute(f"""COPY (
+          WITH dd AS (SELECT doc_id, string_split(text,' ') AS arr
+            FROM documents)
+          SELECT DISTINCT doc_id,
+            unnest(list_transform(range(len(arr)-2),
+              i -> arr[i+1]||' '||arr[i+2]||' '||arr[i+3])) AS sh
+          FROM dd) TO '{sh}' (FORMAT PARQUET)""")
+        log(f"shingles staged in {time.time() - t0:.1f}s")
+    if not glob.glob(f"{stage}/doc_sizes/*.parquet"):
+        os.makedirs(f"{stage}/doc_sizes", exist_ok=True)
+        con.execute(f"""COPY (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+          FROM read_parquet('{sh}') GROUP BY 1)
+          TO '{stage}/doc_sizes/sizes.parquet' (FORMAT PARQUET)""")
+    keep = f"{stage}/keep.parquet"
+    if not os.path.exists(keep):
+        con.execute(f"""COPY (SELECT sh FROM read_parquet('{sh}')
+          GROUP BY sh HAVING count(*) BETWEEN 2 AND 10000)
+          TO '{keep}' (FORMAT PARQUET)""")
+        log("keep set staged")
+    os.makedirs(f"{stage}/common_parts", exist_ok=True)
+    for b in range(buckets):
+        part = f"{stage}/common_parts/common_{b:04d}.parquet"
+        if os.path.exists(part):
+            continue
+        t0 = time.time()
+        con.execute(f"""COPY (
+          WITH k AS (SELECT sh FROM read_parquet('{keep}')
+            WHERE hash(sh) % {buckets} = {b}),
+          s AS (SELECT doc_id, t.sh FROM read_parquet('{sh}') t
+            JOIN k ON t.sh = k.sh)
+          SELECT a.doc_id AS ia, b.doc_id AS ib,
+            CAST(count(*) AS BIGINT) AS c
+          FROM s a JOIN s b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2) TO '{part}' (FORMAT PARQUET)""")
+        log(f"common bucket {b + 1}/{buckets} done in {time.time() - t0:.1f}s")
+
+
 def compare(con, key, sql, out_dir):
     files = sorted(glob.glob(f"{out_dir}/{key}/*.parquet"))
     if not files:
@@ -214,11 +376,18 @@ def main():
     # (already-capped) temp dir instead of dying.
     mem = os.environ.get("GRAFT_DUCKDB_MEM", "40GB")
     con.execute(f"SET memory_limit='{mem}'")
-    pat = f"{args.sf_dir}/lineitem.parquet"
-    if os.path.isdir(pat):
-        pat = f"{pat}/*.parquet"
-    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM '{pat}'")
-    stage_sup(con, stage, args.buckets)
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        pat = f"{args.sf_dir}/{t}.parquet"
+        if os.path.isdir(pat):
+            pat = f"{pat}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{pat}'")
+    sup_keys = {"graph_clustering_coeff", "graph_harmonic_centrality",
+                "graph_katz_centrality", "graph_triangle_count",
+                "graph_common_neighbors", "graph_modularity",
+                "graph_rich_club"}
+    if sup_keys & set(keys):
+        stage_sup(con, stage, args.buckets)
     ok = True
     if "graph_katz_centrality" in keys:
         ok &= compare(con, "graph_katz_centrality",
@@ -226,10 +395,27 @@ def main():
     if "graph_harmonic_centrality" in keys:
         ok &= compare(con, "graph_harmonic_centrality",
                       HARMONIC_TAIL.format(stage=stage), args.out_dir)
-    if "graph_clustering_coeff" in keys:
+    if "graph_clustering_coeff" in keys or "graph_triangle_count" in keys:
         stage_coeff(con, stage, args.buckets)
+    if "graph_clustering_coeff" in keys:
         ok &= compare(con, "graph_clustering_coeff",
                       COEFF_TAIL.format(stage=stage), args.out_dir)
+    if "graph_triangle_count" in keys:
+        ok &= compare(con, "graph_triangle_count",
+                      TRIANGLE_TAIL.format(stage=stage), args.out_dir)
+    if "graph_common_neighbors" in keys:
+        ok &= compare(con, "graph_common_neighbors",
+                      COMMON_TAIL.format(stage=stage), args.out_dir)
+    if "graph_rich_club" in keys:
+        ok &= compare(con, "graph_rich_club",
+                      RICH_CLUB_TAIL.format(stage=stage), args.out_dir)
+    if "graph_modularity" in keys:
+        ok &= compare(con, "graph_modularity",
+                      MODULARITY_TAIL.format(stage=stage), args.out_dir)
+    if "dedup_cluster_components" in keys:
+        stage_cluster(con, stage, args.buckets)
+        ok &= compare(con, "dedup_cluster_components",
+                      CLUSTER_TAIL.format(stage=stage), args.out_dir)
     print(f"\n== attest {'PASS' if ok else 'FAIL'}")
     sys.exit(0 if ok else 1)
 
