@@ -380,10 +380,11 @@ object GroupNine {
         |SELECT CAST(degree AS BIGINT) AS degree,
         |  CAST(count(*) AS BIGINT) AS n_nodes
         |FROM deg GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      val pr = GroupSeven.pairSupport(s, dir).select("pa", "pb")
-      pr.select(col("pa").as("node"))
-        .unionAll(pr.select(col("pb").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("degree"))
+      // the per-node degree is the staged artifact (shared with triangle
+      // count / CC / assortativity); the per-invocation plan is one small
+      // agg over a node-sized table
+      GroupSeven.pairDegree(s, dir)
+        .select(col("d").as("degree"))
         .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
         .orderBy("degree")
     },
@@ -1049,7 +1050,10 @@ object GroupNine {
       val pr = GroupSeven.pairSupport(s, dir).select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
-      val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("d"))
+      // degree comes from the staged artifact (shared with triangle
+      // count / CC / the degree histogram) instead of a per-invocation
+      // degree shuffle; the two endpoint attachments stay AQE-sized
+      val deg = GroupSeven.pairDegree(s, dir)
       val ed = e
         .join(deg.select(col("node").as("na"), col("d").as("dx")),
           col("src") === col("na"))

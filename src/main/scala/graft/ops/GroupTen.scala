@@ -501,37 +501,24 @@ object GroupTen {
         |FROM dg LEFT JOIN t ON dg.node = t.node
         |WHERE dg.d >= 2
         |ORDER BY coeff DESC, dg.node LIMIT 25""") { (s, dir) =>
-      val e0 = GroupSeven.pairSupport(s, dir)
-        .select("pa", "pb").localCheckpoint()
-      val deg = e0.select(col("pa").as("node"))
-        .unionAll(e0.select(col("pb").as("node")))
-        .groupBy("node").agg(count(lit(1)).as("d"))
-      val ed = e0
-        .join(deg.select(col("node").as("pa"), col("d").as("da")), "pa")
-        .join(deg.select(col("node").as("pb"), col("d").as("db")), "pb")
-        .select(
-          when(col("da") < col("db")
-            || (col("da") === col("db") && col("pa") < col("pb")), col("pa"))
-            .otherwise(col("pb")).as("src"),
-          when(col("da") < col("db")
-            || (col("da") === col("db") && col("pa") < col("pb")), col("pb"))
-            .otherwise(col("pa")).as("dst"))
-      // No driver-side e0.count() to size a manual broadcast hint: the
-      // adjacency build is a shuffle stage, so AQE sees its ACTUAL bytes
-      // at runtime and converts each sort-merge join to broadcast-hash
-      // iff it fits spark.sql.autoBroadcastJoinThreshold — the same
-      // decision the 40B/edge estimate approximated, minus one action
-      // job and with real sizes instead of a guess. Over budget the
-      // joins stay shuffled on src/dst, exactly as before.
-      val adj = ed.groupBy("src").agg(collect_list(col("dst")).as("nbrs"))
+      // the staged oriented-adjacency index (shared with triangle count,
+      // the degree histogram, and assortativity) replaces the
+      // per-invocation degree shuffle + orientation joins + collect_list:
+      // the oriented edge stream is DERIVED from the index by explode
+      // (nu rides along — no join to attach the src side), so the
+      // remaining per-invocation plan is one AQE-sized hash join for the
+      // dst arrays, the intersect, and the credit aggregation.
+      val adj = GroupSeven.orientedAdj(s, dir)
+      val deg = GroupSeven.pairDegree(s, dir)
       // per oriented edge (src, dst): common = out-neighbors closing a
       // triangle at this edge — each triangle surfaces exactly once, at the
       // edge between its two orientation-smallest nodes. src and dst are
       // credited IN BULK with size(common) (no explode); only the third
       // vertex w needs a generator row — 1/3 the exploded volume of the
       // naive (src, dst, w)×3 credit stream.
-      val tri0 = ed
-        .join(adj.select(col("src"), col("nbrs").as("nu")), "src")
+      val tri0 = adj
+        .select(col("src"), col("nbrs").as("nu"),
+          explode(col("nbrs")).as("dst"))
         .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
           Seq("dst"), "left")
         .select(col("src"), col("dst"),

@@ -262,15 +262,18 @@ class PlanShapeSpec extends AnyFunSuite {
       "shuffle-join branch changed the confusion matrix")
   }
 
-  test("graph_clustering_coeff adjacency joins broadcast via AQE (r10 verdict #4: no driver count steering)") {
-    // The manual e0.count()-sized broadcast hint was replaced by AQE's
-    // runtime conversion: after execution the final adaptive plan must
-    // show the adjacency probes as broadcast-hash joins (the build side
-    // is far under the threshold at test scale) and the query builder
-    // must not have run a separate count job to decide that.
+  test("graph_clustering_coeff adjacency probe joins broadcast via AQE (r10 verdict #4: no driver count steering)") {
+    // r15 re-stage: the oriented edge stream is DERIVED from the staged
+    // adjacency index by explode (a Generate carries the src arrays — no
+    // join attaches them), so the remaining joins are the dst-array probe
+    // and the degree⋈credits attach. After execution the final adaptive
+    // plan must show them as AQE-converted broadcast-hash joins (the
+    // build sides are far under the threshold at test scale) and the
+    // query builder must not have run a separate count job to decide.
     val df = SparkEntry.queries("graph_clustering_coeff")(s, sf)
     df.collect() // finalize AQE on THIS Dataset (head() would re-plan)
     val p = df.queryExecution.executedPlan.toString
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p.take(3000))
+    assert(p.contains("Generate"), p.take(3000)) // explode-derived edges
   }
 }
