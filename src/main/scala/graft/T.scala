@@ -124,16 +124,32 @@ object T {
     * exceed LONG range (Spark `div` accepts decimals and returns LONG).
     * DuckDB oracle counterpart:
     *   CAST((2000000*num + den) // (2*den) AS BIGINT) / 1000000.0 */
-  /** (k·c + a) mod 2³² as a LONG, overflow-safe at any key magnitude: the
-    * product runs in DECIMAL(38,0) (exact integer arithmetic) because
-    * key-derived operands at 100 TB scales overflow the 64-bit product —
-    * the r15 full-board ×100 sweep failed 9 keys on exactly this
-    * (surrogate keys ~1e10 × a Knuth constant ~2.7e9 ≈ 2.7e19 >
-    * Long.MaxValue under ANSI). Values are bit-identical to the plain
-    * long math wherever that math didn't overflow. DuckDB oracle
-    * counterpart: CAST((CAST(k AS HUGEINT)*c + a) % 4294967296 AS BIGINT). */
-  def hash32(k: Column, c: Long, a: Long = 0L): Column =
-    ((k.cast(DecimalType(38, 0)) * c + a) % 4294967296L).cast(LongType)
+  /** (k·c + a) mod 2³² as a LONG for NON-NEGATIVE k, overflow-safe at any
+    * key magnitude — in pure codegen'd long arithmetic. Key-derived
+    * operands at 100 TB scales overflow the naive 64-bit product (the r15
+    * full-board ×100 sweep failed 9 keys on exactly this: surrogate keys
+    * ~1e10 × a Knuth constant ~2.7e9 ≈ 2.7e19 > Long.MaxValue under ANSI).
+    * The first fix ran the product in DECIMAL(38,0); that was exact but
+    * left Spark's BigDecimal path in per-row hot loops and cost 2.5–21× on
+    * consumer keys whose hash evaluates per row × per resample
+    * (stat_permutation_test 20×, stat_bootstrap_ci 6.5× — the r15 hash-
+    * repricing note in BASELINE.md). This version splits the multiply at
+    * 16 bits: with km = k mod 2³² (valid because (k·c) mod 2³² depends only
+    * on k mod 2³²),
+    *   (km·c) mod 2³² = (((km»16)·c mod 2¹⁶)·2¹⁶ + (km&0xFFFF)·c) mod 2³²
+    * and every intermediate is < 2⁴⁸ + 2³² — long-safe for any k and any
+    * c < 2³², bit-identical to the exact wide product for k ≥ 0. The
+    * addend may be data-derived (Column overload) as long as it is
+    * non-negative and < ~2⁶² − 2⁴⁸. DuckDB oracle counterpart stays
+    * native int128: CAST((CAST(k AS HUGEINT)*c + a) % 4294967296 AS BIGINT). */
+  def hash32(k: Column, c: Long, a: Long): Column = hash32(k, c, lit(a))
+  def hash32(k: Column, c: Long): Column = hash32(k, c, lit(0L))
+  def hash32(k: Column, c: Long, a: Column): Column = {
+    val km = k.cast(LongType).bitwiseAND(4294967295L)
+    val hi = (shiftright(km, 16) * c).bitwiseAND(65535L) * 65536L
+    val lo = km.bitwiseAND(65535L) * c
+    (hi + lo + a).bitwiseAND(4294967295L)
+  }
 
   def r6(num: String, den: String): Column =
     // 1000000.0D: the D suffix forces a DOUBLE literal — Spark parses a bare

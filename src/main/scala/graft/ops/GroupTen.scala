@@ -704,14 +704,24 @@ object GroupTen {
       val r = T.t(s, dir, "customer")
         .withColumn("rn", row_number().over(part.orderBy("c_custkey")))
         .withColumn("n", count(lit(1)).over(part))
+      // The resample index needs the EXACT product (C·m + 17) mod n with
+      // data-sized m = b·100003 + rn−1 — 2654435761·m overflows the naive
+      // long product past ~3.3e9 rows per segment. The r15 DECIMAL(38,0)
+      // widening was exact but cost 6.5× steady (0.73 → 4.78 s at sf0.1:
+      // the index evaluates per row × 200 resamples — BASELINE.md hash-
+      // repricing note). This split keeps it exact in pure long codegen:
+      //   (C·m) mod n = ((C·(m»16) mod n)·2¹⁶ + C·(m&0xFFFF)) mod n
+      // Intermediates: C·(m»16) is long-safe while m < 2.3e14 rows per
+      // segment (5 decades past a 100 TB customer table); (· mod n)·2¹⁶
+      // and C·(m&0xFFFF) < 2⁴⁸ are long-safe for any per-segment count
+      // n < 1.4e14. Values are bit-identical to the wide product.
+      val rix = col("b") * 100003L + (col("rn") - 1)
       val g = r.select(col("c_mktsegment"), col("rn"), col("n"))
         .withColumn("b", explode(sequence(lit(0), lit(199))))
-        // the resample index runs in DECIMAL(38,0): rn is data-sized, and
-        // 2654435761·(199·100003 + rn) would overflow the long product past
-        // ~3.3e9 rows per segment (same class as the T.hash32 ×100 findings)
         .withColumn("idx",
-          (lit(1) + (lit(2654435761L) * (col("b") * 100003L + (col("rn") - 1))
-            .cast(DecimalType(38, 0)) + 17L) % col("n")).cast(LongType))
+          lit(1) + ((lit(2654435761L) * shiftright(rix, 16)) % col("n")
+            * 65536L
+            + lit(2654435761L) * rix.bitwiseAND(65535L) + 17L) % col("n"))
       val r2 = r.select(col("c_mktsegment").as("seg2"), col("rn").as("rn2"),
         col("c_acctbal"))
       val m = g.join(r2, col("c_mktsegment") === col("seg2") &&
@@ -4848,16 +4858,23 @@ object GroupTen {
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
         sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
-      val side = expr(
-        "(cast(event_id as decimal(38,0)) * 2654435761L + b * 40503L)" +
-          " % 4294967296L % 2")
+      // The permutation side evaluates per row × per permutation (the
+      // board's hottest hash site: |e|×200 rows after the cross join) —
+      // it runs as ONE projected long-math T.hash32 column, not four
+      // repeated aggregate-expression copies. The r15 DECIMAL(38,0)
+      // version of this expression cost 20× steady (1.2 → 25.0 s at
+      // sf0.1, BASELINE.md hash-repricing note); values are identical:
+      // ((k·c) mod 2³² + b·40503) mod 2³² mod 2 ≡ (k·c + b·40503) mod
+      // 2³² mod 2, and b·40503 ≤ 8.1e6 is long-safe by construction.
       val perms = e.crossJoin(broadcast(
           s.range(1, 201).select(col("id").as("b"))))
+        .withColumn("side",
+          T.hash32(col("event_id"), 2654435761L, col("b") * 40503L) % 2)
         .groupBy("b")
-        .agg(sum(when(side === 0, col("y")).otherwise(0L)).as("s1b"),
-          sum(when(side === 0, 1L).otherwise(0L)).as("n1b"),
-          sum(when(side === 1, col("y")).otherwise(0L)).as("s2b"),
-          sum(when(side === 1, 1L).otherwise(0L)).as("n2b"))
+        .agg(sum(when(col("side") === 0, col("y")).otherwise(0L)).as("s1b"),
+          sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1b"),
+          sum(when(col("side") === 1, col("y")).otherwise(0L)).as("s2b"),
+          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2b"))
       val cnt = perms.crossJoin(broadcast(obs))
         .where(col("n1b") > 0 && col("n2b") > 0 &&
           expr("abs(cast(s1b as decimal(38,0)) * n2b" +
