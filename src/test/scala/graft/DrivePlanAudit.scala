@@ -1,13 +1,18 @@
 package graft
 
-import org.apache.spark.sql.execution.{SparkPlan, TakeOrderedAndProjectExec,
-  GlobalLimitExec, LocalLimitExec, CollectLimitExec}
+import org.apache.spark.sql.catalyst.expressions.{Divide, Expression,
+  Multiply, Pmod, Remainder}
+import org.apache.spark.sql.execution.{GenerateExec, SparkPlan,
+  TakeOrderedAndProjectExec, GlobalLimitExec, LocalLimitExec,
+  CollectLimitExec}
 import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec,
   QueryStageExec}
+import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
 import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec,
   CartesianProductExec}
 import org.apache.spark.sql.execution.window.WindowExec
+import org.apache.spark.sql.types.DecimalType
 
 /** Executed-plan red-flag audit for every registered query:
   * unintended CartesianProduct/BroadcastNestedLoopJoin, un-pruned lineitem
@@ -200,6 +205,59 @@ object DrivePlanAudit {
     "stat_sign_test" -> DAYSPINE, "window_wma_triangular" -> DAYSPINE,
     "ml_reciprocal_rank_fusion" -> FANOUT) // doc_id<200 candidate set
 
+  // ---- Decimal-on-amplified-rows detection (the r15 hash-repricing
+  // class): decimal Multiply/Divide/Remainder/Pmod runs on Spark's
+  // BigDecimal path (no codegen'd primitive), so a node that evaluates it
+  // on more rows than any base table holds — above a row-multiplying
+  // Generate/cartesian with no aggregate barrier — is per-row × replica
+  // decimal arithmetic, the shape that cost stat_permutation_test 20×
+  // steady (BASELINE.md). Two stages keep it precise: a structural
+  // pre-filter on the static plan, then a MEASURED check on the finalized
+  // plan — flag only when the decimal node's input rows exceed 4× the
+  // largest fixture table, which a ×1 scalar crossJoin (every T.r6
+  // projection) or a bounded spine fanout can never do, while a
+  // data×replica stream always does. Bare casts feeding exact decimal SUM
+  // buffers don't match hasDecOp (the exactness contract is not the
+  // regression). Exposed private[graft] so DecFanoutSpec can pin both the
+  // positive (the old regressed shape) and negative (r6-above-scalar-
+  // crossjoin) cases.
+  private[graft] def hasDecOp(e: Expression): Boolean = e.exists {
+    case x: Multiply => x.dataType.isInstanceOf[DecimalType]
+    case x: Divide => x.dataType.isInstanceOf[DecimalType]
+    case x: Remainder => x.dataType.isInstanceOf[DecimalType]
+    case x: Pmod => x.dataType.isInstanceOf[DecimalType]
+    case _ => false
+  }
+  private[graft] def fanoutBelow(pl: SparkPlan): Boolean = pl match {
+    case _: BaseAggregateExec | _: TakeOrderedAndProjectExec |
+        _: GlobalLimitExec | _: CollectLimitExec => false
+    case _: GenerateExec | _: CartesianProductExec |
+        _: BroadcastNestedLoopJoinExec => true
+    case q: QueryStageExec => fanoutBelow(q.plan)
+    case r: ReusedExchangeExec => fanoutBelow(r.child)
+    case other => other.children.exists(fanoutBelow)
+  }
+  private[graft] def decStructuralHit(plan: SparkPlan): Boolean = {
+    var hit = false
+    plan.foreach { node =>
+      if (node.expressions.exists(hasDecOp) &&
+          node.children.exists(fanoutBelow)) hit = true
+    }
+    hit
+  }
+  private[graft] def decAmplified(finalPlan: SparkPlan,
+      threshold: Long): Seq[(String, Long)] = {
+    val amplified = Seq.newBuilder[(String, Long)]
+    walk(finalPlan) { node =>
+      if (node.expressions.exists(hasDecOp) &&
+          node.children.exists(fanoutBelow))
+        node.children.flatMap(rowsOf).maxOption.foreach { r =>
+          if (r > threshold) amplified += node.nodeName -> r
+        }
+    }
+    amplified.result()
+  }
+
   /** Pre-order walk through the FINALIZED adaptive plan, descending into
     * materialized query stages and reused exchanges (plain `collect` treats
     * QueryStageExec as a leaf and would miss every node executed in an
@@ -235,6 +293,12 @@ object DrivePlanAudit {
 
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else TestSpark.sf
+    // largest base-table row count at the audit SF: the decimal-fanout
+    // amplification threshold (a node evaluating decimal arithmetic on
+    // > 4× this many rows is running per row × replica, not per row)
+    lazy val maxBase: Long = Seq("lineitem", "orders", "events", "customer",
+      "part", "documents", "embeddings", "supplier")
+      .map(t => T.t(TestSpark.spark, sfDir, t).count()).max
     val s = TestSpark.spark
     var flags = 0
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
@@ -317,6 +381,15 @@ object DrivePlanAudit {
             flags += 1
           } else {
             println(s"AUDIT globalwin-ok $name rows=${measured.max} bound=$bound")
+          }
+        }
+        if (decStructuralHit(qe.sparkPlan)) {
+          val hits = decAmplified(finalPlan, 4 * maxBase)
+          if (hits.nonEmpty) {
+            println(s"AUDIT DECFANOUT $name (${hits.map { case (n, r) =>
+              s"$n rows=$r" }.distinct.mkString(", ")} > 4×base=${
+              4 * maxBase})")
+            flags += 1
           }
         }
         val wideLineitem = "ReadSchema: struct<l_orderkey:bigint,l_partkey:bigint,l_suppkey:bigint,l_linenumber:int,l_quantity:double,l_extendedprice:double,l_discount:double,l_tax:double,l_returnflag:string,l_linestatus:string,l_shipdate"
