@@ -930,12 +930,18 @@ object GroupTen {
       val cb = vc.withColumn("cum_b",
         coalesce(sum(col("nb")).over(wcum), lit(0L)))
       val d38 = DecimalType(38, 0)
+      // na/cum_b/nb are per-value counts (data-sized: ~2e7 per value at
+      // 100 TB with the ≤49k-cent value domain, and cum_b is the running
+      // TOTAL, ~1e12): na·(2·cum_b+nb) ~1e19 and (na+nb)³ ~1e22 overflow
+      // the long product PER ELEMENT — the first factor runs in decimal
+      // (r15 overflow audit). Input is the bounded cents spine: free.
       val m = cb.agg(
         sum(col("na")).cast(d38).as("nat"),
         sum(col("nb")).cast(d38).as("nbt"),
-        sum(col("na") * (lit(2) * col("cum_b") + col("nb"))).cast(d38).as("u2a"),
-        sum((col("na") + col("nb")) * (col("na") + col("nb"))
-          * (col("na") + col("nb")) - (col("na") + col("nb"))).cast(d38).as("tsum"))
+        sum(col("na").cast(d38) * (lit(2) * col("cum_b") + col("nb")))
+          .as("u2a"),
+        sum((col("na") + col("nb")).cast(d38) * (col("na") + col("nb"))
+          * (col("na") + col("nb")) - (col("na") + col("nb"))).as("tsum"))
       m.select(col("nat").cast(LongType).as("n_a"),
           col("nbt").cast(LongType).as("n_b"),
           col("u2a").cast(LongType).as("u2_a"),
@@ -1303,12 +1309,19 @@ object GroupTen {
         .agg(count(lit(1)).cast(LongType).as("y"))
       val pr = p.withColumn("lag", explode(sequence(lit(0L), lit(7L))))
         .join(c, col("dc") === date_add(col("d"), col("lag").cast(IntegerType)))
+      // x, y are daily counts (~1e12/day at 100 TB event volumes): x·y
+      // ~1e24 overflows the long product PER ELEMENT, and the final
+      // sx·sy cross-moment overflows a long result type even when each
+      // sum fits — the whole moment chain runs in DECIMAL(38,0) and
+      // casts to double exactly once inside the correlation (r15
+      // overflow audit). Input is the ≤31×8 day-pair spine: free.
+      val d38x = DecimalType(38, 0)
       pr.groupBy("lag").agg(
           count(lit(1)).cast(LongType).as("n"),
-          sum("x").cast(LongType).as("sx"), sum("y").cast(LongType).as("sy"),
-          sum(col("x") * col("y")).cast(LongType).as("sxy"),
-          sum(col("x") * col("x")).cast(LongType).as("sxx"),
-          sum(col("y") * col("y")).cast(LongType).as("syy"))
+          sum("x").cast(d38x).as("sx"), sum("y").cast(d38x).as("sy"),
+          sum(col("x").cast(d38x) * col("y")).as("sxy"),
+          sum(col("x").cast(d38x) * col("x")).as("sxx"),
+          sum(col("y").cast(d38x) * col("y")).as("syy"))
         .select(col("lag").cast(LongType).as("lag"), col("n").as("n_pairs"),
           (round((col("n") * col("sxy") - col("sx") * col("sy")).cast(DoubleType)
             / (sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast(DoubleType))
@@ -2008,7 +2021,11 @@ object GroupTen {
       cb.groupBy("dow").agg(
           sum(col("na")).cast(d38).as("nat"),
           sum(col("nb")).cast(d38).as("nbt"),
-          sum(col("na") * (lit(2) * col("cum_b") + col("nb"))).cast(d38).as("u2"))
+          // same per-element overflow class as stat_wilcoxon_rank_sum:
+          // na·(2·cum_b+nb) is count×running-total (~1e19 at 100 TB), so
+          // the product runs in decimal over the bounded value spine
+          sum(col("na").cast(d38) * (lit(2) * col("cum_b") + col("nb")))
+            .as("u2"))
         .select(col("dow"),
           col("nat").cast(LongType).as("n_pos"),
           col("nbt").cast(LongType).as("n_neg"),
@@ -2400,13 +2417,17 @@ object GroupTen {
       val ctr = daily.crossJoin(broadcast(st))
         .withColumn("t", row_number().over(Window.orderBy("d")))
         .select(col("t"), (col("n") * col("x") - col("sx")).as("z"), col("n"))
-      val den = ctr.agg(sum(col("z") * col("z")).cast(d38).as("dd"),
+      // z = n·x − sx is daily-count-sized (~1e12 at 100 TB event volumes),
+      // so z·z ~1e24 overflows the long product PER ELEMENT — the multiply
+      // itself runs in decimal (r15 overflow audit). Input is the ≤31-row
+      // day spine: the decimal cost is nil.
+      val den = ctr.agg(sum(col("z").cast(d38) * col("z")).as("dd"),
         max("n").as("n"))
       val lags = s.range(1, 8).select(col("id").as("k"))
       val num = broadcast(lags).crossJoin(ctr.select(col("t"), col("z")))
         .join(ctr.select(col("t").as("t2"), col("z").as("z2")),
           col("t2") === col("t") + col("k"))
-        .groupBy("k").agg(sum(col("z") * col("z2")).cast(d38).as("nk"))
+        .groupBy("k").agg(sum(col("z").cast(d38) * col("z2")).as("nk"))
       val rho = num.crossJoin(broadcast(den))
         .select(col("k"), col("n"),
           (when(col("nk") < 0, -1L).otherwise(1L) *
@@ -2853,7 +2874,23 @@ object GroupTen {
           round(col("x").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("q"))
       val m = qv.join(qv.select(col("vec_id"), col("i").as("j"),
           col("q").as("q2")), "vec_id")
-        .groupBy("i", "j").agg(sum(col("q") * col("q2")).cast(d38).as("mv"))
+        // per-element q·q2 ≤ 1e12 is long-safe (|component| ≤ 1 for any
+        // normalized embedding, ×1e6 quantization), but a LONG sum buffer
+        // crosses 2⁶³ past ~9.2e6 vectors — a 100 TB embedding corpus is
+        // ~100× that (r15 overflow audit). The naive fix — decimal sum
+        // buffer per row — measured +1.14 s steady (3.59 → 4.73 s, 1.32×,
+        // interleaved A/B) on the board's 4th-heaviest key. This BANDED
+        // TWO-LEVEL sum keeps both properties: level 1 groups by
+        // (i, j, vec_id»21) — a consecutive-id band holds ≤ 2²¹ vectors BY
+        // CONSTRUCTION (no count, no id-uniformity assumption), so each
+        // long partial is ≤ 2²¹·1e12 ≈ 2.1e18 < 2⁶³/4 — and level 2
+        // decimal-sums the band partials (bands/gram-cell = ids/2²¹,
+        // trivial at any scale). Values are bit-identical to a single
+        // exact sum; the data-sized pass stays pure long codegen.
+        .groupBy(col("i"), col("j"),
+          shiftright(col("vec_id"), 21).as("band"))
+        .agg(sum(col("q") * col("q2")).as("p"))
+        .groupBy("i", "j").agg(sum(col("p").cast(d38)).as("mv"))
         .localCheckpoint()
       var w = s.range(64).select(col("id").cast(IntegerType).as("i"),
         lit(1000000L).cast(d38).as("wv"))
