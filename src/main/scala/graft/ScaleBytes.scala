@@ -1,13 +1,14 @@
 package graft
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart,
+  SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
+import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
 
 /** Deterministic scale diagnostics for every registered key: per-query
-  * deltas of task-metric totals — shuffle write/read bytes, disk+memory
-  * spill, scan input bytes, executor CPU time, task count, per-task peak
-  * execution memory — collected by a SparkListener across one measured
-  * board pass.
+  * task-metric totals — shuffle write/read bytes, disk+memory spill, scan
+  * input bytes, executor CPU time, task count, per-task peak execution
+  * memory — collected by a SparkListener across one measured board pass.
   *
   * WHY (r15): wall-clock on this shared box prices 1.3–1.6× drifts that
   * mask real regressions until they are 6–21× (the DECIMAL(38,0) hash
@@ -17,7 +18,19 @@ import java.util.concurrent.atomic.AtomicLong
   * that flags super-linear work structurally, before it costs wall time.
   * At 100 TB the shuffle-bytes exponent IS the scalability contract: a key
   * whose shuffle grows at 10^1.3 per data decade is a cliff in waiting no
-  * matter how fast today's box absorbs it.
+  * matter how fast today's box absorbs it. Interpretation caveats (the
+  * non-stationary exponent classes, the broadcast→shuffle transition
+  * step) are documented in BASELINE.md "second decade".
+  *
+  * Attribution (v2): each key's action runs under a JOB GROUP and task
+  * metrics attribute by stage→job→group, so late-landing task events from
+  * key A can no longer bleed into key B's window — the defect that made
+  * full-board CPU read up to 6× inflated for sub-second keys in v1
+  * (BASELINE.md). Tasks with no group mapping (streaming micro-batch
+  * threads don't always inherit the group property) fall back to the
+  * currently-running key, which reproduces v1 behavior for exactly the
+  * streaming keys; a final `unattributed` counter in the JSON proves the
+  * fallback stayed small.
   *
   * Method notes:
   *  - A full UNTIMED warm pass runs first so session-staged shared
@@ -25,9 +38,8 @@ import java.util.concurrent.atomic.AtomicLong
   *    attribute to staging, not to whichever key alphabetically touches
   *    them first; the measured pass then prices steady reuse — the same
   *    discipline BenchSteady uses for wall time.
-  *  - Listener events are asynchronous; each snapshot spins until totals
-  *    are stable for 100 ms (driver-side actions inside iterative keys are
-  *    captured too — their shuffles ARE the key's work).
+  *  - Each snapshot spins until totals are stable for 100 ms (the
+  *    listener bus is async and its public API has no drain call).
   *  - Task retries/speculation would double-count bytes; local[32] runs
   *    have none in practice and n_tasks makes any such run visible.
   *
@@ -59,11 +71,24 @@ object ScaleBytes {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val m = new M
+    val perKey = new ConcurrentHashMap[String, M]()
+    def bucket(k: String): M = perKey.computeIfAbsent(k, _ => new M)
+    val stageGroup = new ConcurrentHashMap[Int, String]()
+    @volatile var currentKey = "warmup"
+    @volatile var measuring = false
     spark.sparkContext.addSparkListener(new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        val g = j.properties.getProperty("spark.jobGroup.id")
+        if (g != null && g.startsWith("sb:")) {
+          val key = g.substring(3)
+          j.stageIds.foreach(sid => stageGroup.put(sid, key))
+        }
+      }
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val tm = t.taskMetrics
-        if (tm != null) {
+        if (tm != null && measuring) {
+          val key = stageGroup.getOrDefault(t.stageId, currentKey)
+          val m = bucket(key)
           m.shufW.addAndGet(tm.shuffleWriteMetrics.bytesWritten)
           m.shufR.addAndGet(tm.shuffleReadMetrics.totalBytesRead)
           m.spillD.addAndGet(tm.diskBytesSpilled)
@@ -75,18 +100,19 @@ object ScaleBytes {
         }
       }
     })
-    // totals stable for 100 ms = the async listener bus has drained this
-    // query's task events (public API only; the bus itself is private)
-    def stabilize(): Seq[Long] = {
-      var prev = m.snap
+    // per-key totals stable for 100 ms = this key's async task events have
+    // drained (public API only; the bus itself is private). Group
+    // attribution already prevents cross-key bleed for batch keys; the
+    // drain keeps the currentKey FALLBACK fair for streaming keys.
+    def stabilize(key: String): Unit = {
+      var prev = bucket(key).snap
       var quiet = 0
       val deadline = System.nanoTime() + 5000000000L
       while (quiet < 2 && System.nanoTime() < deadline) {
         Thread.sleep(50)
-        val cur = m.snap
+        val cur = bucket(key).snap
         if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
       }
-      prev
     }
     val board = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
@@ -95,9 +121,10 @@ object ScaleBytes {
       try fn(spark, sfDir).count() catch { case _: Throwable => }
     }
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    measuring = true
     val rows = board.map { case (name, fn) =>
-      val s0 = stabilize()
-      m.peak.set(0L)
+      currentKey = name
+      spark.sparkContext.setJobGroup(s"sb:$name", name)
       val t0 = System.nanoTime()
       try fn(spark, sfDir).count()
       catch { case e: Throwable =>
@@ -105,19 +132,27 @@ object ScaleBytes {
         System.err.println(s"[scalebytes] $name FAILED: ${e.getMessage}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
-      val s1 = stabilize()
-      val d = s1.zip(s0).map { case (a, b) => a - b }
+      spark.sparkContext.clearJobGroup()
+      stabilize(name)
+      val m = bucket(name)
+      val d = m.snap
       f"""  "$name": {"shuf_w": ${d(0)}, "shuf_r": ${d(1)}, "spill_d": ${
         d(2)}, "spill_m": ${d(3)}, "input": ${d(4)}, "cpu_ms": ${
         d(5) / 1000000}, "tasks": ${d(6)}, "peak_task_mem": ${
         m.peak.get}, "wall_s": $wall%.3f}"""
     }
+    currentKey = "late_unattributed"
+    val late = bucket("late_unattributed").snap
     val json = s"""{"sf": "$sfDir", "cpus": $cpus, "n_errors": ${
-      errors.size},\n"keys": {\n${rows.mkString(",\n")}\n}}\n"""
+      errors.size}, "late_unattributed_cpu_ms": ${late(5) / 1000000},
+"keys": {
+${rows.mkString(",\n")}
+}}
+"""
     java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       json.getBytes("UTF-8"))
     println(s"[scalebytes] wrote $outPath keys=${rows.size} errors=${
-      errors.size}")
+      errors.size} late_cpu_ms=${late(5) / 1000000}")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }
