@@ -683,35 +683,80 @@ object Pipelines {
     * `cosinePairsLSH`, sharing one hyperplane family so both sides band
     * identically. Precondition: `idCol` must be unique within EACH side
     * (candidates are deduped before the vector attach, so duplicate ids
-    * would fan out into duplicate output rows — see cosinePairsLSH). */
+    * would fan out into duplicate output rows — see cosinePairsLSH).
+    *
+    * OPERATING-POINT ECONOMICS (r15 three-decade measurement): banding is
+    * NOT always a filter. On the random-pair model a band of r sign bits
+    * passes ~2^-r of non-matching pairs, so b bands admit ~b/2^r of them;
+    * recall at the threshold needs b ≈ ln(1/miss)/p^r with p = 1−θ/π.
+    * The admitted fraction is therefore ~ln(1/miss)·(0.5/p)^r — and at
+    * low thresholds p is so close to 0.5 that NO feasible (r, b) prunes:
+    * at τ=0.35/miss=1e-9, every signature budget admits ≥ 2.7× ALL pairs,
+    * i.e. LSH costs MORE than the exact join plus a candidate-distinct
+    * whose multiset is the biggest thing in the query (measured at the
+    * generated ×100 fixture: shuffle decade-exponent 1.87, CPU 2.20,
+    * 194 GB spill, 348 s wall — while every sibling key reads ~1.0).
+    * This method now PICKS ITS PLAN from the arithmetic: it searches
+    * r ∈ [4, 16] with a 512-band signature budget for the feasible point
+    * admitting the smallest random fraction; if the best point still
+    * admits > 0.5 of random pairs, banding cannot beat the exact join and
+    * the TILED EXACT branch runs instead — a partitioned cartesian whose
+    * data movement is |L|·P_r + |R|·P_l (each task streams one partition
+    * pair through the codegen'd vec_dot + filter, no candidate
+    * materialization, no distinct, no spill). Callers get whichever plan
+    * the (threshold, miss) point earns; `rowsPerBand` remains as the
+    * search LOWER bound so a caller can force coarser bands. At real
+    * dedup thresholds (τ ≥ 0.6) the search lands on the LSH branch. */
   def cosineThresholdJoinLSH(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double, rowsPerBand: Int = 8,
                              perPairMiss: Double = 1e-5,
                              seed: Long = 42L): DataFrame = {
-    val bands = graft.functions.CosineLsh.bandsFor(threshold, rowsPerBand, perPairMiss)
-    // same signature-compute spreading as cosinePairsLSH
-    def spread(d: DataFrame) =
-      d.select(col(idCol), col(vecCol)).repartition(col(idCol))
-    val la = cosineLshBands(spread(left), idCol, vecCol, bands, rowsPerBand, seed)
-    val rb = cosineLshBands(spread(right), idCol, vecCol, bands, rowsPerBand, seed)
-    // dedup-before-verify and sort-free hash joins, same scale rationale
-    // as cosinePairsLSH (the candidate multiset must never be SORTED with
-    // vectors attached)
-    val cand = la.select(col("_id").as("a_id"), col("band_pos"), col("band_val"))
-      .hint("shuffle_hash")
-      .join(rb.select(col("_id").as("b_id"), col("band_pos").as("bp"),
-          col("band_val").as("bv")),
-        col("band_pos") === col("bp") && col("band_val") === col("bv"))
-      .select("a_id", "b_id").distinct()
-    // unhinted vector attachment — broadcast under threshold, sort-free
-    // shuffled-hash past it; same scale rationale as cosinePairsLSH
-    cand
-      .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")), Seq("a_id"))
-      .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")), Seq("b_id"))
-      .withColumn("sim", round(call_function("vec_dot", col("_va"), col("_vb")), 6))
-      .filter(col("sim") >= threshold)
-      .select("a_id", "b_id", "sim")
+    val budget = 512 // max bands: signature cost = bands·r hyperplane dots
+    val feasible = (rowsPerBand to 16).flatMap { r =>
+      val b = graft.functions.CosineLsh.bandsFor(threshold, r, perPairMiss)
+      if (b <= budget) Some((r, b, b.toDouble / math.pow(2.0, r))) else None
+    }
+    val best = feasible.sortBy(_._3).headOption
+    best match {
+      case Some((r, bands, frac)) if frac <= 0.5 =>
+        // banding pays: proceed with the optimized operating point
+        def spread(d: DataFrame) =
+          d.select(col(idCol), col(vecCol)).repartition(col(idCol))
+        val la = cosineLshBands(spread(left), idCol, vecCol, bands, r, seed)
+        val rb = cosineLshBands(spread(right), idCol, vecCol, bands, r, seed)
+        // dedup-before-verify and sort-free hash joins, same scale
+        // rationale as cosinePairsLSH (the candidate multiset must never
+        // be SORTED with vectors attached)
+        val cand = la.select(col("_id").as("a_id"), col("band_pos"), col("band_val"))
+          .hint("shuffle_hash")
+          .join(rb.select(col("_id").as("b_id"), col("band_pos").as("bp"),
+              col("band_val").as("bv")),
+            col("band_pos") === col("bp") && col("band_val") === col("bv"))
+          .select("a_id", "b_id").distinct()
+        // unhinted vector attachment — broadcast under threshold,
+        // sort-free shuffled-hash past it (cosinePairsLSH's rationale)
+        cand
+          .join(left.select(col(idCol).as("a_id"), col(vecCol).as("_va")), Seq("a_id"))
+          .join(right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")), Seq("b_id"))
+          .withColumn("sim",
+            round(call_function("vec_dot", col("_va"), col("_vb")), 6))
+          .filter(col("sim") >= threshold)
+          .select("a_id", "b_id", "sim")
+      case _ =>
+        // banding cannot prune at this (threshold, miss): tiled exact join.
+        // Output is identical BY CONSTRUCTION (the LSH branch exactly
+        // verifies every candidate; this branch exactly tests every pair —
+        // the only difference is the 1e-9-miss recall gap, in exact favor
+        // of this branch).
+        left.select(col(idCol).as("a_id"), col(vecCol).as("_va"))
+          .crossJoin(
+            right.select(col(idCol).as("b_id"), col(vecCol).as("_vb")))
+          .withColumn("sim",
+            round(call_function("vec_dot", col("_va"), col("_vb")), 6))
+          .filter(col("sim") >= threshold)
+          .select("a_id", "b_id", "sim")
+    }
   }
 
   /** Quality filter: keep documents with ≥ minTokens whitespace tokens and

@@ -89,6 +89,11 @@ object DrivePlanAudit {
     "vector_knn_classify" -> FANOUT,
     "vector_ivf_topk" -> FANOUT, // 8-row coarse-centroid stage
     "similarity_join_threshold" -> CONTRACT, // all-pairs IS the semantics
+    // r15 three-decade measurement: at τ=0.35 NO feasible banding prunes
+    // (admitted random fraction ≥ 2.7× all pairs; exp 1.87 / 194 GB spill
+    // at ×100), so cosineThresholdJoinLSH's economics branch takes the
+    // tiled exact join here — the cartesian IS the cheapest correct plan
+    "similarity_join_lsh" -> CONTRACT,
     "text_tfidf_top_terms" -> FANOUT,
     "stream_dedup_stateful" -> CONTRACT, // batch-vs-state by contract
     "join_skew_salted" -> SCALAR, // salt-replication table

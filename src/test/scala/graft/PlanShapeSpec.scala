@@ -94,11 +94,30 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("vec_dot") && !p.contains("band_pos"), p.take(3000))
   }
 
-  test("similarity_join_lsh rides banded equi-join candidates (no BNLJ/cartesian)") {
+  test("similarity_join_lsh takes the tiled exact branch at τ=0.35 " +
+      "(r15 decade-3: banding admits ≥2.7× all pairs there)") {
     val p = plan("similarity_join_lsh")
+    // the economics branch: NO banding artifacts, NO candidate distinct —
+    // vec_dot streams straight off the join (at fixture scale Catalyst
+    // broadcasts one side = BNLJ; at scale it is a partitioned cartesian;
+    // both are the tiled exact shape, carried as CONTRACT in the audit)
+    assert(!p.contains("band_pos") && !p.contains("band_val"), p.take(3000))
+    assert(p.contains("vec_dot"), p.take(3000))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("cosineThresholdJoinLSH keeps the banded branch where banding pays (τ=0.9)") {
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(s)
+    val e = T.t(s, sf, "embeddings")
+    val df = graft.api.Pipelines.cosineThresholdJoinLSH(
+      e.filter(col("label") === 0), e.filter(col("label") === 1),
+      "vec_id", "embedding", threshold = 0.9, perPairMiss = 1e-9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       p.take(3000))
-    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
   }
 
   test("bucketed_join_colocated joins without shuffling either input") {
