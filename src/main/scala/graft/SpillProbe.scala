@@ -92,15 +92,35 @@ object SpillProbe {
     val heapMb = Runtime.getRuntime.maxMemory() / (1024 * 1024)
     System.err.println(s"SPILLPROBE mode=$mode heapMb=$heapMb keys=${keys.size}")
 
+    // The listener bus is async: without a drain, late task-end events from
+    // key N land in key N+1's delta (ScaleBytes.stabilize exists for exactly
+    // this). Counters stable for 2×50 ms = this key's events have drained.
+    // Per-key attribution stays APPROXIMATE even so — probe mode executes
+    // the key's plan inside diffCounts' exceptAll jobs plus a ref.count(),
+    // which are charged to the key by construction; the exactness verdict
+    // and the non-vacuous total-spill check never depended on attribution.
+    def stabilize(): Unit = {
+      var prev = (diskSpill.get(), memSpill.get(), shufWrite.get())
+      var quiet = 0
+      val deadline = System.nanoTime() + 5000000000L
+      while (quiet < 2 && System.nanoTime() < deadline) {
+        Thread.sleep(50)
+        val cur = (diskSpill.get(), memSpill.get(), shufWrite.get())
+        if (cur == prev) quiet += 1 else { quiet = 0; prev = cur }
+      }
+    }
+
     val results = keys.map { k =>
       val fn = SparkEntry.queries.getOrElse(k,
         sys.error(s"unknown key $k — not in SparkEntry.queries"))
+      stabilize()
       val d0 = diskSpill.get(); val m0 = memSpill.get(); val w0 = shufWrite.get()
       val t0 = System.nanoTime()
       if (mode == "dump") {
         fn(spark, sfDir).write.mode("overwrite").parquet(s"$refDir/$k.parquet")
         val sec = (System.nanoTime() - t0) / 1e9
         val rows = spark.read.parquet(s"$refDir/$k.parquet").count()
+        stabilize()
         KeyResult(k, rows, 0, 0, diskSpill.get() - d0, memSpill.get() - m0,
           shufWrite.get() - w0, sec)
       } else {
@@ -109,6 +129,7 @@ object SpillProbe {
         val (missing, extra) = diffCounts(ref, got)
         val rows = ref.count()
         val sec = (System.nanoTime() - t0) / 1e9
+        stabilize()
         val r = KeyResult(k, rows, missing, extra, diskSpill.get() - d0,
           memSpill.get() - m0, shufWrite.get() - w0, sec)
         System.err.println(f"SPILLPROBE ${r.key} rows=${r.rows} " +
@@ -127,6 +148,7 @@ object SpillProbe {
         f""""sec":${math.round(r.sec * 100) / 100.0}}"""
     }.mkString("[", ",", "]")
     println(s"""{"probe":"spill","mode":"$mode","heap_mb":$heapMb,""" +
+      s""""per_key_bytes":"approximate (drained, but probe-mode deltas include diff jobs)",""" +
       s""""total_disk_spill_mb":${diskSpill.get() / 1048576},""" +
       s""""total_mem_spill_mb":${memSpill.get() / 1048576},"keys":$json}""")
     spark.stop()

@@ -12,14 +12,28 @@ object Verify {
     val only: Option[Set[String]] =
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER lets the multi-JVM attest run this same dump main
+    // under local-cluster[n,cores,memMB] (separate executor processes —
+    // exercises executor-side deserialization of the custom expressions,
+    // the native operators' exchanges, broadcast + network shuffle). The
+    // driver contract is unchanged: unset → local[cpus] exactly as before.
+    // Under local-cluster the executor JVMs are launched from the Spark
+    // dist at SPARK_HOME and know nothing of sbt's classpath, so the graft
+    // classes dir must ride spark.executor.extraClassPath (same host ⇒ a
+    // plain path works); executor memory is sized by SPARK_GRAFT_EXEC_MEM.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
-      .getOrCreate()
+    sys.env.get("SPARK_GRAFT_EXEC_CP")
+      .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
+    sys.env.get("SPARK_GRAFT_EXEC_MEM")
+      .foreach(m => builder.config("spark.executor.memory", m))
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Failures must leave a visible artifact, not just a stderr line: in r9

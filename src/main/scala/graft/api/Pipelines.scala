@@ -697,27 +697,44 @@ object Pipelines {
     * generated ×100 fixture: shuffle decade-exponent 1.87, CPU 2.20,
     * 194 GB spill, 348 s wall — while every sibling key reads ~1.0).
     * This method now PICKS ITS PLAN from the arithmetic: it searches
-    * r ∈ [4, 16] with a 512-band signature budget for the feasible point
-    * admitting the smallest random fraction; if the best point still
-    * admits > 0.5 of random pairs, banding cannot beat the exact join and
-    * the TILED EXACT branch runs instead — a partitioned cartesian whose
+    * r ∈ [min(rowsPerBand, 16), 16] (i.e. `rowsPerBand` is the search
+    * LOWER bound, clamped to the 16-bit band-value width — a caller
+    * asking for coarser-than-16 banding gets r = 16, never a silent
+    * fall-through to the exact branch) with a 512-band signature budget.
+    * Among feasible points it minimizes TOTAL work, not just pruning:
+    * per input row a point costs bands·r hyperplane dots of signature
+    * compute plus frac·candPairsHint/2 admitted-candidate verifies
+    * (frac = b/2^r, the admitted random-pair fraction). With the default
+    * `candPairsHint` (2^24) the candidate term dominates at any corpus
+    * worth distributing, so the search lands on max pruning — callers
+    * with a genuinely small pair space can pass their |L|·|R| estimate
+    * and the search will stop raising r once extra signature compute
+    * outprices the pruning it buys. If the best point still admits
+    * > 0.5 of random pairs, banding cannot beat the exact join and the
+    * TILED EXACT branch runs instead — a partitioned cartesian whose
     * data movement is |L|·P_r + |R|·P_l (each task streams one partition
     * pair through the codegen'd vec_dot + filter, no candidate
-    * materialization, no distinct, no spill). Callers get whichever plan
-    * the (threshold, miss) point earns; `rowsPerBand` remains as the
-    * search LOWER bound so a caller can force coarser bands. At real
-    * dedup thresholds (τ ≥ 0.6) the search lands on the LSH branch. */
+    * materialization, no distinct, no spill). At real dedup thresholds
+    * (τ ≥ 0.6) the search lands on the LSH branch. */
   def cosineThresholdJoinLSH(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double, rowsPerBand: Int = 8,
                              perPairMiss: Double = 1e-5,
-                             seed: Long = 42L): DataFrame = {
+                             seed: Long = 42L,
+                             candPairsHint: Double = (1L << 24).toDouble): DataFrame = {
     val budget = 512 // max bands: signature cost = bands·r hyperplane dots
-    val feasible = (rowsPerBand to 16).flatMap { r =>
+    val rLo = math.max(1, math.min(rowsPerBand, 16))
+    val feasible = (rLo to 16).flatMap { r =>
       val b = graft.functions.CosineLsh.bandsFor(threshold, r, perPairMiss)
       if (b <= budget) Some((r, b, b.toDouble / math.pow(2.0, r))) else None
     }
-    val best = feasible.sortBy(_._3).headOption
+    // Objective per input row: bands·r signature dots + frac·hint/2
+    // candidate verifies (both in d-dim-dot units). Minimizing frac alone
+    // always lands on the largest feasible r, which at high τ buys ~8×
+    // more signature compute than the pruning is worth on small inputs.
+    val best = feasible.sortBy { case (r, b, frac) =>
+      b.toDouble * r + frac * candPairsHint / 2.0
+    }.headOption
     best match {
       case Some((r, bands, frac)) if frac <= 0.5 =>
         // banding pays: proceed with the optimized operating point

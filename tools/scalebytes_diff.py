@@ -6,9 +6,12 @@ exponent = log(metric_hi / metric_lo) / log(data_ratio)
   1.0 = linear in data, 2.0 = quadratic; < 0.05 absolute at the high SF is
   reported as 'bounded' (spines, scalars — scale-free by construction).
 
-Usage: scalebytes_diff.py <lo.json> <hi.json> [data_ratio=10]
-                          [--flag-exp 1.25] [--min-bytes 4194304]
-                          [--min-cpu 10000] [--expect k1,k2,...]
+Usage: scalebytes_diff.py <lo.json> <hi.json> [data_ratio]
+                          [--flag-exp=1.25] [--min-bytes=4194304]
+                          [--min-cpu=10000] [--expect=k1,k2,...]
+All options take the `--name=value` form ONLY; a space-separated value
+is rejected (it would otherwise be consumed as the positional
+data_ratio and silently rescale every exponent).
 Flags a key when its shuffle-write exponent exceeds --flag-exp AND the
 high-SF shuffle volume exceeds --min-bytes (tiny absolutes are partition
 constants, not data). Shuffle bytes are BIT-REPRODUCIBLE across runs of
@@ -31,8 +34,24 @@ Exit 1 on unexpected flags, 0 otherwise.
 """
 import json, math, sys
 
+KNOWN_OPTS = ("--flag-exp", "--min-bytes", "--min-cpu", "--expect", "--cpu-flag")
+
 def main():
+    # Strict argv validation: options are --name=value ONLY. A bare
+    # "--flag-exp 1.25" would otherwise leave "1.25" in the positional
+    # list where it becomes data_ratio and rescales every exponent.
+    for a in sys.argv[1:]:
+        if a.startswith("--"):
+            name = a.split("=", 1)[0]
+            if name not in KNOWN_OPTS:
+                sys.exit(f"unknown option {name!r}; known: {', '.join(KNOWN_OPTS)}")
+            if "=" not in a and name != "--cpu-flag":
+                sys.exit(f"{name} takes --name=value form (got bare {a!r}; "
+                         "a following value would be misread as data_ratio)")
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    if len(args) < 2 or len(args) > 3:
+        sys.exit("usage: scalebytes_diff.py <lo.json> <hi.json> [data_ratio] "
+                 "[--flag-exp=F] [--min-bytes=N] [--min-cpu=N] [--expect=k1,k2]")
     lo = json.load(open(args[0]))
     hi = json.load(open(args[1]))
     ratio = float(args[2]) if len(args) > 2 else 10.0
