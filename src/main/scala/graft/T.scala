@@ -220,11 +220,28 @@ object T {
       val again = stagedDirs.get(key)
       if (again != null) return again
       val dir = tempDir(s"graft_${tag}_")
-      write(dir)
+      // Attribute build time to the STAGING account, depth-aware so a
+      // nested stage (shingle_df on top of shingle) isn't double-counted:
+      // only the outermost frame adds its wall to stagingNanos. Bench
+      // samples this counter around each key to split "first consumer
+      // pays the shared artifact" out of the key's own query time
+      // (VERDICT r15 "What's wrong" #2 — in-run tops read as regressions).
+      val t0 = System.nanoTime()
+      stageDepth += 1
+      try write(dir) finally {
+        stageDepth -= 1
+        if (stageDepth == 0) stagingNanos.addAndGet(System.nanoTime() - t0)
+      }
       stagedDirs.put(key, dir)
       dir
     }
   }
+
+  /** Cumulative wall nanos spent building staged artifacts in this JVM
+    * (driver-side; staged() runs under stageLock so a plain var suffices
+    * for the depth). */
+  val stagingNanos = new java.util.concurrent.atomic.AtomicLong(0L)
+  private var stageDepth = 0
 
   private val stageLock = new Object
 

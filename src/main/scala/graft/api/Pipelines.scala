@@ -716,25 +716,37 @@ object Pipelines {
     * pair through the codegen'd vec_dot + filter, no candidate
     * materialization, no distinct, no spill). At real dedup thresholds
     * (τ ≥ 0.6) the search lands on the LSH branch. */
+  /** The banded-cosine operating-point search (see cosineThresholdJoinLSH
+    * for the economics): returns the (rowsPerBand, bands, admittedFraction)
+    * point minimizing per-row TOTAL work — bands·r hyperplane-signature
+    * dots plus frac·candPairsHint/2 admitted-candidate verify dots — over
+    * r ∈ [min(rowsPerBandLo, 16), 16] under a 512-band budget; None when
+    * no point is feasible. Pure arithmetic, exposed for spec pinning. */
+  def lshOperatingPoint(threshold: Double, rowsPerBandLo: Int,
+                        perPairMiss: Double,
+                        candPairsHint: Double): Option[(Int, Int, Double)] = {
+    val budget = 512 // max bands: signature cost = bands·r hyperplane dots
+    val rLo = math.max(1, math.min(rowsPerBandLo, 16))
+    val feasible = (rLo to 16).flatMap { r =>
+      val b = graft.functions.CosineLsh.bandsFor(threshold, r, perPairMiss)
+      if (b <= budget) Some((r, b, b.toDouble / math.pow(2.0, r))) else None
+    }
+    // Minimizing frac alone always lands on the largest feasible r, which
+    // at high τ buys ~8× more signature compute than the pruning is worth
+    // on small inputs (ADVICE r15) — so the objective prices both terms.
+    feasible.sortBy { case (r, b, frac) =>
+      b.toDouble * r + frac * candPairsHint / 2.0
+    }.headOption
+  }
+
   def cosineThresholdJoinLSH(left: DataFrame, right: DataFrame,
                              idCol: String, vecCol: String,
                              threshold: Double, rowsPerBand: Int = 8,
                              perPairMiss: Double = 1e-5,
                              seed: Long = 42L,
                              candPairsHint: Double = (1L << 24).toDouble): DataFrame = {
-    val budget = 512 // max bands: signature cost = bands·r hyperplane dots
-    val rLo = math.max(1, math.min(rowsPerBand, 16))
-    val feasible = (rLo to 16).flatMap { r =>
-      val b = graft.functions.CosineLsh.bandsFor(threshold, r, perPairMiss)
-      if (b <= budget) Some((r, b, b.toDouble / math.pow(2.0, r))) else None
-    }
-    // Objective per input row: bands·r signature dots + frac·hint/2
-    // candidate verifies (both in d-dim-dot units). Minimizing frac alone
-    // always lands on the largest feasible r, which at high τ buys ~8×
-    // more signature compute than the pruning is worth on small inputs.
-    val best = feasible.sortBy { case (r, b, frac) =>
-      b.toDouble * r + frac * candPairsHint / 2.0
-    }.headOption
+    val best = lshOperatingPoint(threshold, rowsPerBand, perPairMiss,
+      candPairsHint)
     best match {
       case Some((r, bands, frac)) if frac <= 0.5 =>
         // banding pays: proceed with the optimized operating point

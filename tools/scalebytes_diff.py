@@ -36,6 +36,16 @@ import json, math, sys
 
 KNOWN_OPTS = ("--flag-exp", "--min-bytes", "--min-cpu", "--expect", "--cpu-flag")
 
+# Keys whose shuffle-write BYTES are not bit-reproducible across same-build
+# runs, with the measured same-build variance band. graph_transitive_closure
+# is the one such key on the board (r15: -0.3%/+10% — its fixpoint emits the
+# same rows in an order that varies with task completion order, and shuffle
+# compression prices the ordering). The variance moves a decade EXPONENT by
+# at most log(1.10)/log(10) = 0.041, far inside the 1.25 flag threshold, so
+# the gate stays mechanical — this table only annotates the printed row so
+# a future byte-level diff doesn't chase compression noise as a regression.
+BYTE_VARYING = {"graph_transitive_closure": 0.10}
+
 def main():
     # Strict argv validation: options are --name=value ONLY. A bare
     # "--flag-exp 1.25" would otherwise leave "1.25" in the positional
@@ -101,6 +111,8 @@ def main():
           f"{'expC':>6s} {'expIn':>6s} {'spill':>10s}")
     for k, sw, es, cm, ec, ei, sp, bounded in rows[:60]:
         tag = " (bounded)" if bounded else ""
+        if k in BYTE_VARYING:
+            tag += f" (bytes vary ±{BYTE_VARYING[k]:.0%} same-build)"
         f = lambda e: "  n/a" if e is None else f"{e:5.2f}"
         print(f"{k:42s} {sw:12d} {f(es)} {cm:9d} {f(ec)} {f(ei)} "
               f"{sp:10d}{tag}")
