@@ -2868,28 +2868,56 @@ object GroupTen {
          |SELECT i, CAST(wv AS DOUBLE) / 1000000.0 AS w6 FROM w5 ORDER BY i"""
     }) { (s, dir) =>
       val d38 = DecimalType(38, 0)
-      val qv = GroupVector.emb(s, dir)
-        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "x")))
-        .select(col("vec_id"), col("i").cast(IntegerType).as("i"),
-          round(col("x").cast(DoubleType) * 1000000.0, 0).cast(LongType).as("q"))
-      val m = qv.join(qv.select(col("vec_id"), col("i").as("j"),
-          col("q").as("q2")), "vec_id")
-        // per-element q·q2 ≤ 1e12 is long-safe (|component| ≤ 1 for any
-        // normalized embedding, ×1e6 quantization), but a LONG sum buffer
-        // crosses 2⁶³ past ~9.2e6 vectors — a 100 TB embedding corpus is
-        // ~100× that (r15 overflow audit). The naive fix — decimal sum
-        // buffer per row — measured +1.14 s steady (3.59 → 4.73 s, 1.32×,
-        // interleaved A/B) on the board's 4th-heaviest key. This BANDED
-        // TWO-LEVEL sum keeps both properties: level 1 groups by
-        // (i, j, vec_id»21) — a consecutive-id band holds ≤ 2²¹ vectors BY
-        // CONSTRUCTION (no count, no id-uniformity assumption), so each
-        // long partial is ≤ 2²¹·1e12 ≈ 2.1e18 < 2⁶³/4 — and level 2
-        // decimal-sums the band partials (bands/gram-cell = ids/2²¹,
-        // trivial at any scale). Values are bit-identical to a single
-        // exact sum; the data-sized pass stays pure long codegen.
-        .groupBy(col("i"), col("j"),
-          shiftright(col("vec_id"), 21).as("band"))
-        .agg(sum(col("q") * col("q2")).as("p"))
+      // Gram pairs are WITHIN-ROW (every (i,j) element pair of one
+      // vector), so no self-join is needed. The former qv⋈qv-on-vec_id
+      // shape was arithmetically equivalent but its join crossed the
+      // broadcast threshold between ×10 and ×100 — the r16 decade-3 probe
+      // measured its shuffle jumping 2.85 MB → 490.7 MB (exponent 2.24),
+      // purely the broadcast→shuffled-join transition repartitioning
+      // 2×12.8M exploded rows. This shape explodes ONCE to (vec_id, i, q)
+      // keeping the source array alongside, and aggregates the 64 row
+      // sums q·arr[j] as 64 VECTORIZED long buffers per (i, band) group —
+      // the same 64·n·64 fused multiply-adds in one codegen
+      // HashAggregate, but with 64× fewer aggregate-input rows than a
+      // pair-explode and zero data-sized shuffle at any scale (the only
+      // shuffles are the array-sized range repartition below and the
+      // 4096·bands Gram partials; r16 re-measure: exponent 0.99).
+      // repartitionByRange keeps vec_id CONSECUTIVE per task — tasks span
+      // ~⌈bands/parts⌉ bands, so partial-row volume stays tasks·64·O(1)
+      // instead of tasks·64·bands under a hash scatter — while giving the
+      // explode+agg stage full parallelism regardless of the parquet's
+      // input split count.
+      //
+      // Overflow bounds (r15 audit, unchanged): per-element q·qj ≤ 1e12
+      // is long-safe; a LONG sum buffer crosses 2⁶³ past ~9.2e6 vectors,
+      // so level 1 groups by (i, vec_id»21) — a consecutive-id band holds
+      // ≤ 2²¹ vectors BY CONSTRUCTION, each of the 64 long partials is
+      // ≤ 2²¹·1e12 ≈ 2.1e18 < 2⁶³/4 — and level 2 decimal-sums the band
+      // partials. Values are bit-identical to a single exact sum; the
+      // data-sized pass stays pure long codegen. (A per-row decimal
+      // buffer instead measured +32% on the board's 4th-heaviest key.)
+      val qdim = 64
+      // quantize ONCE per vector (round() on doubles is a BigDecimal path
+      // — running it per (row × j) instead of per element measured 14×
+      // the CPU); the inner 64-sum loop below then reads pure longs
+      val qrow = GroupVector.emb(s, dir)
+        .repartitionByRange(col("vec_id"))
+        .select(shiftright(col("vec_id"), 21).as("band"),
+          transform(col("embedding"),
+            x => round(x.cast(DoubleType) * 1000000.0, 0)
+              .cast(LongType)).as("qarr"))
+        .select(col("band"), col("qarr"),
+          posexplode(col("qarr")).as(Seq("i", "q")))
+        .select(col("band"), col("qarr"),
+          col("i").cast(IntegerType).as("i"), col("q"))
+      val jSums = (0 until qdim).map { j =>
+        sum(col("q") * element_at(col("qarr"), j + 1)).as(s"p$j")
+      }
+      val m = qrow.groupBy(col("i"), col("band"))
+        .agg(jSums.head, jSums.tail: _*)
+        .select(col("i"), posexplode(
+          array((0 until qdim).map(j => col(s"p$j")): _*)).as(Seq("j", "p")))
+        .select(col("i"), col("j").cast(IntegerType).as("j"), col("p"))
         .groupBy("i", "j").agg(sum(col("p").cast(d38)).as("mv"))
         .localCheckpoint()
       var w = s.range(64).select(col("id").cast(IntegerType).as("i"),
