@@ -140,7 +140,8 @@ object Streams {
     *      FRESH checkpoint converges to the same target state.
     * At 100 TB the same shape applies per partition-key directory
     * (rewrite only the partitions a batch touches), not the whole target. */
-  def upsertBatch(target: String)(batch: DataFrame, batchId: Long): Unit = {
+  def upsertBatch(target: String, beforeMarker: Long => Unit = _ => ())
+                 (batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val root = new java.io.File(target); root.mkdirs()
     val committed = new java.io.File(root, s"_committed_$batchId")
@@ -162,6 +163,11 @@ object Streams {
     if (dataDir.exists()) dataDir.renameTo(old)
     require(stage.renameTo(dataDir), s"swap failed for batch $batchId")
     if (old.exists()) org.apache.commons.io.FileUtils.deleteDirectory(old)
+    // crash-probe hook: a process death HERE (swap applied, marker absent)
+    // is the adversarial point — on redelivery the merge must converge,
+    // which the deterministic latest-wins rewrite guarantees (CrashProbe
+    // scenario upsert_torn_marker; idempotence pinned in RetrySpec)
+    beforeMarker(batchId)
     committed.createNewFile()
   }
 
