@@ -78,10 +78,12 @@ object CrashProbe {
     new java.io.File(new java.io.File(sys.props("java.home"), "bin"), "java").getPath
 
   /** Spawn one CrashProbeChild run; returns the exit code. Output is
-    * appended to `$logDir/<scenario>_<phase>.log` for post-mortems. */
+    * appended to `$logDir/<scenario>_<phase>.log` for post-mortems.
+    * `env` overlays the child's environment (TopologyProbe uses it to
+    * re-master the child onto a local-cluster). */
   def runChild(scenario: String, chunkDir: String, sinkDir: String,
                ckptDir: String, haltAt: Long, logDir: String,
-               phase: String): Int = {
+               phase: String, env: Map[String, String] = Map.empty): Int = {
     val opens = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd = Seq(javaBin) ++ opens ++ Seq(
@@ -92,6 +94,7 @@ object CrashProbe {
     val pb = new ProcessBuilder(cmd: _*)
       .redirectErrorStream(true)
       .redirectOutput(java.lang.ProcessBuilder.Redirect.appendTo(log))
+    env.foreach { case (k, v) => pb.environment().put(k, v) }
     val p = pb.start()
     if (!p.waitFor(300, java.util.concurrent.TimeUnit.SECONDS)) {
       p.destroyForcibly(); require(false, s"$scenario/$phase child hung")
@@ -199,14 +202,29 @@ object CrashProbeChild {
   def main(args: Array[String]): Unit = {
     val Array(scenarioName, chunkDir, sinkDir, ckptDir, haltAtStr) = args
     val haltAt = haltAtStr.toLong
-    val s = SparkSession.builder()
-      .master("local[8]").appName(s"graft-crash-child-$scenarioName")
-      .config("spark.sql.shuffle.partitions", "8")
+    // TopologyProbe re-masters this same child onto a local-cluster (real
+    // executor JVMs) with a DIFFERENT shuffle-partitions conf to prove a
+    // checkpoint survives a topology change; default stays local[8]
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[8]")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    val builder = SparkSession.builder()
+      .master(master).appName(s"graft-crash-child-$scenarioName")
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      // same executor-launch notes as Verify: forked executor JVMs need the
+      // graft classes and JDK-17 --add-opens explicitly
+      builder
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+    val s = builder.getOrCreate()
     s.sparkContext.setLogLevel("WARN")
 
     val src = Streams.readReplay(s, chunkDir)
@@ -234,6 +252,9 @@ object CrashProbeChild {
       case other => sys.error(s"unknown scenario $other")
     }
     q.awaitTermination()
+    // TopologyProbe greps this to prove the resume really ran multi-JVM
+    // (driver + n executor entries under local-cluster; 1 under local[n])
+    println(s"CHILD executors=${s.sparkContext.statusTracker.getExecutorInfos.length}")
     s.stop()
   }
 }
