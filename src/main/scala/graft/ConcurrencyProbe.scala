@@ -67,15 +67,27 @@ object ConcurrencyProbe {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val threads = if (args.length > 1) args(1).toInt else 8
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val root = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER=local-cluster[n,c,memMB] runs the SAME probe over
+    // real executor processes — the full production cell of the execution
+    // matrix: many tenants × many JVMs (same executor wiring as Verify)
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder = SparkSession.builder()
+      .master(master)
       .config("spark.scheduler.mode", "FAIR") // round-robin across tenants
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
-      .getOrCreate()
+    if (master.startsWith("local-cluster")) {
+      builder
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "8g"))
+        .config("spark.executor.extraClassPath", T.absClassPath)
+        .config("spark.executor.extraJavaOptions",
+          org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
+    }
+    val root = builder.getOrCreate()
     root.sparkContext.setLogLevel("WARN")
 
     val keys = SparkEntry.queries.keys.toSeq.sorted

@@ -87,7 +87,7 @@ object CrashProbe {
     val opens = org.apache.spark.launcher.JavaModuleOptions
       .defaultModuleOptions().split("\\s+").toSeq.filter(_.nonEmpty)
     val cmd = Seq(javaBin) ++ opens ++ Seq(
-      "-Xmx4g", "-cp", sys.props("java.class.path"),
+      "-Xmx4g", "-cp", T.absClassPath,
       "graft.CrashProbeChild",
       scenario, chunkDir, sinkDir, ckptDir, haltAt.toString)
     val log = new java.io.File(logDir, s"${scenario}_$phase.log")
@@ -220,7 +220,7 @@ object CrashProbeChild {
       builder
         .config("spark.executor.memory",
           sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
-        .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+        .config("spark.executor.extraClassPath", T.absClassPath)
         .config("spark.executor.extraJavaOptions",
           org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
     }

@@ -262,7 +262,7 @@ object LossProbe {
       .config("spark.executor.memory", "4g")
       // executors need the graft classes; same host, so the driver's own
       // classpath works verbatim
-      .config("spark.executor.extraClassPath", sys.props("java.class.path"))
+      .config("spark.executor.extraClassPath", T.absClassPath)
       .config("spark.executor.extraJavaOptions",
         org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions())
       .config("spark.sql.session.timeZone", "UTC")

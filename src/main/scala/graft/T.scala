@@ -203,6 +203,19 @@ object T {
     p.toString
   }
 
+  /** This JVM's classpath with every entry ABSOLUTE — the form
+    * `spark.executor.extraClassPath` needs under local-cluster: executor
+    * processes run with cwd under $SPARK_HOME/work, so a relative
+    * `target/scala-2.13/classes` silently drops the app classes from the
+    * executor loader and every graft lambda/typed-aggregator/custom
+    * operator fails task-side with SerializedLambda ClassCastExceptions
+    * (only the keys needing app classes on executors — the r16
+    * ConcurrencyProbe multi-JVM run found it; pure-Catalyst keys mask it). */
+  def absClassPath: String =
+    sys.props("java.class.path").split(java.io.File.pathSeparator)
+      .map(p => new java.io.File(p).getAbsolutePath)
+      .mkString(java.io.File.pathSeparator)
+
   /** Stage a derived dataset once per (tag, sfDir) per JVM: the first call
     * creates the dir and runs `write`; later calls reuse the staged output
     * instead of re-materializing (ADVICE r2 — eager side effects at
