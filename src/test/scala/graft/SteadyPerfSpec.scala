@@ -39,7 +39,14 @@ class SteadyPerfSpec extends AnyFunSuite {
 
   sentinels.foreach { key =>
     test(s"$key stays within ${factor}x of its steady-state anchor") {
-      assume(anchor.contains(key), s"no anchor for $key in BASELINE_PERKEY.json")
+      // HARD assert, not assume: the anchor file is COMMITTED, so a missing
+      // key means the file is broken or was rewritten in a format this
+      // spec's "key":value regex can't read — an r16 indent-mode rewrite
+      // did exactly that and the assume turned 5 red tests into quiet
+      // cancels. Only the load check may cancel (environmental).
+      assert(anchor.contains(key),
+        s"no anchor for $key in BASELINE_PERKEY.json — file missing, " +
+          "truncated, or re-written in a non-compact format")
       assume(loadAvg < 16.0, f"box too loaded to measure (load=$loadAvg%.1f)")
       val budget = factor * anchor(key)
       val times = (1 to 3).map { _ =>
