@@ -28,7 +28,11 @@ import org.apache.spark.sql.SparkSession
   * usage: java <add-opens> -cp "target/scala-2.13/classes:/opt/spark/jars/＊"
   *   graft.ConcurrencyProbe [sfDir] [threads]   (defaults
   *   /root/testdata/sf0.01, 8; the ＊ is a literal star — fullwidth so a
-  *   star-slash can't close this comment)
+  *   star-slash can't close this comment). SPARK_GRAFT_MASTER=
+  *   local-cluster[...] re-masters onto real executor JVMs;
+  *   SPARK_GRAFT_KILL=1 additionally kill -9s one executor mid-board and
+  *   again after recovery (spot reclaim during multi-tenant serving) —
+  *   the exactness bar is unchanged and the run fails if no kill landed.
   */
 object ConcurrencyProbe {
 
@@ -90,11 +94,53 @@ object ConcurrencyProbe {
     val root = builder.getOrCreate()
     root.sparkContext.setLogLevel("WARN")
 
+    // SPARK_GRAFT_KILL=1 (local-cluster only): kill one REAL executor JVM
+    // while the 8 tenants are mid-board, and again later after the fleet
+    // recovered — spot reclaim during multi-tenant serving. The standalone
+    // master relaunches replacements; every tenant's query must still
+    // commit exactly (FetchFailed → stage re-execution under FAIR).
+    val killMode = sys.env.get("SPARK_GRAFT_KILL").contains("1") &&
+      master.startsWith("local-cluster")
+    val removedExec = new java.util.concurrent.atomic.AtomicInteger(0)
+    if (killMode) root.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved): Unit =
+          removedExec.incrementAndGet()
+      })
+    def killOne(): Boolean = {
+      import scala.sys.process._
+      val appId = root.sparkContext.applicationId
+      val pids = Seq("bash", "-c", "ps -eo pid,args").!!.linesIterator
+        .filter(l => l.contains("CoarseGrainedExecutorBackend") && l.contains(appId))
+        .map(_.trim.split("\\s+")(0).toInt).toSeq.sorted
+      pids.headOption.exists { pid =>
+        Seq("kill", "-9", pid.toString).! == 0
+      }
+    }
+    var kills = 0
+
     val keys = SparkEntry.queries.keys.toSeq.sorted
     val base = T.tempDir("graft_conc_")
     val (serialSec, serialErr) = dumpAll(root, sfDir, s"$base/serial", keys, 1)
     require(serialErr.isEmpty, s"serial phase failed: $serialErr")
+    val killer = new Thread(() => {
+      // fire when the concurrent board is genuinely mid-flight (≥40 key
+      // dirs committed), and once more after ≥250 — two real reclaims
+      def dumped: Int = Option(new java.io.File(s"$base/conc").listFiles())
+        .map(_.count(d => new java.io.File(d, "_SUCCESS").exists())).getOrElse(0)
+      for (threshold <- Seq(40, 250)) {
+        val dl = System.currentTimeMillis() + 180000
+        while (dumped < threshold && System.currentTimeMillis() < dl)
+          Thread.sleep(200)
+        if (killOne()) { kills += 1; System.err.println(
+          s"[concprobe] killed an executor at $dumped dumps") }
+        Thread.sleep(3000) // let the master relaunch before the next wait
+      }
+    })
+    if (killMode) { killer.setDaemon(true); killer.start() }
     val (concSec, concErr) = dumpAll(root, sfDir, s"$base/conc", keys, threads)
+    if (killMode) killer.join(10000)
 
     // multiset compare per key (order may legally differ under FAIR
     // interleaving for keys whose final sort has ties)
@@ -114,9 +160,12 @@ object ConcurrencyProbe {
       s""""n_keys":${keys.size},"n_diff":$nDiff,"n_errors":${concErr.size},""" +
       s""""serial_sec":${f"$serialSec%.1f"},"concurrent_sec":${f"$concSec%.1f"},""" +
       s""""speedup":${f"${serialSec / concSec}%.2f"},""" +
+      (if (killMode) s""""kills":$kills,"executorsRemoved":${removedExec.get()},""" else "") +
       s""""diff_keys":${diffs.map(d => "\"" + d + "\"").mkString("[", ",", "]")},""" +
       s""""errors":${concErr.map { case (k, v) => "\"" + k + "\": \"" + v.replace("\"", "'") + "\"" }.mkString("{", ",", "}")}}""")
     root.stop()
     if (nDiff > 0 || concErr.nonEmpty) sys.exit(1)
+    // a kill run that never killed proves nothing — fail it loudly
+    if (killMode && (kills < 1 || removedExec.get() < 1)) sys.exit(2)
   }
 }
