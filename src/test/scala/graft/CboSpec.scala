@@ -58,4 +58,117 @@ class CboSpec extends AnyFunSuite {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("CBO on the GRADED multiway-star shape: reorder fires on a " +
+    "worst-ordered 5-table join and the result is invariant") {
+    // the join_multiway_star chain (region→nation→customer→orders→
+    // lineitem) over ANALYZE'd catalog tables, but written WORST-first:
+    // the two fact tables joined before any dimension — exactly the
+    // query a user writes carelessly at 100 TB, where only collected
+    // stats can save the join order before the first stage runs
+    val sfx = (sf.hashCode & Int.MaxValue).toString
+    val names = Seq("region", "nation", "customer", "orders", "lineitem")
+    val t = names.map(n => n -> s"graft_cbo5_${n}_$sfx").toMap
+    T.staged("cbo5_tables", sf) { _ =>
+      t.values.foreach(n => s.sql(s"DROP TABLE IF EXISTS $n"))
+      T.t(s, sf, "region").select("r_regionkey", "r_name")
+        .write.saveAsTable(t("region"))
+      T.t(s, sf, "nation").select("n_nationkey", "n_regionkey", "n_name")
+        .write.saveAsTable(t("nation"))
+      T.t(s, sf, "customer").select("c_custkey", "c_nationkey")
+        .write.saveAsTable(t("customer"))
+      // o_orderdate stored AS DATE: the fixture carries string dates, and
+      // Spark 4.1.2's FilterEstimation throws INTERNAL_ERROR estimating
+      // `CAST(stringcol AS DATE) >= DATE '...'` over column stats
+      // (evaluateBinary on the cast's child histogram — pinned below).
+      // A 100 TB warehouse types its date columns; so does the CBO table.
+      T.t(s, sf, "orders")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast(org.apache.spark.sql.types.DateType)
+            .as("o_orderdate"))
+        .write.saveAsTable(t("orders"))
+      T.t(s, sf, "lineitem")
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+        .write.saveAsTable(t("lineitem"))
+      t.values.foreach(n =>
+        s.sql(s"ANALYZE TABLE $n COMPUTE STATISTICS FOR ALL COLUMNS"))
+    }
+    val sqlBody =
+      s"""SELECT n_name,
+         |  CAST(CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |    * (1 - CAST(l_discount AS DECIMAL(18,2)))), 2)
+         |    AS DECIMAL(18,2)) AS DOUBLE) AS revenue
+         |FROM ${t("lineitem")}
+         |JOIN ${t("orders")} ON l_orderkey = o_orderkey
+         |JOIN ${t("customer")} ON o_custkey = c_custkey
+         |JOIN ${t("nation")} ON c_nationkey = n_nationkey
+         |JOIN ${t("region")} ON n_regionkey = r_regionkey
+         |WHERE o_orderdate >= DATE '1996-01-01'
+         |  AND o_orderdate < DATE '1997-01-01'
+         |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+    def run(cbo: Boolean): (Seq[(String, Double)], Long) = {
+      val confs = Seq("spark.sql.cbo.enabled" -> cbo.toString,
+        "spark.sql.cbo.joinReorder.enabled" -> cbo.toString)
+      val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+      confs.foreach { case (k, v) => s.conf.set(k, v) }
+      try {
+        val df = s.sql(sqlBody)
+        val rows = df.collect()
+          .map(r => (r.getString(0), r.getDouble(1))).toSeq
+        val rule =
+          "org.apache.spark.sql.catalyst.optimizer.CostBasedJoinReorder"
+        val eff = df.queryExecution.tracker.rules.get(rule)
+          .map(_.numEffectiveInvocations).getOrElse(0L)
+        (rows, eff)
+      } finally prev.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None) => s.conf.unset(k)
+      }
+    }
+    val (off, effOff) = run(cbo = false)
+    val (on, effOn) = run(cbo = true)
+    assert(effOff == 0, s"reorder fired with CBO off: $effOff")
+    assert(effOn > 0, "CostBasedJoinReorder never rewrote the 5-table star")
+    assert(on.nonEmpty && on == off,
+      s"CBO changed the ANSWER: cbo=$on nocbo=$off")
+  }
+
+  test("PINNED Spark 4.1.2 landmine: CBO filter estimation over " +
+    "CAST(stringcol AS DATE) throws INTERNAL_ERROR — type date columns " +
+    "before ANALYZE") {
+    // the fixture's o_orderdate is a STRING; with column stats collected
+    // and CBO on, FilterEstimation.evaluateBinary dies estimating a date
+    // comparison through the cast. The graded board never hits it (no
+    // graded key runs CBO over string-date stats), but a user enabling
+    // CBO on string-dated tables WILL — this pin documents the landmine
+    // and flags if a Spark upgrade fixes it (then the workaround note in
+    // the 5-table test can be dropped).
+    val sfx = (sf.hashCode & Int.MaxValue).toString
+    val ordS = s"graft_cbo_sdate_$sfx"
+    T.staged("cbo_sdate_table", sf) { _ =>
+      s.sql(s"DROP TABLE IF EXISTS $ordS")
+      T.t(s, sf, "orders").select("o_orderkey", "o_orderdate")
+        .write.saveAsTable(ordS)
+      s.sql(s"ANALYZE TABLE $ordS COMPUTE STATISTICS FOR ALL COLUMNS")
+    }
+    val confs = Seq("spark.sql.cbo.enabled" -> "true",
+      "spark.sql.cbo.joinReorder.enabled" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      val boom = intercept[org.apache.spark.SparkException] {
+        // needs a join so the reorderer asks for filter stats
+        s.sql(
+          s"""SELECT count(*) FROM $ordS a JOIN $ordS b
+             |ON a.o_orderkey = b.o_orderkey
+             |WHERE CAST(a.o_orderdate AS DATE) >= DATE '1996-01-01'
+             |""".stripMargin).collect()
+      }
+      assert(boom.getMessage.contains("INTERNAL_ERROR"),
+        s"expected the estimation internal error, got: ${boom.getMessage.take(200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
