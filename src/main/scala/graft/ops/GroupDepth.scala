@@ -185,15 +185,9 @@ object GroupDepth {
          |${iter(4, 5)}
          |SELECT node, CAST(nr AS DOUBLE) / 1e9 AS pagerank FROM p5 ORDER BY node"""
     }) { (s, dir) =>
-      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // staged shared artifact (r16): see GroupSeven.nationEdges — the
+      // star join runs once per dataset, every consumer reads ≤625 rows
+      val e0 = GroupSeven.nationEdges(s, dir)
       val outw = e0.groupBy("src").agg(sum("w").as("ow"))
       // one materialization of the star join; 25² edges max thereafter
       val e = e0.join(outw, "src").localCheckpoint()
@@ -272,9 +266,13 @@ object GroupDepth {
       // GroupPipeline.exactJaccardPairs; the index-agg stream wins on
       // this co-sharing geometry at every scale)
       val idx = s.read.parquet(wIdx)
-      val mins = idx.select(col("doc_id").as("ia"), col("sh"), col("w").as("ca"))
-        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2"), col("w").as("cb")),
-          col("sh") === col("sh2") && col("ia") < col("ib"))
+      // join on shid (the staged long surrogate), not the shingle string:
+      // Σ min(wA,wB) is relabeling-invariant and the self-join exchange
+      // ships longs instead of 3-token strings (the comment above built
+      // shid for exactly this; the join itself never used it until r16)
+      val mins = idx.select(col("doc_id").as("ia"), col("shid"), col("w").as("ca"))
+        .join(idx.select(col("doc_id").as("ib"), col("shid").as("shid2"), col("w").as("cb")),
+          col("shid") === col("shid2") && col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(sum(least(col("ca"), col("cb"))).as("smin"))
       mins
         .join(lens.select(col("doc_id").as("ia"), col("n").as("la")), "ia")
@@ -509,10 +507,13 @@ object GroupDepth {
       // df ∈ [2, dfCap]: see GroupPipeline.exactJaccardPairs for the
       // hot-shingle-ceiling recall argument. (Prefix filtering tried and
       // measured out in r15 — see that function's note.)
-      val idx = GroupPipeline.shingleDfRows(s, dir).select("doc_id", "sh")
-      val common = idx.select(col("doc_id").as("ia"), col("sh"))
-        .join(idx.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-          col("sh") === col("sh2") && col("ia") < col("ib"))
+      // join on the staged long surrogate, not the shingle string — same
+      // |A∩B| under the injective relabeling, ~3× narrower exchange rows
+      // (see GroupPipeline.exactJaccardPairs)
+      val idx = GroupPipeline.shingleDfRows(s, dir).select("doc_id", "shid")
+      val common = idx.select(col("doc_id").as("ia"), col("shid"))
+        .join(idx.select(col("doc_id").as("ib"), col("shid").as("shid2")),
+          col("shid") === col("shid2") && col("ia") < col("ib"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
       common
         .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
@@ -1200,15 +1201,9 @@ object GroupDepth {
          |${vote(1, 2)}
          |SELECT node, lab AS label FROM l2 ORDER BY node"""
     }) { (s, dir) =>
-      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("w"))
+      // staged shared artifact (r16): see GroupSeven.nationEdges — the
+      // star join runs once per dataset, every consumer reads ≤625 rows
+      val e0 = GroupSeven.nationEdges(s, dir)
       val e = e0.select("src", "dst", "w")
         .unionByName(e0.filter(col("src") =!= col("dst"))
           .select(col("dst").as("src"), col("src").as("dst"), col("w")))

@@ -317,17 +317,10 @@ object GroupEight {
          |FROM d6 ORDER BY node"""
     }) { (s, dir) =>
       val inf = 1000000000000000L
-      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      // one materialization of the star join (the pagerank pattern);
-      // ≤ 25² weighted edges thereafter
-      val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).as("cnt"))
+      // staged shared artifact (r16): see GroupSeven.nationEdges — the
+      // star join runs once per dataset, every consumer reads ≤625 rows
+      val e = GroupSeven.nationEdges(s, dir)
+        .withColumnRenamed("w", "cnt")
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           expr("1L + 1000L DIV (1L + cnt)").as("cost"))

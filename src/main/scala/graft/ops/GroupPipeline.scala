@@ -96,10 +96,15 @@ object GroupPipeline {
     // evidence tool, BASELINE.md the record). The library keeps the
     // machinery behind Pipelines.nearDupPairs(prefixFilter = true) for
     // near-dup-dense corpora where candidates ≈ true pairs.
-    val shJ = shingleDfRows(s, dir).select("doc_id", "sh")
-    val common = shJ.select(col("doc_id").as("ia"), col("sh"))
-      .join(shJ.select(col("doc_id").as("ib"), col("sh").as("sh2")),
-        col("sh") === col("sh2") && col("ia") < col("ib"))
+    // Self-join on the staged dense LONG surrogate (shid), not the 3-token
+    // shingle string: |A∩B| is invariant under the injective relabeling and
+    // the candidate-join exchange ships 8-byte longs instead of ~30-byte
+    // strings (guide §2.3 narrower types; the r15 sf1 forensics already
+    // named string rows through this exchange as the GC term).
+    val shJ = shingleDfRows(s, dir).select("doc_id", "shid")
+    val common = shJ.select(col("doc_id").as("ia"), col("shid"))
+      .join(shJ.select(col("doc_id").as("ib"), col("shid").as("shid2")),
+        col("shid") === col("shid2") && col("ia") < col("ib"))
       .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
     common
       .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
@@ -135,12 +140,17 @@ object GroupPipeline {
       col("band_pos"), col("band_val"))
     val b = banded.select(col("doc_id").as("ib"), col("simhash").as("sb"),
       col("band_pos").as("bp2"), col("band_val").as("bv2"))
+    // hamming is a pure function of (ia, ib): evaluating the ≤8 verify
+    // BELOW the candidate-distinct is result-identical and sends only
+    // surviving (ia, ib, hamming) rows through the dedup exchange instead
+    // of every banded collision with both 8-byte signatures attached
+    // (guide §2.3 — filter before the exchange, ship narrower rows)
     a.join(b, col("band_pos") === col("bp2") && col("band_val") === col("bv2")
         && col("ia") < col("ib"))
-      .dropDuplicates("ia", "ib")
       .withColumn("hamming", expr("cast(bit_count(sa ^ sb) as int)"))
       .filter(col("hamming") <= 8)
       .select("ia", "ib", "hamming")
+      .dropDuplicates("ia", "ib")
   }
 
   /** The DuckDB CTE stack producing the same simhash pair set — shared text

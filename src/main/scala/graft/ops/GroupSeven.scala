@@ -42,11 +42,22 @@ object GroupSeven {
     * distinct-pair-sized parquet instead. */
   private[ops] def pairSupport(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
     val stage = T.staged("pair_support", dir) { o =>
-      val li = T.t(s, dir, "lineitem")
-        .select("l_orderkey", "l_partkey").distinct()
-      li.select(col("l_orderkey").as("k"), col("l_partkey").as("pa"))
-        .join(li.select(col("l_orderkey").as("k"), col("l_partkey").as("pb")), "k")
-        .filter(col("pa") < col("pb"))
+      // r16 within-row pair generation (the pca Gram replan pattern):
+      // one collect_set per order (dedups l_partkey in the same shuffle
+      // the old `.distinct()` paid) and the pa<pb pairs generated from
+      // the SORTED array inside the row — the distinct exchange, both
+      // self-join exchanges, and the join itself are gone (4 exchanges
+      // → 2: orderkey agg + the (pa,pb) support agg). Fan-out per order
+      // is C(lines,2) exactly as the join had; sort_array makes pa<pb
+      // by construction.
+      T.t(s, dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_set(col("l_partkey"))).as("ps"))
+        .select(explode(expr(
+          "flatten(transform(ps, (x, i) -> " +
+            "transform(slice(ps, i + 2, size(ps)), y -> " +
+            "struct(x AS pa, y AS pb))))")).as("p"))
+        .select(col("p.pa").as("pa"), col("p.pb").as("pb"))
         .groupBy("pa", "pb").agg(count(lit(1)).as("sup"))
         .write.mode("overwrite").parquet(o)
     }
@@ -90,6 +101,33 @@ object GroupSeven {
         .groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
         .write.parquet(s"$o/adj")
     }
+
+  /** Staged weighted nation co-purchase digraph (src = c_nationkey,
+    * dst = s_nationkey, w = co-purchase count) — the 4-way
+    * lineitem⋈orders⋈customer⋈supplier star join aggregated ONCE per
+    * (dataset, JVM) and shared by graph_pagerank, graph_hits_hubs,
+    * graph_sssp_frontier, graph_label_propagation and graph_walk_corpus
+    * (r16: each of the five previously re-ran the identical data-sized
+    * star join on every invocation; the artifact is nation-enum-sized,
+    * ≤ 625 rows at any scale, so every consumer now starts at "read a
+    * tiny parquet"). Same staging rationale as [[pairSupport]]: at
+    * 100 TB the co-purchase graph is the materialized table the graph
+    * family reads, not something each query recomputes. */
+  private[ops] def nationEdges(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame = {
+    val stage = T.staged("nation_edges", dir) { o =>
+      T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
+        .join(T.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(T.t(s, dir, "customer").select("c_custkey", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
+        .agg(count(lit(1)).as("w"))
+        .write.mode("overwrite").parquet(o)
+    }
+    s.read.parquet(stage)
+  }
 
   /** The oriented out-neighbor arrays (src, nbrs) of [[orientedAdjDir]]. */
   private[ops] def orientedAdj(s: SparkSession, dir: String): org.apache.spark.sql.DataFrame =

@@ -2332,15 +2332,10 @@ object GroupTen {
          |  CAST(av AS DOUBLE) / 1000000.0 AS auth
          |FROM h3 JOIN a3 USING (node) ORDER BY node"""
     }) { (s, dir) =>
-      val li = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-      val ord = T.t(s, dir, "orders").select("o_orderkey", "o_custkey")
-      val cust = T.t(s, dir, "customer").select("c_custkey", "c_nationkey")
-      val supp = T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey")
-      val e = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(supp, col("l_suppkey") === col("s_suppkey"))
-        .groupBy(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .agg(count(lit(1)).cast(LongType).as("w"))
+      // staged shared artifact (r16): see GroupSeven.nationEdges — the
+      // star join runs once per dataset, every consumer reads ≤625 rows
+      val e = GroupSeven.nationEdges(s, dir)
+        .select(col("src"), col("dst"), col("w").cast(LongType).as("w"))
         .localCheckpoint()
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       def normalize(raw: DataFrame, vcol: String): DataFrame = {
@@ -2973,15 +2968,10 @@ object GroupTen {
          |UNION ALL SELECT start, wid, 5, v FROM s5
          |ORDER BY start, wid, step"""
     }) { (s, dir) =>
-      val e = T.t(s, dir, "lineitem").select("l_orderkey", "l_suppkey")
-        .join(T.t(s, dir, "orders").select("o_orderkey", "o_custkey"),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(T.t(s, dir, "customer").select("c_custkey", "c_nationkey"),
-          col("o_custkey") === col("c_custkey"))
-        .join(T.t(s, dir, "supplier").select("s_suppkey", "s_nationkey"),
-          col("l_suppkey") === col("s_suppkey"))
-        .select(col("c_nationkey").as("src"), col("s_nationkey").as("dst"))
-        .distinct().localCheckpoint()
+      // staged shared artifact (r16): the distinct edge set is exactly the
+      // key set of GroupSeven.nationEdges (w ≥ 1 per aggregated row)
+      val e = GroupSeven.nationEdges(s, dir)
+        .select("src", "dst").localCheckpoint()
       val s0 = T.t(s, dir, "nation")
         .select(col("n_nationkey").as("start"))
         .crossJoin(broadcast(s.range(3).select(col("id").as("wid"))))
