@@ -60,7 +60,7 @@ object Pipelines {
                    prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint() // doc-sized; reused three times
+      .localCheckpoint(false) // doc-sized; reused three times
     // df ∈ [2, dfCap]: singletons can't pair (exact prune); the hot-shingle
     // ceiling bounds self-join fan-out at dfCap² per shingle — a pair above
     // `threshold` survives unless essentially its whole overlap is
@@ -68,7 +68,7 @@ object Pipelines {
     val keptIdx = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
-      .localCheckpoint() // reused (df-order prefix / both join sides); at
+      .localCheckpoint(false) // reused (df-order prefix / both join sides); at
       // real scale stage this to parquet instead (shingle_df pattern)
     val common =
       if (prefixFilter) {
@@ -129,7 +129,7 @@ object Pipelines {
       .join(sizes, "doc_id")
       .filter(col("_cum") <= col("_kw") - cminOfN(col("n")))
       .select("doc_id", "sh")
-      .localCheckpoint()
+      .localCheckpoint(false)
     // candidates feed the verify stage twice (a-side join + b-side semi):
     // checkpoint the pair set — it is output-sized (true pairs + prefix
     // collisions), the thing the whole operator materializes anyway
@@ -137,7 +137,7 @@ object Pipelines {
       .join(pre.select(col("doc_id").as("ib"), col("sh").as("_sh2")),
         col("sh") === col("_sh2") && col("ia") < col("ib"))
       .select("ia", "ib").distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
   }
 
   /** Containment's asymmetric prefix filter: C(A,B) = c/min(na,nb) ≥ τ
@@ -156,7 +156,7 @@ object Pipelines {
       .filter(col("_r") <= col("_ka") - cminOfN(col("n")) + lit(1))
       .select(col("doc_id").as("_pid"), col("sh").as("_psh"),
         col("n").as("_pn"))
-      .localCheckpoint() // see prefixCandidates: one window pass, not two
+      .localCheckpoint(false) // see prefixCandidates: one window pass, not two
     val full = keptIdx.join(sizes, "doc_id")
       .select(col("doc_id").as("_fid"), col("sh").as("_fsh"),
         col("n").as("_fn"))
@@ -166,7 +166,7 @@ object Pipelines {
       .select(least(col("_pid"), col("_fid")).as("ia"),
         greatest(col("_pid"), col("_fid")).as("ib"))
       .distinct()
-      .localCheckpoint() // feeds the verify stage twice
+      .localCheckpoint(false) // feeds the verify stage twice
   }
 
   /** Exact overlap of each candidate pair over the kept index — the
@@ -336,11 +336,14 @@ object Pipelines {
     * Exposed for DedupSpec's round-count pin. */
   private[graft] def ccPointerDoubling(pairs: DataFrame,
                                        maxRounds: Int): (DataFrame, Int, Boolean) = {
+    // lazy checkpoints (r16): lineage truncation is unchanged; the first
+    // consuming job of each generation materializes + caches it, instead
+    // of a dedicated eager caching job per round
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var lbl = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id")).localCheckpoint(false)
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < maxRounds) {
@@ -358,7 +361,7 @@ object Pipelines {
           hopped.select(col("id").as("lbl"), col("lbl").as("_ll")),
           Seq("lbl"), "left")
         .select(col("id"), coalesce(col("_ll"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false) // the changed-count job materializes it
       changed = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
       lbl = next
@@ -376,9 +379,9 @@ object Pipelines {
                                       maxIters: Int): (DataFrame, Boolean) = {
     val edges = pairs.select(col("ia").as("a"), col("ib").as("b"))
       .unionByName(pairs.select(col("ib").as("a"), col("ia").as("b")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     var lbl = edges.select(col("a").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint()
+      .withColumn("lbl", col("id")).localCheckpoint(false)
     var changed = 1L
     var iter = 0
     while (changed > 0 && iter < maxIters) {
@@ -388,7 +391,7 @@ object Pipelines {
       val next = lbl.join(neigh, Seq("id"), "left")
         .select(col("id"),
           least(col("lbl"), coalesce(col("minNl"), col("lbl"))).as("lbl"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       changed = next.join(lbl.withColumnRenamed("lbl", "old"), "id")
         .filter(col("lbl") =!= col("old")).count()
       lbl = next
@@ -451,7 +454,7 @@ object Pipelines {
       .select(col("c_id"), col("cent_id").as("cell"),
         (if (residual) zip_with(col("ce"), col("cent"), (x, y) => x - y)
          else col("ce")).as("enc"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val seeds = assign.orderBy("c_id").limit(8)
       .select(col("c_id"), col("cell"), subsOf(col("enc")))
       .withColumn("cid", (row_number().over(
@@ -817,14 +820,14 @@ object Pipelines {
                        prefixFilter: Boolean = false): DataFrame = {
     val sh = shingles(df, idCol, textCol, n)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument;
     // prefixFilter ditto (asymmetric form: only the (n,id)-lex SMALLER
     // endpoint may consult a prefix — see prefixCandidatesContainment)
     val keptIdx = sh.join(
       sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val thNum = math.round(threshold * 1000)
     val common =
       if (prefixFilter) {
@@ -929,14 +932,14 @@ object Pipelines {
           .as("sh"))
       .groupBy("doc_id", "sh").agg(count(lit(1)).as("c"))
     val lens = shc.groupBy("doc_id").agg(sum("c").as("n"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     // df ∈ [2, dfCap] — see nearDupPairs for the hot-shingle argument;
     // prefixFilter ditto (weighted form: the prefix bound runs over
     // cumulative multiset weight — see prefixCandidates)
     val keptIdx = shc.withColumnRenamed("c", "w").join(
       shc.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
-      .localCheckpoint()
+      .localCheckpoint(false)
     val thNum = math.round(threshold * 1000)
     val mins =
       if (prefixFilter) {
@@ -1056,7 +1059,7 @@ object Pipelines {
     val e0 = edges.select(
         least(col(srcCol), col(dstCol)).as("pa"),
         greatest(col(srcCol), col(dstCol)).as("pb"))
-      .filter(col("pa") < col("pb")).distinct().localCheckpoint()
+      .filter(col("pa") < col("pb")).distinct().localCheckpoint(false)
     val deg = e0.select(col("pa").as("node"))
       .unionAll(e0.select(col("pb").as("node")))
       .groupBy("node").agg(count(lit(1)).as("d"))
@@ -1107,9 +1110,9 @@ object Pipelines {
                    costCol: String, source: Long, maxHops: Int = 6): DataFrame = {
     val inf = 1000000000000000L
     val e = edges.select(col(srcCol).as("_s"), col(dstCol).as("_t"),
-      col(costCol).as("_c")).localCheckpoint()
+      col(costCol).as("_c")).localCheckpoint(false)
     val n = e.select(col("_s").as("node")).unionAll(e.select(col("_t").as("node")))
-      .distinct().localCheckpoint()
+      .distinct().localCheckpoint(false)
     val nCount = n.count()
     val maybeB: DataFrame => DataFrame =
       if (graft.T.broadcastExact(e.sparkSession, 24L * nCount))
@@ -1125,7 +1128,7 @@ object Pipelines {
       dist = n.join(maybeB(dist), "node")
         .join(maybeB(relax.withColumnRenamed("_t", "node")), Seq("node"), "left")
         .select(col("node"), least(col("d"), coalesce(col("rd"), lit(inf))).as("d"))
-        .localCheckpoint()
+        .localCheckpoint(false)
     }
     dist.select(col("node"),
       when(col("d") >= inf, lit(null).cast(LongType)).otherwise(col("d")).as("dist"))
@@ -1151,14 +1154,14 @@ object Pipelines {
     val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
     var cur = e0.select(col("pa").as("src"), col("pb").as("dst"))
       .unionAll(e0.select(col("pb").as("src"), col("pa").as("dst")))
-      .localCheckpoint()
+      .localCheckpoint(false)
     val bigRun = cur.count() > graft.T.bigRunEdgeThreshold(s)
     val audit = Seq.newBuilder[(Int, Long, Long)]
     for (r <- 1 to rounds) {
       val keep0 = cur.groupBy(col("src").as("node"))
         .agg(count(lit(1)).as("dg")).filter(col("dg") >= k)
         .select("node")
-      val keep = if (bigRun) keep0.persist(mad) else keep0.localCheckpoint()
+      val keep = if (bigRun) keep0.persist(mad) else keep0.localCheckpoint(false)
       val nKeep = keep.count()
       val maybeB: DataFrame => DataFrame =
         if (graft.T.broadcastExact(s, 16L * nKeep)) broadcast
@@ -1174,7 +1177,7 @@ object Pipelines {
         cur = next
         audit += ((r, nKeep, nEdges / 2))
       } else {
-        cur = next0.localCheckpoint()
+        cur = next0.localCheckpoint(false)
         audit += ((r, nKeep, cur.count() / 2))
       }
     }

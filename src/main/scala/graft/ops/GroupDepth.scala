@@ -190,7 +190,7 @@ object GroupDepth {
       val e0 = GroupSeven.nationEdges(s, dir)
       val outw = e0.groupBy("src").agg(sum("w").as("ow"))
       // one materialization of the star join; 25² edges max thereafter
-      val e = e0.join(outw, "src").localCheckpoint()
+      val e = e0.join(outw, "src").localCheckpoint(false)
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       var ranks = n.withColumn("nr", lit(40000000L))
       for (_ <- 1 to 5) {
@@ -1207,7 +1207,7 @@ object GroupDepth {
       val e = e0.select("src", "dst", "w")
         .unionByName(e0.filter(col("src") =!= col("dst"))
           .select(col("dst").as("src"), col("src").as("dst"), col("w")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n = T.t(s, dir, "nation")
         .select(col("n_nationkey").as("node"), col("n_regionkey").as("seed"))
       var labels = n.select(col("node"),

@@ -214,7 +214,7 @@ object GroupEight {
           .filter(col("rn") === 1)
           .select(col("c_id"), col("cent_id").as("cell"),
             zip_with(col("ce"), col("cent"), (x, y) => x - y).as("r"))
-          .localCheckpoint()
+          .localCheckpoint(false)
         val codebook = subRows(assign.filter(col("c_id") < 28), "c_id", "r")
           .select((col("c_id") - 20).cast(IntegerType).as("cid"), col("m"),
             col("sub").as("rvec"))
@@ -324,7 +324,7 @@ object GroupEight {
         .filter(col("src") =!= col("dst"))
         .select(col("src"), col("dst"),
           expr("1L + 1000L DIV (1L + cnt)").as("cost"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       var dist = n.withColumn("d",
         when(col("node") === 0, lit(0L)).otherwise(lit(inf)))
@@ -454,7 +454,7 @@ object GroupEight {
         .filter(col("event_type") === "purchase")
         .groupBy(col("ts").cast(DateType).as("d"))
         .agg(count(lit(1)).as("c"))
-        .localCheckpoint() // two consumers of the tiny day agg
+        .localCheckpoint(false) // two consumers of the tiny day agg
       val pairs = daily.select(col("d").as("da"), col("c").as("ca"))
         .join(daily.select(col("d").as("db"), col("c").as("cb")),
           col("db") > col("da"))
@@ -528,7 +528,7 @@ object GroupEight {
         .groupBy("et")
         .agg(count(lit(1)).as("ng"), sum(col("c")).as("sg"),
           sum(col("c") * col("c")).as("sq"))
-        .localCheckpoint() // tiny (one row per event type), three consumers
+        .localCheckpoint(false) // tiny (one row per event type), three consumers
       val r = g.agg(
         sum(expr("cast(sg as decimal(38,0)) * sg * 1000000 div ng")).as("r"))
       val t = g.agg(count(lit(1)).cast(LongType).as("k"),
@@ -601,7 +601,7 @@ object GroupEight {
       val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       // threshold shared + test-overridable via T.bigRunEdgeThreshold
       val bigRun = edges.count() > T.bigRunEdgeThreshold(s)
       val audit = Seq.newBuilder[(Int, Long, Long)]
@@ -609,7 +609,11 @@ object GroupEight {
         val keep0 = edges.groupBy(col("src").as("node"))
           .agg(count(lit(1)).as("dg")).filter(col("dg") >= 10)
           .select("node") // 2 joins + a count below
-        val keep = if (bigRun) keep0.persist(mad) else keep0.localCheckpoint()
+        // lazy checkpoint (r16): nKeep's count below materializes + caches
+        // it in the same job — the eager form ran a separate caching job
+        // per round (2 extra jobs/round over data this small is real wall)
+        val keep = if (bigRun) keep0.persist(mad)
+          else keep0.localCheckpoint(false)
         // the keep set is NODE-sized (exactly 16 bytes/row, counted here —
         // the audit needs the count anyway): under T.broadcastExact's
         // known-size cap both restriction joins broadcast it and the edge
@@ -634,7 +638,7 @@ object GroupEight {
           edges = next
           audit += ((r, nKeep, nEdges / 2))
         } else {
-          edges = next0.localCheckpoint()
+          edges = next0.localCheckpoint(false) // the audit count materializes
           audit += ((r, nKeep, edges.count() / 2))
         }
       }
@@ -755,7 +759,7 @@ object GroupEight {
           (datediff(col("ts").cast(DateType),
             lit("1970-01-01").cast(DateType)) % 7).as("x1"),
           hour(col("ts")).as("x2"))
-        .localCheckpoint() // 4 consumers: 3 epochs + the accuracy pass
+        .localCheckpoint(false) // 4 consumers: 3 epochs + the accuracy pass
       val m = col("y") *
         (col("w0") * col("x0") + col("w1") * col("x1") + col("w2") * col("x2"))
       def epoch(w: DataFrame): DataFrame =

@@ -126,7 +126,11 @@ object GroupStorage {
       // parquet scans (measured 9 s steady-state; ~2.5 s with truncation).
       // On a real cluster this would be `checkpoint()` to durable storage —
       // same plan shape, executor-local blocks suffice in local mode.
-      val e = edges.distinct().localCheckpoint()
+      // Checkpoints are LAZY (r16): truncation is what matters (the 9 s →
+      // 2.5 s note above); materialization rides the next consuming job
+      // (the limit-probe / next round's except) instead of a dedicated
+      // caching job per generation — 2 fewer jobs per iteration.
+      val e = edges.distinct().localCheckpoint(false)
       var closure = e
       var frontier = e
       var grew = true
@@ -136,10 +140,10 @@ object GroupStorage {
           .join(e.select(col("src").as("m"), col("dst").as("d2")), col("dst") === col("m"))
           .select(col("src"), col("d2").as("dst"))
           .except(closure)
-          .localCheckpoint()
+          .localCheckpoint(false)
         grew = next.limit(1).count() > 0
         if (grew) {
-          closure = closure.union(next).distinct().localCheckpoint()
+          closure = closure.union(next).distinct().localCheckpoint(false)
           frontier = next
         }
         iter += 1

@@ -2336,7 +2336,7 @@ object GroupTen {
       // star join runs once per dataset, every consumer reads ≤625 rows
       val e = GroupSeven.nationEdges(s, dir)
         .select(col("src"), col("dst"), col("w").cast(LongType).as("w"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       def normalize(raw: DataFrame, vcol: String): DataFrame = {
         val mx = raw.agg(max(col("v")).as("mx"))
@@ -2914,7 +2914,7 @@ object GroupTen {
           array((0 until qdim).map(j => col(s"p$j")): _*)).as(Seq("j", "p")))
         .select(col("i"), col("j").cast(IntegerType).as("j"), col("p"))
         .groupBy("i", "j").agg(sum(col("p").cast(d38)).as("mv"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       var w = s.range(64).select(col("id").cast(IntegerType).as("i"),
         lit(1000000L).cast(d38).as("wv"))
       for (_ <- 1 to 5) {
@@ -2971,7 +2971,7 @@ object GroupTen {
       // staged shared artifact (r16): the distinct edge set is exactly the
       // key set of GroupSeven.nationEdges (w ≥ 1 per aggregated row)
       val e = GroupSeven.nationEdges(s, dir)
-        .select("src", "dst").localCheckpoint()
+        .select("src", "dst").localCheckpoint(false)
       val s0 = T.t(s, dir, "nation")
         .select(col("n_nationkey").as("start"))
         .crossJoin(broadcast(s.range(3).select(col("id").as("wid"))))
@@ -4448,7 +4448,7 @@ object GroupTen {
         .select("pa", "pb")
       val e = pr.select(col("pa").as("src"), col("pb").as("dst"))
         .unionAll(pr.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       def step(v: DataFrame): DataFrame =
         e.join(v.withColumnRenamed("node", "vn"), col("dst") === col("vn"))
           .groupBy(col("src").as("node"))
@@ -5467,7 +5467,7 @@ object GroupTen {
         .select("pa", "pb")
       val e = pr.select(col("pa").as("es"), col("pb").as("ed"))
         .unionAll(pr.select(col("pb").as("es"), col("pa").as("ed")))
-        .localCheckpoint()
+        .localCheckpoint(false)
       val d1 = e.select(col("es").as("node"), col("ed").as("v")).distinct()
       val d2 = d1.join(e, col("v") === col("es"))
         .where(col("ed") =!= col("node"))
@@ -6249,7 +6249,7 @@ object GroupTen {
         |  LEFT JOIN ek ON ks.k = ek.k ORDER BY ks.k""") { (s, dir) =>
       val pr = GroupSeven.pairSupport(s, dir)
         .orderBy(col("sup").desc, col("pa"), col("pb")).limit(2000)
-        .select("pa", "pb").localCheckpoint()
+        .select("pa", "pb").localCheckpoint(false)
       val e = pr.select(col("pa").as("es"))
         .unionAll(pr.select(col("pb").as("es")))
       val deg = e.groupBy(col("es").as("node"))
