@@ -599,14 +599,24 @@ object GroupEight {
       // the next reader doesn't retry it: pre-partitioning the edge list
       // on src (exchange-free degree aggs) cost 2.3×/2.9× at sf0.1/sf1.
       val mad = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-      var edges = e.select(col("pa").as("src"), col("pb").as("dst"))
-        .unionAll(e.select(col("pb").as("src"), col("pa").as("dst")))
-        .localCheckpoint(false)
+      // r16 optimization (guide §2.3 — shuffle/cache fewer bytes): loop
+      // generations are stored UNDIRECTED (pa < pb, |E| rows) instead of
+      // both orientations (2|E|). The per-round degree agg derives the
+      // node stream by exploding both endpoints BEFORE the map-side
+      // partial agg — a generator inside the same stage, no new exchange
+      // — so keep sets, the peel curve, and the broadcast decision are
+      // value-identical while the restriction joins and every per-round
+      // cache/checkpoint touch HALF the rows. (The audit's n_edges is the
+      // undirected count directly — the directed form divided by 2.)
+      var und = e.select(col("pa"), col("pb")).localCheckpoint(false)
       // threshold shared + test-overridable via T.bigRunEdgeThreshold
-      val bigRun = edges.count() > T.bigRunEdgeThreshold(s)
+      // (the threshold is calibrated in DIRECTED edges, hence the 2×)
+      val bigRun = 2L * und.count() > T.bigRunEdgeThreshold(s)
       val audit = Seq.newBuilder[(Int, Long, Long)]
       for (r <- 1 to 4) {
-        val keep0 = edges.groupBy(col("src").as("node"))
+        val keep0 = und
+          .select(explode(array(col("pa"), col("pb"))).as("node"))
+          .groupBy("node")
           .agg(count(lit(1)).as("dg")).filter(col("dg") >= 10)
           .select("node") // 2 joins + a count below
         // lazy checkpoint (r16): nKeep's count below materializes + caches
@@ -625,24 +635,24 @@ object GroupEight {
         val maybeB: DataFrame => DataFrame =
           if (T.broadcastExact(s, 16L * nKeep)) broadcast
           else identity
-        val next0 = edges
-          .join(maybeB(keep.withColumnRenamed("node", "src")), "src")
-          .join(maybeB(keep.withColumnRenamed("node", "dst")), "dst")
-          .select("src", "dst")
+        val next0 = und
+          .join(maybeB(keep.withColumnRenamed("node", "pa")), "pa")
+          .join(maybeB(keep.withColumnRenamed("node", "pb")), "pb")
+          .select("pa", "pb")
         if (bigRun) {
           val next = next0.persist(mad)
           val nEdges = next.count() // materializes next; prior gen now free
           // blocking=false; Dataset.unpersist never cascades, next keeps its data
-          edges.unpersist(false)
+          und.unpersist(false)
           keep.unpersist(false)
-          edges = next
-          audit += ((r, nKeep, nEdges / 2))
+          und = next
+          audit += ((r, nKeep, nEdges))
         } else {
-          edges = next0.localCheckpoint(false) // the audit count materializes
-          audit += ((r, nKeep, edges.count() / 2))
+          und = next0.localCheckpoint(false) // the audit count materializes
+          audit += ((r, nKeep, und.count()))
         }
       }
-      if (bigRun) edges.unpersist(false)
+      if (bigRun) und.unpersist(false)
       import s.implicits._
       audit.result().toDF("round", "n_nodes", "n_edges")
         .orderBy("round")

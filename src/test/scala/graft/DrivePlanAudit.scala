@@ -181,6 +181,9 @@ object DrivePlanAudit {
     "stat_ks_two_sample" -> (2 * DAYSPINE), // ECDF over 2-type spine union
     "stat_theil_sen_slope" -> PAIRSPINE, // median rank over day-pair join
     "ml_decision_stump" -> SCALAR, // cumulative counts over 20-bin grid
+    // r16: decile-boundary rank location runs on the cents>>16 bucket
+    // spine — price-DOMAIN-bounded (~170 rows at any sf), not data-sized
+    "agg_histogram_equidepth" -> 4096L,
     "stat_spearman_rank" -> (2 * DAYSPINE), // purchase/click day spines
     "window_skyline_2d" -> 2600L, // per-day max-price running max over the
     // ORDERS calendar (1992-1998 → ≤2557 days; 1094 populated at sf0.001)
