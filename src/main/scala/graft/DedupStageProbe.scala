@@ -40,7 +40,9 @@ object DedupStageProbe {
     }
     val s = spark
     val sizes = graft.ops.GroupPipeline.shingleSizes(s, sfDir)
+    // keep the probe's A/B meaning: the df-capped index the graded keys scan
     val keptIdx = graft.ops.GroupPipeline.shingleDfRows(s, sfDir)
+      .filter(col("df") <= graft.ops.GroupPipeline.dfCap)
     keptIdx.count() // force staging outside the timings
     val cmin = (nn: Column) => ceil(nn * lit(0.8) - lit(1e-6)).cast(LongType)
     time("kept_scan") { keptIdx.count() }

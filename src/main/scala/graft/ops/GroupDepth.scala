@@ -510,7 +510,8 @@ object GroupDepth {
       // join on the staged long surrogate, not the shingle string — same
       // |A∩B| under the injective relabeling, ~3× narrower exchange rows
       // (see GroupPipeline.exactJaccardPairs)
-      val idx = GroupPipeline.shingleDfRows(s, dir).select("doc_id", "shid")
+      val idx = GroupPipeline.shingleDfRows(s, dir)
+        .filter(col("df") <= GroupPipeline.dfCap).select("doc_id", "shid")
       val common = idx.select(col("doc_id").as("ia"), col("shid"))
         .join(idx.select(col("doc_id").as("ib"), col("shid").as("shid2")),
           col("shid") === col("shid2") && col("ia") < col("ib"))

@@ -697,17 +697,28 @@ object GroupEight {
       val exIds = batch
         .join(corpus.select("text").distinct(), Seq("text"), "left_semi")
         .select("doc_id")
-      val sh = GroupText.shingleRows(s, dir) // staged once, shared
-      val bs = sh.filter(col("doc_id") % 5 === 0)
-      val cs = sh.filter(col("doc_id") % 5 =!= 0)
-      val bn = bs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val cn = cs.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val ck = cs.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") <= GroupPipeline.dfCap).select("sh")
-      val common = bs.join(ck, "sh")
-        .select(col("doc_id").as("ib"), col("sh"))
-        .join(cs.select(col("doc_id").as("ic"), col("sh").as("sh2")),
-          col("sh") === col("sh2"))
+      // r16 optimization (guide §2.3): per-doc sizes come from the staged
+      // full counts (identical values), and the batch×corpus common-count
+      // joins ride the staged df≥2 LONG surrogate index instead of
+      // shingle strings. Exactness: the index keeps a shingle in ALL its
+      // docs or none (the cut is per-shingle global df), so (a) any
+      // shingle shared by a batch and a corpus doc has global df ≥ 2 and
+      // is present, and (b) the corpus-df ceiling counted over the
+      // restricted corpus rows equals the full corpus df for every kept
+      // shingle; dropped global-df=1 shingles have corpus df ≤ 1 and no
+      // possible batch match, so `ck` admitting them changed nothing.
+      val sizesAll = GroupPipeline.shingleSizes(s, dir)
+      val idx = GroupPipeline.shingleDfRows(s, dir).select("doc_id", "shid")
+      val bs = idx.filter(col("doc_id") % 5 === 0)
+      val cs = idx.filter(col("doc_id") % 5 =!= 0)
+      val bn = sizesAll.filter(col("doc_id") % 5 === 0)
+      val cn = sizesAll.filter(col("doc_id") % 5 =!= 0)
+      val ck = cs.groupBy("shid").agg(count(lit(1)).as("cdf"))
+        .filter(col("cdf") <= GroupPipeline.dfCap).select("shid")
+      val common = bs.join(ck, "shid")
+        .select(col("doc_id").as("ib"), col("shid"))
+        .join(cs.select(col("doc_id").as("ic"), col("shid").as("shid2")),
+          col("shid") === col("shid2"))
         .groupBy("ib", "ic").agg(count(lit(1)).as("c"))
       val near = common
         .join(bn.select(col("doc_id").as("ib"), col("n").as("nb")), "ib")

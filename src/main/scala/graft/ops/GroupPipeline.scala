@@ -22,19 +22,26 @@ object GroupPipeline {
     * and the connected-components clustering. */
   /** Hot-shingle document-frequency ceiling shared by the inverted-index
     * dedup family (exact Jaccard, weighted Jaccard, containment). */
-  private[ops] val dfCap = 10000
+  private[graft] val dfCap = 10000
 
-  /** The df-bounded shingle inverted index (doc_id, sh, df) staged once
-    * per (JVM, sf) — the artifact the prefix-filtered dedup family scans
-    * repeatedly (prefix build + a-side verify + b-side verify): without
-    * the materialization each reuse re-executed the df aggregation and
-    * the index join (the 23-scan/14-window plan the r15 forensics found).
-    * At 100 TB this is a persisted table next to the shingle index. */
+  /** The df≥2 shingle inverted index (doc_id, sh, df, shid) staged once
+    * per (JVM, sf) — the artifact the dedup family scans repeatedly
+    * (prefix build + a-side verify + b-side verify): without the
+    * materialization each reuse re-executed the df aggregation and the
+    * index join (the 23-scan/14-window plan the r15 forensics found).
+    * At 100 TB this is a persisted table next to the shingle index.
+    * r16: the artifact keeps EVERY df≥2 shingle (df=1 rows can never
+    * contribute to a common count, so dropping them is exact for ALL
+    * consumers); the dfCap hot-shingle ceiling moved to the consumers
+    * whose oracles apply it in lockstep (`.filter(df <= dfCap)` — a
+    * parquet pushdown on the staged scan), so exact-verify consumers
+    * (near_minhash, incremental_batch) can ride the same long
+    * surrogate without inheriting the cap's similarity bias. */
   private[graft] def shingleDfRows(s: SparkSession, dir: String): DataFrame = {
     val stage = T.staged("shingle_df", dir) { o =>
       val sh = GroupText.shingleRows(s, dir)
       val kept = sh.join(sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= dfCap), "sh")
+        .filter(col("df") >= 2), "sh")
       // shid: a dense surrogate id per distinct kept shingle. The verify
       // stage intersects per-doc shingle SETS; |A∩B| is invariant under
       // any injective relabeling, and long arrays shuffle ~3× smaller
@@ -101,7 +108,8 @@ object GroupPipeline {
     // the candidate-join exchange ships 8-byte longs instead of ~30-byte
     // strings (guide §2.3 narrower types; the r15 sf1 forensics already
     // named string rows through this exchange as the GC term).
-    val shJ = shingleDfRows(s, dir).select("doc_id", "shid")
+    val shJ = shingleDfRows(s, dir)
+      .filter(col("df") <= dfCap).select("doc_id", "shid")
     val common = shJ.select(col("doc_id").as("ia"), col("shid"))
       .join(shJ.select(col("doc_id").as("ib"), col("shid").as("shid2")),
         col("shid") === col("shid2") && col("ia") < col("ib"))

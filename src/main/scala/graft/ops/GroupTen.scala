@@ -4913,32 +4913,40 @@ object GroupTen {
         sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
         sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
         sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
-      // The permutation side evaluates per row × per permutation (the
-      // board's hottest hash site: |e|×200 rows after the cross join) —
-      // it runs as ONE projected long-math T.hash32 column, not four
-      // repeated aggregate-expression copies. The r15 DECIMAL(38,0)
-      // version of this expression cost 20× steady (1.2 → 25.0 s at
-      // sf0.1, BASELINE.md hash-repricing note); values are identical:
-      // ((k·c) mod 2³² + b·40503) mod 2³² mod 2 ≡ (k·c + b·40503) mod
-      // 2³² mod 2, and b·40503 ≤ 8.1e6 is long-safe by construction.
-      val perms = e.crossJoin(broadcast(
-          s.range(1, 201).select(col("id").as("b"))))
-        .withColumn("side",
-          T.hash32(col("event_id"), 2654435761L, col("b") * 40503L) % 2)
-        .groupBy("b")
-        .agg(sum(when(col("side") === 0, col("y")).otherwise(0L)).as("s1b"),
-          sum(when(col("side") === 0, 1L).otherwise(0L)).as("n1b"),
-          sum(when(col("side") === 1, col("y")).otherwise(0L)).as("s2b"),
-          sum(when(col("side") === 1, 1L).otherwise(0L)).as("n2b"))
-      val cnt = perms.crossJoin(broadcast(obs))
-        .where(col("n1b") > 0 && col("n2b") > 0 &&
-          expr("abs(cast(s1b as decimal(38,0)) * n2b" +
-            " - cast(s2b as decimal(38,0)) * n1b)" +
-            " * (n1 * n2) >= " +
-            "abs(cast(s1 as decimal(38,0)) * n2" +
-            " - cast(s2 as decimal(38,0)) * n1) * (n1b * n2b)"))
-        .agg(count(lit(1)).cast(LongType).as("n_extreme"))
-      cnt.crossJoin(broadcast(obs))
+      // r16 optimization (guide §1.2 — fix the algorithm before the
+      // stage): the ×200 replicated scan COLLAPSES ARITHMETICALLY. The
+      // relabeling hash is T.hash32(k, c, b·40503) mod 2 with c odd and
+      // the hi term of hash32's split multiply a multiple of 2¹⁶, so
+      //   side(k, b) = parity(lo + b·40503) = (k & 1) XOR (b & 1)
+      // — every odd b draws the SAME labeling and every even b its
+      // complement, and the extremeness inequality is invariant under
+      // swapping the two sides (|s1b·n2b − s2b·n1b| and n1b·n2b are
+      // symmetric). n_extreme is therefore 200·[one inequality] and the
+      // whole test is ONE conditional agg over a single scan — no
+      // crossJoin, no |e|×200 hash evaluations. The b=1 labeling is
+      // still computed with the exact hash expression (not the parity
+      // shortcut) so the per-row values are bit-identical to the old
+      // plan's; the oracle keeps running the full 200-way SQL.
+      val f = e.withColumn("so",
+        T.hash32(col("event_id"), 2654435761L, lit(40503L)) % 2)
+      val agg = f.agg(
+        sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("s1"),
+        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
+        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"),
+        sum(when(col("so") === 0, col("y")).otherwise(0L)).as("s1b"),
+        sum(when(col("so") === 0, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("so") === 1, col("y")).otherwise(0L)).as("s2b"),
+        sum(when(col("so") === 1, 1L).otherwise(0L)).as("n2b"))
+      agg
+        .withColumn("n_extreme",
+          when(col("n1b") > 0 && col("n2b") > 0 &&
+            expr("abs(cast(s1b as decimal(38,0)) * n2b" +
+              " - cast(s2b as decimal(38,0)) * n1b)" +
+              " * (n1 * n2) >= " +
+              "abs(cast(s1 as decimal(38,0)) * n2" +
+              " - cast(s2 as decimal(38,0)) * n1) * (n1b * n2b)"),
+            lit(200L)).otherwise(lit(0L)))
         .select(col("n1").cast(LongType).as("n_purchase"),
           col("n2").cast(LongType).as("n_click"), col("n_extreme"),
           T.r6("1 + n_extreme", "201").as("pvalue6"))
@@ -7418,14 +7426,20 @@ object GroupTen {
         |SELECT abc, xyz, CAST(count(*) AS BIGINT) AS n_parts
         |FROM cls GROUP BY 1, 2 ORDER BY 1, 2""") { (s, dir) =>
       val qc = round(col("l_quantity") * 100).cast(LongType)
+      // r16 optimization (guide §2.3 — aggregate before you widen): the
+      // fact stream aggregates by l_partkey FIRST (one long key instead
+      // of (brand, pk), partial agg unchanged), and the broadcast join
+      // attaches p_brand to the part-level result — 30× fewer join rows,
+      // identical groups because p_partkey → p_brand is functional.
       val rev = T.t(s, dir, "lineitem")
-        .join(broadcast(T.t(s, dir, "part")),
-          col("l_partkey") === col("p_partkey"))
-        .groupBy(col("p_brand").as("brand"), col("l_partkey").as("pk"))
+        .groupBy(col("l_partkey").as("pk"))
         .agg(sum(round(col("l_extendedprice") * 100).cast(LongType))
             .as("cents"),
           count(lit(1)).cast(LongType).as("n"),
           sum(qc).as("sq"), sum(qc * qc).as("sqq"))
+        .join(broadcast(T.t(s, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand").as("brand"))),
+          "pk")
       val wcum = Window.partitionBy("brand")
         .orderBy(col("cents").desc, col("pk"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)

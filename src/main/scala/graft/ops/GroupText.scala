@@ -130,13 +130,23 @@ object GroupText {
       // never sorts the corpus-sized shingle stream — a forced broadcast
       // would turn candidate growth into a driver OOM instead of a linear
       // shuffle.
-      val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val aRows = shingles.select(col("doc_id").as("ia"), col("sh"))
+      // r16 optimization (guide §2.3 — narrower types through the
+      // exchange): sizes come from the staged full per-doc counts
+      // (identical values), and the common-count joins ride the staged
+      // df≥2 LONG surrogate index instead of re-shipping shingle strings.
+      // Every shingle shared by two docs has df ≥ 2 by definition, so
+      // |A∩B| over the df≥2 index is EXACT — no dfCap is applied here
+      // (the hot-shingle ceiling stays with the keys whose oracles apply
+      // it in lockstep). Candidates are unchanged (banding still reads
+      // the full string index), so the recall argument is untouched.
+      val sizes = GroupPipeline.shingleSizes(sc, dir)
+      val idx = GroupPipeline.shingleDfRows(sc, dir).select("doc_id", "shid")
+      val aRows = idx.select(col("doc_id").as("ia"), col("shid"))
         .join(cand, Seq("ia"))
-      val bRows = shingles.select(col("doc_id").as("ib2"), col("sh").as("sh2"))
+      val bRows = idx.select(col("doc_id").as("ib2"), col("shid").as("shid2"))
         .join(cand.select(col("ib").as("ib2")).distinct(), Seq("ib2"))
       val common = aRows
-        .join(bRows, col("ib") === col("ib2") && col("sh") === col("sh2"))
+        .join(bRows, col("ib") === col("ib2") && col("shid") === col("shid2"))
         .groupBy("ia", "ib").agg(count(lit(1)).as("c"))
       common
         .join(sizes.select(col("doc_id").as("ia"), col("n").as("na")), "ia")
