@@ -128,13 +128,79 @@ object GroupNine {
         |  quantile_cont(l_extendedprice, 0.5)  AS p50,
         |  quantile_cont(l_extendedprice, 0.75) AS p75
         |FROM lineitem GROUP BY 1 ORDER BY 1""") { (s, dir) =>
-      T.t(s, dir, "lineitem")
-        .select(col("l_returnflag"),
+      // Re-planned (r16 optimization, guide §1.2/§5 — the
+      // agg_histogram_equidepth machinery GROUPED): exact `percentile` is
+      // an ObjectHashAggregate whose per-group state is a counts map over
+      // every distinct price (~194k entries per returnflag at sf0.1,
+      // growing toward the ~10M-entry price-domain ceiling), with every
+      // partial map merged and sorted on the group's ONE reducer — 3
+      // reducers own the whole board at 100 TB. The 9 needed order
+      // statistics are instead selected two-phase: counts aggregate onto
+      // the per-group cent-bucket spine (shiftright(cents,16) ≈ $655
+      // buckets, ≤ ~170 rows per group at ANY scale), each rank's bucket
+      // is located on the spine, and row_number picks the exact ranks
+      // inside the ≤18 crossing buckets only. The interpolation
+      // reproduces Percentile.getPercentile term-for-term — position =
+      // (N−1)·pct, (higher−pos)·v_lo + (pos−lower)·v_hi, with the
+      // integral-position and equal-values short-circuits — proved
+      // BIT-EQUAL to the old single-aggregate plan at sf0.001/0.01/0.1
+      // and at an ×8 replicated fixture (graft.QuantAB), then
+      // oracle-gated per round. No data-sized aggregation state remains.
+      val x = T.t(s, dir, "lineitem")
+        .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(DoubleType).as("p"))
-        .groupBy("l_returnflag")
-        .agg(percentile(col("p"), lit(0.25)).as("p25"),
-          percentile(col("p"), lit(0.5)).as("p50"),
-          percentile(col("p"), lit(0.75)).as("p75"))
+      val withB = x.filter(col("p").isNotNull)
+        .withColumn("bkt", expr("shiftright(cast(p * 100 as bigint), 16)"))
+      val spine = withB.groupBy("rf", "bkt").agg(count(lit(1)).as("bw"))
+      val wS = Window.partitionBy("rf").orderBy("bkt")
+      val cum = spine
+        .withColumn("hi", sum(col("bw")).over(
+          wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("lo", col("hi") - col("bw"))
+      // count(p) skips NULLs exactly as Percentile does
+      val tgt = x.groupBy("rf").agg(count(col("p")).as("n"))
+        .select(col("rf"),
+          explode(expr("array(0.25D, 0.5D, 0.75D)")).as("pct"), col("n"))
+        .withColumn("pos", (col("n") - 1).cast(DoubleType) * col("pct"))
+        .withColumn("rlo", floor(col("pos")))
+        .withColumn("rhi", ceil(col("pos")))
+      val ranks = tgt
+        .select(col("rf").as("nrf"),
+          explode(array(col("rlo"), col("rhi"))).as("r"))
+        .distinct()
+      // locate each (group, rank)'s bucket on the spine (≤18 × ≤510 rows)
+      val need = ranks.join(cum,
+          col("nrf") === col("rf") &&
+            col("r") >= col("lo") && col("r") < col("hi"))
+        .select(col("nrf"), col("r"), col("bkt").as("nbkt"),
+          col("lo").as("nlo"))
+      val wB = Window.partitionBy("rf", "bkt").orderBy("p")
+      val vals = withB
+        .join(broadcast(need.select(col("nrf").as("rf"),
+          col("nbkt").as("bkt")).distinct()), Seq("rf", "bkt"))
+        .withColumn("ix", row_number().over(wB).cast(LongType) - 1)
+        .join(broadcast(need),
+          col("rf") === col("nrf") && col("bkt") === col("nbkt") &&
+            col("ix") === col("r") - col("nlo"))
+        .select(col("rf"), col("r"), col("p").as("v"))
+      val q9 = tgt
+        .join(vals.select(col("rf"), col("r").as("rlo"), col("v").as("vlo")),
+          Seq("rf", "rlo"))
+        .join(vals.select(col("rf"), col("r").as("rhi"), col("v").as("vhi")),
+          Seq("rf", "rhi"))
+        .select(col("rf"), col("pct"),
+          when(col("rlo") === col("rhi") || col("vlo") === col("vhi"),
+            col("vlo"))
+            .otherwise(
+              (col("rhi").cast(DoubleType) - col("pos")) * col("vlo") +
+                (col("pos") - col("rlo").cast(DoubleType)) * col("vhi"))
+            .as("qv"))
+      q9.groupBy("rf")
+        .agg(max(when(col("pct") === 0.25, col("qv"))).as("p25"),
+          max(when(col("pct") === 0.5, col("qv"))).as("p50"),
+          max(when(col("pct") === 0.75, col("qv"))).as("p75"))
+        .select(col("rf").as("l_returnflag"), col("p25"), col("p50"),
+          col("p75"))
         .orderBy("l_returnflag")
     },
 
