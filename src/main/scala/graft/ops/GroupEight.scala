@@ -328,6 +328,13 @@ object GroupEight {
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       var dist = n.withColumn("d",
         when(col("node") === 0, lit(0L)).otherwise(lit(inf)))
+      // Per-round localCheckpoint TRIED and MEASURED OUT here (r16):
+      // dist is referenced twice per round so the plan tree doubles per
+      // round (PlanSweep: 284 Exchange nodes), but ReusedExchange dedupes
+      // execution and checkpointing the 25-row iterate cost 0.97 → 1.15 s
+      // same-window BenchOne. The iterate is nation-sized at ANY data
+      // scale — constant planning cost, not a scale cliff. See
+      // graph_hits_hubs for the same measured refutation.
       for (_ <- 1 to 6) {
         val relax = e.join(broadcast(dist), col("src") === col("node"))
           .groupBy(col("dst"))

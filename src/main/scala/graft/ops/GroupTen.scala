@@ -2345,6 +2345,14 @@ object GroupTen {
       }
       var auth = n.withColumn("av", lit(1000000L))
       var hub: DataFrame = null
+      // Per-phase localCheckpoint TRIED and MEASURED OUT here (r16): the
+      // un-truncated lineage doubles per phase (PlanSweep: 820 Exchange
+      // nodes in the final plan tree), but execution dedupes the copies
+      // via ReusedExchange and the whole 3-round ladder pipelines as few
+      // jobs — checkpointing the ≤25-row iterate per phase cost 1.02 →
+      // 1.77 s same-window BenchOne (and the iterate is nation-sized at
+      // ANY data scale, so the big TREE is a constant planning cost, not
+      // a scale cliff). Leave the lineage alone.
       for (_ <- 1 to 3) {
         val hraw = n.join(
           e.join(broadcast(auth), col("dst") === col("node"))
@@ -2917,6 +2925,11 @@ object GroupTen {
         .localCheckpoint(false)
       var w = s.range(64).select(col("id").cast(IntegerType).as("i"),
         lit(1000000L).cast(d38).as("wv"))
+      // r16 optimization (guide §3.3): wr is referenced twice per round
+      // (matvec + the max crossJoin) — un-truncated, the 64-row iterate's
+      // plan doubled per round (PlanSweep measured 218 Exchange nodes
+      // re-analyzed per invocation). Lazy localCheckpoint keeps it
+      // per-round-sized; the next matvec's broadcast materializes it.
       for (_ <- 1 to 5) {
         val wr = m.join(broadcast(w.withColumnRenamed("i", "j")), "j")
           .groupBy("i").agg(sum(col("mv") * col("wv")).cast(d38).as("v"))
@@ -2925,6 +2938,7 @@ object GroupTen {
           .select(col("i"),
             (when(col("v") < 0, -1L).otherwise(1L).cast(d38) *
               expr("(abs(v) * 1000000L) div mxv")).as("wv"))
+          .localCheckpoint(false)
       }
       w.select(col("i"), (col("wv").cast(DoubleType) / 1000000.0).as("w6"))
         .orderBy("i")
@@ -2989,6 +3003,8 @@ object GroupTen {
           .filter(col("rn") === 1 || col("dst").isNull)
           .select(col("start"), col("wid"),
             coalesce(col("dst"), col("v")).as("v"))
+        // per-step localCheckpoint tried and measured out (r16): 0.81 →
+        // 0.89 s same-window — see graph_hits_hubs for the refutation
         frontier = nxt
         acc = acc.unionAll(nxt.withColumn("step", lit(st)))
       }
