@@ -32,8 +32,9 @@ object QuantAB {
       val base = T.t(spark, sfDir, "lineitem")
         .select(col("l_returnflag"),
           col("l_extendedprice").cast(DoubleType).as("p"))
-      val x = if (mult <= 1) base
-        else base.crossJoin(spark.range(mult).select(col("id").as("_r")))
+      // replication by unionAll, not crossJoin: a BNLJ replication stage
+      // would pollute the timing comparison (both plans get the same form)
+      val x = (1 until mult).foldLeft(base)((d, _) => d.unionAll(base))
       x.groupBy("l_returnflag")
         .agg(percentile(col("p"), lit(0.25)).as("p25"),
           percentile(col("p"), lit(0.5)).as("p50"),
@@ -58,18 +59,22 @@ object QuantAB {
     // same replicated input is impractical through SparkEntry, so the
     // timing compares the old aggregate against an inline copy of the
     // shipped spine selection over the identical replicated frame)
-    if (rep > 1) {
+    if (rep >= 1) {
       def time(tag: String)(body: => Unit): Unit = {
         val walls = (1 to 3).map { _ =>
           val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9 }
         println(f"QUANTAB ${tag}%-12s x$rep min=${walls.min}%6.2f s " +
           f"reps=${walls.map(w => f"$w%.2f").mkString(",")}")
       }
+      // the .count() twin exposes the Bench-metric artifact: Catalyst
+      // prunes the ungrouped Percentile aggregates under count(), so the
+      // old plan's benched 0.19 s anchor never computed a percentile
+      time("old_count") { oldPlan(rep).count() }
       time("old_pctile") { oldPlan(rep).collect() }
-      val base = T.t(spark, sfDir, "lineitem")
+      val base0 = T.t(spark, sfDir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(DoubleType).as("p"))
-        .crossJoin(spark.range(rep).select(col("id").as("_r")))
+      val base = (1 until rep).foldLeft(base0)((d, _) => d.unionAll(base0))
       time("new_spine") {
         import org.apache.spark.sql.expressions.Window
         val withB = base.filter(col("p").isNotNull)
