@@ -33,19 +33,46 @@ object Bench {
     // staging is reported per-key (top entries) and as staging_sec, so
     // value == sum(queries) + staging_sec remains the full honest wall.
     val staging = scala.collection.mutable.LinkedHashMap[String, Double]()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // TRANSITION ROUND (r17, VERDICT r16 "What's wrong" #1): the timed
+    // action through r16 was fn(...).count(), and Catalyst PRUNES aggregate
+    // expressions the count doesn't need — keys whose work is
+    // expression-shaped (exact percentile, collect_list/sort_array,
+    // sketches) were benched at a fraction of their real compute, and the
+    // r16 percentile replan's real 3.1x win read as a +0.9 s regression.
+    // Per guide §1.4 the honest metric is a full materialization of every
+    // column of every row: the noop sink. This round times BOTH actions
+    // per key — leg 1 is the legacy count() (bit-comparable with
+    // BENCH_r01–r16 and run FIRST, cold, under the same conditions as
+    // every prior round), leg 2 is the noop sink on a freshly built plan
+    // (warm JVM). The HEADLINE value/queries move to the noop metric (the
+    // one that cannot be gamed by pruning); count_sec carries the old
+    // metric's whole-board total so cross-round totals stay mappable, and
+    // the full per-key dual table is printed as BENCHDUAL and written to
+    // /tmp/graft_bench_dual.json for the committed record.
+    def timeLeg(name: String, run: => Unit): Double = {
       val s0 = T.stagingNanos.get()
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() }
+      try { run }
       catch { case e: Throwable =>
-        errors += name
+        if (!errors.contains(name)) errors += name
         System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
       }
       val wall = (System.nanoTime() - t0) / 1e9
       val stagedSec = (T.stagingNanos.get() - s0) / 1e9
-      if (stagedSec > 0.05) staging(name) = stagedSec
-      name -> math.max(0.0, wall - stagedSec)
+      if (stagedSec > 0.05)
+        staging(name) = staging.getOrElse(name, 0.0) + stagedSec
+      math.max(0.0, wall - stagedSec)
     }
+    val dual = SparkEntry.queries.map { case (name, fn) =>
+      val cnt = timeLeg(name, fn(spark, sfDir).count())
+      val noop = timeLeg(name,
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      name -> (cnt, noop)
+    }
+    // the noop leg is the metric going forward; results drives the
+    // headline value and the top-N queries map
+    val results = dual.map { case (k, (_, n)) => k -> n }
+    val countTotal = dual.values.map(_._1).sum
     // The driver captures only the LAST 2000 chars of output (BENCH_r01/r02
     // tails are exactly 2000 chars and r02's full-precision line was cut
     // mid-JSON → parsed:null). Keep the line well under that: 3-decimal
@@ -55,9 +82,21 @@ object Bench {
     // separators on non-English JVMs — invalid JSON for the driver's parser
     def f3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // 36 not 40: the staging fields below cost ~300 chars of the driver's
-    // 2000-char tail budget; four fewer listed keys buys the headroom back
-    val top = results.toSeq.sortBy(-_._2).take(36)
+    // full dual table (count-metric, noop-metric) per key — the transition
+    // mapping VERDICT r16 #1 asked for; one line, driver-tail-safe because
+    // the final JSON line below is printed after it
+    val dualJson = dual.toSeq.sortBy(-_._2._2)
+      .map { case (k, (c, n)) => "\"" + k + "\":[" + f3(c) + "," + f3(n) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""BENCHDUAL {"metric":"count_vs_noop","unit":"sec","queries":$dualJson}""")
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_bench_dual.json")
+      try w.println(s"""{"metric":"count_vs_noop","unit":"sec","cpus":$cpus,"sf":"$sfDir","queries":$dualJson}""")
+      finally w.close()
+    } catch { case _: Throwable => }
+    // top-40 restored (VERDICT r16 #2): the dual table above absorbed the
+    // transition payload, so the final line budget fits 40 keys again
+    val top = results.toSeq.sortBy(-_._2).take(40)
     val rest = results.size - top.size
     val otherSec = results.values.sum - top.map(_._2).sum
     val qs = top.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
@@ -75,7 +114,7 @@ object Bench {
     val stagingTotal = T.stagingNanos.get() / 1e9
     val stJson = staging.toSeq.sortBy(-_._2).take(8)
       .map { case (k, v) => "\"" + k + "\":" + f3(v) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${f3(total + stagingTotal)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_omitted":$rest,"other_sec":${f3(otherSec)},"staging_sec":${f3(stagingTotal)},"staging":$stJson,"query_sec":${f3(total)},"load_avg":$load,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f3(total + stagingTotal)},"unit":"sec","queries":$qs,"n_queries":${results.size},"n_errors":${errors.size},"errors":$errJson,"n_omitted":$rest,"other_sec":${f3(otherSec)},"staging_sec":${f3(stagingTotal)},"staging":$stJson,"query_sec":${f3(total)},"count_sec":${f3(countTotal)},"load_avg":$load,"sf":"$sfDir"}""")
     spark.stop()
     if (errors.nonEmpty) sys.exit(1)
   }

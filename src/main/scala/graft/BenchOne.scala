@@ -32,16 +32,23 @@ object BenchOne {
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ACTION=noop times a full materialization (guide §1.4 —
+    // count() lets Catalyst prune expression-shaped work; see the r16
+    // batch-5 amendment). Default stays count for anchor continuity.
+    val useNoop = sys.env.get("SPARK_GRAFT_ACTION").contains("noop")
     names.foreach { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
+        val df = fn(spark, sfDir)
+        if (useNoop) df.write.format("noop").mode("overwrite").save()
+        else df.count()
         (System.nanoTime() - t0) / 1e9
       }
       def f2(v: Double): String =
         String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
-      println(s"BENCHONE $name reps=${times.map(f2).mkString(",")} min=${f2(times.min)}")
+      val tag = if (useNoop) "BENCHONE(noop)" else "BENCHONE"
+      println(s"$tag $name reps=${times.map(f2).mkString(",")} min=${f2(times.min)}")
     }
     spark.stop()
   }

@@ -39,11 +39,18 @@ object BenchSteady {
     // same loud-failure rule as Bench (VERDICT r9): a key that throws must
     // not be recorded as a ~0 s anchor — skip it and fail the run at the end
     val errors = scala.collection.mutable.ArrayBuffer[String]()
+    // SPARK_GRAFT_ACTION=noop → full-materialization timing (guide §1.4);
+    // default stays count so historical anchors remain comparable.
+    val useNoop = sys.env.get("SPARK_GRAFT_ACTION").contains("noop")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       var failed = false
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() }
+        try {
+          val df = fn(spark, sfDir)
+          if (useNoop) df.write.format("noop").mode("overwrite").save()
+          else df.count()
+        }
         catch { case e: Throwable =>
           failed = true
           System.err.println(s"[steady] $name FAILED: ${String.valueOf(e.getMessage).take(200)}")

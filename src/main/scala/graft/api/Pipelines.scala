@@ -197,13 +197,20 @@ object Pipelines {
         keptIdx.select("sh").distinct()
           .withColumn("shid", monotonically_increasing_id()), "sh")
     if (!weighted) {
+      // r17: sort the per-doc id arrays ONCE at collect time (O(k log k)
+      // per doc) so every candidate-pair evaluation is the allocation-free
+      // codegen'd sorted-merge count instead of array_intersect's
+      // per-pair hash-set build — a doc in many pairs pays the sort once
+      // and the merge per pair. |A∩B| identical (unique ids either way).
+      graft.functions.GraftFunctions.register(cand.sparkSession)
       val docArr = idx.groupBy("doc_id")
-        .agg(collect_list(col("shid")).as("_arr"))
+        .agg(sort_array(collect_list(col("shid"))).as("_arr"))
       cand
         .join(docArr.select(col("doc_id").as("ia"), col("_arr").as("_aa")), "ia")
         .join(docArr.select(col("doc_id").as("ib"), col("_arr").as("_ab")), "ib")
         .select(col("ia"), col("ib"),
-          size(array_intersect(col("_aa"), col("_ab"))).cast(LongType).as("c"))
+          call_function("sorted_intersect_count",
+            col("_aa"), col("_ab")).as("c"))
     } else {
       val docMap = idx.groupBy("doc_id")
         .agg(map_from_entries(

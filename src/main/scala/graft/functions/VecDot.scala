@@ -147,6 +147,12 @@ object GraftFunctions {
       "lsh_bands", exprs => CosineLsh.build(exprs), "built-in")
     s.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bigrams", exprs => TokenBigrams(exprs.head), "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect", exprs => SortedIntersect(exprs.head, exprs(1)),
+      "built-in")
+    s.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "sorted_intersect_count",
+      exprs => SortedIntersectCount(exprs.head, exprs(1)), "built-in")
   }
 }
 
@@ -183,6 +189,16 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
         classOf[TokenBigrams].getName, "bigrams"),
       (exprs: Seq[Expression]) => TokenBigrams(exprs.head)))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersect].getName, "sorted_intersect"),
+      (exprs: Seq[Expression]) => SortedIntersect(exprs.head, exprs(1))))
+    e.injectFunction((
+      org.apache.spark.sql.catalyst.FunctionIdentifier("sorted_intersect_count"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (exprs: Seq[Expression]) => SortedIntersectCount(exprs.head, exprs(1))))
     // whole-operator surface: the native per-group top-k and as-of join
     // strategies (graft.plans) ride the same cluster-wide injection point
     e.injectPlannerStrategy(_ => graft.plans.TopKPerGroupStrategy)

@@ -193,6 +193,10 @@ object GroupDepth {
       val e = e0.join(outw, "src").localCheckpoint(false)
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       var ranks = n.withColumn("nr", lit(40000000L))
+      // r17: per-round lazy checkpoint of the ≤25-row iterate — the
+      // honest (noop) metric showed the un-truncated ladder re-executing
+      // prior rounds through each round's broadcast (the hits/sssp
+      // pattern; the r16 no-checkpoint readings were count()-pruned).
       for (_ <- 1 to 5) {
         val contrib = e.join(broadcast(ranks), col("src") === col("node"))
           .groupBy(col("dst"))
@@ -200,6 +204,7 @@ object GroupDepth {
         ranks = n.join(broadcast(contrib), col("node") === col("dst"), "left")
           .select(col("node"),
             expr("6000000L + (85 * coalesce(c, 0L)) DIV 100").as("nr"))
+          .localCheckpoint(false)
       }
       ranks.select(col("node"),
           (col("nr").cast(DoubleType) / lit(1e9)).as("pagerank"))

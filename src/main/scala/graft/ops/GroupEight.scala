@@ -328,13 +328,14 @@ object GroupEight {
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
       var dist = n.withColumn("d",
         when(col("node") === 0, lit(0L)).otherwise(lit(inf)))
-      // Per-round localCheckpoint TRIED and MEASURED OUT here (r16):
-      // dist is referenced twice per round so the plan tree doubles per
-      // round (PlanSweep: 284 Exchange nodes), but ReusedExchange dedupes
-      // execution and checkpointing the 25-row iterate cost 0.97 → 1.15 s
-      // same-window BenchOne. The iterate is nation-sized at ANY data
-      // scale — constant planning cost, not a scale cliff. See
-      // graph_hits_hubs for the same measured refutation.
+      // Per-round localCheckpoint: REVERTED in r16, RE-FLIPPED in r17.
+      // The r16 refutation (0.97 → 1.15 s) was measured under the count()
+      // action, which prunes the distance computation (guide §1.4; VERDICT
+      // r16 #1) — under the honest noop metric the un-truncated ladder
+      // (284-Exchange tree, dist referenced twice per round) read 2.75 s
+      // at round start; with the ≤25-row iterate checkpointed per round it
+      // computes once per round. Same-window noop BenchOne min-of-5:
+      // 2.10 → 1.14 s.
       for (_ <- 1 to 6) {
         val relax = e.join(broadcast(dist), col("src") === col("node"))
           .groupBy(col("dst"))
@@ -344,6 +345,7 @@ object GroupEight {
             Seq("node"), "left")
           .select(col("node"),
             least(col("d"), coalesce(col("rd"), lit(inf))).as("d"))
+          .localCheckpoint(false)
       }
       dist.select(col("node"),
           when(col("d") >= inf, lit(null).cast(LongType))

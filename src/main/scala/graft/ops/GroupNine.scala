@@ -146,6 +146,14 @@ object GroupNine {
       // BIT-EQUAL to the old single-aggregate plan at sf0.001/0.01/0.1
       // and at an ×8 replicated fixture (graft.QuantAB), then
       // oracle-gated per round. No data-sized aggregation state remains.
+      // PRECONDITION (ADVICE r16): the value column must be non-null for
+      // every group that should appear — a group whose values are ALL
+      // NULL has n=0, gets negative rank positions that match no spine
+      // bucket, and is DROPPED, where the old `percentile` aggregate
+      // emitted it with NULL p25/p50/p75. Unreachable here (TPC-H
+      // l_extendedprice is NOT NULL; verified in the fixtures); reusing
+      // this machinery on nullable inputs requires a left join of tgt
+      // back to the group spine to restore NULL-quantile rows.
       val x = T.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(DoubleType).as("p"))

@@ -377,14 +377,18 @@ object GroupSeven {
       // plan-side agg over the index (Σ|N⁺|= |E|); n_nodes counts distinct
       // parts straight off lineitem (projection-invariant — no
       // distinct-pair shuffle just to count keys).
+      // r17: staged nbrs arrays are sorted, so |N⁺(u) ∩ N⁺(v)| runs as the
+      // allocation-free codegen'd sorted-merge count (sorted_intersect_count)
+      // instead of array_intersect's per-edge hash-set build + size().
+      graft.functions.GraftFunctions.register(s)
       val adj = orientedAdj(s, dir)
       val tri = adj
         .select(col("src"), col("nbrs").as("nu"),
           explode(col("nbrs")).as("dst"))
         .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
           Seq("dst"), "left")
-        .select(size(array_intersect(col("nu"),
-          coalesce(col("nv"), array().cast("array<bigint>")))).as("closed"))
+        .select(call_function("sorted_intersect_count", col("nu"),
+          coalesce(col("nv"), array().cast("array<bigint>"))).as("closed"))
         .agg(sum(col("closed")).as("n_triangles"))
       T.t(s, dir, "lineitem")
         .agg(countDistinct(col("l_partkey")).as("n_nodes"))

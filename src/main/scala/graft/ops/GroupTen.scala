@@ -375,8 +375,17 @@ object GroupTen {
         |ORDER BY n.user_id""") { (s, dir) =>
       val e = T.t(s, dir, "events").select(col("user_id"), col("event_id"),
         col("value"), get_json_object(col("props"), "$.k").cast(IntegerType).as("k"))
+      // r17 (guide §2.5/2.6): the events fixture is ONE parquet split, so
+      // without a re-spread the per-user pair fan-out (|group|² rows) and
+      // its conditional partial aggregation run in a single task behind a
+      // broadcast join (measured 9.0 s honest wall at round start, one
+      // core busy). Repartitioning the probe side by user_id costs one
+      // narrow row-count-sized shuffle here, and at scale it is FREE: the
+      // moment the build side outgrows the broadcast threshold the join
+      // needs this exact hash distribution and reuses the exchange.
       val a = e.select(col("user_id"), col("event_id").as("ia"),
         col("value").as("xa"), col("k").as("ka"))
+        .repartition(col("user_id"))
       val b = e.select(col("user_id"), col("event_id").as("ib"),
         col("value").as("xb"), col("k").as("kb"))
       val p = a.join(b, Seq("user_id")).filter(col("ia") < col("ib"))
@@ -508,6 +517,7 @@ object GroupTen {
       // (nu rides along — no join to attach the src side), so the
       // remaining per-invocation plan is one AQE-sized hash join for the
       // dst arrays, the intersect, and the credit aggregation.
+      graft.functions.GraftFunctions.register(s)
       val adj = GroupSeven.orientedAdj(s, dir)
       val deg = GroupSeven.pairDegree(s, dir)
       // per oriented edge (src, dst): common = out-neighbors closing a
@@ -516,13 +526,18 @@ object GroupTen {
       // credited IN BULK with size(common) (no explode); only the third
       // vertex w needs a generator row — 1/3 the exploded volume of the
       // naive (src, dst, w)×3 credit stream.
+      // r17 (VERDICT r16 #2): the staged nbrs arrays are sorted, so the
+      // per-edge intersection is the codegen'd allocation-lean sorted-merge
+      // (sorted_intersect) instead of array_intersect's per-evaluation hash
+      // set; result multiset identical on sorted unique inputs, consumers
+      // (size + explode-aggregate) are order-invariant.
       val tri0 = adj
         .select(col("src"), col("nbrs").as("nu"),
           explode(col("nbrs")).as("dst"))
         .join(adj.select(col("src").as("dst"), col("nbrs").as("nv")),
           Seq("dst"), "left")
         .select(col("src"), col("dst"),
-          array_intersect(col("nu"),
+          call_function("sorted_intersect", col("nu"),
             coalesce(col("nv"), array().cast("array<bigint>"))).as("common"))
         .filter(size(col("common")) > 0)
       // ONE pass over the join output: src/dst take size(common) in bulk, w
@@ -716,7 +731,18 @@ object GroupTen {
       // and C·(m&0xFFFF) < 2⁴⁸ are long-safe for any per-segment count
       // n < 1.4e14. Values are bit-identical to the wide product.
       val rix = col("b") * 100003L + (col("rn") - 1)
+      // r17 (guide §2.5/2.6 — idle capacity): the row_number window hashes
+      // by c_mktsegment, so its output lives in 5 partitions (one per enum
+      // segment) AT ANY SCALE — and without a re-spread, the ×200 explode,
+      // the resample-index arithmetic, the index join probe and the
+      // replicate-mean partial aggregation all inherit that 5-task layout
+      // (measured: the whole 3M-row grid pipeline ran on 5 of 32 cores —
+      // 14.5 s honest wall at round start, and the key anti-scaled 8→32
+      // cores). One tiny row-count-sized shuffle by (segment, position)
+      // spreads the grid across the full cluster before the ×200 fan-out;
+      // values are partition-independent (idx is pure row arithmetic).
       val g = r.select(col("c_mktsegment"), col("rn"), col("n"))
+        .repartition(col("c_mktsegment"), col("rn"))
         .withColumn("b", explode(sequence(lit(0), lit(199))))
         .withColumn("idx",
           lit(1) + ((lit(2654435761L) * shiftright(rix, 16)) % col("n")
@@ -1424,14 +1450,25 @@ object GroupTen {
       val c1 = v.filter(col("vec_id") === 0)
         .select(col("vec_id").as("cid"), col("e").as("ce"))
       // layer k: ms_k = max(ms_{k-1}, sim to the newly chosen point);
-      // the next pick is a 1-row TakeOrdered on (ms, vec_id)
+      // the next pick is a 1-row TakeOrdered on (ms, vec_id).
+      // r17 (VERDICT r16 #3): each refinement layer is lazily
+      // localCheckpoint'd — without it, p2..p5 and the final union each
+      // re-executed the ENTIRE greedy lineage from the scan (~15 redundant
+      // passes over the embeddings table; the board's worst 32-core
+      // anti-scaler at 0.20, and at 100 TB each redundant pass is a full
+      // table scan). The first consuming job materializes each layer once;
+      // every later reference (next layer's broadcast pick, the union
+      // branches) reads the cached generation. Values unchanged —
+      // checkpointing only truncates lineage.
       def refine(m: DataFrame, pick: DataFrame): DataFrame =
         m.crossJoin(broadcast(pick.select(col("e").as("pe"))))
           .withColumn("ms", greatest(col("ms"), round(dot(col("e"), col("pe")), 6)))
           .drop("pe")
+          .localCheckpoint(false)
       val m1 = v.crossJoin(broadcast(c1))
         .withColumn("ms", round(dot(col("e"), col("ce")), 6))
         .select("vec_id", "e", "ms")
+        .localCheckpoint(false)
       val p2 = m1.orderBy(col("ms"), col("vec_id")).limit(1)
       val m2 = refine(m1, p2)
       val p3 = m2.orderBy(col("ms"), col("vec_id")).limit(1)
@@ -2338,21 +2375,25 @@ object GroupTen {
         .select(col("src"), col("dst"), col("w").cast(LongType).as("w"))
         .localCheckpoint(false)
       val n = T.t(s, dir, "nation").select(col("n_nationkey").as("node"))
-      def normalize(raw: DataFrame, vcol: String): DataFrame = {
+      // Per-phase localCheckpoint: REVERTED in r16, RE-FLIPPED in r17.
+      // The r16 refutation (1.02 s no-ckpt vs 1.77 s ckpt) was measured
+      // under the count() action, which PRUNES the score computation
+      // entirely (the guide §1.4 artifact VERDICT r16 #1 called out) —
+      // under the honest full-materialization metric the un-truncated
+      // ladder costs 9.4 s/round-start run because every normalize's max
+      // subquery and every phase's broadcast re-executes the whole
+      // predecessor ladder (820-Exchange final tree). With each half-round
+      // iterate (≤25 rows at ANY scale) lazily checkpointed, each phase
+      // computes once. Same-window noop BenchOne min-of-5: 8.50 → 1.50 s.
+      def normalize(raw0: DataFrame, vcol: String): DataFrame = {
+        val raw = raw0.localCheckpoint(false)
         val mx = raw.agg(max(col("v")).as("mx"))
         raw.crossJoin(broadcast(mx))
           .select(col("node"), expr("(v * 1000000L) div mx").as(vcol))
+          .localCheckpoint(false)
       }
       var auth = n.withColumn("av", lit(1000000L))
       var hub: DataFrame = null
-      // Per-phase localCheckpoint TRIED and MEASURED OUT here (r16): the
-      // un-truncated lineage doubles per phase (PlanSweep: 820 Exchange
-      // nodes in the final plan tree), but execution dedupes the copies
-      // via ReusedExchange and the whole 3-round ladder pipelines as few
-      // jobs — checkpointing the ≤25-row iterate per phase cost 1.02 →
-      // 1.77 s same-window BenchOne (and the iterate is nation-sized at
-      // ANY data scale, so the big TREE is a constant planning cost, not
-      // a scale cliff). Leave the lineage alone.
       for (_ <- 1 to 3) {
         val hraw = n.join(
           e.join(broadcast(auth), col("dst") === col("node"))
@@ -3004,7 +3045,11 @@ object GroupTen {
           .select(col("start"), col("wid"),
             coalesce(col("dst"), col("v")).as("v"))
         // per-step localCheckpoint tried and measured out (r16): 0.81 →
-        // 0.89 s same-window — see graph_hits_hubs for the refutation
+        // 0.89 s same-window. RE-EXAMINED under the honest noop metric in
+        // r17 (hits/sssp/pagerank flipped there): this loop reads 0.90 s
+        // noop at round start — each step is referenced only twice (next
+        // hop + its union branch) and the union dedupes via ReusedExchange,
+        // so the refutation STANDS here.
         frontier = nxt
         acc = acc.unionAll(nxt.withColumn("step", lit(st)))
       }
@@ -4924,11 +4969,6 @@ object GroupTen {
         .select(col("event_id"),
           round(col("value") * 100).cast(LongType).as("y"),
           when(col("event_type") === "purchase", 1).otherwise(2).as("grp"))
-      val obs = e.agg(
-        sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("s1"),
-        sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
-        sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
-        sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
       // r16 optimization (guide §1.2 — fix the algorithm before the
       // stage): the ×200 replicated scan COLLAPSES ARITHMETICALLY. The
       // relabeling hash is T.hash32(k, c, b·40503) mod 2 with c odd and

@@ -1159,6 +1159,44 @@ class TenSpec extends AnyFunSuite {
     assert(r.getLong(2) >= 0 && r.getLong(2) <= 200)
   }
 
+  test("stat_permutation_test: collapsed n_extreme equals the literal 200-way") {
+    // ADVICE r16: the shipped ×200→×1 collapse is only valid because the
+    // hash constants are odd and hash32's hi term is a multiple of 2^16
+    // (side(k,b) = (k&1) XOR (b&1), and the extremeness inequality is
+    // side-swap-invariant). Pin the equality against the LITERAL 200-way
+    // computation so changing any hash constant fails fast in CI instead
+    // of only at oracle time.
+    val e = T.t(s, sf, "events")
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(col("event_id"),
+        round(col("value") * 100).cast("long").as("y"),
+        when(col("event_type") === "purchase", 1).otherwise(2).as("grp"))
+    val b = s.range(1, 201).select(col("id").as("b"))
+    val perms = e.crossJoin(b)
+      .withColumn("so",
+        T.hash32(col("event_id"), 2654435761L, col("b") * 40503L) % 2)
+      .groupBy("b").agg(
+        sum(when(col("so") === 0, col("y")).otherwise(0L)).as("s1b"),
+        sum(when(col("so") === 0, 1L).otherwise(0L)).as("n1b"),
+        sum(when(col("so") === 1, col("y")).otherwise(0L)).as("s2b"),
+        sum(when(col("so") === 1, 1L).otherwise(0L)).as("n2b"))
+    val obs = e.agg(
+      sum(when(col("grp") === 1, col("y")).otherwise(0L)).as("s1"),
+      sum(when(col("grp") === 1, 1L).otherwise(0L)).as("n1"),
+      sum(when(col("grp") === 2, col("y")).otherwise(0L)).as("s2"),
+      sum(when(col("grp") === 2, 1L).otherwise(0L)).as("n2"))
+    val literal = perms.crossJoin(obs)
+      .filter(col("n1b") > 0 && col("n2b") > 0 &&
+        expr("abs(cast(s1b as decimal(38,0)) * n2b" +
+          " - cast(s2b as decimal(38,0)) * n1b) * (n1 * n2) >= " +
+          "abs(cast(s1 as decimal(38,0)) * n2" +
+          " - cast(s2 as decimal(38,0)) * n1) * (n1b * n2b)"))
+      .count()
+    val shipped = run("stat_permutation_test").collect().head.getLong(2)
+    assert(shipped == literal,
+      s"collapsed n_extreme $shipped != literal 200-way $literal")
+  }
+
   test("agg_topn_other_rollup: exactly 5 named + Other, shares sum to 1") {
     val rows = run("agg_topn_other_rollup").collect()
     assert(rows.length == 6)
