@@ -75,53 +75,11 @@ object QuantAB {
         .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(DoubleType).as("p"))
       val base = (1 until rep).foldLeft(base0)((d, _) => d.unionAll(base0))
+      // the SHARED shipped plan (Pipelines.centSpinePercentiles — ADVICE
+      // r16: the timing leg previously carried a hand-inlined copy that
+      // could silently drift from the key's code)
       time("new_spine") {
-        import org.apache.spark.sql.expressions.Window
-        val withB = base.filter(col("p").isNotNull)
-          .withColumn("bkt", expr("shiftright(cast(p * 100 as bigint), 16)"))
-        val spine = withB.groupBy("rf", "bkt").agg(count(lit(1)).as("bw"))
-        val wS = Window.partitionBy("rf").orderBy("bkt")
-        val cum = spine.withColumn("hi", sum(col("bw")).over(
-            wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-          .withColumn("lo", col("hi") - col("bw"))
-        val tgt = base.groupBy("rf").agg(count(col("p")).as("n"))
-          .select(col("rf"),
-            explode(expr("array(0.25D, 0.5D, 0.75D)")).as("pct"), col("n"))
-          .withColumn("pos", (col("n") - 1).cast(DoubleType) * col("pct"))
-          .withColumn("rlo", floor(col("pos")))
-          .withColumn("rhi", ceil(col("pos")))
-        val ranks = tgt.select(col("rf").as("nrf"),
-            explode(array(col("rlo"), col("rhi"))).as("r")).distinct()
-        val need = ranks.join(cum,
-            col("nrf") === col("rf") &&
-              col("r") >= col("lo") && col("r") < col("hi"))
-          .select(col("nrf"), col("r"), col("bkt").as("nbkt"),
-            col("lo").as("nlo"))
-        val wB = Window.partitionBy("rf", "bkt").orderBy("p")
-        val vals = withB
-          .join(broadcast(need.select(col("nrf").as("rf"),
-            col("nbkt").as("bkt")).distinct()), Seq("rf", "bkt"))
-          .withColumn("ix", row_number().over(wB).cast(org.apache.spark.sql.types.LongType) - 1)
-          .join(broadcast(need),
-            col("rf") === col("nrf") && col("bkt") === col("nbkt") &&
-              col("ix") === col("r") - col("nlo"))
-          .select(col("rf"), col("r"), col("p").as("v"))
-        tgt
-          .join(vals.select(col("rf"), col("r").as("rlo"), col("v").as("vlo")),
-            Seq("rf", "rlo"))
-          .join(vals.select(col("rf"), col("r").as("rhi"), col("v").as("vhi")),
-            Seq("rf", "rhi"))
-          .select(col("rf"), col("pct"),
-            when(col("rlo") === col("rhi") || col("vlo") === col("vhi"),
-              col("vlo"))
-              .otherwise(
-                (col("rhi").cast(DoubleType) - col("pos")) * col("vlo") +
-                  (col("pos") - col("rlo").cast(DoubleType)) * col("vhi"))
-              .as("qv"))
-          .groupBy("rf")
-          .agg(max(when(col("pct") === 0.25, col("qv"))).as("p25"),
-            max(when(col("pct") === 0.5, col("qv"))).as("p50"),
-            max(when(col("pct") === 0.75, col("qv"))).as("p75"))
+        graft.api.Pipelines.centSpinePercentiles(base)
           .orderBy("rf").collect()
       }
     }

@@ -265,6 +265,77 @@ object Pipelines {
           .as(Seq("band_pos", "band_sig")))
   }
 
+  /** Exact interpolated PERCENTILE_CONT p25/p50/p75 per group via the
+    * cent-bucket-spine order-statistic selection — the shipped
+    * `agg_percentile_cont_interp` plan (r16), factored here (ADVICE r16)
+    * so the `graft.QuantAB` bit-equality/scaling harness measures the SAME
+    * code the key executes instead of a hand-inlined copy.
+    *
+    * Input: (rf: group key, p: DOUBLE values, non-null for every group
+    * that should appear — see the precondition note at the key). Counts
+    * aggregate onto the per-group cent-bucket spine
+    * (shiftright(cents,16) ≈ $655 buckets, ≤ ~170 rows/group at ANY
+    * scale), each rank's bucket is located on the spine, row_number picks
+    * the exact ranks inside the crossing buckets only, and the
+    * interpolation reproduces Percentile.getPercentile term-for-term
+    * (integral-position and equal-values short-circuits included) —
+    * proved BIT-EQUAL to the single-aggregate Percentile plan at three
+    * fixtures and ×8 rows (QuantAB). */
+  def centSpinePercentiles(x: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.{DoubleType, LongType}
+    val withB = x.filter(col("p").isNotNull)
+      .withColumn("bkt", expr("shiftright(cast(p * 100 as bigint), 16)"))
+    val spine = withB.groupBy("rf", "bkt").agg(count(lit(1)).as("bw"))
+    val wS = Window.partitionBy("rf").orderBy("bkt")
+    val cum = spine
+      .withColumn("hi", sum(col("bw")).over(
+        wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("lo", col("hi") - col("bw"))
+    // count(p) skips NULLs exactly as Percentile does
+    val tgt = x.groupBy("rf").agg(count(col("p")).as("n"))
+      .select(col("rf"),
+        explode(expr("array(0.25D, 0.5D, 0.75D)")).as("pct"), col("n"))
+      .withColumn("pos", (col("n") - 1).cast(DoubleType) * col("pct"))
+      .withColumn("rlo", floor(col("pos")))
+      .withColumn("rhi", ceil(col("pos")))
+    val ranks = tgt
+      .select(col("rf").as("nrf"),
+        explode(array(col("rlo"), col("rhi"))).as("r"))
+      .distinct()
+    // locate each (group, rank)'s bucket on the spine (≤18 × ≤510 rows)
+    val need = ranks.join(cum,
+        col("nrf") === col("rf") &&
+          col("r") >= col("lo") && col("r") < col("hi"))
+      .select(col("nrf"), col("r"), col("bkt").as("nbkt"),
+        col("lo").as("nlo"))
+    val wB = Window.partitionBy("rf", "bkt").orderBy("p")
+    val vals = withB
+      .join(broadcast(need.select(col("nrf").as("rf"),
+        col("nbkt").as("bkt")).distinct()), Seq("rf", "bkt"))
+      .withColumn("ix", row_number().over(wB).cast(LongType) - 1)
+      .join(broadcast(need),
+        col("rf") === col("nrf") && col("bkt") === col("nbkt") &&
+          col("ix") === col("r") - col("nlo"))
+      .select(col("rf"), col("r"), col("p").as("v"))
+    val q9 = tgt
+      .join(vals.select(col("rf"), col("r").as("rlo"), col("v").as("vlo")),
+        Seq("rf", "rlo"))
+      .join(vals.select(col("rf"), col("r").as("rhi"), col("v").as("vhi")),
+        Seq("rf", "rhi"))
+      .select(col("rf"), col("pct"),
+        when(col("rlo") === col("rhi") || col("vlo") === col("vhi"),
+          col("vlo"))
+          .otherwise(
+            (col("rhi").cast(DoubleType) - col("pos")) * col("vlo") +
+              (col("pos") - col("rlo").cast(DoubleType)) * col("vhi"))
+          .as("qv"))
+    q9.groupBy("rf")
+      .agg(max(when(col("pct") === 0.25, col("qv"))).as("p25"),
+        max(when(col("pct") === 0.5, col("qv"))).as("p50"),
+        max(when(col("pct") === 0.75, col("qv"))).as("p75"))
+  }
+
   /** Smallest band count whose per-pair MISS probability at `threshold`
     * is ≤ `perPairMiss`: recall per pair = 1 − (1 − t^r)^b, the Jaccard
     * twin of CosineLsh.bandsFor. */

@@ -154,59 +154,13 @@ object GroupNine {
       // l_extendedprice is NOT NULL; verified in the fixtures); reusing
       // this machinery on nullable inputs requires a left join of tgt
       // back to the group spine to restore NULL-quantile rows.
+      // body factored into Pipelines.centSpinePercentiles (ADVICE r16) so
+      // the QuantAB bit-equality/scaling harness measures the SAME code
+      // this key executes.
       val x = T.t(s, dir, "lineitem")
         .select(col("l_returnflag").as("rf"),
           col("l_extendedprice").cast(DoubleType).as("p"))
-      val withB = x.filter(col("p").isNotNull)
-        .withColumn("bkt", expr("shiftright(cast(p * 100 as bigint), 16)"))
-      val spine = withB.groupBy("rf", "bkt").agg(count(lit(1)).as("bw"))
-      val wS = Window.partitionBy("rf").orderBy("bkt")
-      val cum = spine
-        .withColumn("hi", sum(col("bw")).over(
-          wS.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .withColumn("lo", col("hi") - col("bw"))
-      // count(p) skips NULLs exactly as Percentile does
-      val tgt = x.groupBy("rf").agg(count(col("p")).as("n"))
-        .select(col("rf"),
-          explode(expr("array(0.25D, 0.5D, 0.75D)")).as("pct"), col("n"))
-        .withColumn("pos", (col("n") - 1).cast(DoubleType) * col("pct"))
-        .withColumn("rlo", floor(col("pos")))
-        .withColumn("rhi", ceil(col("pos")))
-      val ranks = tgt
-        .select(col("rf").as("nrf"),
-          explode(array(col("rlo"), col("rhi"))).as("r"))
-        .distinct()
-      // locate each (group, rank)'s bucket on the spine (≤18 × ≤510 rows)
-      val need = ranks.join(cum,
-          col("nrf") === col("rf") &&
-            col("r") >= col("lo") && col("r") < col("hi"))
-        .select(col("nrf"), col("r"), col("bkt").as("nbkt"),
-          col("lo").as("nlo"))
-      val wB = Window.partitionBy("rf", "bkt").orderBy("p")
-      val vals = withB
-        .join(broadcast(need.select(col("nrf").as("rf"),
-          col("nbkt").as("bkt")).distinct()), Seq("rf", "bkt"))
-        .withColumn("ix", row_number().over(wB).cast(LongType) - 1)
-        .join(broadcast(need),
-          col("rf") === col("nrf") && col("bkt") === col("nbkt") &&
-            col("ix") === col("r") - col("nlo"))
-        .select(col("rf"), col("r"), col("p").as("v"))
-      val q9 = tgt
-        .join(vals.select(col("rf"), col("r").as("rlo"), col("v").as("vlo")),
-          Seq("rf", "rlo"))
-        .join(vals.select(col("rf"), col("r").as("rhi"), col("v").as("vhi")),
-          Seq("rf", "rhi"))
-        .select(col("rf"), col("pct"),
-          when(col("rlo") === col("rhi") || col("vlo") === col("vhi"),
-            col("vlo"))
-            .otherwise(
-              (col("rhi").cast(DoubleType) - col("pos")) * col("vlo") +
-                (col("pos") - col("rlo").cast(DoubleType)) * col("vhi"))
-            .as("qv"))
-      q9.groupBy("rf")
-        .agg(max(when(col("pct") === 0.25, col("qv"))).as("p25"),
-          max(when(col("pct") === 0.5, col("qv"))).as("p50"),
-          max(when(col("pct") === 0.75, col("qv"))).as("p75"))
+      graft.api.Pipelines.centSpinePercentiles(x)
         .select(col("rf").as("l_returnflag"), col("p25"), col("p50"),
           col("p75"))
         .orderBy("l_returnflag")
